@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Text, Vectors}
+
+/** Deduplication family for LLM training corpora (SURVEY.md §2c).
+  *
+  * Scale shape for every near-dup variant: build an inverted index
+  * (doc → shingle/band/bucket), self-join on the index key, verify
+  * candidates exactly. Never an O(n²) cross-join. Hot index keys are
+  * capped (document-frequency cut) so no single bucket goes quadratic
+  * — at 100 TB a stopword shingle would otherwise collect millions of
+  * docs and the join would never finish.
+  */
+object Dedup {
+
+  /** Exact content dedup: hash → (survivor id, multiplicity).
+    * groupBy(md5) has map-side partial aggregation; the only shuffle
+    * carries (16-byte hash, id) pairs, not documents. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count("*").as("n_copies"))
+
+  /** Near-dup pairs by exact word-k-gram Jaccard >= tau.
+    *
+    * Inverted-index join: distinct (doc, shingle) exploded, self-join
+    * on shingle (one shuffle, co-partitioned), count shared shingles
+    * per pair, then Jaccard from per-doc shingle counts. `maxDf` drops
+    * shingles appearing in more documents (they cannot discriminate
+    * and they generate the quadratic bucket blowup).
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, tau: Double, maxDf: Option[Int] = None): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"), explode(Text.shingles(col(textCol), k)).as("s"))
+    val shPruned = maxDf match {
+      case Some(cap) =>
+        val hot = sh.groupBy("s").agg(count("*").as("df")).filter(col("df") > cap).select("s")
+        sh.join(broadcast(hot), Seq("s"), "left_anti")
+      case None => sh
+    }
+    val sizes = sh.groupBy("doc_id").agg(count("*").as("n_sh"))
+    val shared = shPruned.as("a")
+      .join(shPruned.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count("*").as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("shared") / (col("n_a") + col("n_b") - col("shared")), 4))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash signature over an in-row shingle array — used for
+    * small-side/test paths. NOTE: higher-order functions evaluate
+    * interpreted (no codegen); the operator path below uses the
+    * relational explode+groupBy form instead, which is ~10× faster
+    * and shuffles only (hash, id) pairs. */
+  def minhashSignature(shingleArr: Column, perms: Int): Column =
+    array((0 until perms).map { i =>
+      array_min(transform(shingleArr, s => xxhash64(lit(i), s)))
+    }: _*)
+
+  /** Relational MinHash signatures: one row per (doc, shingle), then
+    * `perms` codegen'd min(xxhash64(i, s)) aggregates in a single
+    * groupBy pass — partial aggregation map-side, one shuffle
+    * carrying 8-byte mins. */
+  private def minhashSigsRelational(sh: DataFrame, perms: Int): DataFrame = {
+    val minCols = (0 until perms).map(i => min(xxhash64(lit(i), col("s"))).as(s"m$i"))
+    sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until perms).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** MinHash + banded LSH candidate pairs, verified by signature
+    * agreement.
+    *
+    * signatures → band hashes (explode: one row per band) → self-join
+    * on (band, bandHash) — only docs agreeing on a whole band collide
+    * — → distinct pairs → verify estimated Jaccard (fraction of equal
+    * signature slots) >= tau. Linear in corpus size for fixed
+    * collision rates; the band join is the standard sub-quadratic
+    * MinHash-LSH from Broder '97 / MMDS ch.3.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, perms: Int, bands: Int, tau: Double): DataFrame = {
+    require(perms % bands == 0, "bands must divide perms")
+    val rows = perms / bands
+    val sigs = minhashSigsRelational(
+      docs.select(col(idCol).as("doc_id"),
+        explode(Text.shingles(col(textCol), k)).as("s")),
+      perms)
+
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows).cast("string")).as("bh"))
+      }: _*)).as("bd"))
+      .select(col("doc_id"), col("sig"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+
+    cand
+      .withColumn("est_jaccard", round(
+        size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, lit(1)).otherwise(lit(0))), v => v === 1))
+          / lit(perms.toDouble), 4))
+      .filter(col("est_jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+  }
+
+  /** SimHash-64: per token, xxhash64 gives 64 pseudo-random bits;
+    * sum +1/-1 per bit position weighted by token frequency; sign of
+    * each position's sum is the signature bit. Charikar '02. */
+  def simhash64(tokens: Column): Column = {
+    val bitSums = (0 until 64).map { b =>
+      aggregate(tokens, lit(0),
+        (acc, t) => acc + when(shiftright(xxhash64(t), b).bitwiseAND(lit(1L)) === 1L,
+          lit(1)).otherwise(lit(-1)))
+    }
+    (0 until 64).map { b =>
+      when(bitSums(b) >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Relational SimHash-64: explode tokens, one codegen'd conditional
+    * sum per bit position in a single groupBy pass (the in-row
+    * `simhash64` HOF form evaluates interpreted — fine for tests,
+    * wrong for a 100 TB scan). */
+  private def simhashSigsRelational(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(Text.tokens(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$b")
+    }
+    tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map { b =>
+          when(col(s"b$b") >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+        }.reduce(_.bitwiseOR(_)).as("sig"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming.
+    *
+    * Candidate generation by the rotate-and-band trick: split the
+    * 64-bit sig into (maxHamming+1) blocks; by pigeonhole, any pair
+    * within the Hamming radius agrees exactly on at least one block.
+    * Join per block (linear), verify with bit_count(xor). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val blocks = maxHamming + 1
+    val width = 64 / blocks
+    val sigs = simhashSigsRelational(docs, idCol, textCol)
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until blocks).map { i =>
+        struct(lit(i).as("blk"),
+          shiftright(col("sig"), i * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("key"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("sig"), col("b.blk").as("blk"), col("b.key").as("key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup pairs: cosine >= tau within blocks.
+    * Blocking (here: the label column; in production an LSH bucket —
+    * see Similarity.lshBuckets) bounds the self-join; ids-only output
+    * keeps floats out of the comparison surface. */
+  def embeddingPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, tau: Double): DataFrame = {
+    val e = embeddings.select(col(idCol).as("id"), col(blockCol).as("blk"), col(vecCol).as("v"))
+    e.as("a").join(e.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .filter(Vectors.cosine(col("a.v"), col("b.v")) >= tau)
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reference-pipeline semantics re-expressed as declarative Spark
+  * operators (see SURVEY.md §2a).
+  *
+  * The reference (/root/reference/main_dag.py) maintains a publication
+  * snapshot with pandas loops: upsert new rows by key, detect deleted
+  * rows via an `is_seen` flag, count co-author pairs with an O(pairs ×
+  * corpus) Python loop, and emit per-run volume metrics. Each becomes
+  * a single declarative plan here: one shuffle per logical
+  * repartitioning, no driver-side iteration, all joins key-local.
+  */
+object Pipeline {
+
+  /** Group-count by (year, category) — the reference's Q1 table
+    * `publication_by_year_and_category` (main_dag.py:293-301).
+    * Partial aggregation happens map-side; the scan reads 2 columns.
+    */
+  def countByYearCategory(df: DataFrame, dateCol: String, categoryCol: String): DataFrame =
+    df.groupBy(year(col(dateCol)).as("year"), col(categoryCol).as("category"))
+      .agg(count("*").as("n_pubs"))
+
+  /** Co-occurrence pair counting — the reference's
+    * `q2_count_thing` (main_dag.py:265-290) counts, per year, the
+    * publications each unordered researcher pair co-authored. The
+    * reference loops over all pairs × the whole corpus; here it is an
+    * inverted-index self-join: distinct (set, member) pairs, joined on
+    * the set key with `a < b` to keep one orientation. The self-join
+    * is co-partitioned on the set key (one shuffle), and the pair
+    * aggregation is the only other shuffle. Linear in Σ|set|², never
+    * |corpus|².
+    */
+  def pairCounts(df: DataFrame, setKey: String, memberKey: String, yearOf: DataFrame): DataFrame = {
+    val members = df.select(col(setKey), col(memberKey)).distinct()
+    val a = members.as("a")
+    val b = members.as("b")
+    a.join(b, col(s"a.$setKey") === col(s"b.$setKey") &&
+        col(s"a.$memberKey") < col(s"b.$memberKey"))
+      .select(col(s"a.$setKey").as("__set"),
+        col(s"a.$memberKey").as("member_a"),
+        col(s"b.$memberKey").as("member_b"))
+      .join(yearOf, col("__set") === yearOf.col(yearOf.columns.head))
+      .groupBy(col("year"), col("member_a"), col("member_b"))
+      .agg(count("*").as("n_co"))
+  }
+
+  /** Upsert / keep-latest-version-per-key merge — the reference's
+    * `save_to_csv` snapshot merge (main_dag.py:242-262). Union the
+    * base snapshot with the delta batch, keep the row with the
+    * greatest version per key. One shuffle (on the key); the window
+    * uses `row_number`, which Spark plans with partial top-1
+    * (WindowGroupLimit) so no full per-key sort materializes.
+    * `version` columns must make the ordering total (pass a tiebreak).
+    */
+  def upsertLatest(base: DataFrame, delta: DataFrame, keys: Seq[String], version: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(version.map(_.desc): _*)
+    base.unionByName(delta)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Delete detection — keys present in the snapshot but absent from
+    * the latest batch (the reference's `is_seen == False` scan,
+    * main_dag.py:251-254). A `left_anti` join: broadcast when the
+    * seen-side is small, shuffle-hash otherwise (Catalyst + AQE
+    * decide from stats).
+    */
+  def deletedKeys(snapshot: DataFrame, seen: DataFrame, snapshotKey: String, seenKey: String): DataFrame =
+    snapshot.join(seen, snapshot(snapshotKey) === seen(seenKey), "left_anti")
+
+  /** Per-run volume metrics — the reference's `volume_update` write
+    * (main_dag.py:480-488): total rows, rows matching the "new"
+    * predicate, distinct keys. One wide aggregate, single reduce.
+    */
+  def volumeMetrics(df: DataFrame, isNew: Column, keyCol: String): DataFrame =
+    df.agg(
+      count("*").as("total_rows"),
+      count(when(isNew, true)).as("total_new"),
+      countDistinct(col(keyCol)).as("unique_keys"))
+
+  /** Element frequency from a collection column — the reference
+    * explodes author ordinal-maps into rows (main_dag.py:455-478).
+    * Explode + count with deterministic top-N (count desc, element
+    * asc). TakeOrderedAndProject handles the top-N without a global
+    * sort.
+    */
+  def explodeCount(df: DataFrame, elements: Column, topN: Int): DataFrame =
+    df.select(explode(elements).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count("*").as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(topN)
+
+  /** Per-group sorted member roster — the reference's update-log
+    * projection builds per-publication author structs
+    * (main_dag.py:433-478). Aggregates each group's distinct members
+    * into a deterministic (sorted) comma-joined string + count.
+    */
+  def memberRoster(df: DataFrame, groupKey: String, memberKey: String): DataFrame =
+    df.select(col(groupKey), col(memberKey)).distinct()
+      .groupBy(col(groupKey))
+      .agg(
+        concat_ws(",", transform(sort_array(collect_list(col(memberKey))),
+          m => m.cast("string"))).as("members"),
+        count("*").as("n_members"))
+}

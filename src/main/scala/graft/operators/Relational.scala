@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core: the analytics the engine must run efficiently at
+  * 100 TB (SURVEY.md §2b). TPC-H-shaped plans over the driver
+  * testdata. Design rules applied throughout:
+  *   - project to the minimal column set BEFORE any shuffle;
+  *   - broadcast every dimension (region/nation/supplier/customer);
+  *   - top-k via orderBy+limit (TakeOrderedAndProject — no global sort);
+  *   - doubles rounded only at the output edge.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: wide aggregate over the fact
+    * with partial (map-side) combine; one shuffle on the 2 group
+    * flags. */
+  def pricingSummary(lineitem: DataFrame, cutoff: String): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= to_timestamp(lit(cutoff)))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count("*").as("count_order"))
+
+  /** TPC-H Q3-style top-revenue orders: broadcast the filtered
+    * customer dim, shuffle the fact once on orderkey, top-10 via
+    * TakeOrderedAndProject. */
+  def topRevenueOrders(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      segment: String, cutoff: String): DataFrame = {
+    val cut = to_timestamp(lit(cutoff))
+    val c = customer.filter(col("c_mktsegment") === segment).select("c_custkey")
+    val o = orders.filter(col("o_orderdate") < cut)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = lineitem.filter(col("l_shipdate") > cut)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .orderBy(col("rev").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"),
+        round(col("rev"), 2).as("revenue"))
+  }
+
+  /** TPC-H Q5-style per-nation revenue: every dimension broadcast, the
+    * fact shuffles once (orders join key); the customer/supplier
+    * nation-equality closes the snowflake. */
+  def nationRevenue(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      supplier: DataFrame, nation: DataFrame, region: DataFrame,
+      regionName: String, yr: Int): DataFrame = {
+    val o = orders.filter(year(col("o_orderdate")) === yr)
+      .select("o_orderkey", "o_custkey")
+    val l = lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        o("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        l("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName).select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  /** Top-N rows per group by a total ordering (latest orders per
+    * customer). row_number + filter plans as WindowGroupLimit: each
+    * partition keeps only N rows pre-shuffle. */
+  def topNPerGroup(df: DataFrame, partitionCols: Seq[String], order: Seq[Column], n: Int): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n)
+  }
+
+  /** Hierarchical rollup: count + sum at every prefix level of the
+    * grouping. Catalyst's Expand feeds a single partial-agg pass. */
+  def rollupAgg(df: DataFrame, g1: String, g2: String, valueCol: String): DataFrame =
+    df.rollup(col(g1), col(g2))
+      .agg(count("*").as("n_rows"), round(sum(col(valueCol)), 2).as("total_value"))
+
+  /** EXISTS ∧ NOT EXISTS predicates as semi/anti joins — never a
+    * distinct + inner join (which would shuffle the probe side
+    * twice and inflate it). */
+  def semiAnti(probe: DataFrame, mustMatch: DataFrame, mustNotMatch: DataFrame,
+      probeKey: String, matchKey: String): DataFrame =
+    probe
+      .join(mustMatch, probe(probeKey) === mustMatch(matchKey), "left_semi")
+      .join(mustNotMatch, probe(probeKey) === mustNotMatch(matchKey), "left_anti")
+
+  /** Conditional aggregation: one scan, every branch folded into the
+    * same partial aggregate (no per-branch scans, no self-joins). */
+  def conditionalAgg(orders: DataFrame, customer: DataFrame, nation: DataFrame,
+      highThreshold: Double): DataFrame = {
+    val isHigh = col("o_totalprice") > highThreshold
+    orders.select("o_custkey", "o_totalprice")
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count("*").as("n_orders"),
+        count(when(isHigh, true)).as("n_high"),
+        round(sum(when(isHigh, col("o_totalprice")).otherwise(lit(0.0))), 2).as("high_revenue"),
+        round(avg(when(isHigh, lit(1.0)).otherwise(lit(0.0))), 4).as("high_share"))
+  }
+}

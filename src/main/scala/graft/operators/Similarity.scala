@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY.md §2c).
+  *
+  * Baseline: brute-force cosine top-k with the query set broadcast —
+  * exact, one pass over the corpus, no corpus shuffle. Scale path:
+  * LSH-bucketed search — corpus and queries are signed into
+  * random-hyperplane buckets; only same-bucket candidates are scored.
+  * At 100 TB the bucket join replaces a full corpus scan per query
+  * batch with a co-partitioned join on bucket id.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * The query side is broadcast (query batches are small relative to
+    * the corpus); the corpus never shuffles. Per-query top-k is a
+    * row_number window over (query, cosine desc) with an id tiebreak
+    * for total ordering.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("int").as("rnk"), col("neighbor_id"))
+  }
+
+  /** Random-hyperplane LSH bucket id for each vector. Deterministic
+    * (seeded) — safe under task retries. */
+  def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, bits: Int, seed: Long): DataFrame =
+    df.select(col(idCol), col(vecCol),
+      Vectors.hyperplaneSig(col(vecCol), dim, bits, seed).as("bucket"))
+
+  /** LSH-bucketed approximate top-k: score only candidates sharing
+    * the query's bucket under at least one of `tables` independent
+    * hash tables (multi-probe via independent seeds). Recall is
+    * tunable by (bits, tables); verified against bruteForceTopK in
+    * the test suite. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      dim: Int, bits: Int, tables: Int, seed: Long, k: Int): DataFrame = {
+    def sigTables(df: DataFrame, side: String): DataFrame =
+      df.select(
+        col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_v"),
+        explode(array((0 until tables).map { t =>
+          struct(lit(t).as("tbl"),
+            Vectors.hyperplaneSig(col(vecCol), dim, bits, seed + t).as("bucket"))
+        }: _*)).as("tb"))
+        .select(col(s"${side}_id"), col(s"${side}_v"),
+          col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+
+    val qb = sigTables(queries, "query")
+    val cb = sigTables(corpus, "neighbor")
+    val cand = cb.join(broadcast(qb), Seq("tbl", "bucket"))
+      .select(col("query_id"), col("neighbor_id"), col("query_v"), col("neighbor_v"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.cosine(col("query_v"), col("neighbor_v")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("int").as("rnk"), col("neighbor_id"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Schema'd readers for the engine's table surface.
+  *
+  * Mirrors the reference's file-based extract stage
+  * (/root/reference/main_dag.py:16-47 reads per-researcher files;
+  * researchers_xml_download_script.py reads cs_researchers.csv) as
+  * proper columnar sources: parquet for facts, schema'd CSV/JSON for
+  * small control tables. At scale, parquet scans benefit from column
+  * pruning + predicate pushdown; CSV/JSON are for small dims only.
+  */
+object Tables {
+
+  /** All tables the driver's testdata provides, by name. */
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one parquet table from a scale-factor directory. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  /** The events table carries nanosecond parquet timestamps, which
+    * Spark 4's reader rejects. With
+    * spark.sql.legacy.parquet.nanosAsLong=true they read as Long
+    * nanos; convert to microsecond TimestampType here (truncating,
+    * matching a ns→µs cast in other engines). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val raw = table(spark, dir, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Schema'd CSV reader (no inference job — at 100 TB an inference
+    * pass is a full extra scan). Header expected, like
+    * cs_researchers.csv in the reference. */
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** Schema'd JSON-lines reader. */
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Idempotent partitioned parquet sink — replaces the reference's
+    * row-wise Cassandra loop (main_dag.py:313-396). `overwrite` +
+    * partitionBy gives restartable, parallel loads; with
+    * partitionOverwriteMode=dynamic only touched partitions rewrite. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+}

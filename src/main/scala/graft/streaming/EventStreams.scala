@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming variants of the batch event operators
+  * (graft.operators.Events) — same grouping semantics, so a backfill
+  * job and the live pipeline produce consistent tables.
+  *
+  * The reference runs weekly batch Airflow (main_dag.py's schedule) —
+  * its "incremental update" pattern (new rows per run + update log)
+  * is exactly a streaming upsert; these operators are the
+  * continuous-form equivalent.
+  */
+object EventStreams {
+
+  /** Raw event row as read from the events table. */
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** Emitted session summary (append-mode output). */
+  case class Session(user_id: Long, session_seq: Int, n_events: Long,
+      start_ts: Timestamp, end_ts: Timestamp, total_value: Double)
+
+  private case class SessionState(seq: Int, n: Long, start: Long, last: Long, total: Double)
+
+  /** Tumbling-window count/sum per event type with a watermark: the
+    * streaming twin of Events.hourlyByType. Late events beyond the
+    * watermark are dropped; state is bounded by (watermark horizon ×
+    * type cardinality). */
+  def windowedByType(events: DataFrame, windowLen: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count("*").as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Stateful gap-sessionization: the streaming twin of
+    * Events.sessionize. One GroupState per user holds the open
+    * session; a processing-time timeout flushes idle sessions so
+    * state can't grow unboundedly.
+    *
+    * Emits a session when the gap to the previous event exceeds
+    * `gapSeconds` (and on timeout). Within-batch events are sorted by
+    * (ts, event_id) before folding, so replays are deterministic.
+    */
+  def sessionizeStream(events: Dataset[Event], gapSeconds: Double)(
+      implicit spark: SparkSession): Dataset[Session] = {
+    import spark.implicits._
+    val gapMicros = (gapSeconds * 1e6).toLong
+
+    def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+    def fold(userId: Long, it: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map { s =>
+          Session(userId, s.seq, s.n, new Timestamp(s.start / 1000),
+            new Timestamp(s.last / 1000), math.rint(s.total * 100) / 100)
+        }
+        state.remove()
+        return out.iterator
+      }
+      val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var cur = state.getOption.orNull
+      val emitted = Seq.newBuilder[Session]
+      for (e <- sorted) {
+        val t = micros(e.ts)
+        if (cur == null) {
+          cur = SessionState(1, 1, t, t, e.value)
+        } else if (t - cur.last > gapMicros) {
+          emitted += Session(userId, cur.seq, cur.n, new Timestamp(cur.start / 1000),
+            new Timestamp(cur.last / 1000), math.rint(cur.total * 100) / 100)
+          cur = SessionState(cur.seq + 1, 1, t, t, e.value)
+        } else {
+          cur = cur.copy(n = cur.n + 1, last = t, total = cur.total + e.value)
+        }
+      }
+      state.update(cur)
+      state.setTimeoutDuration(s"${(gapSeconds * 1000).toLong} milliseconds")
+      emitted.result().iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(fold)
+  }
+}

@@ -140,7 +140,7 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(
         e.filter(col("vec_id") >= 8), e.filter(col("vec_id") < 8),
-        "vec_id", "embedding", dim = 64, bits = 8, tables = 4, seed = 42L, k = 5)
+        "vec_id", "embedding", dim = 64, bits = 4, tables = 8, seed = 42L, k = 5)
     }),
 
     "text_tokens" -> ((s, dir) =>

@@ -25,7 +25,9 @@ object EventStreams {
   case class Session(user_id: Long, session_seq: Int, n_events: Long,
       start_ts: Timestamp, end_ts: Timestamp, total_value: Double)
 
-  private case class SessionState(seq: Int, n: Long, start: Long, last: Long, total: Double)
+  /** Open-session accumulator held in GroupState (public: the state
+    * encoder's generated code must reach its accessors). */
+  case class SessionState(seq: Int, n: Long, startUs: Long, lastUs: Long, total: Double)
 
   /** Tumbling-window count/sum per event type with a watermark: the
     * streaming twin of Events.hourlyByType. Late events beyond the
@@ -41,14 +43,18 @@ object EventStreams {
 
   /** Stateful gap-sessionization: the streaming twin of
     * Events.sessionize. One GroupState per user holds the open
-    * session; a processing-time timeout flushes idle sessions so
-    * state can't grow unboundedly.
+    * session.
     *
     * Emits a session when the gap to the previous event exceeds
-    * `gapSeconds` (and on timeout). Within-batch events are sorted by
-    * (ts, event_id) before folding, so replays are deterministic.
+    * `gapSeconds`. With `idleFlushMs` set, a processing-time timeout
+    * also flushes idle sessions so state can't grow unboundedly (leave
+    * unset in synchronous test harnesses — each timeout schedules
+    * another micro-batch, so processAllAvailable would never drain).
+    * Within-batch events are sorted by (ts, event_id) before folding,
+    * so replays are deterministic.
     */
-  def sessionizeStream(events: Dataset[Event], gapSeconds: Double)(
+  def sessionizeStream(events: Dataset[Event], gapSeconds: Double,
+      idleFlushMs: Option[Long] = None)(
       implicit spark: SparkSession): Dataset[Session] = {
     import spark.implicits._
     val gapMicros = (gapSeconds * 1e6).toLong
@@ -59,8 +65,8 @@ object EventStreams {
         state: GroupState[SessionState]): Iterator[Session] = {
       if (state.hasTimedOut) {
         val out = state.getOption.map { s =>
-          Session(userId, s.seq, s.n, new Timestamp(s.start / 1000),
-            new Timestamp(s.last / 1000), math.rint(s.total * 100) / 100)
+          Session(userId, s.seq, s.n, new Timestamp(s.startUs / 1000),
+            new Timestamp(s.lastUs / 1000), math.rint(s.total * 100) / 100)
         }
         state.remove()
         return out.iterator
@@ -72,20 +78,23 @@ object EventStreams {
         val t = micros(e.ts)
         if (cur == null) {
           cur = SessionState(1, 1, t, t, e.value)
-        } else if (t - cur.last > gapMicros) {
-          emitted += Session(userId, cur.seq, cur.n, new Timestamp(cur.start / 1000),
-            new Timestamp(cur.last / 1000), math.rint(cur.total * 100) / 100)
+        } else if (t - cur.lastUs > gapMicros) {
+          emitted += Session(userId, cur.seq, cur.n, new Timestamp(cur.startUs / 1000),
+            new Timestamp(cur.lastUs / 1000), math.rint(cur.total * 100) / 100)
           cur = SessionState(cur.seq + 1, 1, t, t, e.value)
         } else {
-          cur = cur.copy(n = cur.n + 1, last = t, total = cur.total + e.value)
+          cur = cur.copy(n = cur.n + 1, lastUs = t, total = cur.total + e.value)
         }
       }
       state.update(cur)
-      state.setTimeoutDuration(s"${(gapSeconds * 1000).toLong} milliseconds")
+      idleFlushMs.foreach(ms => state.setTimeoutDuration(s"$ms milliseconds"))
       emitted.result().iterator
     }
 
+    val timeoutConf =
+      if (idleFlushMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(fold)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(fold)
   }
 }

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to Spark's private[sql] Column <-> Expression converters —
+  * the supported extension-point pattern for libraries that define
+  * native Catalyst expressions (Spark 4 removed the public
+  * `Column.expr` / `new Column(expr)` surface).
+  */
+object ColumnBridge {
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+  def toExpr(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.sources.Tables
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup groups identical texts and keeps the min id") {
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .orderBy("keep_id")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect()
+    assert(out === Array((1L, 2L), (3L, 1L)))
+  }
+
+  test("ngramJaccardPairs finds an injected near-duplicate") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = a.replace("lazy", "sleepy") // one token differs
+    val docs = Seq((1L, a), (2L, b), (3L, "completely unrelated content here now"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, tau = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
+  test("minhash LSH recovers the high-jaccard pairs exact jaccard finds") {
+    val docs = Tables.documents(spark, sfDir)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, tau = 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      k = 3, perms = 128, bands = 32, tau = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "test data should contain near-duplicates")
+    val recall = exact.intersect(lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall too low (found ${lsh.size}, expected ${exact.size})")
+  }
+
+  test("simhashPairs only returns pairs within the Hamming radius") {
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[Long]("hamming") <= 3))
+  }
+
+  test("embeddingPairs output is symmetric-free and above threshold") {
+    val e = Tables.embeddings(spark, sfDir)
+    val pairs = Dedup.embeddingPairs(e, "vec_id", "embedding", "label", 0.4)
+      .as[(Long, Long)].collect()
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+}

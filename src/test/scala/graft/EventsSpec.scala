@@ -1,0 +1,51 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Events
+
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("sessionize splits on gaps strictly greater than the threshold") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 7L, "a", 1.0),
+      (2L, ts("2024-01-01 00:29:00"), 7L, "a", 2.0), // same session (29 min)
+      (3L, ts("2024-01-01 01:00:00"), 7L, "a", 3.0), // 31 min -> new session
+      (4L, ts("2024-01-01 00:10:00"), 8L, "a", 4.0)  // other user
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.sessionize(events, 1800.0)
+      .orderBy("user_id", "session_seq")
+      .select("user_id", "session_seq", "n_events", "total_value")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(out === Array((7L, 1, 2L, 3.0), (7L, 2, 1L, 3.0), (8L, 1, 1L, 4.0)))
+  }
+
+  test("sessionize gap is exclusive at exactly the threshold") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a", 1.0),
+      (2L, ts("2024-01-01 00:30:00"), 1L, "a", 1.0) // exactly 1800s -> same session
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.sessionize(events, 1800.0).collect()
+    assert(out.length === 1)
+  }
+
+  test("hourlyByType truncates to hour boundaries") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 1L, "x", 1.5),
+      (2L, ts("2024-01-01 10:55:00"), 2L, "x", 2.5),
+      (3L, ts("2024-01-01 11:00:00"), 3L, "x", 4.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.hourlyByType(events)
+      .orderBy("hour_start")
+      .select(col("hour_start").cast("string"), col("n_events"), col("total_value"))
+      .as[(String, Long, Double)].collect()
+    assert(out === Array(
+      ("2024-01-01 10:00:00", 2L, 4.0),
+      ("2024-01-01 11:00:00", 1L, 4.0)))
+  }
+}

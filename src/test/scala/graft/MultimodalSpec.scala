@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("payload stats are computed without decoding") {
+    val media = Multimodal.syntheticMedia(spark, 10).toDF()
+    val out = Multimodal.withPayloadStats(media, "payload")
+    val r = out.select("media_id", "n_bytes").as[(Long, Long)].collect().toMap
+    assert(r(0L) === 64L && r(63L % 10) === (64L + 3 % 64))
+    assert(out.columns.contains("checksum"))
+  }
+
+  test("extractFeatures is deterministic and shape-stable") {
+    implicit val s = spark
+    val media = Multimodal.syntheticMedia(spark, 20)
+    val f1 = Multimodal.extractFeatures(media, dim = 8).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media, dim = 8).collect().sortBy(_.media_id)
+    assert(f1.length === 20)
+    assert(f1.forall(_.features.length === 8))
+    assert(f1.map(_.checksum).toSeq === f2.map(_.checksum).toSeq)
+    assert(f1.map(_.features.toSeq) === f2.map(_.features.toSeq))
+  }
+
+  test("sampleFrames explodes each media row into n frame rows") {
+    val media = Multimodal.syntheticMedia(spark, 5).toDF()
+    val frames = Multimodal.sampleFrames(media, "payload", nFrames = 4)
+    assert(frames.count() === 20)
+    assert(frames.groupBy("media_id").count()
+      .select("count").as[Long].collect().forall(_ === 4L))
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Pipeline
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsertLatest keeps exactly the greatest version per key") {
+    val base = Seq((1L, 10, "old"), (2L, 10, "keep")).toDF("k", "v", "tag")
+    val delta = Seq((1L, 20, "new"), (3L, 5, "insert")).toDF("k", "v", "tag")
+    val out = Pipeline.upsertLatest(base, delta, Seq("k"), Seq(col("v")))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(2))).toSeq ===
+      Seq((1L, "new"), (2L, "keep"), (3L, "insert")))
+  }
+
+  test("upsertLatest tiebreak makes the merge deterministic") {
+    val base = Seq((1L, 10, "a")).toDF("k", "v", "tag")
+    val delta = Seq((1L, 10, "b")).toDF("k", "v", "tag")
+    val out = Pipeline.upsertLatest(base, delta, Seq("k"), Seq(col("v"), col("tag")))
+    assert(out.select("tag").as[String].collect() === Array("b"))
+  }
+
+  test("deletedKeys finds snapshot keys missing from the seen batch") {
+    val snap = Seq(1L, 2L, 3L).toDF("k")
+    val seen = Seq(2L).toDF("sk")
+    val out = Pipeline.deletedKeys(snap, seen, "k", "sk")
+    assert(out.as[Long].collect().sorted === Array(1L, 3L))
+  }
+
+  test("pairCounts counts unordered co-occurrence per year") {
+    // set 100: members 1,2,3 (year 2020) -> pairs (1,2),(1,3),(2,3)
+    // set 200: members 1,2   (year 2020) -> pair (1,2)
+    val facts = Seq((100L, 1L), (100L, 2L), (100L, 3L), (100L, 1L), // dup member row
+      (200L, 1L), (200L, 2L)).toDF("set_id", "member")
+    val yearOf = Seq((100L, 2020), (200L, 2020)).toDF("set_id", "year")
+    val out = Pipeline.pairCounts(facts, "set_id", "member", yearOf)
+      .orderBy("member_a", "member_b")
+      .select("year", "member_a", "member_b", "n_co")
+      .as[(Int, Long, Long, Long)].collect()
+    assert(out === Array((2020, 1L, 2L, 2L), (2020, 1L, 3L, 1L), (2020, 2L, 3L, 1L)))
+  }
+
+  test("volumeMetrics counts totals, new rows, distinct keys") {
+    val df = Seq(("a", true), ("a", false), ("b", true)).toDF("k", "is_new")
+    val r = Pipeline.volumeMetrics(df, col("is_new"), "k").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 2L, 2L)))
+  }
+}

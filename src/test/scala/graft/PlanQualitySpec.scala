@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+import graft.sources.Tables
+
+/** Physical-plan assertions: correctness tests prove the small-SF
+  * answer; these prove the plan SHAPE survives a 100×/1000× scale-up
+  * (broadcast joins instead of shuffles, pushdown reaching the scan,
+  * top-k without a global sort, rank-limit pushdown in windows).
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("nationRevenue broadcasts every dimension (no shuffle joins)") {
+    val p = plan(Relational.nationRevenue(
+      Tables.lineitem(spark, sfDir), Tables.orders(spark, sfDir),
+      Tables.customer(spark, sfDir), Tables.supplier(spark, sfDir),
+      Tables.nation(spark, sfDir), Tables.region(spark, sfDir), "ASIA", 1998))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      s"dimension join degenerated to a sort-merge shuffle:\n$p")
+  }
+
+  test("filters and projection push down to the parquet scan") {
+    val df = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") > 30)
+      .select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30"),
+      s"filter did not reach the scan:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"scan reads more columns than the projection needs:\n$p")
+  }
+
+  test("top-revenue top-10 avoids a global sort (TakeOrderedAndProject)") {
+    val p = plan(Relational.topRevenueOrders(
+      Tables.lineitem(spark, sfDir), Tables.orders(spark, sfDir),
+      Tables.customer(spark, sfDir), "BUILDING", "1998-01-01"))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k used a full sort:\n$p")
+  }
+
+  test("window top-N pushes the rank limit below the shuffle") {
+    val p = plan(Relational.topNPerGroup(Tables.orders(spark, sfDir),
+      Seq("o_custkey"), Seq(col("o_orderdate").desc, col("o_orderkey").desc), 3))
+    assert(p.contains("WindowGroupLimit"), s"rank limit not pushed down:\n$p")
+  }
+
+  test("pricing summary aggregates partially before the shuffle") {
+    val p = plan(Relational.pricingSummary(Tables.lineitem(spark, sfDir), "1998-09-02"))
+    assert(p.contains("HashAggregate"))
+    // partial + final pair means map-side combine happened
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial aggregation:\n$p")
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.sources.Tables
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bruteForceTopK ranks by cosine with deterministic tiebreak") {
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f)),   // cos 1.0 with query
+      (11L, Array(0.9f, 0.1f)),   // high
+      (12L, Array(0.0f, 1.0f)),   // orthogonal
+      (13L, Array(-1.0f, 0.0f))). // opposite
+      toDF("id", "vec")
+    val queries = Seq((1L, Array(1.0f, 0.0f))).toDF("id", "vec")
+    val out = Similarity.bruteForceTopK(corpus, queries, "id", "vec", k = 3)
+      .orderBy("rnk").select("neighbor_id").as[Long].collect()
+    assert(out === Array(10L, 11L, 12L))
+  }
+
+  test("lshTopK achieves high recall@5 against brute force") {
+    val e = Tables.embeddings(spark, sfDir)
+    val corpus = e.filter(col("vec_id") >= 8)
+    val queries = e.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // bits/tables tuned for weakly-correlated vectors (top-5 sims here
+    // are only cos≈0.4): p_bit = 1-θ/π ≈ 0.63, so 4 bits × 8 tables
+    // gives expected recall ≈ 1-(1-0.63^4)^8 ≈ 0.75
+    val approx = Similarity.lshTopK(corpus, queries, "vec_id", "embedding",
+      dim = 64, bits = 4, tables = 8, seed = 42L, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall@5 = $recall (approx ${approx.size} of ${exact.size})")
+  }
+
+  test("lshTopK is deterministic across runs (seeded hyperplanes)") {
+    val e = Tables.embeddings(spark, sfDir)
+    def run() = Similarity.lshTopK(e.filter(col("vec_id") >= 8),
+      e.filter(col("vec_id") < 8), "vec_id", "embedding",
+      dim = 64, bits = 4, tables = 8, seed = 42L, k = 5)
+      .select("query_id", "rnk", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(run() === run())
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.operators.Events
+import graft.sources.Tables
+import graft.streaming.EventStreams
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming windowedByType matches the batch hourly aggregate") {
+    val batch = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    mem.addData(batch.as[EventStreams.Event].collect().toIndexedSeq)
+
+    val q = EventStreams.windowedByType(mem.toDF(), "1 hour", "10 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val streamed = spark.table("win_out")
+      .select(col("window_start"), col("event_type"), col("n_events"), col("total_value"))
+      .orderBy("window_start", "event_type")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect()
+    val batched = Events.hourlyByType(batch)
+      .select(col("hour_start"), col("event_type"), col("n_events"), col("total_value"))
+      .orderBy("hour_start", "event_type")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect()
+    assert(streamed === batched)
+  }
+
+  test("stateful sessionizeStream finds the same sessions as batch") {
+    val batch = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sess = spark
+    val mem = MemoryStream[EventStreams.Event]
+    mem.addData(batch.as[EventStreams.Event].collect().toIndexedSeq)
+
+    val q = EventStreams.sessionizeStream(mem.toDS(), 1800.0)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    // The stream emits only CLOSED sessions (the per-user open tail
+    // stays in state); every emitted session must match its batch twin.
+    val streamed = spark.table("sess_out")
+      .select("user_id", "session_seq", "n_events", "total_value")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val batched = Events.sessionize(batch, 1800.0)
+      .select("user_id", "session_seq", "n_events", "total_value")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(streamed.nonEmpty, "no sessions closed in stream")
+    assert(streamed.subsetOf(batched),
+      s"streamed sessions disagree with batch: ${streamed.diff(batched).take(3)}")
+  }
+}

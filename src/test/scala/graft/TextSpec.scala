@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.functions.expr.NativeFunctions._
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles produces distinct k-grams in order-insensitive sets") {
+    val df = Seq("a b c d", "a b", "").toDF("t")
+    val out = df.select(Text.shingles(col("t"), 3).as("s"))
+      .as[Seq[String]].collect()
+    assert(out(0) === Seq("a b c", "b c d"))
+    assert(out(1) === Seq.empty) // fewer than k tokens
+    assert(out(2) === Seq.empty)
+  }
+
+  test("fingerprint is whitespace/case-insensitive but content-sensitive") {
+    val df = Seq(("A  b\tC", "a b c", "a b d")).toDF("x", "y", "z")
+    val r = df.select(Text.fingerprint(col("x")).as("fx"),
+      Text.fingerprint(col("y")).as("fy"),
+      Text.fingerprint(col("z")).as("fz")).collect().head
+    assert(r.getString(0) === r.getString(1))
+    assert(r.getString(0) !== r.getString(2))
+  }
+
+  test("langId picks the language whose stopwords dominate") {
+    val df = Seq(
+      "the cat and the dog in the house",
+      "der Hund und die Katze ist nicht hier",
+      "el perro y la casa es de madera",
+      "qqq www zzz").toDF("t")
+    val out = df.select(Text.langId(col("t"))).as[String].collect()
+    assert(out === Array("en", "de", "es", "und"))
+  }
+
+  test("stopwordRatio and tokenCount agree with hand counts") {
+    val r = Seq("the fast the slow xyz").toDF("t")
+      .select(Text.tokenCount(col("t")).as("n"),
+        Text.stopwordRatio(col("t")).as("r")).collect().head
+    assert(r.getInt(0) === 5)
+    assert(math.abs(r.getDouble(1) - 0.4) < 1e-12)
+  }
+
+  test("native hamming_distance matches bit_count(xor) and survives codegen") {
+    val df = Seq((0xFFL, 0x0FL), (0L, 0L), (-1L, 0L)).toDF("a", "b")
+    val out = df.select(hamming_distance(col("a"), col("b")).as("h"),
+      bit_count(col("a").bitwiseXOR(col("b"))).cast("long").as("ref"))
+    assert(out.collect().forall(r => r.getLong(0) === r.getLong(1)))
+  }
+
+  test("native rolling_hash is deterministic and order-sensitive") {
+    val df = Seq(("abc", "abc", "acb")).toDF("x", "y", "z")
+    val r = df.select(rolling_hash(col("x")).as("hx"),
+      rolling_hash(col("y")).as("hy"),
+      rolling_hash(col("z")).as("hz")).collect().head
+    assert(r.getLong(0) === r.getLong(1))
+    assert(r.getLong(0) !== r.getLong(2))
+  }
+}

@@ -20,22 +20,29 @@ object Vectors {
   private def fsum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
+  /** Native codegen'd dot product (see expr.DotProduct — the HOF form
+    * evaluates interpreted, ~20× slower in pairwise joins). */
   def dot(a: Column, b: Column): Column =
-    fsum(zip_with(d(a), d(b), (x, y) => x * y))
+    graft.functions.expr.NativeFunctions.dot_product(d(a), d(b))
 
-  def norm2(a: Column): Column = {
-    val ad = d(a)
-    sqrt(fsum(zip_with(ad, ad, (x, y) => x * y)))
-  }
+  /** Squared L2 norm |a|^2. */
+  def normSq(a: Column): Column = { val ad = d(a); dot(ad, ad) }
+
+  def norm2(a: Column): Column = sqrt(normSq(a))
 
   /** Cosine similarity: dot / sqrt(|a|^2 * |b|^2) — the same
     * association DuckDB's list_cosine_similarity uses, so oracle
     * comparisons agree to the last ulp. */
   def cosine(a: Column, b: Column): Column = {
     val ad = d(a); val bd = d(b)
-    dot(ad, bd) / sqrt(fsum(zip_with(ad, ad, (x, y) => x * y)) *
-                       fsum(zip_with(bd, bd, (x, y) => x * y)))
+    dot(ad, bd) / sqrt(normSq(ad) * normSq(bd))
   }
+
+  /** Cosine from precomputed squared norms — identical arithmetic to
+    * `cosine` (sqrt(x*y) over the same doubles), but the norms are
+    * computed once per row instead of once per candidate pair. */
+  def cosineWithNorms(a: Column, b: Column, aNormSq: Column, bNormSq: Column): Column =
+    dot(a, b) / sqrt(aNormSq * bNormSq)
 
   /** Squared L2 distance. */
   def l2sq(a: Column, b: Column): Column =
@@ -58,7 +65,7 @@ object Vectors {
     val vd = d(v)
     val bitCols = (0 until bits).map { b =>
       val w = array(weights(b).map(lit).toIndexedSeq: _*)
-      val proj = fsum(zip_with(vd, w, (x, y) => x * y))
+      val proj = dot(vd, w)
       when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
     bitCols.reduce(_.bitwiseOR(_))

@@ -16,6 +16,7 @@ import graft.functions.{Text, Vectors}
   */
 object Dedup {
 
+
   /** Exact content dedup: hash → (survivor id, multiplicity).
     * groupBy(md5) has map-side partial aggregation; the only shuffle
     * carries (16-byte hash, id) pairs, not documents. */
@@ -33,8 +34,19 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, tau: Double, maxDf: Option[Int] = None): DataFrame = {
+    // carry 8-byte shingle hashes through the join, not strings: the
+    // native single-pass ShingleHashes expression replaces an
+    // interpreted HOF pipeline (~30× on the shingling stage), the
+    // shuffle is 3× smaller, and equality is a long compare (collision
+    // odds over a shingle vocabulary are ~|V|²/2^64 — immaterial).
+    // The index is persisted: it feeds both self-join sides and both
+    // size lookups, and without an explicit persist Catalyst re-scans
+    // + re-shingles the corpus four times.
     val sh = docs
-      .select(col(idCol).as("doc_id"), explode(Text.shingles(col(textCol), k)).as("s"))
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.expr.NativeFunctions
+          .shingle_hashes(col(textCol), k)).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shPruned = maxDf match {
       case Some(cap) =>
         val hot = sh.groupBy("s").agg(count("*").as("df")).filter(col("df") > cap).select("s")
@@ -66,16 +78,15 @@ object Dedup {
       array_min(transform(shingleArr, s => xxhash64(lit(i), s)))
     }: _*)
 
-  /** Relational MinHash signatures: one row per (doc, shingle), then
-    * `perms` codegen'd min(xxhash64(i, s)) aggregates in a single
-    * groupBy pass — partial aggregation map-side, one shuffle
-    * carrying 8-byte mins. */
-  private def minhashSigsRelational(sh: DataFrame, perms: Int): DataFrame = {
-    val minCols = (0 until perms).map(i => min(xxhash64(lit(i), col("s"))).as(s"m$i"))
-    sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until perms).map(i => col(s"m$i")): _*).as("sig"))
-  }
+  /** Relational MinHash signatures: one row per (doc, shingle), one
+    * MinHashAgg sketch aggregate per doc — partial aggregation
+    * map-side, one shuffle carrying serialized 1 KB sketch buffers.
+    * (128 separate min() aggregates instead generate an update method
+    * past the JIT's HugeMethodLimit — the stage never compiles and
+    * runs ~10× slower.) */
+  private def minhashSigsRelational(sh: DataFrame, perms: Int): DataFrame =
+    sh.groupBy("doc_id").agg(
+      graft.functions.expr.SketchAggregates.minhash_agg(col("s"), perms).as("sig"))
 
   /** MinHash + banded LSH candidate pairs, verified by signature
     * agreement.
@@ -91,28 +102,40 @@ object Dedup {
       k: Int, perms: Int, bands: Int, tau: Double): DataFrame = {
     require(perms % bands == 0, "bands must divide perms")
     val rows = perms / bands
+    // persisted: feeds both band-join sides and the final verify.
+    // Shingle hashes come from the native single-pass expression; the
+    // perms re-mix the 8-byte hash, so string bytes are touched once.
     val sigs = minhashSigsRelational(
       docs.select(col(idCol).as("doc_id"),
-        explode(Text.shingles(col(textCol), k)).as("s")),
+        explode(graft.functions.expr.NativeFunctions
+          .shingle_hashes(col(textCol), k)).as("s")),
       perms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // ids-only through the band self-join: the 1 KB signature arrays
+    // stay out of the exploded band table and its shuffle; they're
+    // re-attached only to surviving candidate pairs. Band hash =
+    // variadic xxhash64 over the band's raw longs — no slice, no
+    // array→string cast (that cast alone cost ~1 s/pass at sf0.1).
     val banded = sigs.select(
-      col("doc_id"), col("sig"),
+      col("doc_id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows).cast("string")).as("bh"))
+          xxhash64(lit(b) +: (0 until rows).map(r =>
+            element_at(col("sig"), b * rows + r + 1)): _*).as("bh"))
       }: _*)).as("bd"))
-      .select(col("doc_id"), col("sig"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
 
-    val cand = banded.as("a")
+    val candIds = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
 
-    cand
+    candIds
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .withColumn("est_jaccard", round(
         size(filter(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, lit(1)).otherwise(lit(0))), v => v === 1))
@@ -135,24 +158,16 @@ object Dedup {
     }.reduce(_.bitwiseOR(_))
   }
 
-  /** Relational SimHash-64: explode tokens, one codegen'd conditional
-    * sum per bit position in a single groupBy pass (the in-row
-    * `simhash64` HOF form evaluates interpreted — fine for tests,
-    * wrong for a 100 TB scan). */
-  private def simhashSigsRelational(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"),
-      explode(Text.tokens(col(textCol))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"b$b")
-    }
-    tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map { b =>
-          when(col(s"b$b") >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-        }.reduce(_.bitwiseOR(_)).as("sig"))
-  }
+  /** Relational SimHash-64: explode tokens, one SimHashAgg sketch
+    * aggregate per doc (the in-row `simhash64` HOF form evaluates
+    * interpreted; 64 separate conditional sums blow the JIT method
+    * limit — both wrong for a 100 TB scan). */
+  private def simhashSigsRelational(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(Text.tokens(col(textCol))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .groupBy("doc_id")
+      .agg(graft.functions.expr.SketchAggregates.simhash_agg(col("h")).as("sig"))
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.
     *
@@ -189,10 +204,13 @@ object Dedup {
     * keeps floats out of the comparison surface. */
   def embeddingPairs(embeddings: DataFrame, idCol: String, vecCol: String,
       blockCol: String, tau: Double): DataFrame = {
-    val e = embeddings.select(col(idCol).as("id"), col(blockCol).as("blk"), col(vecCol).as("v"))
+    val e = embeddings.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n2", Vectors.normSq(col("v"))) // norm once per row, not per pair
     e.as("a").join(e.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .filter(Vectors.cosine(col("a.v"), col("b.v")) >= tau)
+      .filter(Vectors.cosineWithNorms(col("a.v"), col("b.v"),
+        col("a.n2"), col("b.n2")) >= tau)
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"))
   }
 }

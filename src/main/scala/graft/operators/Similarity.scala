@@ -27,11 +27,16 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn2", Vectors.normSq(col("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn2", Vectors.normSq(col("cv")))
     val scored = c.crossJoin(broadcast(q))
       .select(col("query_id"), col("neighbor_id"),
-        Vectors.cosine(col("qv"), col("cv")).as("cos"))
+        Vectors.cosineWithNorms(col("qv"), col("cv"),
+          col("qn2"), col("cn2")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w))
@@ -70,6 +75,8 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         Vectors.cosine(col("query_v"), col("neighbor_v")).as("cos"))
+    // (per-pair norms fine here: the bucket join already shrank the
+    // candidate set; dedup before scoring keeps it minimal)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     cand.withColumn("rnk", row_number().over(w))

@@ -32,7 +32,7 @@ class DedupSpec extends SparkSpec {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, tau = 0.7)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
-      k = 3, perms = 128, bands = 32, tau = 0.5)
+      k = 3, perms = 64, bands = 16, tau = 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(exact.nonEmpty, "test data should contain near-duplicates")
     val recall = exact.intersect(lsh).size.toDouble / exact.size

@@ -1,0 +1,53 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.expr.{DotProduct, HammingDistance, RollingHash, ShingleHashes}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions as SQL functions, so `spark.sql("SELECT
+  * hamming_distance(a, b) ...")` works alongside the Column API.
+  *
+  * Install with:
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)           // programmatic
+  *   // or spark.sql.extensions=graft.plans.GraftExtensions
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  /** (identifier, info, builder) triples — shared by the
+    * withExtensions path and live-session registration. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("hamming_distance"),
+      info("hamming_distance", "hamming_distance(a, b) - bit distance of two int64 signatures"),
+      (children: Seq[Expression]) => HammingDistance(children(0), children(1))),
+    (FunctionIdentifier("rolling_hash"),
+      info("rolling_hash", "rolling_hash(str) - 64-bit polynomial content hash"),
+      (children: Seq[Expression]) => RollingHash(children.head, 1125899906842597L)),
+    (FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - dot product of two array<double>"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+    (FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "shingle_hashes(text, k) - distinct word-k-gram hashes"),
+      (children: Seq[Expression]) => ShingleHashes(children.head,
+        children(1).eval(null).asInstanceOf[Int])))
+
+  /** Register on an already-running session (withExtensions only
+    * applies at construction time). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, fnInfo, builder) =>
+      org.apache.spark.sql.graft.ColumnBridge.registerFunction(spark, id, fnInfo, builder)
+    }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.plans.GraftExtensions
+import graft.sources.Tables
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("schema'd csv reader does not run an inference scan") {
+    val dir = Files.createTempDirectory("graft_csv").toFile
+    val f = new java.io.File(dir, "researchers.csv")
+    Files.writeString(f.toPath, "PID,Name\n167/4350,Ada\n88/6919,Bab\n")
+    val schema = StructType(Seq(
+      StructField("PID", StringType), StructField("Name", StringType)))
+    val df = Tables.csv(spark, f.getAbsolutePath, schema)
+    assert(df.schema === schema)
+    assert(df.count() === 2)
+    assert(df.filter($"PID" === "167/4350").select("Name").as[String].head() === "Ada")
+  }
+
+  test("partitioned parquet sink round-trips and lays out partition dirs") {
+    val out = Files.createTempDirectory("graft_sink").toFile.getAbsolutePath
+    val df = Seq((1L, "a", 2020), (2L, "b", 2020), (3L, "c", 2021))
+      .toDF("id", "v", "year")
+    Tables.writePartitioned(df, out, Seq("year"))
+    val back = spark.read.parquet(out)
+    assert(back.count() === 3)
+    assert(new java.io.File(out, "year=2020").exists())
+    // idempotent overwrite (the reference's row-wise load is not)
+    Tables.writePartitioned(df, out, Seq("year"))
+    assert(spark.read.parquet(out).count() === 3)
+  }
+
+  test("all driver tables load with their expected columns") {
+    val expected = Map(
+      "region" -> "r_regionkey", "nation" -> "n_nationkey",
+      "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+      "part" -> "p_partkey", "orders" -> "o_orderkey",
+      "lineitem" -> "l_orderkey", "documents" -> "doc_id",
+      "embeddings" -> "vec_id")
+    expected.foreach { case (t, keyCol) =>
+      assert(Tables.table(spark, sfDir, t).columns.contains(keyCol), s"table $t")
+    }
+    assert(Tables.events(spark, sfDir).schema("ts").dataType === TimestampType)
+  }
+
+  test("GraftExtensions makes the native functions SQL-callable") {
+    // a shared test JVM already holds a session, so register live
+    // (the withExtensions path shares the same function list)
+    GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT hamming_distance(255L, 15L) AS h,
+                rolling_hash('abc') = rolling_hash('abc') AS rh,
+                dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+                size(shingle_hashes('a b c d', 3)) AS ns""").collect().head
+    assert(r.getLong(0) === 4L)
+    assert(r.getBoolean(1))
+    assert(r.getDouble(2) === 11.0)
+    assert(r.getInt(3) === 2)
+  }
+}

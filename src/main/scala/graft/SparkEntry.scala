@@ -175,7 +175,25 @@ object SparkEntry {
 
     "q16_sessionize" -> ((s, dir) => Events.sessionize(Tables.events(s, dir), 1800.0)),
 
-    "q17_json_extract" -> ((s, dir) => Events.jsonPropAgg(Tables.events(s, dir)))
+    "q17_json_extract" -> ((s, dir) => Events.jsonPropAgg(Tables.events(s, dir))),
+
+    // point-in-time lookup: each purchase joined to the user's latest
+    // signup at-or-before it (right side pre-deduped per (user, ts)
+    // for a deterministic match)
+    "q18_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("signup_event_id"))
+        .select(col("user_id"), col("ts"), col("signup_event_id"),
+          col("ts").as("signup_ts"))
+      Events.asOfJoin(purchases, signups, "user_id", "ts",
+          Seq("signup_event_id", "signup_ts"))
+        .select(col("event_id"), col("user_id"),
+          col("ts").as("purchase_ts"), col("signup_event_id"), col("signup_ts"))
+    })
   )
 
   /** DuckDB-runnable oracles, column-name-aligned with `queries`. */
@@ -402,6 +420,18 @@ object SparkEntry {
                 CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
                   AS sum_k,
                 round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k
-         FROM events GROUP BY 1"""
+         FROM events GROUP BY 1""",
+
+    "q18_asof_join" ->
+      """WITH s AS (SELECT user_id, ts, max(event_id) AS signup_event_id
+                    FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+              p AS (SELECT event_id, user_id, ts
+                    FROM events WHERE event_type = 'purchase')
+         SELECT p.event_id, p.user_id,
+                CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+                s.signup_event_id,
+                CAST(s.ts AS TIMESTAMP) AS signup_ts
+         FROM p ASOF LEFT JOIN s
+           ON p.user_id = s.user_id AND p.ts >= s.ts"""
   )
 }

@@ -44,6 +44,43 @@ object Events {
         round(sum(col("value")), 2).as("total_value"))
   }
 
+  /** As-of join: attach to each left row the latest right row of the
+    * same key with right.ts <= left.ts (time-series point-in-time
+    * lookup — Spark has no native ASOF join).
+    *
+    * Composed Spark-first rather than a custom SparkPlan: tag the two
+    * sides, union, and carry the last right payload forward with one
+    * window over (key → ts). One shuffle on the key, one sort — the
+    * same work a dedicated sort-based as-of exec would do, but
+    * Catalyst keeps owning partitioning, spill, and AQE. Right rows
+    * sort before left rows at equal ts (tag order), so an exactly
+    * coincident right row IS matched.
+    *
+    * `rightPayload` columns must not collide with left columns; right
+    * rows with duplicate (key, ts) should be pre-deduplicated for
+    * deterministic output.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__tag", lit(1))
+      .select((leftCols.map(col) :+ col("__tag")) ++
+        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right
+      .withColumn("__tag", lit(0))
+      .select((leftCols.map(c =>
+        (if (c == key || c == ts) col(c) else lit(null).cast(left.schema(c).dataType)).as(c)) :+
+        col("__tag")) ++ rightPayload.map(col): _*)
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = rightPayload.map(c => last(col(c), ignoreNulls = true).over(w).as(c))
+    l.unionByName(r)
+      .select((leftCols.map(col) :+ col("__tag")) ++ carried: _*)
+      .filter(col("__tag") === 1)
+      .drop("__tag")
+  }
+
   /** Semi-structured JSON prop extraction + aggregate. get_json_object
     * is codegen'd; for a fixed schema, from_json + a struct column
     * would let Catalyst prune fields — used when more than one key is

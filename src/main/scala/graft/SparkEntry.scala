@@ -145,6 +145,13 @@ object SparkEntry {
         "vec_id", "embedding", dim = 64, bits = 4, tables = 8, seed = 42L, k = 5)
     }),
 
+    "ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        e.filter(col("vec_id") >= 8), e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", nCentroids = 16, nprobe = 8, k = 5)
+    }),
+
     "text_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),

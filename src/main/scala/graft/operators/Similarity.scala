@@ -44,6 +44,55 @@ object Similarity {
       .select(col("query_id"), col("rnk").cast("int").as("rnk"), col("neighbor_id"))
   }
 
+  /** IVF-flat approximate top-k: a coarse quantizer (here: a
+    * deterministic sample of corpus vectors as centroids — at scale,
+    * k-means centroids trained offline) partitions the corpus into
+    * inverted lists; each query probes its `nprobe` nearest lists and
+    * reranks only those candidates exactly.
+    *
+    * Centroids are collected once at index-build time (small — this
+    * is the same pattern as broadcasting a dimension table) and
+    * embedded as literals, so both assignment and probing are pure
+    * codegen'd column math over the native DotProduct. The corpus
+    * shuffles once on the list id; queries broadcast.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, nprobe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    // deterministic coarse quantizer: the nCentroids lowest-id vectors
+    val cents: Array[(Int, Array[Double])] = corpus
+      .select(col(idCol), col(vecCol).cast("array<double>"))
+      .orderBy(col(idCol)).limit(nCentroids).collect()
+      .zipWithIndex.map { case (r: Row, i) => (i, r.getSeq[Double](1).toArray) }
+
+    def centArr(c: Array[Double]) = array(c.map(lit).toIndexedSeq: _*)
+    // rank lists by L2: |v - c|^2 = |v|^2 - 2 v.c + |c|^2; |v|^2 is
+    // constant per row, so order by (|c|^2 - 2 v.c)
+    def listRanks(v: Column) = array(cents.map { case (cid, c) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * Vectors.dot(v, centArr(c))).as("d"),
+        lit(cid).as("cid"))
+    }.toIndexedSeq: _*)
+
+    val cOut = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cid", array_min(listRanks(col("cv"))).getField("cid"))
+    val qOut = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("probe",
+        explode(slice(array_sort(listRanks(col("qv"))), 1, nprobe)))
+      .select(col("query_id"), col("qv"), col("probe.cid").as("cid"))
+
+    val cand = cOut.join(broadcast(qOut), Seq("cid"))
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("int").as("rnk"), col("neighbor_id"))
+  }
+
   /** Random-hyperplane LSH bucket id for each vector. Deterministic
     * (seeded) — safe under task retries. */
   def lshBuckets(df: DataFrame, idCol: String, vecCol: String,

@@ -37,6 +37,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall@5 = $recall (approx ${approx.size} of ${exact.size})")
   }
 
+  test("ivfTopK with all lists probed equals brute force exactly") {
+    val e = Tables.embeddings(spark, sfDir)
+    val corpus = e.filter(col("vec_id") >= 8)
+    val queries = e.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+      .select("query_id", "rnk", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val full = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding",
+      nCentroids = 8, nprobe = 8, k = 5)
+      .select("query_id", "rnk", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(full === exact) // probing every list = exhaustive search
+  }
+
+  test("ivfTopK recall degrades gracefully with fewer probes") {
+    val e = Tables.embeddings(spark, sfDir)
+    val corpus = e.filter(col("vec_id") >= 8)
+    val queries = e.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding",
+      nCentroids = 16, nprobe = 8, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall@5 = $recall")
+  }
+
   test("lshTopK is deterministic across runs (seeded hyperplanes)") {
     val e = Tables.embeddings(spark, sfDir)
     def run() = Similarity.lshTopK(e.filter(col("vec_id") >= 8),

@@ -110,6 +110,39 @@ object SparkEntry {
       Relational.conditionalAgg(t(s, dir, "orders"), t(s, dir, "customer"),
         t(s, dir, "nation"), 150000.0)),
 
+    // revenue & volume per part brand — broadcast the part dim
+    "q19_brand_margin" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select("l_partkey", "l_extendedprice", "l_quantity")
+        .join(broadcast(t(s, dir, "part").select("p_partkey", "p_brand", "p_retailprice")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          count("*").as("n_items"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"),
+          round(sum(col("l_quantity") * col("p_retailprice")), 2).as("retail_value"))),
+
+    // supplier account stats per nation
+    "q20_supplier_stats" -> ((s, dir) =>
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          count("*").as("n_suppliers"),
+          round(min(col("s_acctbal")), 2).as("min_bal"),
+          round(max(col("s_acctbal")), 2).as("max_bal"),
+          round(avg(col("s_acctbal")), 4).as("avg_bal"))),
+
+    // exact interpolated percentiles of order value per priority
+    "q21_percentiles" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))),
+
     // ---- §2c LLM-data operators ----
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
@@ -325,6 +358,28 @@ object SparkEntry {
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY 1""",
+
+    "q19_brand_margin" ->
+      """SELECT p_brand, count(*) AS n_items,
+                round(sum(l_extendedprice), 2) AS revenue,
+                round(sum(l_quantity * p_retailprice), 2) AS retail_value
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1""",
+
+    "q20_supplier_stats" ->
+      """SELECT n_name, count(*) AS n_suppliers,
+                round(min(s_acctbal), 2) AS min_bal,
+                round(max(s_acctbal), 2) AS max_bal,
+                round(avg(s_acctbal), 4) AS avg_bal
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY 1""",
+
+    "q21_percentiles" ->
+      """SELECT o_orderpriority,
+                round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+                round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+         FROM orders GROUP BY 1""",
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies

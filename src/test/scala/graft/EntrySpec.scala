@@ -15,8 +15,8 @@ class EntrySpec extends SparkSpec {
   test("oracle coverage stays high (rows-only checks are weaker)") {
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
     // known non-SQL-expressible: sketch/LSH/heuristic operators
-    assert(rowsOnly === Set("dedup_minhash_lsh", "dedup_simhash", "ann_lsh", "ann_ivf",
-      "text_langid"),
+    assert(rowsOnly === Set("dedup_minhash_lsh", "dedup_simhash", "ann_lsh",
+      "ann_ivf", "text_langid"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 }

@@ -210,6 +210,15 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"), Text.fingerprint(col("text")).as("fp"))),
 
+    // 64-bit rolling-hash fingerprint via the native RollingHash
+    // expression — cheaper than md5 for shard-local pre-screens;
+    // rows-gated (the hash isn't expressible in the oracle engine)
+    "text_rolling_fp" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.functions.expr.NativeFunctions
+          .rolling_hash(Text.canonicalize(col("text"))).as("fp64"))),
+
     // ---- §2d events ----
     "q15_event_windows" -> ((s, dir) => Events.hourlyByType(Tables.events(s, dir))),
 

@@ -27,6 +27,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((1L, 2L)))
   }
 
+  test("maxDf pruning drops only pairs held together by hot shingles") {
+    val docs = Tables.documents(spark, sfDir)
+    val unpruned = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, tau = 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // a generous cap keeps discriminative shingles: high-sim pairs survive
+    val pruned = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, tau = 0.7,
+      maxDf = Some(100))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pruned.subsetOf(unpruned))
+    assert(pruned.nonEmpty)
+  }
+
   test("minhash LSH recovers the high-jaccard pairs exact jaccard finds") {
     val docs = Tables.documents(spark, sfDir)
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, tau = 0.7)

@@ -16,7 +16,7 @@ class EntrySpec extends SparkSpec {
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
     // known non-SQL-expressible: sketch/LSH/heuristic operators
     assert(rowsOnly === Set("dedup_minhash_lsh", "dedup_simhash", "ann_lsh",
-      "ann_ivf", "text_langid"),
+      "ann_ivf", "text_langid", "text_rolling_fp"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 }

@@ -20,12 +20,15 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       val dt = (System.nanoTime() - t0) / 1e9
       // operators may persist intermediates (inverted indexes, sigs);
       // drop them so later queries aren't charged their memory
       spark.catalog.clearCache()
-      name -> dt
+      // a failed query must not masquerade as a fast one
+      name -> (if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

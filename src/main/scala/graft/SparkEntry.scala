@@ -494,14 +494,15 @@ object SparkEntry {
          FROM events GROUP BY 1""",
 
     "q18_asof_join" ->
-      """WITH s AS (SELECT user_id, ts, max(event_id) AS signup_event_id
+      """WITH s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                           max(event_id) AS signup_event_id
                     FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
-              p AS (SELECT event_id, user_id, ts
+              p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
                     FROM events WHERE event_type = 'purchase')
          SELECT p.event_id, p.user_id,
-                CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+                p.ts AS purchase_ts,
                 s.signup_event_id,
-                CAST(s.ts AS TIMESTAMP) AS signup_ts
+                s.ts AS signup_ts
          FROM p ASOF LEFT JOIN s
            ON p.user_id = s.user_id AND p.ts >= s.ts"""
   )

@@ -44,7 +44,7 @@ object XmlPublication {
   /** category = key.split('/')[0] minus its last char (main_dag.py:177). */
   def category(key: Column): Column = {
     val head = split(key, "/").getItem(0)
-    substring_index(head, "/", 1).substr(lit(1), length(head) - 1)
+    head.substr(lit(1), length(head) - 1)
   }
 
   /** Ordinal map {1 -> value, ...} like the reference's author dicts. */

@@ -53,7 +53,10 @@ object Dedup {
         sh.join(broadcast(hot), Seq("s"), "left_anti")
       case None => sh
     }
-    val sizes = sh.groupBy("doc_id").agg(count("*").as("n_sh"))
+    // sizes from the PRUNED universe: shared counts and set sizes must
+    // describe the same shingle space or Jaccard is biased low and
+    // true near-dup pairs get silently dropped
+    val sizes = shPruned.groupBy("doc_id").agg(count("*").as("n_sh"))
     val shared = shPruned.as("a")
       .join(shPruned.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

@@ -63,22 +63,28 @@ object Events {
   def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
       rightPayload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // the payload travels as ONE struct (null for left rows): carrying
+    // fields independently through last(ignoreNulls) would backfill a
+    // null field of the latest right row from an OLDER right row,
+    // synthesizing a match that never existed
     val l = left
       .withColumn("__tag", lit(1))
-      .select((leftCols.map(col) :+ col("__tag")) ++
-        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+      .withColumn("__pay", lit(null).cast(
+        org.apache.spark.sql.types.StructType(rightPayload.map(c => right.schema(c)))))
+      .select(leftCols.map(col) :+ col("__tag") :+ col("__pay"): _*)
     val r = right
       .withColumn("__tag", lit(0))
+      .withColumn("__pay", struct(rightPayload.map(col): _*))
       .select((leftCols.map(c =>
         (if (c == key || c == ts) col(c) else lit(null).cast(left.schema(c).dataType)).as(c)) :+
-        col("__tag")) ++ rightPayload.map(col): _*)
+        col("__tag")) :+ col("__pay"): _*)
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = rightPayload.map(c => last(col(c), ignoreNulls = true).over(w).as(c))
     l.unionByName(r)
-      .select((leftCols.map(col) :+ col("__tag")) ++ carried: _*)
+      .withColumn("__carried", last(col("__pay"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
-      .drop("__tag")
+      .select(leftCols.map(col) ++
+        rightPayload.map(c => col(s"__carried.$c").as(c)): _*)
   }
 
   /** Semi-structured JSON prop extraction + aggregate. get_json_object

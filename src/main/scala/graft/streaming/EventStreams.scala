@@ -61,12 +61,17 @@ object EventStreams {
 
     def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
 
+    // match Spark's round() (HALF_UP) exactly — math.rint is half-even
+    // and would diverge from the batch twin at half-cent sums
+    def round2(v: Double): Double =
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+
     def fold(userId: Long, it: Iterator[Event],
         state: GroupState[SessionState]): Iterator[Session] = {
       if (state.hasTimedOut) {
         val out = state.getOption.map { s =>
           Session(userId, s.seq, s.n, new Timestamp(s.startUs / 1000),
-            new Timestamp(s.lastUs / 1000), math.rint(s.total * 100) / 100)
+            new Timestamp(s.lastUs / 1000), round2(s.total))
         }
         state.remove()
         return out.iterator
@@ -80,7 +85,7 @@ object EventStreams {
           cur = SessionState(1, 1, t, t, e.value)
         } else if (t - cur.lastUs > gapMicros) {
           emitted += Session(userId, cur.seq, cur.n, new Timestamp(cur.startUs / 1000),
-            new Timestamp(cur.lastUs / 1000), math.rint(cur.total * 100) / 100)
+            new Timestamp(cur.lastUs / 1000), round2(cur.total))
           cur = SessionState(cur.seq + 1, 1, t, t, e.value)
         } else {
           cur = cur.copy(n = cur.n + 1, lastUs = t, total = cur.total + e.value)

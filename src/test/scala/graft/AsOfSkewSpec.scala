@@ -28,6 +28,17 @@ class AsOfSkewSpec extends SparkSpec {
     assert(out === Array((100L, Some(900L)), (101L, Some(901L)), (102L, None)))
   }
 
+  test("asOfJoin does not backfill null payload fields from older rows") {
+    val left = Seq((1L, 9L, ts("2024-01-01 12:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (9L, ts("2024-01-01 10:00:00"), Some(111L), Some("old")),
+      (9L, ts("2024-01-01 11:00:00"), Some(222L), None)) // latest: note null note
+      .toDF("user_id", "ts", "r_id", "note")
+    val r = Events.asOfJoin(left, right, "user_id", "ts", Seq("r_id", "note"))
+      .select("r_id", "note").as[(Option[Long], Option[String])].collect().head
+    assert(r === ((Some(222L), None))) // NOT (222, "old")
+  }
+
   test("asOfJoin matches a right row exactly coincident with left ts") {
     val left = Seq((1L, 7L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
     val right = Seq((7L, ts("2024-01-01 10:00:00"), 55L)).toDF("user_id", "ts", "r_id")

@@ -58,10 +58,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_.getAs[Long]("hamming") <= 3))
   }
 
-  test("embeddingPairs output is symmetric-free and above threshold") {
+  test("embeddingPairs returns exactly the above-threshold ordered pairs") {
     val e = Tables.embeddings(spark, sfDir)
-    val pairs = Dedup.embeddingPairs(e, "vec_id", "embedding", "label", 0.4)
-      .as[(Long, Long)].collect()
-    assert(pairs.forall { case (a, b) => a < b })
+    val tau = 0.35
+    val got = Dedup.embeddingPairs(e, "vec_id", "embedding", "label", tau)
+      .as[(Long, Long)].collect().toSet
+    // independent reference: plain-scala cosine over collected vectors
+    val vecs = e.select("vec_id", "label", "embedding")
+      .as[(Long, Int, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / math.sqrt(na * nb)
+    }
+    val expected = (for {
+      x <- vecs; y <- vecs
+      if x._2 == y._2 && x._1 < y._1 && cos(x._3, y._3) >= tau
+    } yield (x._1, y._1)).toSet
+    assert(expected.nonEmpty, "threshold too high for test data")
+    assert(got === expected)
   }
 }

@@ -6,7 +6,8 @@ Usage: oracle_check.py <sfDir> <verifyOutDir>
 For each query dir under verifyOutDir: load the Spark parquet result,
 run the matching oracle SQL from oracle_sql.json in DuckDB against the
 sfDir tables, sort columns by name, sort rows, and compare values
-(exact for non-floats, tiny-epsilon report for floats).
+EXACTLY (floats included — queries are written to be bit-deterministic
+across engines: rounded aggregates, id-only similarity outputs).
 """
 import sys, json, glob, os
 import duckdb

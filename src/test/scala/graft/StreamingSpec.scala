@@ -34,6 +34,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batched)
   }
 
+  test("file-source streaming (readStream over parquet dir) matches batch") {
+    // production shape: a watched directory of parquet drops
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toFile
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(dir.getAbsolutePath, "part-0.parquet"))
+    val batch = Tables.events(spark, sfDir)
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$sfDir/events.parquet").schema) // ts as Long ns
+      .parquet(dir.getAbsolutePath)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStreams.windowedByType(raw, "1 hour", "10 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("file_win_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("file_win_out")
+      .orderBy("window_start", "event_type")
+      .select("window_start", "event_type", "n_events", "total_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect()
+    val batched = graft.operators.Events.hourlyByType(batch)
+      .orderBy("hour_start", "event_type")
+      .select("hour_start", "event_type", "n_events", "total_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect()
+    assert(streamed === batched)
+  }
+
   test("stateful sessionizeStream finds the same sessions as batch") {
     val batch = Tables.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value")

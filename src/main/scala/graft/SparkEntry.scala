@@ -38,7 +38,8 @@ object SparkEntry {
     "q2_pair_counts" -> ((s, dir) =>
       Pipeline.pairCounts(
           t(s, dir, "lineitem"), "l_orderkey", "l_suppkey",
-          t(s, dir, "orders").select(col("o_orderkey"), year(col("o_orderdate")).as("year")))
+          t(s, dir, "orders").select(col("o_orderkey"), year(col("o_orderdate")).as("year")),
+          "o_orderkey")
         .select(col("year"), col("member_a").as("supp_a"),
           col("member_b").as("supp_b"), col("n_co").as("n_copubs"))),
 
@@ -192,15 +193,18 @@ object SparkEntry {
         size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0))).as("n_alpha"),
         size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_num"))),
 
+    // quality_ok thresholds the UNROUNDED ratio (the oracle compares
+    // the raw value to 0.5; rounding first would flip documents whose
+    // ratio lands in [0.49995, 0.5))
     "text_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
         length(col("text")).as("len_chars"),
         Text.tokenCount(col("text")).as("n_tokens"),
         round(Text.avgTokenLen(col("text")), 4).as("avg_token_len"),
-        round(Text.stopwordRatio(col("text")), 4).as("stopword_ratio"))
-        .withColumn("quality_ok",
-          col("n_tokens") >= 5 && col("n_tokens") <= 10000 && col("stopword_ratio") < 0.5)),
+        round(Text.stopwordRatio(col("text")), 4).as("stopword_ratio"),
+        (Text.tokenCount(col("text")) >= 5 && Text.tokenCount(col("text")) <= 10000 &&
+          Text.stopwordRatio(col("text")) < 0.5).as("quality_ok"))),
 
     "text_langid" -> ((s, dir) =>
       t(s, dir, "documents").select(

@@ -53,15 +53,32 @@ object XmlPublication {
       map_from_arrays(sequence(lit(1), size(values)), values))
       .otherwise(map_from_arrays(array().cast("array<int>"), array().cast("array<string>")))
 
+  /** All author/editor elements (full tags) in document order — the
+    * shared ordinal universe for the three author maps. The reference
+    * keys authors_pids/authors_orcids/authors_names by ONE counter
+    * over all author+editor elements, inserting explicit None when
+    * pid/orcid is absent (main_dag.py:163-175) — so an author without
+    * a pid must NOT shift later authors' ordinals. */
+  def authorElements(xml: Column): Column =
+    regexp_extract_all(xml,
+      lit("<(?:author|editor)[^>]*>[^<]*</(?:author|editor)>"), lit(0))
+
+  /** Per-element attribute/text extraction; "" (no match) → null, so
+    * missing pid/orcid lands as an explicit null at its ordinal. */
+  private def elemField(e: Column, pattern: String): Column = {
+    val m = regexp_extract(e, pattern, 1)
+    when(m === "", lit(null)).otherwise(m)
+  }
+
   /** Author/editor display names in document order (main_dag.py:163-175). */
   def authorNames(xml: Column): Column =
-    regexp_extract_all(xml, lit("<(?:author|editor)[^>]*>([^<]*)</(?:author|editor)>"), lit(1))
+    transform(authorElements(xml), e => regexp_extract(e, ">([^<]*)<", 1))
 
   def authorPids(xml: Column): Column =
-    regexp_extract_all(xml, lit("<(?:author|editor)[^>]*\\bpid=\"([^\"]*)\""), lit(1))
+    transform(authorElements(xml), e => elemField(e, "\\bpid=\"([^\"]*)\""))
 
   def authorOrcids(xml: Column): Column =
-    regexp_extract_all(xml, lit("<(?:author|editor)[^>]*\\borcid=\"([^\"]*)\""), lit(1))
+    transform(authorElements(xml), e => elemField(e, "\\borcid=\"([^\"]*)\""))
 
   /** publisher = booktitle, else journal, else publisher (main_dag.py:179-192). */
   def publisher(xml: Column): Column =

@@ -62,13 +62,21 @@ object Dedup {
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count("*").as("shared"))
-    shared
+    val out = shared
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
       .withColumn("jaccard",
         round(col("shared") / (col("n_a") + col("n_b") - col("shared")), 4))
       .filter(col("jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // run the join eagerly, then release the index: the surviving
+    // pairs are tiny next to the corpus, and callers must not inherit
+    // a persisted intermediate they never asked for (storage leak).
+    // localCheckpoint blocks are lineage-free and ContextCleaner-
+    // collected once the returned frame is unreferenced.
+    val materialized = out.localCheckpoint(true)
+    sh.unpersist(blocking = false)
+    materialized
   }
 
   /** MinHash signature over an in-row shingle array — used for
@@ -136,7 +144,7 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
 
-    candIds
+    val out = candIds
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .withColumn("est_jaccard", round(
@@ -145,6 +153,11 @@ object Dedup {
           / lit(perms.toDouble), 4))
       .filter(col("est_jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+    // eager + unpersist: same caching contract as ngramJaccardPairs —
+    // no persisted signature table survives the call
+    val materialized = out.localCheckpoint(true)
+    sigs.unpersist(blocking = false)
+    materialized
   }
 
   /** SimHash-64: per token, xxhash64 gives 64 pseudo-random bits;

@@ -34,7 +34,8 @@ object Pipeline {
     * aggregation is the only other shuffle. Linear in Σ|set|², never
     * |corpus|².
     */
-  def pairCounts(df: DataFrame, setKey: String, memberKey: String, yearOf: DataFrame): DataFrame = {
+  def pairCounts(df: DataFrame, setKey: String, memberKey: String,
+      yearOf: DataFrame, yearKey: String): DataFrame = {
     val members = df.select(col(setKey), col(memberKey)).distinct()
     val a = members.as("a")
     val b = members.as("b")
@@ -43,7 +44,7 @@ object Pipeline {
       .select(col(s"a.$setKey").as("__set"),
         col(s"a.$memberKey").as("member_a"),
         col(s"b.$memberKey").as("member_b"))
-      .join(yearOf, col("__set") === yearOf.col(yearOf.columns.head))
+      .join(yearOf.select(col(yearKey).as("__yk"), col("year")), col("__set") === col("__yk"))
       .groupBy(col("year"), col("member_a"), col("member_b"))
       .agg(count("*").as("n_co"))
   }

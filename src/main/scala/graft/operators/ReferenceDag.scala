@@ -50,7 +50,8 @@ object ReferenceDag {
 
     // Q2 pair counts (main_dag.py:265-290)
     val pairs = Pipeline.pairCounts(lineitem, "l_orderkey", "l_suppkey",
-      orders.select(col("o_orderkey"), year(col("o_orderdate")).as("year")))
+      orders.select(col("o_orderkey"), year(col("o_orderdate")).as("year")),
+      "o_orderkey")
 
     // volume_update (main_dag.py:480-488)
     val volume = Pipeline.volumeMetrics(snapshot,

@@ -42,8 +42,24 @@ object GraftExtensions {
       (children: Seq[Expression]) => DotProduct(children(0), children(1))),
     (FunctionIdentifier("shingle_hashes"),
       info("shingle_hashes", "shingle_hashes(text, k) - distinct word-k-gram hashes"),
-      (children: Seq[Expression]) => ShingleHashes(children.head,
-        children(1).eval(null).asInstanceOf[Int])))
+      (children: Seq[Expression]) => {
+        // k must be a foldable integral literal: evaluate it once here
+        // with a clear error, instead of a ClassCastException (BIGINT
+        // literal) or an NPE (column argument) at plan build
+        def bad(why: String) = throw new IllegalArgumentException(
+          s"shingle_hashes(text, k): $why")
+        if (children.size != 2) bad(s"expects 2 arguments, got ${children.size}")
+        if (!children(1).foldable) bad("k must be a constant integer, got a non-literal")
+        val k = children(1).eval(null) match {
+          case i: Int => i
+          case l: Long if l.isValidInt => l.toInt
+          case s: Short => s.toInt
+          case b: Byte => b.toInt
+          case other => bad(s"k must be a constant integer, got $other " +
+            s"(${children(1).dataType.simpleString})")
+        }
+        ShingleHashes(children.head, k)
+      }))
 
   /** Register on an already-running session (withExtensions only
     * applies at construction time). */

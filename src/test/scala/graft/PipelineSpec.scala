@@ -36,7 +36,10 @@ class PipelineSpec extends SparkSpec {
     val facts = Seq((100L, 1L), (100L, 2L), (100L, 3L), (100L, 1L), // dup member row
       (200L, 1L), (200L, 2L)).toDF("set_id", "member")
     val yearOf = Seq((100L, 2020), (200L, 2020)).toDF("set_id", "year")
-    val out = Pipeline.pairCounts(facts, "set_id", "member", yearOf)
+    // year table passed with columns deliberately reordered: the join
+    // key is named explicitly, not positional
+    val out = Pipeline.pairCounts(facts, "set_id", "member",
+      yearOf.select("year", "set_id"), "set_id")
       .orderBy("member_a", "member_b")
       .select("year", "member_a", "member_b", "n_co")
       .as[(Int, Long, Long, Long)].collect()

@@ -36,6 +36,11 @@ class XmlPublicationSpec extends SparkSpec {
       Map(1 -> "167/4350", 2 -> "88/6919"))
     assert(r.getAs[Map[Int, String]]("authors_names") ===
       Map(1 -> "Ada Lovelace", 2 -> "Charles Babbage"))
+    // one shared ordinal across the three maps: author 2 has no orcid,
+    // so ordinal 2 carries an explicit null — it must not collapse to
+    // {1 -> orcid1} (reference inserts None; main_dag.py:163-175)
+    assert(r.getAs[Map[Int, String]]("authors_orcids") ===
+      Map(1 -> "0000-0001-0000-0000", 2 -> null))
     assert(r.getAs[Seq[String]]("ee") ===
       Seq("https://example.org/a", "https://example.org/b"))
     assert(r.getAs[java.sql.Date]("mdate").toString === "2020-05-17")
@@ -50,6 +55,17 @@ class XmlPublicationSpec extends SparkSpec {
     val out = Seq(inproc, book).toDF("xml")
       .select(XmlPublication.publisher(col("xml"))).as[String].collect()
     assert(out === Array("NeurIPS", "Springer"))
+  }
+
+  test("author without attrs does not shift later ordinals") {
+    val xml = """<article key="conf/x/2"><author>Anon One</author>""" +
+      """<editor pid="p2" orcid="o2">Named Two</editor></article>"""
+    val r = Seq(xml).toDF("xml")
+      .select(XmlPublication.parse(col("xml")).as("p")).select("p.*").collect().head
+    assert(r.getAs[Map[Int, String]]("authors_pids") === Map(1 -> null, 2 -> "p2"))
+    assert(r.getAs[Map[Int, String]]("authors_orcids") === Map(1 -> null, 2 -> "o2"))
+    assert(r.getAs[Map[Int, String]]("authors_names") ===
+      Map(1 -> "Anon One", 2 -> "Named Two"))
   }
 
   test("missing optional fields become nulls, not empty strings") {

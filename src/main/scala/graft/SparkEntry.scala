@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Events, Pipeline, Relational, Similarity}
+import graft.operators.{Clusters, Curation, Dedup, Events, Pipeline, Relational, Similarity}
 import graft.functions.Text
 import graft.sources.Tables
 
@@ -135,6 +135,16 @@ object SparkEntry {
           round(max(col("s_acctbal")), 2).as("max_bal"),
           round(avg(col("s_acctbal")), 4).as("avg_bal"))),
 
+    // full cube over (status, priority) — all 4 grouping sets
+    "q22_cube" -> ((s, dir) =>
+      Relational.cubeAgg(t(s, dir, "orders"), "o_orderstatus", "o_orderpriority",
+        "o_totalprice")),
+
+    // TPC-H Q17-style correlated aggregate, decorrelated into one
+    // threshold agg + one co-partitioned join
+    "q23_below_avg" -> ((s, dir) =>
+      Relational.belowAvgQtyRevenue(t(s, dir, "lineitem"))),
+
     // exact interpolated percentiles of order value per priority
     "q21_percentiles" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -164,6 +174,27 @@ object SparkEntry {
     // operator's output non-trivial while staying a "near"-dup filter
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding", "label", 0.4)),
+
+    // pairwise near-dup output → dedup decisions: connected components
+    // by min-label propagation; cluster_id = min doc id of the cluster
+    "dedup_clusters" -> ((s, dir) =>
+      Clusters.connectedComponents(
+          Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", k = 3, tau = 0.6),
+          "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("cluster_id"))),
+
+    // deterministic 20% content-hash sample (train/val/test splitting
+    // that survives task retries — no rand())
+    "sample_hash" -> ((s, dir) =>
+      Curation.hashSplit(t(s, dir, "documents"), col("text"), buckets = 100, takeBuckets = 20)
+        .select(col("doc_id"), col("bucket"))),
+
+    // per-source distribution gate: trim the 5% tails of n_chars
+    "quality_gate" -> ((s, dir) =>
+      Curation.percentileGate(t(s, dir, "documents"), "source", col("n_chars"),
+          0.05, 0.95, col("doc_id"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round(col("pct_rank"), 4).as("pct_rank"))),
 
     "ann_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -394,6 +425,19 @@ object SparkEntry {
                 round(quantile_cont(o_totalprice, 0.99), 4) AS p99
          FROM orders GROUP BY 1""",
 
+    "q22_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_rows,
+                round(sum(o_totalprice), 2) AS total_value
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+
+    "q23_below_avg" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+         FROM lineitem l
+         JOIN (SELECT l_partkey AS t_partkey, 0.2 * avg(l_quantity) AS qty_thresh
+               FROM lineitem GROUP BY 1) t
+           ON l.l_partkey = t.t_partkey
+         WHERE l.l_quantity < t.qty_thresh""",
+
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY 1""",
@@ -416,6 +460,47 @@ object SparkEntry {
          JOIN sz za ON da = za.doc_id
          JOIN sz zb ON db = zb.doc_id
          WHERE round(c / (za.n + zb.n - c), 4) >= 0.6""",
+
+    // connected components over the SAME pair set as dedup_ngram_jaccard:
+    // min reachable id per node via a recursive min-label CTE
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id,
+                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+           FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         shared AS (
+           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT da, db
+           FROM shared JOIN sz za ON da = za.doc_id JOIN sz zb ON db = zb.doc_id
+           WHERE round(c / (za.n + zb.n - c), 4) >= 0.6),
+         edges AS (
+           SELECT da AS src, db AS dst FROM pairs
+           UNION ALL SELECT db, da FROM pairs),
+         reach(node, lbl) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node)
+         SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1""",
+
+    "sample_hash" ->
+      """SELECT doc_id,
+                CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS bucket
+         FROM documents
+         WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 20""",
+
+    "quality_gate" ->
+      """SELECT doc_id, source, n_chars,
+                round(percent_rank() OVER w, 4) AS pct_rank
+         FROM documents
+         WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)
+         QUALIFY (percent_rank() OVER w) >= 0.05
+            AND (percent_rank() OVER w) <= 0.95""",
 
     "dedup_embedding" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -463,6 +548,40 @@ object SparkEntry {
       """SELECT doc_id,
                 md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
          FROM documents""",
+
+    // 64-bit poly hash (h = h*31 + byte, seeded) over the canonical
+    // form, reproduced byte-for-byte in HUGEINT arithmetic mod 2^64
+    // (documents are ASCII, so ord(char) == utf8 byte)
+    "text_rolling_fp" ->
+      """SELECT doc_id,
+                CAST(CASE WHEN fp_u >= CAST('9223372036854775808' AS HUGEINT)
+                          THEN fp_u - CAST('18446744073709551616' AS HUGEINT)
+                          ELSE fp_u END AS BIGINT) AS fp64
+         FROM (
+           SELECT doc_id,
+                  list_reduce(
+                    list_prepend(CAST(1125899906842597 AS HUGEINT),
+                      list_transform(
+                        string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ''),
+                        c -> CAST(ord(c) AS HUGEINT))),
+                    (a, b) -> (a * 31 + b) % CAST('18446744073709551616' AS HUGEINT)) AS fp_u
+           FROM documents)""",
+
+    // argmax of per-language stopword hits; ties resolve to the
+    // lexicographically greatest language in BOTH engines (struct max
+    // compares hits, then lang)
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+                    FROM documents)
+         SELECT doc_id,
+                CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS predicted_lang
+         FROM (SELECT doc_id, list_aggregate([
+                 {'hits': len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','that','it'))), 'lang': 'en'},
+                 {'hits': len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','zu'))), 'lang': 'de'},
+                 {'hits': len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','un','es'))), 'lang': 'es'},
+                 {'hits': len(list_filter(toks, t -> t IN ('le','la','et','les','des','est','un','dans'))), 'lang': 'fr'},
+                 {'hits': len(list_filter(toks, t -> t IN ('的','是','了','在','和','有','我','不'))), 'lang': 'zh'}
+               ], 'max') AS best FROM t)""",
 
     "q15_event_windows" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,

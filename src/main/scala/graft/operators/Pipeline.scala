@@ -27,25 +27,32 @@ object Pipeline {
   /** Co-occurrence pair counting — the reference's
     * `q2_count_thing` (main_dag.py:265-290) counts, per year, the
     * publications each unordered researcher pair co-authored. The
-    * reference loops over all pairs × the whole corpus; here it is an
-    * inverted-index self-join: distinct (set, member) pairs, joined on
-    * the set key with `a < b` to keep one orientation. The self-join
-    * is co-partitioned on the set key (one shuffle), and the pair
+    * reference loops over all pairs × the whole corpus; here each
+    * set's distinct members are gathered once (`collect_set`, partial
+    * aggregation map-side) and the `a < b` pairs are generated in-row
+    * from the sorted member array — no self-join, so the set key is
+    * shuffled once instead of three times (distinct + both join
+    * sides). The year lookup joins on the set key BEFORE pair
+    * explosion (pairs ∝ |set|² rows never enter a join), and the pair
     * aggregation is the only other shuffle. Linear in Σ|set|², never
-    * |corpus|².
+    * |corpus|². Member sets (co-author lists) are naturally small; a
+    * pathological hot set would surface in the collect_set row, not
+    * as a skewed join partition.
     */
   def pairCounts(df: DataFrame, setKey: String, memberKey: String,
       yearOf: DataFrame, yearKey: String): DataFrame = {
-    val members = df.select(col(setKey), col(memberKey)).distinct()
-    val a = members.as("a")
-    val b = members.as("b")
-    a.join(b, col(s"a.$setKey") === col(s"b.$setKey") &&
-        col(s"a.$memberKey") < col(s"b.$memberKey"))
-      .select(col(s"a.$setKey").as("__set"),
-        col(s"a.$memberKey").as("member_a"),
-        col(s"b.$memberKey").as("member_b"))
+    val sets = df.groupBy(col(setKey).as("__set"))
+      .agg(sort_array(collect_set(col(memberKey))).as("__ms"))
+    val ms = col("__ms")
+    // all i < j index pairs of the sorted array, as structs — sorted
+    // order makes member_a < member_b by construction
+    val pairs = flatten(transform(ms, (x, i) =>
+      transform(slice(ms, i + lit(2), greatest(size(ms) - i - 1, lit(0))),
+        y => struct(x.as("a"), y.as("b")))))
+    sets
       .join(yearOf.select(col(yearKey).as("__yk"), col("year")), col("__set") === col("__yk"))
-      .groupBy(col("year"), col("member_a"), col("member_b"))
+      .select(col("year"), explode(pairs).as("__p"))
+      .groupBy(col("year"), col("__p.a").as("member_a"), col("__p.b").as("member_b"))
       .agg(count("*").as("n_co"))
   }
 

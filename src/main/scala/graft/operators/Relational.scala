@@ -89,6 +89,32 @@ object Relational {
     df.rollup(col(g1), col(g2))
       .agg(count("*").as("n_rows"), round(sum(col(valueCol)), 2).as("total_value"))
 
+  /** Full cube: count + sum at every subset of the grouping keys —
+    * the materialized-slice shape OLAP dashboards query. Same Expand +
+    * single partial-agg pass as rollup, 4 grouping sets instead of 3. */
+  def cubeAgg(df: DataFrame, g1: String, g2: String, valueCol: String): DataFrame =
+    df.cube(col(g1), col(g2))
+      .agg(count("*").as("n_rows"), round(sum(col(valueCol)), 2).as("total_value"))
+
+  /** TPC-H Q17-style correlated aggregate: revenue of rows falling
+    * below a per-key threshold derived from the same fact (quantity <
+    * 0.2 × that part's average). The correlated subquery is decorrelated
+    * by construction: one partial-agg pass builds the per-key
+    * thresholds, then a key-co-partitioned join filters the fact —
+    * never a per-row subquery, never a broadcast of a fact-derived
+    * table (at 100 TB the threshold table is dim-sized per shard but
+    * unbounded globally; Catalyst/AQE picks broadcast when stats
+    * allow). Threshold arithmetic is exact for integral quantities
+    * (sums < 2^53), so the `<` comparison is engine-stable. */
+  def belowAvgQtyRevenue(lineitem: DataFrame): DataFrame = {
+    val thresholds = lineitem.groupBy(col("l_partkey").as("t_partkey"))
+      .agg((avg(col("l_quantity")) * 0.2).as("qty_thresh"))
+    lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(thresholds, col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity") < col("qty_thresh"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+  }
+
   /** EXISTS ∧ NOT EXISTS predicates as semi/anti joins — never a
     * distinct + inner join (which would shuffle the probe side
     * twice and inflate it). */

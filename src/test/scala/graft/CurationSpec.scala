@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Clusters, Curation}
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashBucket is deterministic and splits ~proportionally") {
+    val docs = (1L to 1000L).map(i => (i, s"document body number $i"))
+      .toDF("doc_id", "text")
+    val a = Curation.hashSplit(docs, col("text"), 100, 20)
+      .select("doc_id").as[Long].collect().sorted
+    val b = Curation.hashSplit(docs, col("text"), 100, 20)
+      .select("doc_id").as[Long].collect().sorted
+    assert(a === b) // rerun-stable (no rand())
+    // 20% of 1000 give or take binomial noise
+    assert(a.length > 120 && a.length < 280)
+    // buckets depend only on content: same text -> same bucket
+    val dup = Seq((1L, "x y z"), (2L, "x y z")).toDF("doc_id", "text")
+    val bk = dup.select(Curation.hashBucket(col("text"), 100)).as[Long].collect()
+    assert(bk(0) === bk(1))
+  }
+
+  test("percentileGate trims both tails per group") {
+    val rows = (1 to 20).map(i => (i.toLong, "a", i * 10)) ++
+      Seq((100L, "b", 5)) // singleton group: percent_rank 0 -> bottom-trimmed
+    val df = rows.toDF("doc_id", "source", "n_chars")
+    val kept = Curation.percentileGate(df, "source", col("n_chars"), 0.1, 0.9, col("doc_id"))
+      .select("doc_id").as[Long].collect().sorted
+    // group a: ranks 0..19 -> percent_rank i/19; keep 0.1..0.9 -> ids 3..18
+    assert(kept === (3L to 18L).toArray)
+  }
+
+  test("connectedComponents labels every member with the component min") {
+    // components: {1,2,3,4} (chain), {10,11}, pairs only
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val out = Clusters.connectedComponents(pairs, "doc_a", "doc_b")
+      .orderBy("node")
+      .as[(Long, Long)].collect()
+    assert(out === Array((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L)))
+  }
+
+  test("connectedComponents handles an empty pair set") {
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Clusters.connectedComponents(pairs, "doc_a", "doc_b").count() === 0L)
+  }
+}

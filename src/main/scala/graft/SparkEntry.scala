@@ -189,6 +189,12 @@ object SparkEntry {
       Curation.hashSplit(t(s, dir, "documents"), col("text"), buckets = 100, takeBuckets = 20)
         .select(col("doc_id"), col("bucket"))),
 
+    // top-3 characteristic terms per document by smoothed TF-IDF
+    "text_tfidf" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Curation.tfidfTopTerms(d, "doc_id", Text.tokens(col("text")), k = 3)
+    }),
+
     // per-source distribution gate: trim the 5% tails of n_chars
     "quality_gate" -> ((s, dir) =>
       Curation.percentileGate(t(s, dir, "documents"), "source", col("n_chars"),
@@ -260,6 +266,20 @@ object SparkEntry {
     "q16_sessionize" -> ((s, dir) => Events.sessionize(Tables.events(s, dir), 1800.0)),
 
     "q17_json_extract" -> ((s, dir) => Events.jsonPropAgg(Tables.events(s, dir))),
+
+    // interval containment via bucketed equi-join: purchases within
+    // one hour after each signup, zero-counts kept
+    "q24_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Events.rangeJoinCount(
+          ev.filter(col("event_type") === "signup")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts")),
+          "user_id", "ts", "event_id", windowSeconds = 3600L)
+        .select(col("event_id").as("signup_event_id"), col("user_id"),
+          col("ts").as("signup_ts"), col("n_in_window").as("n_purchases_1h"))
+    }),
 
     // point-in-time lookup: each purchase joined to the user's latest
     // signup at-or-before it (right side pre-deduped per (user, ts)
@@ -615,6 +635,36 @@ object SparkEntry {
                   AS sum_k,
                 round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k
          FROM events GROUP BY 1""",
+
+    "q24_range_join" ->
+      """WITH s AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'signup'),
+              p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'purchase')
+         SELECT s.event_id AS signup_event_id, s.user_id,
+                s.ts AS signup_ts, count(p.user_id) AS n_purchases_1h
+         FROM s LEFT JOIN p
+           ON p.user_id = s.user_id
+          AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+         GROUP BY 1, 2, 3""",
+
+    "text_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf
+                FROM toks WHERE token <> '' GROUP BY 1, 2),
+         dfx AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT doc_id, token, CAST(rnk AS INTEGER) AS rnk, round(tfidf, 4) AS tfidf
+         FROM (SELECT tf.doc_id, tf.token,
+                      tf.tf * (ln((n_docs + 1.0) / (dfx.df + 1.0)) + 1.0) AS tfidf,
+                      row_number() OVER (
+                        PARTITION BY tf.doc_id
+                        ORDER BY tf.tf * (ln((n_docs + 1.0) / (dfx.df + 1.0)) + 1.0) DESC,
+                                 tf.token) AS rnk
+               FROM tf JOIN dfx ON tf.token = dfx.token CROSS JOIN n)
+         WHERE rnk <= 3""",
 
     "q18_asof_join" ->
       """WITH s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,

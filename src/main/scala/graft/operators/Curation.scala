@@ -30,6 +30,34 @@ object Curation {
     df.withColumn("bucket", hashBucket(content, buckets))
       .filter(col("bucket") < takeBuckets)
 
+  /** Top-k characteristic terms per document by smoothed TF-IDF
+    * (tf × (ln((N+1)/(df+1)) + 1)).
+    *
+    * Three aggregates — term frequency (one shuffle on (doc, token)),
+    * document frequency derived from tf (shuffle on token), corpus
+    * size as a 1-row aggregate cross-joined in (broadcast scalar, no
+    * driver-side count) — then a row_number window for top-k with a
+    * deterministic (score desc, token) tiebreak. Every shuffle carries
+    * (id, token, count) triples, never document text.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, tokens: Column, k: Int): DataFrame = {
+    val tf = docs.select(col(idCol).as("doc_id"), explode(tokens).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("doc_id", "token").agg(count("*").as("tf"))
+    val df = tf.groupBy("token").agg(count("*").as("df"))
+    val nDocs = docs.agg(count("*").as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token"))
+    tf.join(df, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("token"), col("rnk").cast("int").as("rnk"),
+        round(col("tfidf"), 4).as("tfidf"))
+  }
+
   /** Distribution-based quality gate: per group, keep rows whose
     * metric sits inside [loPct, hiPct] by percent_rank — trims both
     * tails (truncation-damaged shards at the bottom, concatenation

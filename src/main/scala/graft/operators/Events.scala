@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -85,6 +85,38 @@ object Events {
       .filter(col("__tag") === 1)
       .select(leftCols.map(col) ++
         rightPayload.map(c => col(s"__carried.$c").as(c)): _*)
+  }
+
+  /** Bucketed range join: for each left row, count right rows with the
+    * same key and ts in (left.ts, left.ts + windowSeconds]. A naive
+    * inequality join degenerates to per-key cross products; here both
+    * sides get an integral time bucket of width `windowSeconds` — each
+    * right row lands in exactly one bucket, each left row probes its
+    * own and the next bucket (any right row inside the window must be
+    * in one of the two) — so the join is an equi-join on (key, bucket)
+    * that Catalyst hash-partitions, and the exact range predicate only
+    * filters bucket-local candidates. Left rows with no match keep a
+    * zero count (left join back to the left side).
+    */
+  def rangeJoinCount(left: DataFrame, right: DataFrame, key: String, ts: String,
+      leftId: String, windowSeconds: Long): DataFrame = {
+    def bucket(c: Column): Column = floor(c.cast("double") / windowSeconds)
+    val probes = left.select(col(leftId), col(key), col(ts).as("__lts"))
+      .withColumn("__bkt",
+        explode(array(bucket(col("__lts")), bucket(col("__lts")) + 1)))
+    val build = right.select(col(key).as("__rkey"), col(ts).as("__rts"))
+      .withColumn("__rbkt", bucket(col("__rts")))
+    val counts = probes
+      .join(build,
+        col(key) === col("__rkey") && col("__bkt") === col("__rbkt") &&
+          col("__rts").cast("double") > col("__lts").cast("double") &&
+          col("__rts").cast("double") <= col("__lts").cast("double") + windowSeconds)
+      .groupBy(col(leftId).as("__cid"))
+      .agg(count("*").as("__n"))
+    left.select(col(leftId), col(key), col(ts))
+      .join(counts, col(leftId) === col("__cid"), "left")
+      .select(col(leftId), col(key), col(ts),
+        coalesce(col("__n"), lit(0L)).as("n_in_window"))
   }
 
   /** Semi-structured JSON prop extraction + aggregate. get_json_object

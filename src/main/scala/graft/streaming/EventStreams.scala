@@ -41,6 +41,17 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup: drop events whose `idCols` were already
+    * seen, with state bounded by the watermark horizon
+    * (dropDuplicatesWithinWatermark — duplicates in a stream arrive
+    * close together, e.g. at-least-once redelivery, so expiring dedup
+    * state past the watermark keeps it O(horizon), not O(stream)).
+    * The streaming twin of Dedup.exact's keep-first semantics. */
+  def dedupStream(events: DataFrame, watermark: String, idCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   /** Stateful gap-sessionization: the streaming twin of
     * Events.sessionize. One GroupState per user holds the open
     * session.

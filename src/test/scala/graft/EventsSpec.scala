@@ -11,6 +11,24 @@ class EventsSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("rangeJoinCount counts window hits across bucket boundaries, keeps zeros") {
+    // signup at :30 — its 1h window (exclusive start, inclusive end)
+    // straddles the bucket boundary at :00
+    val signups = Seq((1L, 7L, ts("2024-01-01 10:30:00")),
+      (2L, 8L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val purchases = Seq(
+      (7L, ts("2024-01-01 10:30:00")),  // == start: excluded (strict >)
+      (7L, ts("2024-01-01 10:59:00")),  // same bucket: counted
+      (7L, ts("2024-01-01 11:30:00")),  // next bucket, == end: counted
+      (7L, ts("2024-01-01 11:30:01")),  // past end: excluded
+      (9L, ts("2024-01-01 10:45:00"))   // other user: excluded
+    ).toDF("user_id", "ts")
+    val out = Events.rangeJoinCount(signups, purchases, "user_id", "ts",
+        "event_id", 3600L)
+      .select("event_id", "n_in_window").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out === Array((1L, 2L), (2L, 0L)))
+  }
+
   test("sessionize splits on gaps strictly greater than the threshold") {
     val events = Seq(
       (1L, ts("2024-01-01 00:00:00"), 7L, "a", 1.0),

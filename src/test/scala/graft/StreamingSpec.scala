@@ -60,6 +60,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batched)
   }
 
+  test("dedupStream drops redelivered events, keeps state within watermark") {
+    val batch = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val rows = batch.as[EventStreams.Event].collect().toIndexedSeq
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    // at-least-once redelivery: every event arrives twice in-batch
+    mem.addData(rows ++ rows)
+
+    val q = EventStreams.dedupStream(mem.toDF(), "10 minutes", Seq("event_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val streamed = spark.table("dedup_out").select("event_id").as[Long].collect().sorted
+    val batched = batch.select("event_id").distinct().as[Long].collect().sorted
+    assert(streamed === batched)
+  }
+
   test("stateful sessionizeStream finds the same sessions as batch") {
     val batch = Tables.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value")

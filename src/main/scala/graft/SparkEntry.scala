@@ -154,6 +154,19 @@ object SparkEntry {
           round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
           round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))),
 
+    // salted join of fact × dim, aggregated — the oracle proves the
+    // manual skew mitigation is result-identical to the plain join
+    "skew_salted_join" -> ((s, dir) => {
+      val fact = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("suppkey"), col("l_quantity"),
+          xxhash64(col("l_orderkey"), col("l_linenumber")).as("__rid"))
+      val dim = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      graft.operators.Skew.saltedJoin(fact, dim, "suppkey", salts = 8, "__rid")
+        .groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count("*").as("n_items"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
     // ---- §2c LLM-data operators ----
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
@@ -457,6 +470,12 @@ object SparkEntry {
                FROM lineitem GROUP BY 1) t
            ON l.l_partkey = t.t_partkey
          WHERE l.l_quantity < t.qty_thresh""",
+
+    "skew_salted_join" ->
+      """SELECT s_nationkey AS nationkey, count(*) AS n_items,
+                round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY 1""",
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies

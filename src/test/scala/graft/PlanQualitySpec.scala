@@ -55,4 +55,39 @@ class PlanQualitySpec extends SparkSpec {
     // partial + final pair means map-side combine happened
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial aggregation:\n$p")
   }
+
+  test("range join stays an equi-join (no cross product)") {
+    val ev = Tables.events(spark, sfDir)
+    val p = plan(graft.operators.Events.rangeJoinCount(
+      ev.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("ts")),
+      ev.filter(col("event_type") === "purchase").select(col("user_id"), col("ts")),
+      "user_id", "ts", "event_id", 3600L))
+    assert(!p.contains("CartesianProduct"),
+      s"range predicate degenerated to a cross product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"range predicate did not become an equi-join:\n$p")
+  }
+
+  test("tfidf corpus size is a broadcast scalar, not a shuffle") {
+    val d = Tables.documents(spark, sfDir)
+    val p = plan(graft.operators.Curation.tfidfTopTerms(
+      d, "doc_id", graft.functions.Text.tokens(col("text")), 3))
+    // 1-row cross join must be a broadcast nested loop, never a
+    // cartesian shuffle of the tf table
+    assert(p.contains("BroadcastNestedLoopJoin"), s"corpus size not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"tf × n_docs shuffled:\n$p")
+  }
+
+  test("pair counting shuffles the set key once (no self-join exchanges)") {
+    val p = plan(graft.operators.Pipeline.pairCounts(
+      Tables.lineitem(spark, sfDir), "l_orderkey", "l_suppkey",
+      Tables.orders(spark, sfDir).select(col("o_orderkey"), year(col("o_orderdate")).as("year")),
+      "o_orderkey"))
+    assert(!p.contains("SortMergeJoin") || !p.contains("CartesianProduct"),
+      s"pair generation re-joined the fact:\n$p")
+    // exactly one aggregate pair per shuffle stage: collect_set + final count
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      s"more shuffles than collect_set/year-join/pair-agg need:\n$p")
+  }
 }

@@ -280,6 +280,25 @@ object SparkEntry {
 
     "q17_json_extract" -> ((s, dir) => Events.jsonPropAgg(Tables.events(s, dir))),
 
+    // trailing 1-hour moving average per user — VALUE-bound window
+    // frame (rangeBetween on truncated epoch seconds, mirrored in the
+    // oracle), not a row-count frame
+    "q25_moving_avg" -> ((s, dir) =>
+      Relational.movingAvg(Tables.events(s, dir), "user_id", "ts", "value", 3600L)
+        .select(col("user_id"), col("ts"), col("value"),
+          round(col("moving_avg"), 4).as("moving_avg"))),
+
+    // HLL-sketch distinct users per event type: the 100 TB shape for
+    // cardinality (fixed-size sketch, mergeable map-side — exact
+    // distinct would shuffle every (type, user) pair). Rows-gated:
+    // sketch estimates are engine-specific; accuracy vs exact is
+    // spec-tested instead
+    "approx_distinct" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count("*").as("n_events"))),
+
     // interval containment via bucketed equi-join: purchases within
     // one hour after each signup, zero-counts kept
     "q24_range_join" -> ((s, dir) => {
@@ -654,6 +673,14 @@ object SparkEntry {
                   AS sum_k,
                 round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k
          FROM events GROUP BY 1""",
+
+    "q25_moving_avg" ->
+      """SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                round(avg(value) OVER (
+                  PARTITION BY user_id
+                  ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+         FROM events""",
 
     "q24_range_join" ->
       """WITH s AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts

@@ -115,6 +115,20 @@ object Relational {
       .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
   }
 
+  /** Time-range moving aggregate: avg over a trailing window of
+    * `windowSeconds` per key, frame bound by VALUE (rangeBetween on
+    * epoch seconds), not row count — uneven event spacing keeps the
+    * frame honest. One shuffle + one sort per key, same as any
+    * window; the frame scan is incremental within the partition. */
+  def movingAvg(df: DataFrame, key: String, ts: String, value: String,
+      windowSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).cast("long"))
+      .rangeBetween(-windowSeconds, 0)
+    df.select(col(key), col(ts), col(value),
+      avg(col(value)).over(w).as("moving_avg"))
+  }
+
   /** EXISTS ∧ NOT EXISTS predicates as semi/anti joins — never a
     * distinct + inner join (which would shuffle the probe side
     * twice and inflate it). */

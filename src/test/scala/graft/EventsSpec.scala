@@ -11,6 +11,18 @@ class EventsSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("approx_count_distinct lands within 5% of exact per group") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val approx = ev.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("a")).as[(String, Long)].collect().toMap
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("e")).as[(String, Long)].collect().toMap
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"$k: approx $a vs exact $e")
+    }
+  }
+
   test("rangeJoinCount counts window hits across bucket boundaries, keeps zeros") {
     // signup at :30 — its 1h window (exclusive start, inclusive end)
     // straddles the bucket boundary at :00

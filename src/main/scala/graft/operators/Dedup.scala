@@ -69,12 +69,16 @@ object Dedup {
         round(col("shared") / (col("n_a") + col("n_b") - col("shared")), 4))
       .filter(col("jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    // run the join eagerly, then release the index: the surviving
-    // pairs are tiny next to the corpus, and callers must not inherit
-    // a persisted intermediate they never asked for (storage leak).
-    // localCheckpoint blocks are lineage-free and ContextCleaner-
-    // collected once the returned frame is unreferenced.
-    val materialized = out.localCheckpoint(true)
+    // Caching contract: the result (tiny next to the corpus) is
+    // persisted and materialized eagerly so the corpus-sized index can
+    // be released before returning — callers never inherit an
+    // index-sized persist they didn't ask for. Lineage stays intact
+    // (persist, not checkpoint): losing a cached block on a real
+    // cluster recomputes from source instead of failing the job.
+    // Callers drop the remaining result-sized cache with unpersist()/
+    // clearCache() when done.
+    val materialized = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    materialized.count()
     sh.unpersist(blocking = false)
     materialized
   }
@@ -153,9 +157,11 @@ object Dedup {
           / lit(perms.toDouble), 4))
       .filter(col("est_jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
-    // eager + unpersist: same caching contract as ngramJaccardPairs —
-    // no persisted signature table survives the call
-    val materialized = out.localCheckpoint(true)
+    // eager result persist + index release: same caching contract as
+    // ngramJaccardPairs — no signature-table-sized persist survives
+    // the call, lineage stays recomputable
+    val materialized = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    materialized.count()
     sigs.unpersist(blocking = false)
     materialized
   }

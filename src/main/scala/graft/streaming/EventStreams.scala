@@ -47,9 +47,10 @@ object EventStreams {
     * close together, e.g. at-least-once redelivery, so expiring dedup
     * state past the watermark keeps it O(horizon), not O(stream)).
     * The streaming twin of Dedup.exact's keep-first semantics. */
-  def dedupStream(events: DataFrame, watermark: String, idCols: Seq[String]): DataFrame =
+  def dedupStream(events: DataFrame, watermark: String, idCols: Seq[String],
+      tsCol: String = "ts"): DataFrame =
     events
-      .withWatermark("ts", watermark)
+      .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
   /** Stateful gap-sessionization: the streaming twin of

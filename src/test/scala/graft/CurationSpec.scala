@@ -44,6 +44,15 @@ class CurationSpec extends SparkSpec {
       (10L, 10L), (11L, 10L)))
   }
 
+  test("connectedComponents resolves a long chain in O(log n) rounds") {
+    // a 200-link chain has diameter 200; plain propagation would need
+    // 200 rounds — pointer jumping must finish well inside maxIter
+    val pairs = (1L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Clusters.connectedComponents(pairs, "doc_a", "doc_b", maxIter = 15)
+    assert(out.count() === 200L)
+    assert(out.select("cluster_id").distinct().as[Long].collect() === Array(1L))
+  }
+
   test("connectedComponents handles an empty pair set") {
     val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Clusters.connectedComponents(pairs, "doc_a", "doc_b").count() === 0L)

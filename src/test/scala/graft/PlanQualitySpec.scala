@@ -84,8 +84,8 @@ class PlanQualitySpec extends SparkSpec {
       Tables.lineitem(spark, sfDir), "l_orderkey", "l_suppkey",
       Tables.orders(spark, sfDir).select(col("o_orderkey"), year(col("o_orderdate")).as("year")),
       "o_orderkey"))
-    assert(!p.contains("SortMergeJoin") || !p.contains("CartesianProduct"),
-      s"pair generation re-joined the fact:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"pair generation degenerated to a cross product:\n$p")
     // exactly one aggregate pair per shuffle stage: collect_set + final count
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
       s"more shuffles than collect_set/year-join/pair-agg need:\n$p")

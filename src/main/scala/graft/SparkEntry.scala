@@ -208,6 +208,20 @@ object SparkEntry {
       Curation.tfidfTopTerms(d, "doc_id", Text.tokens(col("text")), k = 3)
     }),
 
+    // fixed-budget sequence packing per source shard (2048 tokens)
+    "pack_sequences" -> ((s, dir) =>
+      Curation.packSequences(t(s, dir, "documents"), "source", "doc_id",
+        Text.tokenCount(col("text")), budget = 2048)),
+
+    // PII-style scrub: emails then number runs → typed placeholders;
+    // output is counts + a fingerprint of the redacted text
+    "text_redact" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(Text.emailPattern), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(Text.numberPattern), lit(0))).as("n_nums"),
+        md5(Text.redact(col("text")).cast("binary")).as("redacted_fp"))),
+
     // per-source distribution gate: trim the 5% tails of n_chars
     "quality_gate" -> ((s, dir) =>
       Curation.percentileGate(t(s, dir, "documents"), "source", col("n_chars"),
@@ -551,6 +565,29 @@ object SparkEntry {
                 CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS bucket
          FROM documents
          WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 20""",
+
+    "pack_sequences" ->
+      """WITH t AS (SELECT source, doc_id,
+                CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens
+         FROM documents)
+         SELECT source, doc_id, n_tokens,
+                CAST(floor((sum(n_tokens) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048.0) AS BIGINT)
+                  AS pack_id
+         FROM t""",
+
+    "text_redact" ->
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+                  AS n_emails,
+                CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_nums,
+                md5(regexp_replace(
+                  regexp_replace(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '[0-9]+', '<NUM>', 'g')) AS redacted_fp
+         FROM documents""",
 
     "quality_gate" ->
       """SELECT doc_id, source, n_chars,

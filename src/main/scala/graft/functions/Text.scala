@@ -56,6 +56,18 @@ object Text {
   def avgTokenLen(text: Column): Column =
     length(regexp_replace(trim(text), "\\s+", "")) / tokenCount(text).cast("double")
 
+  /** PII-style redaction patterns (kept RE2-compatible so the oracle
+    * engine matches byte-for-byte). */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val numberPattern = "[0-9]+"
+
+  /** Redact emails then number runs with typed placeholders — the
+    * single-pass scrub a training corpus gets before packing. */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      numberPattern, "<NUM>")
+
   /** Tiny per-language stopword dictionaries for the lang-id
     * heuristic. Broadcast-as-literal: the dict lives in the plan, no
     * shuffle, no lookup join. */

@@ -30,6 +30,24 @@ object Curation {
     df.withColumn("bucket", hashBucket(content, buckets))
       .filter(col("bucket") < takeBuckets)
 
+  /** Greedy sequence packing: assign documents to fixed-budget packs
+    * (the training-data step that concatenates documents into
+    * context-length sequences). Docs are ordered deterministically
+    * within each shard; pack id = floor(preceding-cumsum / budget) —
+    * the standard streaming pack (a doc straddling a boundary starts
+    * its pack at the boundary). One window per shard key: cumsum is a
+    * single sort, no driver state, and shards pack independently so
+    * 100 TB packs as width, not depth. */
+  def packSequences(docs: DataFrame, groupCol: String, idCol: String,
+      tokenCount: Column, budget: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+    docs.select(col(groupCol), col(idCol), tokenCount.as("n_tokens"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id",
+        floor((col("__cum") - col("n_tokens")) / budget.toDouble).cast("long"))
+      .drop("__cum")
+  }
+
   /** Top-k characteristic terms per document by smoothed TF-IDF
     * (tf × (ln((N+1)/(df+1)) + 1)).
     *

@@ -33,6 +33,18 @@ class CurationSpec extends SparkSpec {
     assert(kept === (3L to 18L).toArray)
   }
 
+  test("packSequences assigns docs to budget-bounded packs per shard") {
+    val docs = Seq(
+      (1L, "a", 1000), (2L, "a", 1000), (3L, "a", 100), // cum 1000,2000,2100
+      (4L, "a", 5000),                                  // oversized doc: own pack
+      (10L, "b", 10)                                    // shard b independent
+    ).toDF("doc_id", "source", "n")
+    val out = Curation.packSequences(docs, "source", "doc_id", col("n"), 2048)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    // preceding-cumsum // 2048: 0,1000,2000 -> pack 0; 2100 -> pack 1; b restarts
+    assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 10L -> 0L))
+  }
+
   test("connectedComponents labels every member with the component min") {
     // components: {1,2,3,4} (chain), {10,11}, pairs only
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))

@@ -60,6 +60,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batched)
   }
 
+  test("streaming parquet file sink lands exactly the batch rows") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sink").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toFile
+    val batch = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    mem.addData(batch.as[EventStreams.Event].collect().toIndexedSeq)
+
+    // the built-in file sink is exactly-once via its commit log — the
+    // production landing path for a streamed corpus
+    val q = mem.toDF().writeStream.format("parquet")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .option("path", outDir.getAbsolutePath)
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val written = spark.read.parquet(outDir.getAbsolutePath)
+    assert(written.count() === batch.count())
+    assert(written.select("event_id").as[Long].collect().sorted ===
+      batch.select("event_id").as[Long].collect().sorted)
+  }
+
   test("dedupStream drops redelivered events, keeps state within watermark") {
     val batch = Tables.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value")

@@ -1,0 +1,105 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Pipeline}
+
+/** Empirical scaling probe: runs the super-linear-risk operators (the
+  * near-dup family and pair counting) at 1× and N× the sf0.1 corpus
+  * and reports the wall-time ratio. A linear operator should scale at
+  * ≈N× (plus fixed overhead amortization, so typically < N×); a
+  * quadratic regression shows up as ≫N×.
+  *
+  * The N× corpus is N perturbed copies: every token gets a per-copy
+  * suffix, so copies share no shingles — near-dup structure inside
+  * each copy is preserved, cross-copy similarity is zero, and the
+  * TRUE answer scales exactly linearly. (Naive duplication would make
+  * every doc an N-way exact dup and the honest answer itself
+  * quadratic — useless for measuring operator scaling.)
+  *
+  * Usage: runMain graft.tools.ScaleProbe [mult] [sfDir]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val tmp = "/tmp/graft_scaleprobe"
+    val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    (0 until mult).map { k =>
+      docs1.select((col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"$$1x$k").as("text"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$tmp/documents")
+    val docsN = spark.read.parquet(s"$tmp/documents")
+
+    val li1 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey")
+    val or1 = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("year"))
+    (0 until mult).map { k =>
+      li1.select((col("l_orderkey") + lit(k.toLong * 1000000000L)).as("l_orderkey"),
+        col("l_suppkey"))
+    }.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$tmp/lineitem")
+    (0 until mult).map { k =>
+      or1.select((col("o_orderkey") + lit(k.toLong * 1000000000L)).as("o_orderkey"),
+        col("year"))
+    }.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$tmp/orders")
+    val liN = spark.read.parquet(s"$tmp/lineitem")
+    val orN = spark.read.parquet(s"$tmp/orders")
+
+    def time(f: => Long): (Double, Long) = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    def probe(name: String)(at1: => Long)(atN: => Long): Unit = {
+      val (w1, n1) = time(at1) // warm codegen at 1x, then measure both
+      val (t1, _) = time(at1)
+      val (tN, nN) = time(atN)
+      println(f"[scaleprobe] $name%-22s 1x: $t1%6.2f s ($n1%8d rows)  " +
+        f"${mult}x: $tN%6.2f s ($nN%8d rows)  ratio: ${tN / t1}%5.1f (linear=$mult)" +
+        f"  warm1: $w1%5.2f")
+    }
+
+    probe("dedup_exact") {
+      Dedup.exact(docs1, "doc_id", "text").count()
+    } {
+      Dedup.exact(docsN, "doc_id", "text").count()
+    }
+    probe("ngram_jaccard") {
+      Dedup.ngramJaccardPairs(docs1, "doc_id", "text", 3, 0.6).count()
+    } {
+      Dedup.ngramJaccardPairs(docsN, "doc_id", "text", 3, 0.6).count()
+    }
+    probe("minhash_lsh") {
+      Dedup.minhashLshPairs(docs1, "doc_id", "text", 3, 64, 16, 0.5).count()
+    } {
+      Dedup.minhashLshPairs(docsN, "doc_id", "text", 3, 64, 16, 0.5).count()
+    }
+    probe("simhash") {
+      Dedup.simhashPairs(docs1, "doc_id", "text", 3).count()
+    } {
+      Dedup.simhashPairs(docsN, "doc_id", "text", 3).count()
+    }
+    probe("pair_counts") {
+      Pipeline.pairCounts(li1, "l_orderkey", "l_suppkey", or1, "o_orderkey").count()
+    } {
+      Pipeline.pairCounts(liN, "l_orderkey", "l_suppkey", orN, "o_orderkey").count()
+    }
+    spark.stop()
+  }
+}

@@ -1,6 +1,7 @@
 package graft.functions.expr
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -167,6 +168,54 @@ case class ShingleHashes(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** All unordered (i < j) element pairs of an array, as
+  * array<struct<a,b>> — one pass, no intermediate slices.
+  *
+  * Replaces the `flatten(transform(slice...))` higher-order pipeline
+  * in pair counting: HOFs evaluate interpreted and `slice` copies a
+  * sub-array per element, so the HOF form does O(n²) allocations per
+  * row on top of per-lambda dispatch. Element type is taken from the
+  * input array (works for any atomic type). Pass a sorted array to
+  * get a < b pairs. */
+case class SortedPairs(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a", elemType, nullable = true),
+        org.apache.spark.sql.types.StructField("b", elemType, nullable = true))),
+      containsNull = false)
+  override def prettyName: String = "sorted_pairs"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val et = elemType
+    val n = arr.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var p = 0
+    var i = 0
+    while (i < n) {
+      val a = arr.get(i, et)
+      var j = i + 1
+      while (j < n) {
+        out(p) = InternalRow(a, arr.get(j, et))
+        p += 1
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object NativeFunctions {
   /** Column API for HammingDistance. */
   def hamming_distance(a: Column, b: Column): Column =
@@ -185,4 +234,8 @@ object NativeFunctions {
   /** Column API for ShingleHashes. */
   def shingle_hashes(text: Column, k: Int): Column =
     ColumnBridge.toColumn(ShingleHashes(ColumnBridge.toExpr(text), k))
+
+  /** Column API for SortedPairs (array input → array<struct<a,b>>). */
+  def sorted_pairs(arr: Column): Column =
+    ColumnBridge.toColumn(SortedPairs(ColumnBridge.toExpr(arr)))
 }

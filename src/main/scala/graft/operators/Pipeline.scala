@@ -43,12 +43,11 @@ object Pipeline {
       yearOf: DataFrame, yearKey: String): DataFrame = {
     val sets = df.groupBy(col(setKey).as("__set"))
       .agg(sort_array(collect_set(col(memberKey))).as("__ms"))
-    val ms = col("__ms")
-    // all i < j index pairs of the sorted array, as structs — sorted
-    // order makes member_a < member_b by construction
-    val pairs = flatten(transform(ms, (x, i) =>
-      transform(slice(ms, i + lit(2), greatest(size(ms) - i - 1, lit(0))),
-        y => struct(x.as("a"), y.as("b")))))
+    // all i < j pairs of the sorted array — sorted order makes
+    // member_a < member_b by construction. Native single-pass
+    // expression: the HOF form (flatten∘transform∘slice) evaluates
+    // interpreted and copies a sub-array per element
+    val pairs = graft.functions.expr.NativeFunctions.sorted_pairs(col("__ms"))
     sets
       .join(yearOf.select(col(yearKey).as("__yk"), col("year")), col("__set") === col("__yk"))
       .select(col("year"), explode(pairs).as("__p"))

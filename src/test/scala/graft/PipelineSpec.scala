@@ -30,6 +30,21 @@ class PipelineSpec extends SparkSpec {
     assert(out.as[Long].collect().sorted === Array(1L, 3L))
   }
 
+  test("sorted_pairs emits all i<j pairs, any element type") {
+    val longs = Seq(Seq(1L, 2L, 3L)).toDF("xs")
+      .select(explode(graft.functions.expr.NativeFunctions.sorted_pairs(col("xs"))).as("p"))
+      .select("p.a", "p.b").as[(Long, Long)].collect()
+    assert(longs === Array((1L, 2L), (1L, 3L), (2L, 3L)))
+    val strs = Seq(Seq("x", "y")).toDF("xs")
+      .select(explode(graft.functions.expr.NativeFunctions.sorted_pairs(col("xs"))).as("p"))
+      .select("p.a", "p.b").as[(String, String)].collect()
+    assert(strs === Array(("x", "y")))
+    // empty and singleton arrays -> no pairs
+    val none = Seq(Seq.empty[Long], Seq(7L)).toDF("xs")
+      .select(explode(graft.functions.expr.NativeFunctions.sorted_pairs(col("xs"))).as("p"))
+    assert(none.count() === 0L)
+  }
+
   test("pairCounts counts unordered co-occurrence per year") {
     // set 100: members 1,2,3 (year 2020) -> pairs (1,2),(1,3),(2,3)
     // set 200: members 1,2   (year 2020) -> pair (1,2)

@@ -196,7 +196,15 @@ case class SortedPairs(child: Expression)
     val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val et = elemType
     val n = arr.numElements()
-    val out = new Array[Any](n * (n - 1) / 2)
+    // n*(n-1)/2 in Int wraps negative past n=65536 — fail intelligibly
+    // instead of NegativeArraySizeException deep in eval (callers
+    // should cap pathological set sizes upstream; see
+    // Pipeline.pairCounts maxSetSize)
+    val nPairs = n.toLong * (n - 1) / 2
+    require(nPairs <= Int.MaxValue - 8,
+      s"sorted_pairs: $n elements produce $nPairs pairs, past the array " +
+        "limit — cap the set size upstream")
+    val out = new Array[Any](nPairs.toInt)
     var p = 0
     var i = 0
     while (i < n) {

@@ -8,33 +8,61 @@ import org.apache.spark.sql.functions._
   * doc per cluster, drop the rest).
   *
   * Min-label propagation with pointer jumping: every node starts as
-  * its own label; each round every node takes the min of its own, its
-  * neighbors', and its label's label (the shortcut step — following
-  * the current label's own label halves chain depth, so convergence
-  * is O(log diameter) rounds, not O(diameter): a 2^20-doc chain
-  * resolves in ~20 rounds). Each round is two co-partitioned joins +
-  * an aggregate — the Pregel/"shortcutting" step of Kiveris et al.'s
-  * MapReduce connected-components family. Lineage is truncated per
-  * round (reliable checkpoint when a checkpoint dir is configured —
-  * the right choice on a real cluster, where executor loss must not
-  * kill the lineage-truncated frame — else an executor-local
-  * checkpoint), so plans stay flat no matter the iteration count.
+  * its own label; each round every node takes the min of its own and
+  * its neighbors' labels, and (from round 3, once dense clusters have
+  * already converged) the min of its label's own label — the shortcut
+  * step that makes long-chain convergence O(log diameter) rounds
+  * instead of O(diameter). Each round is one co-partitioned join +
+  * aggregate (plus one self-join in jump rounds) — the Pregel/
+  * "shortcutting" step of Kiveris et al.'s MapReduce
+  * connected-components family. Lineage is truncated per round so
+  * plans stay flat no matter the iteration count.
+  *
+  * Checkpointing: with a configured checkpoint dir the rounds use
+  * reliable checkpoints (executor loss mid-iteration cannot kill the
+  * lineage-truncated frames on a real cluster), and superseded
+  * generations' files are deleted as soon as the next generation has
+  * materialized — at return, only the FINAL labels snapshot remains
+  * on disk (it backs the returned frame; it is cleaned with the
+  * application's checkpoint dir). The checkpoint dir is assumed
+  * private to this application, as Spark itself assumes. Without a
+  * checkpoint dir, executor-local checkpoints are used
+  * (ContextCleaner-collected; a lost executor fails the job, which
+  * is then rerun — acceptable for a retryable batch operator).
   */
 object Clusters {
-
-  private def truncate(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-    else df.localCheckpoint(true)
 
   /** @return (node, cluster_id) for every node appearing in `pairs`,
     *         cluster_id = min node id of the component. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
+    lazy val ckptPath = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
+    lazy val fs = ckptPath.getFileSystem(sc.hadoopConfiguration)
+
+    def listDir(): Set[String] =
+      if (!reliable) Set.empty
+      else fs.listStatus(ckptPath).map(_.getPath.toString).toSet
+
+    // truncate lineage; returns the materialized frame + the
+    // checkpoint files that back it (reliable mode only)
+    def truncate(df: DataFrame): (DataFrame, Set[String]) =
+      if (!reliable) (df.localCheckpoint(true), Set.empty)
+      else {
+        val before = listDir()
+        val cp = df.checkpoint(true)
+        (cp, listDir() -- before)
+      }
+
+    def delete(files: Set[String]): Unit =
+      files.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+
     // undirected: propagate both ways
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-    val e = truncate(edges)
-    var labels = truncate(
+    val (e, eFiles) = truncate(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
+    var (labels, liveFiles) = truncate(
       e.select(col("src").as("node")).distinct()
         .withColumn("cluster_id", col("node")))
     var changed = 1L
@@ -49,22 +77,29 @@ object Clusters {
           least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id"))).as("mid"))
       // dense near-dup clusters converge in ≤2 plain rounds — pay for
       // the pointer-jumping self-join only once a long chain is the
-      // plausible remaining shape
-      val stepped =
-        if (iter < 2) prop
+      // plausible remaining shape. prop is materialized BEFORE the
+      // self-join so the propagate join runs once, not twice.
+      val (stepped, stepFiles) =
+        if (iter < 2) (prop, Set.empty[String])
         else {
-          val jump = prop.select(col("node").as("j_node"), col("mid").as("j_mid"))
-          prop.join(jump, col("mid") === col("j_node"), "left")
+          val (p, pf) = truncate(prop)
+          val jump = p.select(col("node").as("j_node"), col("mid").as("j_mid"))
+          (p.join(jump, col("mid") === col("j_node"), "left")
             .select(col("node"), col("old_cluster"),
-              least(col("mid"), coalesce(col("j_mid"), col("mid"))).as("mid"))
+              least(col("mid"), coalesce(col("j_mid"), col("mid"))).as("mid")), pf)
         }
-      val next = truncate(stepped.select(col("node"),
+      val (next, nextFiles) = truncate(stepped.select(col("node"),
         col("mid").as("cluster_id"),
         (col("mid") < col("old_cluster")).as("chg")))
+      // next is materialized: the previous generation (and this
+      // round's jump intermediate) is no longer referenced
+      delete(liveFiles ++ stepFiles)
+      liveFiles = nextFiles
       changed = next.filter(col("chg")).count()
       labels = next.drop("chg")
       iter += 1
     }
+    delete(eFiles) // the returned labels stand alone
     require(changed == 0,
       s"connectedComponents did not converge in $maxIter rounds " +
         s"(pointer jumping bounds rounds by ~log2(component size); " +

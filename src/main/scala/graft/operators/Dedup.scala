@@ -75,8 +75,11 @@ object Dedup {
     // index-sized persist they didn't ask for. Lineage stays intact
     // (persist, not checkpoint): losing a cached block on a real
     // cluster recomputes from source instead of failing the job.
-    // Callers drop the remaining result-sized cache with unpersist()/
-    // clearCache() when done.
+    // NOTE the returned frame IS cached and CacheManager holds it
+    // until released — long-lived sessions calling this repeatedly
+    // MUST call result.unpersist() (or clearCache) when done with
+    // each result; there is no public API for GC-driven cache
+    // release, so the bounded result-sized entry is the contract.
     val materialized = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     materialized.count()
     sh.unpersist(blocking = false)

@@ -37,12 +37,19 @@ object Pipeline {
     * aggregation is the only other shuffle. Linear in Σ|set|², never
     * |corpus|². Member sets (co-author lists) are naturally small; a
     * pathological hot set would surface in the collect_set row, not
-    * as a skewed join partition.
+    * as a skewed join partition — `maxSetSize` drops sets above the
+    * cap (a 10⁵-member set means corrupt data or a key that cannot
+    * mean co-occurrence; its |set|² pairs would dominate the job).
     */
   def pairCounts(df: DataFrame, setKey: String, memberKey: String,
-      yearOf: DataFrame, yearKey: String): DataFrame = {
-    val sets = df.groupBy(col(setKey).as("__set"))
+      yearOf: DataFrame, yearKey: String,
+      maxSetSize: Option[Int] = None): DataFrame = {
+    val grouped = df.groupBy(col(setKey).as("__set"))
       .agg(sort_array(collect_set(col(memberKey))).as("__ms"))
+    val sets = maxSetSize match {
+      case Some(cap) => grouped.filter(size(col("__ms")) <= cap)
+      case None => grouped
+    }
     // all i < j pairs of the sorted array — sorted order makes
     // member_a < member_b by construction. Native single-pass
     // expression: the HOF form (flatten∘transform∘slice) evaluates

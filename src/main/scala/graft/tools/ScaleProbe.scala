@@ -30,11 +30,16 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // ns-timestamp testdata (events.parquet) — keep the session able
+      // to read every table even though the probe currently scales
+      // documents/lineitem only
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val tmp = "/tmp/graft_scaleprobe"
+    // overridable so concurrent probes don't clobber each other's corpora
+    val tmp = sys.env.getOrElse("SCALEPROBE_DIR", "/tmp/graft_scaleprobe")
     val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
     (0 until mult).map { k =>

@@ -65,6 +65,29 @@ class CurationSpec extends SparkSpec {
     assert(out.select("cluster_id").distinct().as[Long].collect() === Array(1L))
   }
 
+  test("reliable checkpoints: correct result, only the final snapshot kept") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toFile
+    spark.sparkContext.setCheckpointDir(base.getAbsolutePath)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+      val out = Clusters.connectedComponents(pairs, "doc_a", "doc_b")
+        .orderBy("node").as[(Long, Long)].collect()
+      assert(out === Array((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+      // superseded generations were deleted as the run progressed:
+      // only the final labels snapshot remains under this run's
+      // checkpoint UUID dir
+      val uuidDir = new java.io.File(spark.sparkContext.getCheckpointDir.get
+        .stripPrefix("file:"))
+      val rddDirs = Option(uuidDir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("rdd-"))
+      assert(rddDirs.length === 1,
+        s"expected 1 surviving checkpoint, got ${rddDirs.map(_.getName).toSeq}")
+    } finally {
+      // shared session: later suites should go back to local checkpoints
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
+
   test("connectedComponents handles an empty pair set") {
     val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Clusters.connectedComponents(pairs, "doc_a", "doc_b").count() === 0L)

@@ -104,6 +104,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batched)
   }
 
+  test("streaming latestPerKey converges to the batch upsert across batches") {
+    val batch = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val rows = batch.as[EventStreams.Event].collect().toIndexedSeq
+    val (first, second) = rows.splitAt(rows.length / 2)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val latest = graft.streaming.StreamUpsert.latestPerKey(mem.toDS())(_.user_id)(
+      (a, b) => Ordering[(Long, Long)].gt(
+        (a.ts.getTime, a.event_id), (b.ts.getTime, b.event_id)))
+    val q = latest.writeStream.outputMode("update")
+      .format("memory").queryName("upsert_out").start()
+    try {
+      mem.addData(first); q.processAllAvailable()   // two separate micro-batches:
+      mem.addData(second); q.processAllAvailable()  // state must carry across
+    } finally { q.stop() }
+
+    // the sink accumulates one emission per (key, batch); the final
+    // winner per key is the row with the greatest version
+    val streamed = spark.table("upsert_out")
+      .as[EventStreams.Event].collect()
+      .groupBy(_.user_id)
+      .map { case (_, es) => es.maxBy(e => (e.ts.getTime, e.event_id)) }
+      .map(e => (e.user_id, e.event_id)).toSet
+    val batched = graft.operators.Pipeline.upsertLatest(
+        batch.limit(0), batch, Seq("user_id"), Seq(col("ts"), col("event_id")))
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    assert(streamed === batched)
+  }
+
   test("stateful sessionizeStream finds the same sessions as batch") {
     val batch = Tables.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value")

@@ -161,8 +161,11 @@ case class ShingleHashes(child: Expression, k: Int)
     }
   }
 
+  // full Java \s class: space, tab, LF, VT, FF, CR — Text.tokens and
+  // the DuckDB oracles split on \s+, so a narrower set here would
+  // shingle \f- or \x0B-bearing documents differently than the oracle
   @inline private def isSpace(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == '\r'
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == 0x0b || b == 0x0c
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

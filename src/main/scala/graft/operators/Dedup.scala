@@ -202,14 +202,21 @@ object Dedup {
     * Join per block (linear), verify with bit_count(xor). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
+    // width = 64/blocks: maxHamming 0 means exact-signature join (one
+    // 64-bit block — mask must be -1L, not (1<<64)-1 which wraps to 0
+    // and would collapse every doc into one O(n²) bucket); past 63
+    // the block width would be zero and the pigeonhole guarantee gone
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63], got $maxHamming")
     val blocks = maxHamming + 1
     val width = 64 / blocks
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val sigs = simhashSigsRelational(docs, idCol, textCol)
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until blocks).map { i =>
         struct(lit(i).as("blk"),
           shiftright(col("sig"), i * width)
-            .bitwiseAND(lit((1L << width) - 1)).as("key"))
+            .bitwiseAND(lit(mask)).as("key"))
       }: _*)).as("b"))
       .select(col("doc_id"), col("sig"), col("b.blk").as("blk"), col("b.key").as("key"))
     banded.as("a")

@@ -38,11 +38,19 @@ object Multimodal {
   // deterministic fake feature vector from the payload bytes so the
   // distributed plumbing is exercised end-to-end.
   // ------------------------------------------------------------------
-  private[operators] def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
+  private[operators] def payloadHash(payload: Array[Byte]): Long = {
     var h = 1125899906842597L
     var i = 0
     while (i < payload.length) { h = h * 31L + payload(i); i += 1 }
+    h
+  }
+
+  /** Features derived from the payload hash — one payload scan feeds
+    * both the checksum and the fake features (a real decoder would
+    * likewise read the bytes once). */
+  private[operators] def decodeStub(payloadHash: Long, dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var h = payloadHash
     var j = 0
     while (j < dim) {
       h = h * 6364136223846793005L + 1442695040888963407L
@@ -62,11 +70,9 @@ object Multimodal {
     ds.mapPartitions { rows =>
       // production: codec/context init here, once per partition
       rows.map { r =>
-        var h = 1125899906842597L
-        var i = 0
-        while (i < r.payload.length) { h = h * 31L + r.payload(i); i += 1 }
+        val h = payloadHash(r.payload) // single pass over the bytes
         MediaFeatures(r.media_id, r.payload.length.toLong, h,
-          decodeStub(r.payload, dim))
+          decodeStub(h, dim))
       }
     }
   }

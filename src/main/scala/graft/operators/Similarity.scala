@@ -74,18 +74,23 @@ object Similarity {
         lit(cid).as("cid"))
     }.toIndexedSeq: _*)
 
+    // norms once per row before the join, not once per candidate pair
+    // (same pattern as bruteForceTopK/embeddingPairs)
     val cOut = corpus.select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn2", Vectors.normSq(col("cv")))
       .withColumn("cid", array_min(listRanks(col("cv"))).getField("cid"))
     val qOut = queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn2", Vectors.normSq(col("qv")))
       .withColumn("probe",
         explode(slice(array_sort(listRanks(col("qv"))), 1, nprobe)))
-      .select(col("query_id"), col("qv"), col("probe.cid").as("cid"))
+      .select(col("query_id"), col("qv"), col("qn2"), col("probe.cid").as("cid"))
 
     val cand = cOut.join(broadcast(qOut), Seq("cid"))
       .select(col("query_id"), col("neighbor_id"),
-        Vectors.cosine(col("qv"), col("cv")).as("cos"))
+        Vectors.cosineWithNorms(col("qv"), col("cv"),
+          col("qn2"), col("cn2")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     cand.withColumn("rnk", row_number().over(w))

@@ -28,18 +28,50 @@ object GraftExtensions {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "", "", "built-in")
 
+  private def arity(name: String, children: Seq[Expression], n: Int): Unit =
+    if (children.size != n)
+      throw new IllegalArgumentException(
+        s"$name expects $n arguments, got ${children.size}")
+
+  /** Foldable integral literal → Long, with a clear error. */
+  private def constLong(name: String, arg: String, e: Expression): Long = {
+    def bad(why: String) = throw new IllegalArgumentException(s"$name: $arg $why")
+    if (!e.foldable) bad("must be a constant integer, got a non-literal")
+    e.eval(null) match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+      case other => bad(s"must be a constant integer, got $other (${e.dataType.simpleString})")
+    }
+  }
+
   /** (identifier, info, builder) triples — shared by the
     * withExtensions path and live-session registration. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("hamming_distance"),
       info("hamming_distance", "hamming_distance(a, b) - bit distance of two int64 signatures"),
-      (children: Seq[Expression]) => HammingDistance(children(0), children(1))),
+      (children: Seq[Expression]) => {
+        arity("hamming_distance(a, b)", children, 2)
+        HammingDistance(children(0), children(1))
+      }),
     (FunctionIdentifier("rolling_hash"),
-      info("rolling_hash", "rolling_hash(str) - 64-bit polynomial content hash"),
-      (children: Seq[Expression]) => RollingHash(children.head, 1125899906842597L)),
+      info("rolling_hash", "rolling_hash(str[, seed]) - 64-bit polynomial content hash"),
+      (children: Seq[Expression]) => children match {
+        // optional seed, matching the Column API — silently ignoring a
+        // passed seed would fingerprint with the wrong constant
+        case Seq(str) => RollingHash(str, 1125899906842597L)
+        case Seq(str, seed) =>
+          RollingHash(str, constLong("rolling_hash(str, seed)", "seed", seed))
+        case _ => throw new IllegalArgumentException(
+          s"rolling_hash(str[, seed]) expects 1 or 2 arguments, got ${children.size}")
+      }),
     (FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - dot product of two array<double>"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+      (children: Seq[Expression]) => {
+        arity("dot_product(a, b)", children, 2)
+        DotProduct(children(0), children(1))
+      }),
     (FunctionIdentifier("shingle_hashes"),
       info("shingle_hashes", "shingle_hashes(text, k) - distinct word-k-gram hashes"),
       (children: Seq[Expression]) => {

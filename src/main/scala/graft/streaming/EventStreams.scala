@@ -46,7 +46,13 @@ object EventStreams {
     * (dropDuplicatesWithinWatermark — duplicates in a stream arrive
     * close together, e.g. at-least-once redelivery, so expiring dedup
     * state past the watermark keeps it O(horizon), not O(stream)).
-    * The streaming twin of Dedup.exact's keep-first semantics. */
+    *
+    * Survivor semantics: keeps the FIRST ARRIVAL of each key — the
+    * only choice a one-pass stream can make. The batch Dedup.exact
+    * keeps min(id); the two agree when redeliveries are byte-identical
+    * payloads (the at-least-once case this handles) or arrival order
+    * follows id order — reconciliations on other streams must compare
+    * on the dedup key, not the surviving row. */
   def dedupStream(events: DataFrame, watermark: String, idCols: Seq[String],
       tsCol: String = "ts"): DataFrame =
     events
@@ -59,11 +65,13 @@ object EventStreams {
     *
     * Emits a session when the gap to the previous event exceeds
     * `gapSeconds`. With `idleFlushMs` set, a processing-time timeout
-    * also flushes idle sessions so state can't grow unboundedly (leave
-    * unset in synchronous test harnesses — each timeout schedules
-    * another micro-batch, so processAllAvailable would never drain).
-    * Within-batch events are sorted by (ts, event_id) before folding,
-    * so replays are deterministic.
+    * also flushes idle OPEN sessions; a small seq marker remains per
+    * user so later sessions continue the numbering — (user, seq)
+    * stays unique across flushes (leave unset in synchronous test
+    * harnesses — each timeout schedules another micro-batch, so
+    * processAllAvailable would never drain). Within-batch events are
+    * sorted by (ts, event_id) before folding, so replays are
+    * deterministic.
     */
   def sessionizeStream(events: Dataset[Event], gapSeconds: Double,
       idleFlushMs: Option[Long] = None)(
@@ -73,6 +81,15 @@ object EventStreams {
 
     def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
 
+    // full-µs reconstruction: new Timestamp(us / 1000) alone would
+    // truncate to milliseconds and diverge from the batch twin's
+    // min/max(ts)
+    def toTs(us: Long): Timestamp = {
+      val t = new Timestamp((us / 1000000L) * 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+
     // match Spark's round() (HALF_UP) exactly — math.rint is half-even
     // and would diverge from the batch twin at half-cent sums
     def round2(v: Double): Double =
@@ -81,11 +98,15 @@ object EventStreams {
     def fold(userId: Long, it: Iterator[Event],
         state: GroupState[SessionState]): Iterator[Session] = {
       if (state.hasTimedOut) {
-        val out = state.getOption.map { s =>
-          Session(userId, s.seq, s.n, new Timestamp(s.startUs / 1000),
-            new Timestamp(s.lastUs / 1000), round2(s.total))
+        // flush the open session but KEEP a seq marker (n == 0): the
+        // user's next session must continue the numbering, or a
+        // downstream MERGE keyed (user, seq) would overwrite the
+        // flushed session with the next one. Marker state is O(users)
+        // — the same live-key bound every per-key stateful op pays.
+        val out = state.getOption.filter(_.n > 0).map { s =>
+          Session(userId, s.seq, s.n, toTs(s.startUs), toTs(s.lastUs), round2(s.total))
         }
-        state.remove()
+        state.getOption.foreach(s => state.update(s.copy(n = 0)))
         return out.iterator
       }
       val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
@@ -95,9 +116,12 @@ object EventStreams {
         val t = micros(e.ts)
         if (cur == null) {
           cur = SessionState(1, 1, t, t, e.value)
+        } else if (cur.n == 0) {
+          // idle-flushed marker: continue numbering after the flushed seq
+          cur = SessionState(cur.seq + 1, 1, t, t, e.value)
         } else if (t - cur.lastUs > gapMicros) {
-          emitted += Session(userId, cur.seq, cur.n, new Timestamp(cur.startUs / 1000),
-            new Timestamp(cur.lastUs / 1000), round2(cur.total))
+          emitted += Session(userId, cur.seq, cur.n,
+            toTs(cur.startUs), toTs(cur.lastUs), round2(cur.total))
           cur = SessionState(cur.seq + 1, 1, t, t, e.value)
         } else {
           cur = cur.copy(n = cur.n + 1, lastUs = t, total = cur.total + e.value)

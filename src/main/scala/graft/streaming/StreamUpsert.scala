@@ -21,13 +21,17 @@ object StreamUpsert {
     *              deterministically) or replays could flip winners. */
   def latestPerKey[K: Encoder, T: Encoder](ds: Dataset[T])(keyFn: T => K)(
       newer: (T, T) => Boolean): Dataset[T] = {
-    def fold(key: K, rows: Iterator[T], state: GroupState[T]): T = {
-      var cur: Option[T] = state.getOption
+    // flatMap, not map: a key whose batch carried only stale versions
+    // (at-least-once redelivery) emits NOTHING — the output really is
+    // a change log, not a per-batch re-assertion of old winners
+    def fold(key: K, rows: Iterator[T], state: GroupState[T]): Iterator[T] = {
+      val prev: Option[T] = state.getOption
+      var cur: Option[T] = prev
       rows.foreach { r => if (cur.forall(c => newer(r, c))) cur = Some(r) }
       state.update(cur.get)
-      cur.get
+      if (prev.contains(cur.get)) Iterator.empty else Iterator.single(cur.get)
     }
     ds.groupByKey(keyFn)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fold)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fold)
   }
 }

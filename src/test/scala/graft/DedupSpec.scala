@@ -58,6 +58,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_.getAs[Long]("hamming") <= 3))
   }
 
+  test("simhashPairs maxHamming=0 joins on the full signature (no hot bucket)") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "entirely different words here")).toDF("doc_id", "text")
+    val exact = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    // identical token multiset -> identical signature; the unrelated
+    // doc must not pair (mask -1L, not the wrapped (1<<64)-1 == 0
+    // that would bucket everything together)
+    assert(exact === Array((1L, 2L)))
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 64)
+    }
+  }
+
   test("embeddingPairs returns exactly the above-threshold ordered pairs") {
     val e = Tables.embeddings(spark, sfDir)
     val tau = 0.35

@@ -120,6 +120,12 @@ class StreamingSpec extends SparkSpec {
     try {
       mem.addData(first); q.processAllAvailable()   // two separate micro-batches:
       mem.addData(second); q.processAllAvailable()  // state must carry across
+      // at-least-once redelivery of batch 1: every row is stale, so a
+      // change-log upsert must emit nothing new
+      val before = spark.table("upsert_out").count()
+      mem.addData(first); q.processAllAvailable()
+      assert(spark.table("upsert_out").count() === before,
+        "stale redeliveries must not re-emit winners")
     } finally { q.stop() }
 
     // the sink accumulates one emission per (key, batch); the final

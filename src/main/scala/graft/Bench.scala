@@ -51,9 +51,18 @@ object Bench {
     }
 
     val results = queries.map { case (name, fn) =>
-      // min over the successful runs; -1.0 only when BOTH runs failed
+      // min over the successful runs; -1.0 only when BOTH runs failed.
+      // When the two runs disagree >3x, one of them hit an ambient
+      // host-contention spike (this VM shows 10-20x outliers on
+      // sub-second queries) — take one tie-breaking third run.
       val runs = Seq(timeOne(name, fn), timeOne(name, fn)).filter(_ >= 0)
-      name -> (if (runs.nonEmpty) runs.min else -1.0)
+      val best =
+        if (runs.isEmpty) -1.0
+        else if (runs.size == 2 && runs.max / runs.min > 3.0) {
+          val c = timeOne(name, fn)
+          if (c >= 0) math.min(runs.min, c) else runs.min
+        } else runs.min
+      name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -208,6 +208,16 @@ object SparkEntry {
       Curation.tfidfTopTerms(d, "doc_id", Text.tokens(col("text")), k = 3)
     }),
 
+    // 128-token chunks every 64 tokens (retrieval/embedding prep)
+    "text_chunk" -> ((s, dir) =>
+      Curation.chunkTokens(t(s, dir, "documents"), "doc_id",
+        Text.tokens(col("text")), chunkLen = 128, stride = 64)),
+
+    // corpus-unigram average log-likelihood per doc (quality signal)
+    "text_logprob" -> ((s, dir) =>
+      Curation.unigramLogProb(t(s, dir, "documents"), "doc_id",
+        Text.tokens(col("text")))),
+
     // fixed-budget sequence packing per source shard (2048 tokens)
     "pack_sequences" -> ((s, dir) =>
       Curation.packSequences(t(s, dir, "documents"), "source", "doc_id",
@@ -565,6 +575,28 @@ object SparkEntry {
                 CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS bucket
          FROM documents
          WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 20""",
+
+    "text_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                    FROM documents)
+         SELECT doc_id, CAST(start AS INTEGER) AS start,
+                CAST(least(128, len(toks) - start + 1) AS INTEGER) AS n_chunk_tokens,
+                array_to_string(toks[start:start+127], ' ') AS chunk
+         FROM (SELECT doc_id, toks,
+                      unnest(generate_series(1, greatest(len(toks) - 127, 1), 64)) AS start
+               FROM t)""",
+
+    "text_logprob" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+           FROM documents),
+         tk AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+         freq AS (SELECT token, count(*) AS cnt FROM tk GROUP BY 1),
+         tot AS (SELECT count(*) AS total FROM tk)
+         SELECT doc_id, count(*) AS n_tokens,
+                round(avg(ln(cnt / CAST(total AS DOUBLE))), 4) AS avg_logprob
+         FROM tk JOIN freq USING (token) CROSS JOIN tot
+         GROUP BY 1""",
 
     "pack_sequences" ->
       """WITH t AS (SELECT source, doc_id,

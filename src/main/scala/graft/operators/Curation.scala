@@ -30,6 +30,38 @@ object Curation {
     df.withColumn("bucket", hashBucket(content, buckets))
       .filter(col("bucket") < takeBuckets)
 
+  /** Overlapping token-window chunks (the retrieval/embedding-prep
+    * split): windows of `chunkLen` tokens every `stride` tokens, plus
+    * one window for short docs. Pure explode over an in-row sequence —
+    * no shuffle at all; chunk rows inherit the scan's partitioning. */
+  def chunkTokens(docs: DataFrame, idCol: String, tokens: Column,
+      chunkLen: Int, stride: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), tokens.as("__t"))
+      .withColumn("__n", size(col("__t")))
+      .withColumn("start",
+        explode(sequence(lit(1),
+          greatest(col("__n") - (chunkLen - 1), lit(1)), lit(stride))))
+      .select(col("doc_id"), col("start").cast("int").as("start"),
+        least(lit(chunkLen), col("__n") - col("start") + 1).cast("int").as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("__t"), col("start"), lit(chunkLen))).as("chunk"))
+
+  /** Per-document average token log-likelihood under the corpus
+    * unigram distribution — the CCNet-style statistical quality
+    * signal (boilerplate scores high, junk scores low). Token
+    * frequencies are one aggregate; the corpus total rides along as a
+    * broadcast 1-row scalar; docs with no tokens drop out. */
+  def unigramLogProb(docs: DataFrame, idCol: String, tokens: Column): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"), explode(tokens).as("token"))
+      .filter(col("token") =!= "")
+    val freq = tok.groupBy("token").agg(count("*").as("cnt"))
+    val total = tok.agg(count("*").as("total"))
+    tok.join(freq, "token")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count("*").as("n_tokens"),
+        round(avg(log(col("cnt") / col("total"))), 4).as("avg_logprob"))
+  }
+
   /** Greedy sequence packing: assign documents to fixed-budget packs
     * (the training-data step that concatenates documents into
     * context-length sequences). Docs are ordered deterministically

@@ -577,14 +577,19 @@ object SparkEntry {
          WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 20""",
 
     "text_chunk" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-                    FROM documents)
+      """WITH t AS (SELECT doc_id,
+                           list_filter(string_split_regex(trim(text), '\s+'),
+                                       tok -> tok <> '') AS toks
+                    FROM documents),
+         f AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1)
          SELECT doc_id, CAST(start AS INTEGER) AS start,
-                CAST(least(128, len(toks) - start + 1) AS INTEGER) AS n_chunk_tokens,
+                CAST(least(128, n - start + 1) AS INTEGER) AS n_chunk_tokens,
                 array_to_string(toks[start:start+127], ' ') AS chunk
-         FROM (SELECT doc_id, toks,
-                      unnest(generate_series(1, greatest(len(toks) - 127, 1), 64)) AS start
-               FROM t)""",
+         FROM (SELECT doc_id, toks, n,
+                      unnest(generate_series(1,
+                        CASE WHEN n <= 128 THEN 1
+                             ELSE 1 + 64 * ((n - 128 + 63) // 64) END, 64)) AS start
+               FROM f)""",
 
     "text_logprob" ->
       """WITH tok AS (

@@ -31,19 +31,31 @@ object Curation {
       .filter(col("bucket") < takeBuckets)
 
   /** Overlapping token-window chunks (the retrieval/embedding-prep
-    * split): windows of `chunkLen` tokens every `stride` tokens, plus
-    * one window for short docs. Pure explode over an in-row sequence —
-    * no shuffle at all; chunk rows inherit the scan's partitioning. */
+    * split): windows of `chunkLen` tokens every `stride` tokens. The
+    * last window start is rounded UP to the next stride step past
+    * n-chunkLen+1, so the tail of a long document lands in a (partial)
+    * final chunk instead of silently dropping up to stride-1 tokens.
+    * Token-less documents emit no chunks. Pure explode over an in-row
+    * sequence — no shuffle at all; chunk rows inherit the scan's
+    * partitioning. */
   def chunkTokens(docs: DataFrame, idCol: String, tokens: Column,
-      chunkLen: Int, stride: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"), tokens.as("__t"))
+      chunkLen: Int, stride: Int): DataFrame = {
+    val n = col("__n")
+    // ceil((n - chunkLen) / stride) in integer arithmetic
+    val lastStart = lit(1) +
+      lit(stride) * floor((n - chunkLen + (stride - 1)) / lit(stride))
+    docs.select(col(idCol).as("doc_id"),
+        array_remove(tokens, "").as("__t")) // "" pseudo-token of empty docs
       .withColumn("__n", size(col("__t")))
+      .filter(n >= 1)
       .withColumn("start",
         explode(sequence(lit(1),
-          greatest(col("__n") - (chunkLen - 1), lit(1)), lit(stride))))
+          when(n <= chunkLen, lit(1)).otherwise(lastStart).cast("int"),
+          lit(stride))))
       .select(col("doc_id"), col("start").cast("int").as("start"),
         least(lit(chunkLen), col("__n") - col("start") + 1).cast("int").as("n_chunk_tokens"),
         concat_ws(" ", slice(col("__t"), col("start"), lit(chunkLen))).as("chunk"))
+  }
 
   /** Per-document average token log-likelihood under the corpus
     * unigram distribution — the CCNet-style statistical quality

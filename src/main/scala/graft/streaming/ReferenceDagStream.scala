@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** The reference's weekly DAG as a continuous pipeline — the
@@ -40,25 +40,26 @@ object ReferenceDagStream {
         (b.o_orderdate.getTime, b.o_orderkey)))
   }
 
-  /** Q1 table maintained continuously: count per (year, category).
-    * Complete/update output mode (running totals, state O(groups)). */
+  /** Q1 table maintained continuously: count per (year, category) —
+    * literally the batch operator applied to the stream (the grouping
+    * is a streaming-legal aggregate), so backfill and live CANNOT
+    * diverge. Complete/update output mode (running totals, state
+    * O(groups)). */
   def q1Counts(pubs: DataFrame): DataFrame =
-    pubs.groupBy(year(col("o_orderdate")).as("year"),
-        col("o_orderpriority").as("category"))
-      .agg(count("*").as("n_pubs"))
+    graft.operators.Pipeline.countByYearCategory(pubs, "o_orderdate", "o_orderpriority")
 
   /** Per-micro-batch volume metrics appended to a parquet run log —
-    * the reference's `volume_update` (timestamp, total_new,
-    * total_unique) per run. foreachBatch: the metrics row is derived
-    * from the batch with plain aggregates and landed idempotently by
-    * batch id. */
-  def volumeLog(pubs: DataFrame, outDir: String)(
-      implicit spark: SparkSession): org.apache.spark.sql.streaming.StreamingQuery =
+    * the reference's `volume_update` rows, one per run. foreachBatch
+    * applies the SAME batch aggregate (Pipeline.volumeMetrics, so the
+    * run-log schema matches the batch DAG's volume table:
+    * total_rows / total_new / unique_keys) and lands it idempotently
+    * in a batch_id=N partition dir; batch_id surfaces on read as the
+    * discovered partition column (not duplicated in-file, where the
+    * k=v dirname would shadow it with a different type). */
+  def volumeLog(pubs: DataFrame, outDir: String, isNew: org.apache.spark.sql.Column,
+      keyCol: String): org.apache.spark.sql.streaming.StreamingQuery =
     pubs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-      batch.agg(
-          lit(batchId).as("batch_id"),
-          count("*").as("total_new"),
-          countDistinct(col("o_custkey")).as("unique_keys"))
+      graft.operators.Pipeline.volumeMetrics(batch.toDF(), isNew, keyCol)
         .write.mode("overwrite")
         .parquet(s"$outDir/batch_id=$batchId") // idempotent per batch
       ()

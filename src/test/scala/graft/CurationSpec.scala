@@ -23,6 +23,20 @@ class CurationSpec extends SparkSpec {
     assert(bk(0) === bk(1))
   }
 
+  test("chunkTokens covers the document tail and skips empty docs") {
+    val docs = Seq((1L, "t1 t2 t3 t4 t5 t6 t7"), (2L, "a b"), (3L, "   "))
+      .toDF("doc_id", "text")
+    val out = Curation.chunkTokens(docs, "doc_id",
+        graft.functions.Text.tokens(col("text")), chunkLen = 4, stride = 2)
+      .select("doc_id", "start", "n_chunk_tokens", "chunk")
+      .as[(Long, Int, Int, String)].collect().sortBy(r => (r._1, r._2))
+    assert(out === Array(
+      (1L, 1, 4, "t1 t2 t3 t4"),
+      (1L, 3, 4, "t3 t4 t5 t6"),
+      (1L, 5, 3, "t5 t6 t7"),   // partial final window: t7 is NOT dropped
+      (2L, 1, 2, "a b")))       // short doc: one window; doc 3: no rows
+  }
+
   test("percentileGate trims both tails per group") {
     val rows = (1 to 20).map(i => (i.toLong, "a", i * 10)) ++
       Seq((100L, "b", 5)) // singleton group: percent_rank 0 -> bottom-trimmed

@@ -64,16 +64,21 @@ class ReferenceDagStreamSpec extends SparkSpec {
     val (b1, b2) = rows.splitAt(rows.length / 2)
 
     implicit val sqlCtx = spark.sqlContext
-    implicit val sess = spark
     val mem = MemoryStream[Pub]
-    val q = ReferenceDagStream.volumeLog(mem.toDF(), dir.getAbsolutePath)
+    val q = ReferenceDagStream.volumeLog(mem.toDF(), dir.getAbsolutePath,
+      col("o_orderstatus") === "O", "o_custkey")
     try {
       mem.addData(b1); q.processAllAvailable()
       mem.addData(b2); q.processAllAvailable()
     } finally { q.stop() }
 
+    // run-log schema matches the batch DAG's volume table, plus the
+    // batch_id partition column from the dir layout
     val log = spark.read.parquet(dir.getAbsolutePath)
     assert(log.count() === 2)
-    assert(log.agg(sum("total_new")).as[Long].head === rows.length.toLong)
+    assert(log.select("batch_id").distinct().count() === 2)
+    assert(log.agg(sum("total_rows")).as[Long].head === rows.length.toLong)
+    assert(log.agg(sum("total_new")).as[Long].head ===
+      rows.count(_.o_orderstatus == "O").toLong)
   }
 }

@@ -3,7 +3,8 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Pipeline}
+import graft.functions.Text
+import graft.operators.{Clusters, Curation, Dedup, Pipeline}
 
 /** Empirical scaling probe: runs the super-linear-risk operators (the
   * near-dup family and pair counting) at 1× and N× the sf0.1 corpus
@@ -104,6 +105,18 @@ object ScaleProbe {
       Pipeline.pairCounts(li1, "l_orderkey", "l_suppkey", or1, "o_orderkey").count()
     } {
       Pipeline.pairCounts(liN, "l_orderkey", "l_suppkey", orN, "o_orderkey").count()
+    }
+    probe("tfidf_top_terms") {
+      Curation.tfidfTopTerms(docs1, "doc_id", Text.tokens(col("text")), 3).count()
+    } {
+      Curation.tfidfTopTerms(docsN, "doc_id", Text.tokens(col("text")), 3).count()
+    }
+    probe("dedup_clusters") {
+      Clusters.connectedComponents(
+        Dedup.ngramJaccardPairs(docs1, "doc_id", "text", 3, 0.6), "doc_a", "doc_b").count()
+    } {
+      Clusters.connectedComponents(
+        Dedup.ngramJaccardPairs(docsN, "doc_id", "text", 3, 0.6), "doc_a", "doc_b").count()
     }
     spark.stop()
   }

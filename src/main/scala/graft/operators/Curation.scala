@@ -66,7 +66,11 @@ object Curation {
     val tok = docs.select(col(idCol).as("doc_id"), explode(tokens).as("token"))
       .filter(col("token") =!= "")
     val freq = tok.groupBy("token").agg(count("*").as("cnt"))
-    val total = tok.agg(count("*").as("total"))
+    // total = Σ cnt — derived from freq, NOT from a third tokenize
+    // pass over the corpus: freq's shuffle exchange is shared with the
+    // join side (ReusedExchange), so the corpus is scanned twice, not
+    // three times
+    val total = freq.agg(sum(col("cnt")).as("total"))
     tok.join(freq, "token")
       .crossJoin(broadcast(total))
       .groupBy("doc_id")

@@ -145,6 +145,16 @@ object SparkEntry {
     "q23_below_avg" -> ((s, dir) =>
       Relational.belowAvgQtyRevenue(t(s, dir, "lineitem"))),
 
+    // set operators: customers active in 1997 split by 1998 retention
+    // (EXCEPT / INTERSECT — Catalyst plans them as anti/semi joins)
+    "q26_set_ops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val y97 = o.filter(year(col("o_orderdate")) === 1997).select("o_custkey")
+      val y98 = o.filter(year(col("o_orderdate")) === 1998).select("o_custkey")
+      y97.except(y98).withColumn("status", lit("lapsed"))
+        .unionByName(y97.intersect(y98).withColumn("status", lit("retained")))
+    }),
+
     // exact interpolated percentiles of order value per priority
     "q21_percentiles" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -747,6 +757,15 @@ object SparkEntry {
                   AS sum_k,
                 round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k
          FROM events GROUP BY 1""",
+
+    "q26_set_ops" ->
+      """WITH y97 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+              y98 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
+         SELECT o_custkey, 'lapsed' AS status
+         FROM (SELECT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y98)
+         UNION ALL
+         SELECT o_custkey, 'retained' AS status
+         FROM (SELECT o_custkey FROM y97 INTERSECT SELECT o_custkey FROM y98)""",
 
     "q25_moving_avg" ->
       """SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,

@@ -145,6 +145,16 @@ object SparkEntry {
     "q23_below_avg" -> ((s, dir) =>
       Relational.belowAvgQtyRevenue(t(s, dir, "lineitem"))),
 
+    // explicit grouping sets: status-only and priority-only subtotals
+    // in one Expand pass (no union of two aggregations)
+    "q27_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count("*").as("n_rows"),
+          round(sum(col("o_totalprice")), 2).as("total_value"))),
+
     // set operators: customers active in 1997 split by 1998 retention
     // (EXCEPT / INTERSECT — Catalyst plans them as anti/semi joins)
     "q26_set_ops" -> ((s, dir) => {
@@ -757,6 +767,12 @@ object SparkEntry {
                   AS sum_k,
                 round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k
          FROM events GROUP BY 1""",
+
+    "q27_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_rows,
+                round(sum(o_totalprice), 2) AS total_value
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""",
 
     "q26_set_ops" ->
       """WITH y97 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997),

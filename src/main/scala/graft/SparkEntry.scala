@@ -376,8 +376,74 @@ object SparkEntry {
     })
   )
 
+  /** dedup_minhash_lsh oracle: the full ShingleHashes → MinHash-mix →
+    * banded-LSH pipeline reproduced in DuckDB HUGEINT arithmetic mod
+    * 2^64 (token poly-31 hash, k=3 shingle fold, the murmur-style
+    * finalizer per permutation with signed-min slots). Band agreement
+    * is checked by direct slot-slice equality — band-hash equality in
+    * the Spark plan is equivalent up to hash collisions, so the band
+    * hash itself never needs reproduction. Multiplications go through
+    * a 32-bit-split mulmod so 128-bit intermediates never overflow
+    * HUGEINT. Parameters mirror the query: perms=64, bands=16 (4
+    * rows/band), k=3, tau=0.5. */
+  private def minhashOracleSql: String = {
+    val T = BigInt(1) << 64
+    def u(l: Long): BigInt = BigInt(l) & ((BigInt(1) << 64) - 1)
+    val mult = -7046029254386353131L // MinHashAgg.mix / ShingleHashes combine constant
+    val M = u(mult)
+    val m1 = u(-49064778989728563L)
+    val m2 = u(-4265267296055464877L)
+    val c0 = (BigInt(1125899906842597L) * M) % T // shingle seed pre-multiplied
+    val consts = (0 until 64).map(i => u(i.toLong * mult + 1442695040888963407L))
+    def mm(x: String, m: BigInt): String =
+      s"((($x) % 4294967296) * $m::HUGEINT + " +
+        s"(((($x) >> 32) * $m::HUGEINT) % 4294967296) * 4294967296) % $T::HUGEINT"
+    val tokH = "list_transform(ts, t -> list_reduce(" +
+      "list_prepend(17::HUGEINT, list_transform(string_split(t, ''), c -> ord(c)::HUGEINT))," +
+      s"(a, b) -> (a * 31 + b) % $T::HUGEINT))"
+    val h1 = s"($c0::HUGEINT + th[i]) % $T::HUGEINT"
+    val h2 = s"(${mm(h1, M)} + th[i+1]) % $T::HUGEINT"
+    val h3 = s"(${mm(h2, M)} + th[i+2]) % $T::HUGEINT"
+    val constRows = consts.zipWithIndex
+      .map { case (c, i) => s"($i, $c::HUGEINT)" }.mkString(", ")
+    val bandOr = (0 until 16)
+      .map(b => s"(sa.sig[${4 * b + 1}:${4 * b + 4}] = sb.sig[${4 * b + 1}:${4 * b + 4}])")
+      .mkString(" OR ")
+    val eqSum = (0 until 64)
+      .map(i => s"(CASE WHEN sa.sig[${i + 1}] = sb.sig[${i + 1}] THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ts
+       |  FROM documents),
+       |tokh AS (SELECT doc_id, $tokH AS th FROM toks),
+       |shl AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(generate_series(1, len(th) - 2), i -> $h3)) AS sh
+       |  FROM tokh WHERE len(th) >= 3),
+       |sh_rows AS (SELECT doc_id, unnest(sh) AS h FROM shl),
+       |consts(i, c) AS (VALUES $constRows),
+       |m0 AS (SELECT doc_id, i, xor(h, c) AS x FROM sh_rows CROSS JOIN consts),
+       |m1 AS (SELECT doc_id, i, xor(x, x >> 33) AS x FROM m0),
+       |m2 AS (SELECT doc_id, i, ${mm("x", m1)} AS x FROM m1),
+       |m3 AS (SELECT doc_id, i, xor(x, x >> 33) AS x FROM m2),
+       |m4 AS (SELECT doc_id, i, ${mm("x", m2)} AS x FROM m3),
+       |m5 AS (SELECT doc_id, i, xor(x, x >> 33) AS x FROM m4),
+       |slots AS (
+       |  SELECT doc_id, i,
+       |         min(CASE WHEN x >= 9223372036854775808::HUGEINT
+       |                  THEN x - $T::HUGEINT ELSE x END) AS slot
+       |  FROM m5 GROUP BY 1, 2),
+       |sigs AS (SELECT doc_id, list(slot ORDER BY i) AS sig FROM slots GROUP BY 1)
+       |SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+       |       round(($eqSum) / 64.0, 4) AS est_jaccard
+       |FROM sigs sa JOIN sigs sb ON sa.doc_id < sb.doc_id
+       |WHERE ($bandOr)
+       |  AND round(($eqSum) / 64.0, 4) >= 0.5""".stripMargin
+  }
+
   /** DuckDB-runnable oracles, column-name-aligned with `queries`. */
   def oracleSql: Map[String, String] = Map(
+    "dedup_minhash_lsh" -> minhashOracleSql,
     "q1_agg" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
          o_orderpriority AS category, count(*) AS n_pubs

@@ -14,12 +14,13 @@ class EntrySpec extends SparkSpec {
 
   test("oracle coverage stays high (rows-only checks are weaker)") {
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
-    // known non-SQL-expressible: xxhash64-based sketches (DuckDB has no
-    // xxhash64), the LSH/IVF approximate variants (recall-tested
-    // against ann_topk in SimilaritySpec instead), and the HLL
-    // cardinality sketch (estimates are engine-specific;
-    // accuracy-tested vs exact in EventsSpec)
-    assert(rowsOnly === Set("dedup_minhash_lsh", "dedup_simhash", "ann_lsh",
+    // known non-SQL-expressible: the xxhash64-based simhash (DuckDB
+    // has no xxhash64), the LSH/IVF approximate variants (recall-
+    // tested against ann_topk in SimilaritySpec instead), and the HLL
+    // cardinality sketch (estimates are engine-specific; accuracy-
+    // tested vs exact in EventsSpec). dedup_minhash_lsh IS oracle-
+    // gated: its hash pipeline is reproduced in HUGEINT arithmetic.
+    assert(rowsOnly === Set("dedup_simhash", "ann_lsh",
       "ann_ivf", "approx_distinct"),
       s"unexpected rows-only queries: $rowsOnly")
   }

@@ -441,9 +441,63 @@ object SparkEntry {
        |  AND round(($eqSum) / 64.0, 4) >= 0.5""".stripMargin
   }
 
+  /** dedup_simhash oracle: token poly-31 hashes avalanched by the
+    * murmur-style finalizer (the same mod-2^64 HUGEINT stages as the
+    * minhash oracle, minus the permutation constant), per-bit ±1 sign
+    * sums, signature packed as a signed BIGINT, pigeonhole 16-bit
+    * block-agreement candidates, exact Hamming verify via
+    * bit_count(xor). Mirrors simhashPairs(maxHamming = 3). */
+  private def simhashOracleSql: String = {
+    val T = BigInt(1) << 64
+    def u(l: Long): BigInt = BigInt(l) & ((BigInt(1) << 64) - 1)
+    val m1 = u(-49064778989728563L)
+    val m2 = u(-4265267296055464877L)
+    def mm(x: String, m: BigInt): String =
+      s"((($x) % 4294967296) * $m::HUGEINT + " +
+        s"(((($x) >> 32) * $m::HUGEINT) % 4294967296) * 4294967296) % $T::HUGEINT"
+    val tokH = "list_transform(ts, t -> list_reduce(" +
+      "list_prepend(17::HUGEINT, list_transform(string_split(t, ''), c -> ord(c)::HUGEINT))," +
+      s"(a, b) -> (a * 31 + b) % $T::HUGEINT))"
+    val blocksOr = (0 until 4)
+      .map(i => s"(((ua.us >> ${16 * i}) & 65535) = ((ub.us >> ${16 * i}) & 65535))")
+      .mkString(" OR ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ts
+       |  FROM documents),
+       |tokh AS (SELECT doc_id, $tokH AS th FROM toks WHERE len(ts) >= 1),
+       |tok_rows AS (SELECT doc_id, unnest(th) AS h FROM tokh),
+       |a1 AS (SELECT doc_id, xor(h, h >> 33) AS x FROM tok_rows),
+       |a2 AS (SELECT doc_id, ${mm("x", m1)} AS x FROM a1),
+       |a3 AS (SELECT doc_id, xor(x, x >> 33) AS x FROM a2),
+       |a4 AS (SELECT doc_id, ${mm("x", m2)} AS x FROM a3),
+       |a5 AS (SELECT doc_id, xor(x, x >> 33) AS x FROM a4),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |         sum(CASE WHEN ((x >> b) & 1) = 1 THEN 1 ELSE -1 END) AS ss
+       |  FROM a5 CROSS JOIN generate_series(0, 63) g(b)
+       |  GROUP BY 1, 2),
+       |sigs AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN ss >= 0 THEN
+       |           CASE WHEN b = 63 THEN -9223372036854775808::HUGEINT
+       |                ELSE (1::HUGEINT << b) END
+       |           ELSE 0 END) AS BIGINT) AS sig
+       |  FROM bits GROUP BY 1),
+       |usigs AS (
+       |  SELECT doc_id, sig,
+       |         CASE WHEN sig < 0 THEN sig + $T::HUGEINT ELSE sig::HUGEINT END AS us
+       |  FROM sigs)
+       |SELECT ua.doc_id AS doc_a, ub.doc_id AS doc_b,
+       |       CAST(bit_count(xor(ua.sig, ub.sig)) AS BIGINT) AS hamming
+       |FROM usigs ua JOIN usigs ub ON ua.doc_id < ub.doc_id
+       |WHERE ($blocksOr)
+       |  AND bit_count(xor(ua.sig, ub.sig)) <= 3""".stripMargin
+  }
+
   /** DuckDB-runnable oracles, column-name-aligned with `queries`. */
   def oracleSql: Map[String, String] = Map(
     "dedup_minhash_lsh" -> minhashOracleSql,
+    "dedup_simhash" -> simhashOracleSql,
     "q1_agg" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
          o_orderpriority AS category, count(*) AS n_pubs

@@ -171,6 +171,44 @@ case class ShingleHashes(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Murmur-style 64-bit finalizer (the MinHashAgg.mix avalanche without
+  * the permutation constant): xor-shift / multiply rounds with Java
+  * long wrap semantics. A native expression rather than Column
+  * arithmetic because ANSI mode (Spark 4 default) makes `*` on longs
+  * THROW on overflow — wraparound is the point here. Turns structured
+  * hashes (poly-31 of short tokens barely varies in the high bits)
+  * into avalanche-quality bits, and stays reproducible in the oracle
+  * engine's HUGEINT arithmetic, which xxhash64 is not. */
+case class Avalanche64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "avalanche64"
+
+  @inline private def mix(h: Long): Long = {
+    var x = h
+    x ^= x >>> 33; x *= -49064778989728563L
+    x ^= x >>> 33; x *= -4265267296055464877L
+    x ^= x >>> 33
+    x
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    mix(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |long ${ev.value}_x = $c;
+         |${ev.value}_x ^= ${ev.value}_x >>> 33; ${ev.value}_x *= -49064778989728563L;
+         |${ev.value}_x ^= ${ev.value}_x >>> 33; ${ev.value}_x *= -4265267296055464877L;
+         |${ev.value}_x ^= ${ev.value}_x >>> 33;
+         |${ev.value} = ${ev.value}_x;
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** All unordered (i < j) element pairs of an array, as
   * array<struct<a,b>> — one pass, no intermediate slices.
   *
@@ -249,4 +287,8 @@ object NativeFunctions {
   /** Column API for SortedPairs (array input → array<struct<a,b>>). */
   def sorted_pairs(arr: Column): Column =
     ColumnBridge.toColumn(SortedPairs(ColumnBridge.toExpr(arr)))
+
+  /** Column API for Avalanche64 (murmur-style 64-bit finalizer). */
+  def avalanche64(c: Column): Column =
+    ColumnBridge.toColumn(Avalanche64(ColumnBridge.toExpr(c)))
 }

@@ -186,11 +186,17 @@ object Dedup {
   /** Relational SimHash-64: explode tokens, one SimHashAgg sketch
     * aggregate per doc (the in-row `simhash64` HOF form evaluates
     * interpreted; 64 separate conditional sums blow the JIT method
-    * limit — both wrong for a 100 TB scan). */
+    * limit — both wrong for a 100 TB scan). Token bits come from
+    * avalanche64(poly-31) rather than xxhash64: same pseudo-random
+    * quality, but reproducible in the oracle engine's HUGEINT
+    * arithmetic, so the operator is hash-verified end-to-end. */
   private def simhashSigsRelational(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
         explode(Text.tokens(col(textCol))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .filter(col("t") =!= "")
+      .select(col("doc_id"),
+        graft.functions.expr.NativeFunctions.avalanche64(
+          graft.functions.expr.NativeFunctions.rolling_hash(col("t"), 17L)).as("h"))
       .groupBy("doc_id")
       .agg(graft.functions.expr.SketchAggregates.simhash_agg(col("h")).as("sig"))
 

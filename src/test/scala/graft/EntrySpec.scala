@@ -14,14 +14,14 @@ class EntrySpec extends SparkSpec {
 
   test("oracle coverage stays high (rows-only checks are weaker)") {
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
-    // known non-SQL-expressible: the xxhash64-based simhash (DuckDB
-    // has no xxhash64), the LSH/IVF approximate variants (recall-
-    // tested against ann_topk in SimilaritySpec instead), and the HLL
-    // cardinality sketch (estimates are engine-specific; accuracy-
-    // tested vs exact in EventsSpec). dedup_minhash_lsh IS oracle-
-    // gated: its hash pipeline is reproduced in HUGEINT arithmetic.
-    assert(rowsOnly === Set("dedup_simhash", "ann_lsh",
-      "ann_ivf", "approx_distinct"),
+    // the only rows-gated queries are the genuinely approximate /
+    // engine-specific ones: LSH/IVF ANN variants (recall-tested
+    // against ann_topk in SimilaritySpec) and the HLL cardinality
+    // sketch (estimates are engine-specific; accuracy-tested vs exact
+    // in EventsSpec). Every deterministic operator — including the
+    // minhash and simhash sketches, whose hash pipelines the oracles
+    // reproduce in HUGEINT arithmetic — is hash-verified.
+    assert(rowsOnly === Set("ann_lsh", "ann_ivf", "approx_distinct"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 }

@@ -216,6 +216,19 @@ object SparkEntry {
           "doc_a", "doc_b")
         .select(col("node").as("doc_id"), col("cluster_id"))),
 
+    // the dedup pipeline's end product: the corpus with every
+    // non-representative cluster member removed (keep the min-id doc
+    // per near-dup cluster, keep all singletons)
+    "dedup_keep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val drop = Clusters.connectedComponents(
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, tau = 0.6),
+          "doc_a", "doc_b")
+        .filter(col("node") =!= col("cluster_id"))
+      docs.join(drop, docs("doc_id") === drop("node"), "left_anti")
+        .select("doc_id")
+    }),
+
     // deterministic 20% content-hash sample (train/val/test splitting
     // that survives task retries — no rand())
     "sample_hash" -> ((s, dir) =>
@@ -709,6 +722,33 @@ object SparkEntry {
            UNION
            SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node)
          SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1""",
+
+    "dedup_keep" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id,
+                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+           FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         shared AS (
+           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT da, db
+           FROM shared JOIN sz za ON da = za.doc_id JOIN sz zb ON db = zb.doc_id
+           WHERE round(c / (za.n + zb.n - c), 4) >= 0.6),
+         edges AS (
+           SELECT da AS src, db AS dst FROM pairs
+           UNION ALL SELECT db, da FROM pairs),
+         reach(node, lbl) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node),
+         clusters AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY 1)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT node FROM clusters WHERE node <> cluster_id)""",
 
     "sample_hash" ->
       """SELECT doc_id,

@@ -386,6 +386,24 @@ object SparkEntry {
           Seq("signup_event_id", "signup_ts"))
         .select(col("event_id"), col("user_id"),
           col("ts").as("purchase_ts"), col("signup_event_id"), col("signup_ts"))
+    }),
+
+    // same point-in-time semantics through the whole-operator path:
+    // custom LogicalPlan → strategy → sort-based AsOfJoinExec (each
+    // side shuffles only its own columns; no null-padded union rows)
+    "q28_asof_exec" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(round(max(col("value")), 2).as("purchase_value"))
+        .select(col("user_id"), col("ts"), col("purchase_value"),
+          col("ts").as("purchase_ts"))
+      graft.plans.AsOf.join(clicks, purchases, "user_id", "ts",
+          Seq("purchase_value", "purchase_ts"))
+        .select(col("event_id"), col("user_id"), col("ts").as("click_ts"),
+          col("purchase_value"), col("purchase_ts"))
     })
   )
 
@@ -992,6 +1010,19 @@ object SparkEntry {
                 s.signup_event_id,
                 s.ts AS signup_ts
          FROM p ASOF LEFT JOIN s
-           ON p.user_id = s.user_id AND p.ts >= s.ts"""
+           ON p.user_id = s.user_id AND p.ts >= s.ts""",
+
+    "q28_asof_exec" ->
+      """WITH pu AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                            round(max(value), 2) AS purchase_value
+                     FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+              c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'click')
+         SELECT c.event_id, c.user_id,
+                c.ts AS click_ts,
+                pu.purchase_value,
+                pu.ts AS purchase_ts
+         FROM c ASOF LEFT JOIN pu
+           ON c.user_id = pu.user_id AND c.ts >= pu.ts"""
   )
 }

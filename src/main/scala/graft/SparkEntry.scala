@@ -145,6 +145,18 @@ object SparkEntry {
     "q23_below_avg" -> ((s, dir) =>
       Relational.belowAvgQtyRevenue(t(s, dir, "lineitem"))),
 
+    // fixed-values pivot: one conditional-agg pass, no discovery job
+    "q29_pivot" -> ((s, dir) =>
+      Relational.pivotPriorityCounts(t(s, dir, "orders"))),
+
+    // unpivot/melt: wide measures back to (flag, measure, value)
+    "q30_unpivot" -> ((s, dir) =>
+      Relational.unpivotReturnFlagMeasures(t(s, dir, "lineitem"))),
+
+    // full-outer on pre-aggregated daily series, zero-filled
+    "q31_full_outer" -> ((s, dir) =>
+      Relational.fullOuterDailyActivity(t(s, dir, "orders"), t(s, dir, "lineitem"))),
+
     // explicit grouping sets: status-only and priority-only subtotals
     // in one Expand pass (no union of two aggregations)
     "q27_grouping_sets" -> ((s, dir) =>
@@ -234,6 +246,27 @@ object SparkEntry {
     "sample_hash" -> ((s, dir) =>
       Curation.hashSplit(t(s, dir, "documents"), col("text"), buckets = 100, takeBuckets = 20)
         .select(col("doc_id"), col("bucket"))),
+
+    // per-stratum hash sampling: rebalance the corpus by keeping 10%
+    // of English, 50% of every other language — stateless filter
+    "sample_stratified" -> ((s, dir) =>
+      Curation.stratifiedHashSample(t(s, dir, "documents"), "lang", col("text"),
+          rates = Map("en" -> 0.1), defaultRate = 0.5)
+        .select(col("doc_id"), col("lang"), col("bucket"))),
+
+    // benchmark decontamination: docs from sources src0/src1 act as the
+    // held-out eval set; corpus docs sharing any word-5-gram are flagged
+    "decon_ngram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isBench = col("source").isin("src0", "src1")
+      Curation.contaminationFlags(
+        docs.filter(!isBench), docs.filter(isBench), "doc_id", "text", k = 5)
+    }),
+
+    // Gopher-style intra-doc repetition stats + keep flag
+    "text_repetition" -> ((s, dir) =>
+      Curation.repetitionStats(t(s, dir, "documents"), "doc_id", "text",
+        maxTopTokenRatio = 0.12, maxDupTrigramRatio = 0.05)),
 
     // top-3 characteristic terms per document by smoothed TF-IDF
     "text_tfidf" -> ((s, dir) => {
@@ -677,6 +710,37 @@ object SparkEntry {
                 round(sum(o_totalprice), 2) AS total_value
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
 
+    "q29_pivot" ->
+      """SELECT o_orderstatus,
+                count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_1_urgent,
+                count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_2_high,
+                count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_3_medium,
+                count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_4_not_specified,
+                count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_5_low
+         FROM orders GROUP BY 1""",
+
+    "q30_unpivot" ->
+      """WITH a AS (SELECT l_returnflag,
+                           round(sum(l_quantity), 2) AS sum_qty,
+                           round(sum(l_extendedprice), 2) AS sum_price,
+                           round(sum(l_discount), 2) AS sum_disc
+                    FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
+         UNION ALL
+         SELECT l_returnflag, 'sum_price', sum_price FROM a
+         UNION ALL
+         SELECT l_returnflag, 'sum_disc', sum_disc FROM a""",
+
+    "q31_full_outer" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
+                    FROM orders GROUP BY 1),
+              l AS (SELECT CAST(l_shipdate AS DATE) AS day, count(*) AS n_ships
+                    FROM lineitem GROUP BY 1)
+         SELECT COALESCE(o.day, l.day) AS day,
+                COALESCE(n_orders, 0) AS n_orders,
+                COALESCE(n_ships, 0) AS n_ships
+         FROM o FULL OUTER JOIN l ON o.day = l.day""",
+
     "q23_below_avg" ->
       """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
          FROM lineitem l
@@ -694,6 +758,60 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY 1""",
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang,
+                CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000 AS bucket
+         FROM documents
+         WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000
+               < CASE WHEN lang = 'en' THEN 1000 ELSE 5000 END""",
+
+    // word-5-gram overlap between the corpus and the src0/src1 "eval"
+    // docs; distinct STRING 5-grams here ≡ distinct shingle hashes in
+    // the Spark plan (collision-free at these scales, same convention
+    // as dedup_ngram_jaccard)
+    "decon_ngram" ->
+      """WITH toks AS (
+           SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, source,
+                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS s
+           FROM toks, unnest(generate_series(1, len(t) - 4)) AS u(i)),
+         bench AS (SELECT s, doc_id FROM sh WHERE source IN ('src0', 'src1')),
+         corpus AS (SELECT doc_id, s FROM sh WHERE source NOT IN ('src0', 'src1'))
+         SELECT c.doc_id,
+                count(DISTINCT c.s) AS n_shared_shingles,
+                count(DISTINCT b.doc_id) AS n_bench_docs
+         FROM corpus c JOIN bench b ON c.s = b.s
+         GROUP BY 1""",
+
+    "text_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+         tf AS (
+           SELECT doc_id, token, count(*) AS c
+           FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+           WHERE token <> '' GROUP BY 1, 2),
+         ts AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                  count(*) AS n_distinct_tokens, max(c) AS top_c
+           FROM tf GROUP BY 1),
+         sh AS (
+           SELECT doc_id,
+                  count(DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS n_distinct_tri
+           FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+           GROUP BY 1)
+         SELECT ts.doc_id, ts.n_tokens, ts.n_distinct_tokens,
+                round(ts.top_c / ts.n_tokens, 4) AS top_token_ratio,
+                round(CASE WHEN ts.n_tokens > 2
+                      THEN 1.0 - COALESCE(sh.n_distinct_tri, 0) / (ts.n_tokens - 2)
+                      ELSE 0.0 END, 4) AS dup_trigram_ratio,
+                (ts.top_c / ts.n_tokens <= 0.12 AND
+                 CASE WHEN ts.n_tokens > 2
+                      THEN 1.0 - COALESCE(sh.n_distinct_tri, 0) / (ts.n_tokens - 2)
+                      ELSE 0.0 END <= 0.05) AS rep_ok
+         FROM ts LEFT JOIN sh ON ts.doc_id = sh.doc_id""",
 
     "dedup_ngram_jaccard" ->
       """WITH toks AS (

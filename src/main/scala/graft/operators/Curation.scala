@@ -124,6 +124,88 @@ object Curation {
         round(col("tfidf"), 4).as("tfidf"))
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing any
+    * word-k-gram with a benchmark/eval set (the training-data hygiene
+    * step that keeps test questions out of the training corpus).
+    *
+    * Scale shape: the benchmark side is always tiny relative to the
+    * corpus — its distinct (shingle, bench doc) pairs broadcast, so
+    * the corpus is never shuffled for the probe; the only shuffle is
+    * the per-doc aggregate of hits. Shingles travel as 64-bit hashes
+    * (native ShingleHashes), never strings.
+    *
+    * Returns one row per CONTAMINATED corpus doc: the number of
+    * distinct benchmark shingles hit and distinct benchmark docs
+    * overlapped.
+    */
+  def contaminationFlags(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, k: Int): DataFrame = {
+    import graft.functions.expr.NativeFunctions.shingle_hashes
+    val b = bench.select(col(idCol).as("bench_id"),
+        explode(shingle_hashes(col(textCol), k)).as("s"))
+      .distinct()
+    corpus.select(col(idCol).as("doc_id"),
+        explode(shingle_hashes(col(textCol), k)).as("s"))
+      .join(broadcast(b), "s")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("s")).as("n_shared_shingles"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
+
+  /** Per-stratum deterministic hash sampling: keep each row iff its
+    * content-hash bucket falls under the stratum's rate (e.g. keep 10%
+    * of English but 50% of everything else to rebalance a corpus).
+    * A stateless map-side filter — zero shuffle, zero sampling state,
+    * identical under task retries/speculation — unlike rand()-based or
+    * exact-count stratified sampling, which needs a per-stratum pass.
+    */
+  def stratifiedHashSample(df: DataFrame, stratumCol: String, content: Column,
+      rates: Map[String, Double], defaultRate: Double,
+      buckets: Int = 10000): DataFrame = {
+    val cut = rates.foldLeft(lit(defaultRate * buckets)) {
+      case (acc, (stratum, rate)) =>
+        when(col(stratumCol) === stratum, lit(rate * buckets)).otherwise(acc)
+    }
+    df.withColumn("bucket", hashBucket(content, buckets))
+      .filter(col("bucket") < cut)
+  }
+
+  /** Gopher-style intra-document repetition stats: top-token dominance
+    * and the fraction of duplicated word-trigrams, plus the composite
+    * keep flag. Catches "the the the" junk and boilerplate loops that
+    * inter-document dedup never sees.
+    *
+    * Token stats are relational (explode → (doc, token) agg → doc
+    * agg: two narrow shuffles carrying only (id, token, count));
+    * trigram distinct-counting is the in-row native ShingleHashes —
+    * no shuffle. Flags compare UNROUNDED ratios (the rounded columns
+    * are display-edge only). Token-less documents carry no row.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+      maxTopTokenRatio: Double, maxDupTrigramRatio: Double): DataFrame = {
+    import graft.functions.expr.NativeFunctions.shingle_hashes
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.Text.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("doc_id", "token").agg(count("*").as("c"))
+    val tokStats = tf.groupBy("doc_id").agg(
+      sum(col("c")).as("n_tokens"),
+      count("*").as("n_distinct_tokens"),
+      max(col("c")).as("top_c"))
+    val triStats = docs.select(col(idCol).as("doc_id"),
+      greatest(graft.functions.Text.tokenCount(col(textCol)) - 2, lit(0))
+        .cast("long").as("n_trigrams"),
+      size(shingle_hashes(col(textCol), 3)).cast("long").as("n_distinct_trigrams"))
+    val topRatio = col("top_c") / col("n_tokens")
+    val dupRatio = when(col("n_trigrams") > 0,
+      lit(1.0) - col("n_distinct_trigrams") / col("n_trigrams")).otherwise(lit(0.0))
+    tokStats.join(triStats, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        round(topRatio, 4).as("top_token_ratio"),
+        round(dupRatio, 4).as("dup_trigram_ratio"),
+        (topRatio <= maxTopTokenRatio && dupRatio <= maxDupTrigramRatio).as("rep_ok"))
+  }
+
   /** Distribution-based quality gate: per group, keep rows whose
     * metric sits inside [loPct, hiPct] by percent_rank — trims both
     * tails (truncation-damaged shards at the bottom, concatenation

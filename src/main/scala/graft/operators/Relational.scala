@@ -155,4 +155,48 @@ object Relational {
         round(sum(when(isHigh, col("o_totalprice")).otherwise(lit(0.0))), 2).as("high_revenue"),
         round(avg(when(isHigh, lit(1.0)).otherwise(lit(0.0))), 4).as("high_share"))
   }
+
+  /** Fixed-values pivot: order-priority columns per status. Declaring
+    * the pivot values lets Catalyst plan ONE conditional-aggregate
+    * pass — no value-discovery job, no per-column scan; partial agg
+    * still applies map-side. Values are sanitized to parquet-safe
+    * column names. */
+  def pivotPriorityCounts(orders: DataFrame): DataFrame = {
+    val values = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    def safe(v: String) = "n_" + v.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+    orders.groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", values)
+      .agg(count(lit(1)))
+      .select(col("o_orderstatus") +:
+        values.map(v => col(s"`$v`").as(safe(v))): _*)
+  }
+
+  /** Unpivot (melt): wide per-flag measures back to long
+    * (flag, measure, value) rows. Expand-based — one generated row per
+    * measure per input row, no shuffle beyond the feeding aggregate. */
+  def unpivotReturnFlagMeasures(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_returnflag"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(sum(col("l_discount")), 2).as("sum_disc"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "measure", "value")
+
+  /** Full-outer join of two daily activity series, zero-filled on both
+    * sides. Each side pre-aggregates to its key BEFORE the join, so
+    * the full-outer (which must shuffle both inputs) moves day-level
+    * rows, not fact rows. */
+  def fullOuterDailyActivity(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val o = orders.groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count("*").as("n_orders"))
+    val l = lineitem.groupBy(col("l_shipdate").cast("date").as("day"))
+      .agg(count("*").as("n_ships"))
+    o.join(l, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_ships"), lit(0L)).as("n_ships"))
+  }
 }

@@ -156,19 +156,23 @@ object Relational {
         round(avg(when(isHigh, lit(1.0)).otherwise(lit(0.0))), 4).as("high_share"))
   }
 
-  /** Fixed-values pivot: order-priority columns per status. Declaring
-    * the pivot values lets Catalyst plan ONE conditional-aggregate
-    * pass — no value-discovery job, no per-column scan; partial agg
-    * still applies map-side. Values are sanitized to parquet-safe
-    * column names. */
+  val pivotPriorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  /** Fixed-values pivot: order-priority columns per status, as ONE
+    * conditional-aggregate pass (count-when per declared value) — one
+    * shuffle on the status key only, partial agg map-side. The Dataset
+    * `.pivot(col, values)` API plans the same result as TWO aggregates
+    * (pre-agg on (status, priority), then pivotfirst — a second
+    * shuffle); with values known, the when-chain form halves the
+    * shuffles and is spec-tested equal. Column names are sanitized
+    * parquet-safe. */
   def pivotPriorityCounts(orders: DataFrame): DataFrame = {
-    val values = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
     def safe(v: String) = "n_" + v.toLowerCase.replaceAll("[^a-z0-9]+", "_")
     orders.groupBy(col("o_orderstatus"))
-      .pivot("o_orderpriority", values)
-      .agg(count(lit(1)))
-      .select(col("o_orderstatus") +:
-        values.map(v => col(s"`$v`").as(safe(v))): _*)
+      .agg(
+        count(when(col("o_orderpriority") === pivotPriorities.head, 1)).as(safe(pivotPriorities.head)),
+        pivotPriorities.tail.map(v =>
+          count(when(col("o_orderpriority") === v, 1)).as(safe(v))): _*)
   }
 
   /** Unpivot (melt): wide per-flag measures back to long

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Relational}
+import graft.sources.Tables
+
+/** Decontamination, stratified sampling, repetition stats, and the
+  * pivot/unpivot/full-outer relational additions. */
+class CurationNewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  // ---- contaminationFlags ----
+
+  test("contaminationFlags finds exactly the overlapping docs") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),      // shares 5-gram "a b c d e" etc. with bench
+      (2L, "z y x w v u t s"))      // no overlap
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d e q r s t")).toDF("doc_id", "text")
+    val out = Curation.contaminationFlags(corpus, bench, "doc_id", "text", k = 5)
+      .as[(Long, Long, Long)].collect().toSeq
+    // corpus doc 1 shares windows "a b c d e" .. only that one 5-gram
+    assert(out === Seq((1L, 1L, 1L)))
+  }
+
+  test("contaminationFlags broadcasts the benchmark side") {
+    val docs = Tables.documents(spark, sfDir)
+    val p = plan(Curation.contaminationFlags(
+      docs.filter(col("source") =!= "src0"), docs.filter(col("source") === "src0"),
+      "doc_id", "text", k = 5))
+    assert(p.contains("BroadcastHashJoin"), s"bench probe join shuffled the corpus:\n$p")
+  }
+
+  // ---- stratifiedHashSample ----
+
+  test("stratifiedHashSample applies per-stratum rates deterministically") {
+    val docs = Tables.documents(spark, sfDir)
+    val once = Curation.stratifiedHashSample(docs, "lang", col("text"),
+      Map("en" -> 0.1), defaultRate = 0.5).select("doc_id")
+    val twice = Curation.stratifiedHashSample(docs, "lang", col("text"),
+      Map("en" -> 0.1), defaultRate = 0.5).select("doc_id")
+    assert(once.collect().toSet === twice.collect().toSet)
+    val byLang = Curation.stratifiedHashSample(docs, "lang", col("text"),
+        Map("en" -> 0.1), defaultRate = 0.5)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val total = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // en kept at ~10%, others at ~50% (loose bounds; hash is uniform)
+    assert(byLang("en").toDouble / total("en") < 0.3)
+    assert(byLang("fr").toDouble / total("fr") > 0.25)
+  }
+
+  test("stratifiedHashSample has no shuffle (stateless filter)") {
+    val p = plan(Curation.stratifiedHashSample(Tables.documents(spark, sfDir),
+      "lang", col("text"), Map("en" -> 0.1), 0.5))
+    assert(!p.contains("Exchange"), s"stateless sample plan contains a shuffle:\n$p")
+  }
+
+  // ---- repetitionStats ----
+
+  test("repetitionStats computes dominance and dup-trigram ratios") {
+    val docs = Seq(
+      (1L, "a a a a a a a a a a"),  // one token repeated: top ratio 1.0, all trigrams dup
+      (2L, "a b c d e f g h i j"), // all distinct
+      (3L, "x y"))                 // fewer than 3 tokens: no trigrams
+      .toDF("doc_id", "text")
+    val out = Curation.repetitionStats(docs, "doc_id", "text",
+        maxTopTokenRatio = 0.5, maxDupTrigramRatio = 0.5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Double, Boolean)].collect()
+    assert(out(0) === ((1L, 10L, 1L, 1.0, 1.0 - 1.0 / 8, false)))
+    assert(out(1) === ((2L, 10L, 10L, 0.1, 0.0, true)))
+    assert(out(2) === ((3L, 2L, 2L, 0.5, 0.0, true)))
+  }
+
+  test("repetitionStats flags use unrounded ratios") {
+    // 10000 tokens, top token appears 1201 times → ratio 0.1201 > 0.12
+    // but rounds to 0.12: the flag must still be false
+    val text = (Seq.fill(1201)("t") ++ (1 to 8799).map(i => s"w$i")).mkString(" ")
+    val out = Curation.repetitionStats(Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", maxTopTokenRatio = 0.12, maxDupTrigramRatio = 1.0)
+      .select("top_token_ratio", "rep_ok").as[(Double, Boolean)].collect().head
+    assert(math.abs(out._1 - 0.1201) < 0.0001)
+    assert(!out._2)
+  }
+
+  // ---- pivot / unpivot / full outer ----
+
+  test("pivot counts match the long-form groupBy") {
+    val orders = Tables.orders(spark, sfDir)
+    val wide = Relational.pivotPriorityCounts(orders)
+    val long = orders.groupBy("o_orderstatus", "o_orderpriority").count()
+      .as[(String, String, Long)].collect()
+      .map { case (s, p, n) => ((s, p), n) }.toMap
+    wide.collect().foreach { row =>
+      val status = row.getString(0)
+      assert(row.getLong(1) === long.getOrElse((status, "1-URGENT"), 0L))
+      assert(row.getLong(5) === long.getOrElse((status, "5-LOW"), 0L))
+    }
+  }
+
+  test("pivot with declared values plans a single aggregate pass") {
+    val p = plan(Relational.pivotPriorityCounts(Tables.orders(spark, sfDir)))
+    // one shuffle for the status agg; no extra job/scan per pivot column
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
+  test("conditional-agg pivot equals the Dataset .pivot() API result") {
+    val orders = Tables.orders(spark, sfDir)
+    val ours = Relational.pivotPriorityCounts(orders)
+    val api = orders.groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", Relational.pivotPriorities)
+      .agg(count(lit(1)))
+      .toDF(ours.columns: _*)
+    assert(ours.orderBy("o_orderstatus").collect().toSeq ===
+      api.orderBy("o_orderstatus").collect().toSeq)
+  }
+
+  test("unpivot emits one row per (flag, measure)") {
+    val li = Tables.lineitem(spark, sfDir)
+    val out = Relational.unpivotReturnFlagMeasures(li)
+    val nFlags = li.select("l_returnflag").distinct().count()
+    assert(out.count() === nFlags * 3)
+    assert(out.columns.toSeq === Seq("l_returnflag", "measure", "value"))
+  }
+
+  test("fullOuterDailyActivity keeps unmatched days from both sides") {
+    val o = Seq(("2024-01-01", 1L), ("2024-01-02", 2L))
+      .toDF("d", "k").select(to_timestamp($"d").as("o_orderdate"))
+    val l = Seq(("2024-01-02", 1L), ("2024-01-03", 3L))
+      .toDF("d", "k").select(to_timestamp($"d").as("l_shipdate"))
+    val out = Relational.fullOuterDailyActivity(o, l)
+      .orderBy("day")
+      .as[(java.sql.Date, Long, Long)].collect()
+    assert(out.map(_._1.toString) === Array("2024-01-01", "2024-01-02", "2024-01-03"))
+    assert(out.map(r => (r._2, r._3)) === Array((1L, 0L), (1L, 1L), (0L, 1L)))
+  }
+}

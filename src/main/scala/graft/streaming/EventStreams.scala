@@ -59,6 +59,35 @@ object EventStreams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** Stream-stream interval join: each left event joined to the same
+    * key's right events with `right.ts` in `[left.ts - windowSeconds,
+    * left.ts]` (e.g. the clicks preceding each purchase).
+    *
+    * Both sides carry watermarks AND the join condition bounds
+    * right.ts relative to left.ts in both directions — that pair is
+    * what lets Spark expire join state on BOTH sides (a right row can
+    * be dropped once the left watermark passes right.ts +
+    * windowSeconds). Without the time bound, stream-stream join state
+    * grows without limit. State ∝ watermark horizon + interval, per
+    * key — the streaming analogue of the batch bucketed range join's
+    * "never a per-key cross product" rule.
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
+      watermark: String, windowSeconds: Long): DataFrame = {
+    val l = left.select(col("event_id").as("left_id"), col(key),
+        col("ts").as("left_ts"))
+      .withWatermark("left_ts", watermark)
+    val r = right.select(col("event_id").as("right_id"),
+        col(key).as("__rkey"), col("ts").as("right_ts"))
+      .withWatermark("right_ts", watermark)
+    l.join(r,
+        col(key) === col("__rkey") &&
+          col("right_ts") >= col("left_ts") - expr(s"INTERVAL $windowSeconds SECONDS") &&
+          col("right_ts") <= col("left_ts"))
+      .select(col("left_id"), col(key), col("left_ts"),
+        col("right_id"), col("right_ts"))
+  }
+
   /** Stateful gap-sessionization: the streaming twin of
     * Events.sessionize. One GroupState per user holds the open
     * session.

@@ -167,4 +167,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.subsetOf(batched),
       s"streamed sessions disagree with batch: ${streamed.diff(batched).take(3)}")
   }
+
+  test("stream-stream interval join matches the batch interval join") {
+    val batch = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val purchases = batch.filter(col("event_type") === "purchase")
+    val clicks = batch.filter(col("event_type") === "click")
+
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[EventStreams.Event]
+    val rMem = MemoryStream[EventStreams.Event]
+    lMem.addData(purchases.as[EventStreams.Event].collect().toIndexedSeq)
+    rMem.addData(clicks.as[EventStreams.Event].collect().toIndexedSeq)
+
+    val q = EventStreams.intervalJoinStream(
+        lMem.toDF(), rMem.toDF(), "user_id", "10 minutes", windowSeconds = 3600)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val streamed = spark.table("ssj_out")
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    val batched = purchases.alias("p").join(clicks.alias("c"),
+        col("p.user_id") === col("c.user_id") &&
+          col("c.ts") >= col("p.ts") - expr("INTERVAL 3600 SECONDS") &&
+          col("c.ts") <= col("p.ts"))
+      .select(col("p.event_id"), col("c.event_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(batched.nonEmpty, "batch twin found no interval pairs")
+    assert(streamed === batched)
+  }
 }

@@ -157,6 +157,14 @@ object SparkEntry {
     "q31_full_outer" -> ((s, dir) =>
       Relational.fullOuterDailyActivity(t(s, dir, "orders"), t(s, dir, "lineitem"))),
 
+    // lag window over pre-aggregated daily counts
+    "q32_lag_delta" -> ((s, dir) =>
+      Relational.dailyOrderDeltas(t(s, dir, "orders"))),
+
+    // ntile quartiles per segment with deterministic total order
+    "q33_ntile" -> ((s, dir) =>
+      Relational.customerBalanceQuartiles(t(s, dir, "customer"))),
+
     // explicit grouping sets: status-only and priority-only subtotals
     // in one Expand pass (no union of two aggregations)
     "q27_grouping_sets" -> ((s, dir) =>
@@ -267,6 +275,13 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) =>
       Curation.repetitionStats(t(s, dir, "documents"), "doc_id", "text",
         maxTopTokenRatio = 0.12, maxDupTrigramRatio = 0.05)),
+
+    // distributed Lloyd k-means over embeddings (ids-only output;
+    // rows-gated — float summation order makes centroid coordinates
+    // engine-specific, so the spec suite owns correctness)
+    "emb_kmeans" -> ((s, dir) =>
+      Similarity.kmeans(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 3)),
 
     // top-3 characteristic terms per document by smoothed TF-IDF
     "text_tfidf" -> ((s, dir) => {
@@ -740,6 +755,22 @@ object SparkEntry {
                 COALESCE(n_orders, 0) AS n_orders,
                 COALESCE(n_ships, 0) AS n_ships
          FROM o FULL OUTER JOIN l ON o.day = l.day""",
+
+    "q32_lag_delta" ->
+      """WITH d AS (SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+                           count(*) AS n_orders
+                    FROM orders GROUP BY 1, 2)
+         SELECT o_orderpriority, day, n_orders,
+                n_orders - lag(n_orders, 1) OVER (
+                  PARTITION BY o_orderpriority ORDER BY day) AS delta
+         FROM d""",
+
+    "q33_ntile" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+                CAST(ntile(4) OVER (
+                  PARTITION BY c_mktsegment
+                  ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile
+         FROM customer""",
 
     "q23_below_avg" ->
       """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly

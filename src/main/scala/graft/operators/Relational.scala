@@ -189,6 +189,28 @@ object Relational {
         Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
         "measure", "value")
 
+  /** Day-over-day deltas per priority: daily counts then a lag window.
+    * The aggregate shrinks the fact to day-level rows BEFORE the
+    * window sorts them — the window's shuffle+sort moves (priority,
+    * day, n) triples only. */
+  def dailyOrderDeltas(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("day"))
+    orders.groupBy(col("o_orderpriority"), col("o_orderdate").cast("date").as("day"))
+      .agg(count("*").as("n_orders"))
+      .select(col("o_orderpriority"), col("day"), col("n_orders"),
+        (col("n_orders") - lag(col("n_orders"), 1).over(w)).as("delta"))
+  }
+
+  /** Per-segment quartile bucketing of customers by balance (ntile
+    * with a deterministic total order). One shuffle on the segment
+    * key. */
+  def customerBalanceQuartiles(customer: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    customer.select(col("c_custkey"), col("c_mktsegment"),
+      col("c_acctbal"), ntile(4).over(w).as("quartile"))
+  }
+
   /** Full-outer join of two daily activity series, zero-filled on both
     * sides. Each side pre-aggregates to its key BEFORE the join, so
     * the full-outer (which must shuffle both inputs) moves day-level

@@ -98,6 +98,54 @@ object Similarity {
       .select(col("query_id"), col("rnk").cast("int").as("rnk"), col("neighbor_id"))
   }
 
+  /** Distributed Lloyd k-means over the embedding column — the
+    * clustering that anchors semantic dedup, diversity sampling, and
+    * IVF index training at corpus scale.
+    *
+    * Deterministic end to end: init = the k lowest-id vectors; ties in
+    * assignment break to the lowest centroid id (struct-min over
+    * (dist², cid)). Each iteration is (1) assignment — centroids
+    * embedded as literals over the native DotProduct, pure codegen'd
+    * column math, NO corpus shuffle — and (2) mean recompute — one
+    * posexplode + (cluster, dim) aggregate with map-side combine, so
+    * the shuffle carries k × dim partial sums per partition, not
+    * vectors. Centroids (k × dim doubles) are the only driver-side
+    * state — the same "small model state" pattern as broadcasting a
+    * dimension table. Empty clusters keep their previous centroid.
+    *
+    * Returns (vec_id, cluster_id) — ids-only output keeps the result
+    * float-order-independent (§5 determinism rule).
+    */
+  def kmeans(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    var cents: Array[Array[Double]] = vecs.orderBy("vec_id").limit(k).collect()
+      .map(_.getSeq[Double](1).toArray)
+
+    // argmin_c |v - c|² via struct-min over (|c|² - 2 v·c, cid):
+    // |v|² is constant per row and drops out of the argmin
+    def assignCol(v: Column): Column =
+      array_min(array(cents.zipWithIndex.map { case (c, cid) =>
+        val c2 = c.map(x => x * x).sum
+        struct((lit(c2) - lit(2.0) * Vectors.dot(v,
+          array(c.map(lit).toIndexedSeq: _*))).as("d"), lit(cid).as("cid"))
+      }.toIndexedSeq: _*)).getField("cid")
+
+    for (_ <- 1 to iters) {
+      val byDim = vecs.withColumn("cluster_id", assignCol(col("v")))
+        .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster_id", "pos").agg(avg(col("x")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      byDim.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      cents = next
+    }
+    vecs.select(col("vec_id"), assignCol(col("v")).as("cluster_id"))
+  }
+
   /** Random-hyperplane LSH bucket id for each vector. Deterministic
     * (seeded) — safe under task retries. */
   def lshBuckets(df: DataFrame, idCol: String, vecCol: String,

@@ -62,6 +62,54 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall@5 = $recall")
   }
 
+  test("kmeans separates well-separated clusters exactly") {
+    val vecs = Seq(
+      (0L, Array(0.0, 0.0)), (1L, Array(0.1, 0.0)), (2L, Array(0.0, 0.2)),
+      (3L, Array(10.0, 10.0)), (4L, Array(10.0, 10.1)), (5L, Array(9.9, 10.0)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeans(vecs, "vec_id", "embedding", k = 2, iters = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(out.size === 6)
+    assert(Set(out(0L), out(1L), out(2L)).size === 1, "near-origin cluster split")
+    assert(Set(out(3L), out(4L), out(5L)).size === 1, "far cluster split")
+    assert(out(0L) !== out(3L), "both blobs in one cluster")
+  }
+
+  test("kmeans is deterministic and total on the embeddings table") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val a = Similarity.kmeans(emb, "vec_id", "embedding", k = 8, iters = 2)
+      .as[(Long, Int)].collect().toSeq.sorted
+    val b = Similarity.kmeans(emb, "vec_id", "embedding", k = 8, iters = 2)
+      .as[(Long, Int)].collect().toSeq.sorted
+    assert(a === b)
+    assert(a.map(_._1).distinct.size === emb.count(), "a vector lost or duplicated")
+    assert(a.map(_._2).distinct.size > 1, "degenerate single cluster")
+  }
+
+  test("kmeans iterations do not increase inertia") {
+    val emb = Tables.embeddings(spark, sfDir)
+    def inertia(iters: Int): Double = {
+      val assigned = Similarity.kmeans(emb, "vec_id", "embedding", k = 8, iters = iters)
+        .join(emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")), "vec_id")
+      val byDim = assigned
+        .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      val means = byDim.groupBy("cluster_id", "pos").agg(avg(col("x")).as("m"))
+      byDim.join(means, Seq("cluster_id", "pos"))
+        .agg(sum((col("x") - col("m")) * (col("x") - col("m"))))
+        .collect().head.getDouble(0)
+    }
+    val i1 = inertia(1); val i3 = inertia(3)
+    assert(i3 <= i1 * 1.0001, s"inertia rose across iterations: $i1 -> $i3")
+  }
+
+  test("kmeans assignment stage has no corpus shuffle") {
+    val p = Similarity.kmeans(Tables.embeddings(spark, sfDir),
+      "vec_id", "embedding", k = 4, iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"final assignment should be a pure map over the scan:\n$p")
+  }
+
   test("lshTopK is deterministic across runs (seeded hyperplanes)") {
     val e = Tables.embeddings(spark, sfDir)
     def run() = Similarity.lshTopK(e.filter(col("vec_id") >= 8),

@@ -236,6 +236,11 @@ object SparkEntry {
           "doc_a", "doc_b")
         .select(col("node").as("doc_id"), col("cluster_id"))),
 
+    // substring-level dedup: maximal duplicated 20-token spans across
+    // docs (passage granularity whole-doc near-dup can't see)
+    "dedup_substring" -> ((s, dir) =>
+      Dedup.substringDupSpans(t(s, dir, "documents"), "doc_id", "text", k = 20)),
+
     // the dedup pipeline's end product: the corpus with every
     // non-representative cluster member removed (keep the min-id doc
     // per near-dup cluster, keep all singletons)
@@ -862,6 +867,33 @@ object SparkEntry {
          JOIN sz za ON da = za.doc_id
          JOIN sz zb ON db = zb.doc_id
          WHERE round(c / (za.n + zb.n - c), 4) >= 0.6""",
+
+    // duplicated-window spans via string windows (≡ positional window
+    // hashes absent collisions — same convention as dedup_ngram_jaccard);
+    // islands of consecutive duplicated positions merge via the
+    // pos − row_number trick in both engines
+    "dedup_substring" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+         w AS (
+           SELECT doc_id, CAST(i AS INTEGER) AS pos,
+                  array_to_string(t[i:i+19], ' ') AS s
+           FROM toks, unnest(generate_series(1, len(t) - 19)) AS u(i)),
+         d AS (
+           SELECT s, count(DISTINCT doc_id) AS n_docs
+           FROM w GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+         hits AS (
+           SELECT w.doc_id, w.pos, d.n_docs FROM w JOIN d USING (s)),
+         g AS (
+           SELECT doc_id, pos, n_docs,
+                  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM hits)
+         SELECT doc_id,
+                CAST(min(pos) AS INTEGER) AS span_start,
+                CAST(max(pos) + 19 AS INTEGER) AS span_end,
+                count(*) AS n_windows,
+                CAST(max(n_docs) AS BIGINT) AS max_n_docs
+         FROM g GROUP BY doc_id, grp""",
 
     // connected components over the SAME pair set as dedup_ngram_jaccard:
     // min reachable id per node via a recursive min-label CTE

@@ -171,6 +171,57 @@ case class ShingleHashes(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Every word-k-gram hash of a string IN POSITION ORDER (the
+  * non-deduplicating sibling of [[ShingleHashes]]): element i is the
+  * hash of tokens [i, i+k). posexplode over the result yields
+  * (position, window-hash) pairs — the input to substring-level dedup,
+  * where WHERE a duplicated span sits matters, not just that it
+  * exists. Same tokenizer and hash constants as ShingleHashes, so the
+  * two are interchangeable in oracles. */
+case class ShingleHashesAll(child: Expression, k: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes_all"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val tokHashes = new java.util.ArrayList[Long]()
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && isSpace(bytes(i))) i += 1
+      if (i < n) {
+        var h = 17L
+        while (i < n && !isSpace(bytes(i))) { h = h * 31L + bytes(i); i += 1 }
+        tokHashes.add(h)
+      }
+    }
+    val m = tokHashes.size - k + 1
+    if (m <= 0) new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    else {
+      val out = new Array[Long](m)
+      var j = 0
+      while (j < m) {
+        var h = 1125899906842597L
+        var w = 0
+        while (w < k) { h = h * -7046029254386353131L + tokHashes.get(j + w); w += 1 }
+        out(j) = h
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  @inline private def isSpace(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == 0x0b || b == 0x0c
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Murmur-style 64-bit finalizer (the MinHashAgg.mix avalanche without
   * the permutation constant): xor-shift / multiply rounds with Java
   * long wrap semantics. A native expression rather than Column
@@ -283,6 +334,10 @@ object NativeFunctions {
   /** Column API for ShingleHashes. */
   def shingle_hashes(text: Column, k: Int): Column =
     ColumnBridge.toColumn(ShingleHashes(ColumnBridge.toExpr(text), k))
+
+  /** Column API for ShingleHashesAll (positional, non-deduplicating). */
+  def shingle_hashes_all(text: Column, k: Int): Column =
+    ColumnBridge.toColumn(ShingleHashesAll(ColumnBridge.toExpr(text), k))
 
   /** Column API for SortedPairs (array input → array<struct<a,b>>). */
   def sorted_pairs(arr: Column): Column =

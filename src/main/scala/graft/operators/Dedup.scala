@@ -236,6 +236,49 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Substring-level duplicated spans: the passage-granular dedup of
+    * Lee et al. '22 ("Deduplicating Training Data Makes Language
+    * Models Better") — duplicated k-token PASSAGES across documents,
+    * which whole-document near-dup never sees (a unique page quoting a
+    * boilerplate license paragraph).
+    *
+    * Every k-token window is hashed positionally (native
+    * ShingleHashesAll → posexplode); window contents occurring in ≥ 2
+    * distinct docs are duplicated; runs of consecutive duplicated
+    * positions merge into maximal spans via gaps-and-islands
+    * (pos − row_number constant within an island).
+    *
+    * Scale: windows ≈ tokens (linear in corpus bytes); the dup-hash
+    * aggregate and the hit join are both keyed on the window hash (one
+    * co-partitioned shuffle, map-side combine; 8-byte hashes, never
+    * strings); the island merge is one window per doc over hit
+    * positions only. `maxDf` caps pathological boilerplate hashes the
+    * same way ngramJaccardPairs caps hot shingles.
+    */
+  def substringDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, maxDf: Option[Int] = None): DataFrame = {
+    val w = docs.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.expr.NativeFunctions
+          .shingle_hashes_all(col(textCol), k)).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+    val dup = w.groupBy("h").agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    val pruned = maxDf match {
+      case Some(cap) => dup.filter(col("n_docs") <= cap)
+      case None => dup
+    }
+    val hits = w.join(pruned, "h")
+    val island = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits.withColumn("grp", col("pos") - row_number().over(island))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + k - 1).as("span_end"),
+        count("*").as("n_windows"),
+        max(col("n_docs")).as("max_n_docs"))
+      .drop("grp")
+  }
+
   /** Embedding near-dup pairs: cosine >= tau within blocks.
     * Blocking (here: the label column; in production an LSH bucket —
     * see Similarity.lshBuckets) bounds the self-join; ids-only output

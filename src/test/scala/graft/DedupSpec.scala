@@ -73,6 +73,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("substringDupSpans merges consecutive duplicated windows into maximal spans") {
+    val shared = (1 to 25).map(i => s"s$i").mkString(" ") // 25 shared tokens
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $shared z1 z2"),
+      (2L, s"b1 $shared y1 y2 y3 y4"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12 u13 u14 u15 u16 u17 u18 u19 u20 u21"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDupSpans(docs, "doc_id", "text", k = 20)
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, Long, Long)].collect()
+    // doc 1: windows starting at tokens 4..9 are inside the shared run
+    // (positions where the full 20-token window fits in the 25 shared):
+    // span covers tokens 4 .. 28; doc 2: tokens 2 .. 26; doc 3: nothing
+    assert(out === Array((1L, 4, 28, 6L, 2L), (2L, 2, 26, 6L, 2L)))
+  }
+
+  test("substringDupSpans ignores repetition WITHIN a single doc") {
+    val run = (1 to 20).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, s"$run filler $run"), (2L, "completely different tokens here"))
+      .toDF("doc_id", "text")
+    assert(Dedup.substringDupSpans(docs, "doc_id", "text", k = 20).count() === 0)
+  }
+
   test("embeddingPairs returns exactly the above-threshold ordered pairs") {
     val e = Tables.embeddings(spark, sfDir)
     val tau = 0.35

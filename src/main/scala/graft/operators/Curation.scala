@@ -162,6 +162,8 @@ object Curation {
   def stratifiedHashSample(df: DataFrame, stratumCol: String, content: Column,
       rates: Map[String, Double], defaultRate: Double,
       buckets: Int = 10000): DataFrame = {
+    (rates.values ++ Seq(defaultRate)).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"sampling rate $r outside [0, 1]"))
     val cut = rates.foldLeft(lit(defaultRate * buckets)) {
       case (acc, (stratum, rate)) =>
         when(col(stratumCol) === stratum, lit(rate * buckets)).otherwise(acc)

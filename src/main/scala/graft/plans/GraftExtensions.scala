@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expr.{DotProduct, HammingDistance, RollingHash, ShingleHashes}
+import graft.functions.expr.{DotProduct, HammingDistance, RollingHash,
+  ShingleHashes, ShingleHashesAll}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so `spark.sql("SELECT
@@ -93,6 +94,13 @@ object GraftExtensions {
             s"(${children(1).dataType.simpleString})")
         }
         ShingleHashes(children.head, k)
+      }),
+    (FunctionIdentifier("shingle_hashes_all"),
+      info("shingle_hashes_all", "shingle_hashes_all(text, k) - ALL word-k-gram hashes in position order"),
+      (children: Seq[Expression]) => {
+        arity("shingle_hashes_all(text, k)", children, 2)
+        ShingleHashesAll(children.head,
+          constLong("shingle_hashes_all(text, k)", "k", children(1)).toInt)
       }))
 
   /** Register on an already-running session (withExtensions only

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
-import graft.operators.{Clusters, Curation, Dedup, Pipeline}
+import graft.operators.{Clusters, Curation, Dedup, Pipeline, Similarity}
 
 /** Empirical scaling probe: runs the super-linear-risk operators (the
   * near-dup family and pair counting) at 1× and N× the sf0.1 corpus
@@ -117,6 +117,42 @@ object ScaleProbe {
     } {
       Clusters.connectedComponents(
         Dedup.ngramJaccardPairs(docsN, "doc_id", "text", 3, 0.6), "doc_a", "doc_b").count()
+    }
+    probe("dedup_substring") {
+      Dedup.substringDupSpans(docs1, "doc_id", "text", 20).count()
+    } {
+      Dedup.substringDupSpans(docsN, "doc_id", "text", 20).count()
+    }
+    // fixed benchmark (copy-0 5%), growing corpus — the real
+    // decontamination shape (the broadcast side must stay constant)
+    locally {
+      val bench = docsN.filter(col("doc_id") < 10000000L && col("doc_id") % 20 === 0)
+      val corpus1 = docsN.filter(col("doc_id") < 10000000L && col("doc_id") % 20 =!= 0)
+      val corpusN = docsN.filter(col("doc_id") % 20 =!= 0)
+      probe("decon_ngram") {
+        Curation.contaminationFlags(corpus1, bench, "doc_id", "text", 5).count()
+      } {
+        Curation.contaminationFlags(corpusN, bench, "doc_id", "text", 5).count()
+      }
+    }
+    probe("text_repetition") {
+      Curation.repetitionStats(docs1, "doc_id", "text", 0.12, 0.05).count()
+    } {
+      Curation.repetitionStats(docsN, "doc_id", "text", 0.12, 0.05).count()
+    }
+    locally {
+      val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      (0 until mult).map { k =>
+        emb1.select((col("vec_id") + lit(k.toLong * 10000000L)).as("vec_id"),
+          col("embedding"))
+      }.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$tmp/embeddings")
+      val embN = spark.read.parquet(s"$tmp/embeddings")
+      probe("emb_kmeans") {
+        Similarity.kmeans(emb1, "vec_id", "embedding", 8, 2).count()
+      } {
+        Similarity.kmeans(embN, "vec_id", "embedding", 8, 2).count()
+      }
     }
     spark.stop()
   }

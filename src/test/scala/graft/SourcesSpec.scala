@@ -58,10 +58,14 @@ class SourcesSpec extends SparkSpec {
       """SELECT hamming_distance(255L, 15L) AS h,
                 rolling_hash('abc') = rolling_hash('abc') AS rh,
                 dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
-                size(shingle_hashes('a b c d', 3)) AS ns""").collect().head
+                size(shingle_hashes('a b c d', 3)) AS ns,
+                size(shingle_hashes_all('a b a b', 2)) AS na,
+                size(shingle_hashes('a b a b', 2)) AS nd""").collect().head
     assert(r.getLong(0) === 4L)
     assert(r.getBoolean(1))
     assert(r.getDouble(2) === 11.0)
     assert(r.getInt(3) === 2)
+    assert(r.getInt(4) === 3) // positional: ab, ba, ab — duplicates kept
+    assert(r.getInt(5) === 2) // deduped sibling
   }
 }

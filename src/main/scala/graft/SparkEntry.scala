@@ -165,6 +165,12 @@ object SparkEntry {
     "q33_ntile" -> ((s, dir) =>
       Relational.customerBalanceQuartiles(t(s, dir, "customer"))),
 
+    // staged conversion funnel (signup → click → purchase, ordered,
+    // ~28h conversion window per step)
+    "q34_funnel" -> ((s, dir) =>
+      Events.funnelCounts(Tables.events(s, dir),
+        Seq("signup", "click", "purchase"), maxGapSeconds = 100000)),
+
     // explicit grouping sets: status-only and priority-only subtotals
     // in one Expand pass (no union of two aggregations)
     "q27_grouping_sets" -> ((s, dir) =>
@@ -760,6 +766,25 @@ object SparkEntry {
                 COALESCE(n_orders, 0) AS n_orders,
                 COALESCE(n_ships, 0) AS n_ships
          FROM o FULL OUTER JOIN l ON o.day = l.day""",
+
+    "q34_funnel" ->
+      """WITH s AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS stage_ts
+                    FROM events WHERE event_type = 'signup' GROUP BY 1),
+              c AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS stage_ts
+                    FROM events e JOIN s ON e.user_id = s.user_id
+                    WHERE e.event_type = 'click'
+                      AND CAST(e.ts AS TIMESTAMP) >= s.stage_ts
+                      AND epoch_us(CAST(e.ts AS TIMESTAMP))
+                          <= epoch_us(s.stage_ts) + 100000000000 GROUP BY 1),
+              p AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS stage_ts
+                    FROM events e JOIN c ON e.user_id = c.user_id
+                    WHERE e.event_type = 'purchase'
+                      AND CAST(e.ts AS TIMESTAMP) >= c.stage_ts
+                      AND epoch_us(CAST(e.ts AS TIMESTAMP))
+                          <= epoch_us(c.stage_ts) + 100000000000 GROUP BY 1)
+         SELECT (SELECT count(*) FROM s) AS n_signup,
+                (SELECT count(*) FROM c) AS n_click,
+                (SELECT count(*) FROM p) AS n_purchase""",
 
     "q32_lag_delta" ->
       """WITH d AS (SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,

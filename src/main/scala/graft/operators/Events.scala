@@ -119,6 +119,38 @@ object Events {
         coalesce(col("__n"), lit(0L)).as("n_in_window"))
   }
 
+  /** Ordered conversion funnel: users who hit stage 1 → first stage-2
+    * event within `maxGapSeconds` at-or-after it → first stage-3
+    * event within the window after THAT, and so on. Classic
+    * staged-conversion analytics with a conversion window.
+    *
+    * Each stage is one aggregate plus one equi-join, ALL keyed on
+    * user_id — Catalyst co-partitions the chain on one partitioning
+    * (no re-shuffle between stages), and each stage's input is
+    * filtered to its event type before the join. The per-stage
+    * user counts combine as broadcast 1-row cross joins. */
+  def funnelCounts(events: DataFrame, stages: Seq[String],
+      maxGapSeconds: Long): DataFrame = {
+    require(stages.nonEmpty, "funnelCounts needs at least one stage")
+    val perStage = stages.tail.scanLeft(
+      events.filter(col("event_type") === stages.head)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("stage_ts"))) {
+      (prev, stage) =>
+        events.filter(col("event_type") === stage)
+          .select(col("user_id"), col("ts"))
+          .join(prev.select(col("user_id"), col("stage_ts").as("prev_ts")), "user_id")
+          .filter(col("ts") >= col("prev_ts") &&
+            // integer µs, not double epoch seconds: at 2026 epochs the
+            // double ulp (~0.5 µs) could flip a boundary event
+            unix_micros(col("ts")) <=
+              unix_micros(col("prev_ts")) + maxGapSeconds * 1000000L)
+          .groupBy(col("user_id")).agg(min(col("ts")).as("stage_ts"))
+    }
+    perStage.zip(stages).map { case (df, stage) =>
+      df.agg(count("*").as(s"n_$stage"))
+    }.reduce(_ crossJoin _)
+  }
+
   /** Semi-structured JSON prop extraction + aggregate. get_json_object
     * is codegen'd; for a fixed schema, from_json + a struct column
     * would let Catalyst prune fields — used when more than one key is

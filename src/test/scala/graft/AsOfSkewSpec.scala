@@ -47,6 +47,26 @@ class AsOfSkewSpec extends SparkSpec {
     assert(out === Array(Some(55L)))
   }
 
+  test("funnelCounts respects order and conversion window") {
+    val ev = Seq(
+      // user 1: full ordered funnel within window
+      (1L, ts("2024-01-01 10:00:00"), 1L, "signup", 0.0),
+      (2L, ts("2024-01-01 10:10:00"), 1L, "click", 0.0),
+      (3L, ts("2024-01-01 10:20:00"), 1L, "purchase", 5.0),
+      // user 2: click BEFORE signup only → stalls at stage 1
+      (4L, ts("2024-01-01 09:00:00"), 2L, "click", 0.0),
+      (5L, ts("2024-01-01 10:00:00"), 2L, "signup", 0.0),
+      // user 3: click too late (outside 1h window)
+      (6L, ts("2024-01-01 10:00:00"), 3L, "signup", 0.0),
+      (7L, ts("2024-01-01 12:00:01"), 3L, "click", 0.0),
+      // user 4: never signed up
+      (8L, ts("2024-01-01 10:00:00"), 4L, "click", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.funnelCounts(ev, Seq("signup", "click", "purchase"), 3600)
+      .as[(Long, Long, Long)].collect().head
+    assert(out === ((3L, 1L, 1L)))
+  }
+
   test("saltedJoin returns exactly the plain-join result") {
     val fact = (1L to 1000L).map(i => (i, i % 3 + 1)).toDF("row_id", "k")
     val dim = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "unused")).toDF("k", "v")

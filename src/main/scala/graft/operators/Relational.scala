@@ -168,11 +168,9 @@ object Relational {
     * parquet-safe. */
   def pivotPriorityCounts(orders: DataFrame): DataFrame = {
     def safe(v: String) = "n_" + v.toLowerCase.replaceAll("[^a-z0-9]+", "_")
-    orders.groupBy(col("o_orderstatus"))
-      .agg(
-        count(when(col("o_orderpriority") === pivotPriorities.head, 1)).as(safe(pivotPriorities.head)),
-        pivotPriorities.tail.map(v =>
-          count(when(col("o_orderpriority") === v, 1)).as(safe(v))): _*)
+    val cols = pivotPriorities.map(v =>
+      count(when(col("o_orderpriority") === v, 1)).as(safe(v)))
+    orders.groupBy(col("o_orderstatus")).agg(cols.head, cols.tail: _*)
   }
 
   /** Unpivot (melt): wide per-flag measures back to long

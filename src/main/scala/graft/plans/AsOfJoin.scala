@@ -14,11 +14,14 @@ import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.graft.ColumnBridge
 
 /** Whole-operator as-of join: the custom LogicalPlan → SparkStrategy →
-  * SparkPlan path (SURVEY.md §2d). Same semantics as the composed
-  * [[graft.operators.Events.asOfJoin]] (latest right row of the same
-  * key with right.ts <= left.ts; reference point-in-time lookup shape,
-  * /root/reference/main_dag.py:242-262 merges snapshots the same way),
-  * but expressed as a first-class operator:
+  * SparkPlan path (SURVEY.md §2d). Latest right row of the same key
+  * with right.ts <= left.ts (reference point-in-time lookup shape,
+  * /root/reference/main_dag.py:242-262 merges snapshots the same way)
+  * — the composed [[graft.operators.Events.asOfJoin]] computes the
+  * same result on null-free keys/timestamps; on nulls THIS operator
+  * follows SQL join semantics (null key / null ts never matches),
+  * where the window formulation groups null keys into one partition
+  * and can synthesize matches. Expressed as a first-class operator:
   *
   *   - `AsOfJoinPlan` — a resolved logical node Catalyst optimizes
   *     around (column pruning below it, filters above it).
@@ -36,10 +39,13 @@ import org.apache.spark.sql.graft.ColumnBridge
   * window formulation.
   *
   * Scale notes: both sides shuffle once on the key and sort by
-  * (key, ts) — identical movement to a sort-merge join, and AQE still
-  * owns partition coalescing / skew handling of those exchanges. The
-  * merge itself is O(|left| + |right|) per partition and holds ONE
-  * candidate row, not a per-key buffer.
+  * (key, ts) — identical movement to a sort-merge join. AQE still
+  * coalesces the two exchanges' small partitions, but its skew-join
+  * SPLITTING only rewrites the built-in join execs — a pathologically
+  * hot key here needs the same salting treatment as
+  * [[graft.operators.Skew.saltedJoin]]. The merge itself is
+  * O(|left| + |right|) per partition and holds ONE candidate row, not
+  * a per-key buffer.
   */
 object AsOf {
 
@@ -65,11 +71,19 @@ object AsOf {
     val bad = rightPayload.filter(c => left.columns.contains(c))
     if (bad.nonEmpty) throw new IllegalArgumentException(
       s"asOfJoin: payload columns ${bad.mkString(", ")} collide with left columns")
+    val (lk, rk) = (attr(lp, key, "left"), attr(rp, key, "right"))
+    val (lt, rt) = (attr(lp, ts, "left"), attr(rp, ts, "right"))
+    // the exec's orderings come from the LEFT types; a silent type
+    // mismatch (Long vs Int key, Timestamp vs Date ts) would compare
+    // raw unsafe-row slots of different widths and return garbage
+    def sameType(a: Attribute, b: Attribute, what: String): Unit =
+      if (a.dataType != b.dataType) throw new IllegalArgumentException(
+        s"asOfJoin: $what types differ: left ${a.dataType.simpleString} " +
+          s"vs right ${b.dataType.simpleString} — cast one side first")
+    sameType(lk, rk, s"key '$key'")
+    sameType(lt, rt, s"ts '$ts'")
     ColumnBridge.ofRows(spark, AsOfJoinPlan(
-      lp, rp,
-      attr(lp, key, "left"), attr(rp, key, "right"),
-      attr(lp, ts, "left"), attr(rp, ts, "right"),
-      rightPayload.map(attr(rp, _, "right"))))
+      lp, rp, lk, rk, lt, rt, rightPayload.map(attr(rp, _, "right"))))
   }
 }
 

@@ -101,6 +101,19 @@ class AsOfExecSpec extends SparkSpec {
     assert(out === Array(Some(2L)))
   }
 
+  test("mismatched key/ts types are rejected, not silently miscompared") {
+    val left = Seq((1L, 1L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val rIntKey = Seq((1, ts("2024-01-01 09:00:00"), 9L)).toDF("user_id", "ts", "r_id")
+    intercept[IllegalArgumentException] {
+      AsOf.join(left, rIntKey, "user_id", "ts", Seq("r_id"))
+    }
+    val rDateTs = Seq((1L, java.sql.Date.valueOf("2024-01-01"), 9L))
+      .toDF("user_id", "ts", "r_id")
+    intercept[IllegalArgumentException] {
+      AsOf.join(left, rDateTs, "user_id", "ts", Seq("r_id"))
+    }
+  }
+
   test("payload column colliding with a left column is rejected") {
     val left = Seq((1L, 1L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
     val right = Seq((1L, ts("2024-01-01 09:00:00"))).toDF("user_id", "ts")

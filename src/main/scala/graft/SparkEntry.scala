@@ -165,6 +165,10 @@ object SparkEntry {
     "q33_ntile" -> ((s, dir) =>
       Relational.customerBalanceQuartiles(t(s, dir, "customer"))),
 
+    // single-pass moment aggregates (corr / covar / stddev)
+    "q35_stats" -> ((s, dir) =>
+      Relational.statsByReturnFlag(t(s, dir, "lineitem"))),
+
     // staged conversion funnel (signup → click → purchase, ordered,
     // ~28h conversion window per step)
     "q34_funnel" -> ((s, dir) =>
@@ -766,6 +770,14 @@ object SparkEntry {
                 COALESCE(n_orders, 0) AS n_orders,
                 COALESCE(n_ships, 0) AS n_ships
          FROM o FULL OUTER JOIN l ON o.day = l.day""",
+
+    "q35_stats" ->
+      """SELECT l_returnflag,
+                round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+                round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+                round(stddev_samp(l_discount), 4) AS disc_stddev,
+                count(*) AS n_rows
+         FROM lineitem GROUP BY 1""",
 
     "q34_funnel" ->
       """WITH s AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS stage_ts

@@ -187,6 +187,18 @@ object Relational {
         Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
         "measure", "value")
 
+  /** Statistical aggregates per flag: correlation, sample covariance,
+    * sample stddev — all single-pass partial-mergeable moments (one
+    * shuffle carrying the moment tuples, same scale shape as sum/avg).
+    */
+  def statsByReturnFlag(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("qty_price_covar"),
+        round(stddev_samp(col("l_discount")), 4).as("disc_stddev"),
+        count("*").as("n_rows"))
+
   /** Day-over-day deltas per priority: daily counts then a lag window.
     * The aggregate shrinks the fact to day-level rows BEFORE the
     * window sorts them — the window's shuffle+sort moves (priority,

@@ -169,6 +169,11 @@ object SparkEntry {
     "q35_stats" -> ((s, dir) =>
       Relational.statsByReturnFlag(t(s, dir, "lineitem"))),
 
+    // fixed-size quantile sketch per group (the O(accuracy)-memory
+    // twin of exact q21; rows-gated, accuracy spec-tested vs exact)
+    "approx_quantiles" -> ((s, dir) =>
+      Relational.approxPercentiles(t(s, dir, "orders"), accuracy = 1000)),
+
     // staged conversion funnel (signup → click → purchase, ordered,
     // ~28h conversion window per step)
     "q34_funnel" -> ((s, dir) =>

@@ -124,11 +124,13 @@ object Events {
     * event within the window after THAT, and so on. Classic
     * staged-conversion analytics with a conversion window.
     *
-    * Each stage is one aggregate plus one equi-join, ALL keyed on
-    * user_id — Catalyst co-partitions the chain on one partitioning
-    * (no re-shuffle between stages), and each stage's input is
-    * filtered to its event type before the join. The per-stage
-    * user counts combine as broadcast 1-row cross joins. */
+    * Each stage is one aggregate plus one equi-join keyed on user_id.
+    * The prior stage's (user, first-ts) set shrinks at every step
+    * (conversion attrition), so Catalyst broadcasts it into the next
+    * stage's filtered event scan — the fact is never shuffled for a
+    * stage join, only aggregated per stage; recomputed shared
+    * subtrees dedupe via runtime exchange reuse. The per-stage user
+    * counts combine as broadcast 1-row cross joins. */
   def funnelCounts(events: DataFrame, stages: Seq[String],
       maxGapSeconds: Long): DataFrame = {
     require(stages.nonEmpty, "funnelCounts needs at least one stage")

@@ -187,6 +187,22 @@ object Relational {
         Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
         "measure", "value")
 
+  /** Approximate percentiles per group via the built-in quantile
+    * sketch (`percentile_approx`, fixed accuracy parameter). The
+    * 100 TB shape: a fixed-size mergeable sketch per group with
+    * map-side partial merge — exact percentiles (q21) need the full
+    * value multiset per group; the sketch needs O(accuracy) memory
+    * regardless of group size. Rows-gated: sketch internals are
+    * engine-specific; accuracy vs the exact q21 twin is spec-tested.
+    */
+  def approxPercentiles(orders: DataFrame, accuracy: Int): DataFrame =
+    orders.groupBy(col("o_orderpriority"))
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(accuracy)).as("p50"),
+        percentile_approx(col("o_totalprice"), lit(0.9), lit(accuracy)).as("p90"),
+        percentile_approx(col("o_totalprice"), lit(0.99), lit(accuracy)).as("p99"),
+        count("*").as("n_orders"))
+
   /** Statistical aggregates per flag: correlation, sample covariance,
     * sample stddev — all single-pass partial-mergeable moments (one
     * shuffle carrying the moment tuples, same scale shape as sum/avg).

@@ -127,6 +127,30 @@ class CurationNewSpec extends SparkSpec {
     assert(out.columns.toSeq === Seq("l_returnflag", "measure", "value"))
   }
 
+  test("approxPercentiles tracks the exact percentiles within sketch error") {
+    val orders = Tables.orders(spark, sfDir)
+    val approx = Relational.approxPercentiles(orders, accuracy = 1000)
+      .select("o_orderpriority", "p50", "p90")
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val exact = orders.groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"))
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    exact.foreach { case (k, (e50, e90)) =>
+      val (a50, a90) = approx(k)
+      assert(math.abs(a50 - e50) / e50 < 0.05, s"$k p50: $a50 vs $e50")
+      assert(math.abs(a90 - e90) / e90 < 0.05, s"$k p90: $a90 vs $e90")
+    }
+  }
+
+  test("funnel stage joins broadcast the prior-stage user set (fact never shuffled for a join)") {
+    val p = plan(graft.operators.Events.funnelCounts(
+      Tables.events(spark, sfDir), Seq("signup", "click", "purchase"), 100000))
+    assert(p.contains("BroadcastHashJoin"), s"stage join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a funnel stage shuffled the fact for its join:\n$p")
+  }
+
   test("fullOuterDailyActivity keeps unmatched days from both sides") {
     val o = Seq(("2024-01-01", 1L), ("2024-01-02", 2L))
       .toDF("d", "k").select(to_timestamp($"d").as("o_orderdate"))

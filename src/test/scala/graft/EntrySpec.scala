@@ -23,7 +23,8 @@ class EntrySpec extends SparkSpec {
     // deterministic operator — including the minhash and simhash
     // sketches, whose hash pipelines the oracles reproduce in HUGEINT
     // arithmetic — is hash-verified.
-    assert(rowsOnly === Set("ann_lsh", "ann_ivf", "approx_distinct", "emb_kmeans"),
+    assert(rowsOnly === Set("ann_lsh", "ann_ivf", "approx_distinct",
+        "emb_kmeans", "approx_quantiles"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 }

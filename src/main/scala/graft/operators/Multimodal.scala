@@ -89,6 +89,36 @@ object Multimodal {
       .drop(payloadCol)
   }
 
+  /** Resize STUB: returns rows with updated dimension metadata and a
+    * deterministically re-derived payload whose size scales with the
+    * target area — the real op's contract (payload AND metadata must
+    * change together; a resize that edits only metadata corrupts the
+    * corpus). Per-partition batching mirrors extractFeatures: one
+    * scaler init per partition in production. */
+  def resize(ds: Dataset[MediaRow], width: Int, height: Int)(
+      implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    require(width > 0 && height > 0, s"bad target ${width}x$height")
+    ds.mapPartitions { rows =>
+      // production: scaler/codec context init here, once per partition
+      rows.map { r =>
+        val scale = math.min(1.0,
+          (width.toLong * height).toDouble / (r.meta.width.toLong * r.meta.height))
+        val n = math.max(1, (r.payload.length * scale).toInt)
+        val out = new Array[Byte](n)
+        var h = payloadHash(r.payload)
+        var i = 0
+        while (i < n) {
+          h = h * 6364136223846793005L + 1442695040888963407L
+          out(i) = (h >>> 56).toByte
+          i += 1
+        }
+        MediaRow(r.media_id, out,
+          r.meta.copy(width = width, height = height))
+      }
+    }
+  }
+
   /** Deterministic synthetic media table for tests/demos: payload
     * bytes derived from the id. */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {

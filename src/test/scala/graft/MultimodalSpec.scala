@@ -33,4 +33,19 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.groupBy("media_id").count()
       .select("count").as[Long].collect().forall(_ === 4L))
   }
+
+  test("resize updates metadata and payload together, deterministically") {
+    implicit val s = spark
+    val media = Multimodal.syntheticMedia(spark, 10)
+    val small = Multimodal.resize(media, 64, 48).collect().sortBy(_.media_id)
+    val again = Multimodal.resize(media, 64, 48).collect().sortBy(_.media_id)
+    val orig = media.collect().sortBy(_.media_id)
+    assert(small.forall(r => r.meta.width === 64 && r.meta.height === 48))
+    // downscale shrinks the payload and changes its bytes
+    small.zip(orig).foreach { case (r, o) =>
+      assert(r.payload.length < o.payload.length)
+      assert(!(r.payload.toSeq == o.payload.toSeq.take(r.payload.length)))
+    }
+    assert(small.map(_.payload.toSeq) === again.map(_.payload.toSeq))
+  }
 }

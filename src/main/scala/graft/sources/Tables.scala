@@ -64,4 +64,15 @@ object Tables {
     val w = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
+
+  /** Bucketed sink: pre-shuffles the table into `buckets` bucket files
+    * per key (sorted within each bucket) so every FUTURE join or
+    * aggregate on that key reads co-located, pre-sorted data and skips
+    * the shuffle entirely — at 100 TB, paying the shuffle once at
+    * write time instead of on every query is the difference between
+    * an interactive join and a cluster-wide exchange. Bucketing
+    * metadata lives in the catalog, hence saveAsTable. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
 }

@@ -50,6 +50,31 @@ class SourcesSpec extends SparkSpec {
     assert(Tables.events(spark, sfDir).schema("ts").dataType === TimestampType)
   }
 
+  test("bucketed tables join with NO shuffle (co-located scan)") {
+    val orders = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = Tables.customer(spark, sfDir).select("c_custkey", "c_mktsegment")
+    Tables.writeBucketed(orders, "b_orders", "o_custkey", 4)
+    Tables.writeBucketed(customer, "b_customer", "c_custkey", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"),
+          org.apache.spark.sql.functions.col("o_custkey") ===
+            org.apache.spark.sql.functions.col("c_custkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucketed join still shuffles:\n$p")
+      // and it returns exactly the plain-join row count
+      assert(joined.count() ===
+        orders.join(customer, orders("o_custkey") === customer("c_custkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
   test("GraftExtensions makes the native functions SQL-callable") {
     // a shared test JVM already holds a session, so register live
     // (the withExtensions path shares the same function list)

@@ -102,8 +102,10 @@ object Multimodal {
     ds.mapPartitions { rows =>
       // production: scaler/codec context init here, once per partition
       rows.map { r =>
-        val scale = math.min(1.0,
-          (width.toLong * height).toDouble / (r.meta.width.toLong * r.meta.height))
+        // unclamped: an upscale legitimately GROWS the payload — size
+        // and metadata must track together in both directions
+        val scale =
+          (width.toLong * height).toDouble / (r.meta.width.toLong * r.meta.height)
         val n = math.max(1, (r.payload.length * scale).toInt)
         val out = new Array[Byte](n)
         var h = payloadHash(r.payload)

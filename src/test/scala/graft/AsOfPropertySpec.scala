@@ -50,7 +50,7 @@ class AsOfPropertySpec extends SparkSpec {
         .select("event_id", "r_id").as[(Long, Option[Long])].collect().toSet
       val composed = Events.asOfJoin(lDf, rDf, "user_id", "ts", Seq("r_id"))
         .select("event_id", "r_id").as[(Long, Option[Long])].collect().toSet
-      val expected = model(left, right.map(r => (r._1, r._2, r._3)))
+      val expected = model(left, right)
 
       val ok = exec == expected && composed == expected
       if (!ok) {

@@ -53,10 +53,21 @@ class SourcesSpec extends SparkSpec {
   test("bucketed tables join with NO shuffle (co-located scan)") {
     val orders = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_totalprice")
     val customer = Tables.customer(spark, sfDir).select("c_custkey", "c_mktsegment")
-    Tables.writeBucketed(orders, "b_orders", "o_custkey", 4)
-    Tables.writeBucketed(customer, "b_customer", "c_custkey", 4)
+    // a previous aborted run can leave managed-table files without
+    // catalog entries; clear both so saveAsTable's CTAS path succeeds
+    def reset(t: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        loc.listFiles().foreach(_.delete()); loc.delete()
+      }
+    }
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
+      Seq("b_orders", "b_customer").foreach(reset)
+      Tables.writeBucketed(orders, "b_orders", "o_custkey", 4)
+      Tables.writeBucketed(customer, "b_customer", "c_custkey", 4)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val joined = spark.table("b_orders")
         .join(spark.table("b_customer"),

@@ -169,6 +169,25 @@ object SparkEntry {
     "q35_stats" -> ((s, dir) =>
       Relational.statsByReturnFlag(t(s, dir, "lineitem"))),
 
+    // the engine's SQL-text surface: temp views + spark.sql — the
+    // same Catalyst plan as the DataFrame form (broadcast dims, one
+    // fact shuffle), driven entirely from ANSI SQL
+    "q36_sql_surface" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("v_orders")
+      t(s, dir, "customer").createOrReplaceTempView("v_customer")
+      t(s, dir, "nation").createOrReplaceTempView("v_nation")
+      s.sql("""
+        SELECT n.n_name AS nation,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS revenue
+        FROM v_orders o
+        JOIN v_customer c ON o.o_custkey = c.c_custkey
+        JOIN v_nation n ON c.c_nationkey = n.n_nationkey
+        WHERE year(o.o_orderdate) = 1997
+        GROUP BY n.n_name
+      """)
+    }),
+
     // fixed-size quantile sketch per group (the O(accuracy)-memory
     // twin of exact q21; rows-gated, accuracy spec-tested vs exact)
     "approx_quantiles" -> ((s, dir) =>
@@ -775,6 +794,16 @@ object SparkEntry {
                 COALESCE(n_orders, 0) AS n_orders,
                 COALESCE(n_ships, 0) AS n_ships
          FROM o FULL OUTER JOIN l ON o.day = l.day""",
+
+    "q36_sql_surface" ->
+      """SELECT n.n_name AS nation,
+                count(*) AS n_orders,
+                round(sum(o.o_totalprice), 2) AS revenue
+         FROM orders o
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE year(CAST(o.o_orderdate AS TIMESTAMP)) = 1997
+         GROUP BY n.n_name""",
 
     "q35_stats" ->
       """SELECT l_returnflag,

@@ -122,6 +122,32 @@ class AsOfExecSpec extends SparkSpec {
     }
   }
 
+  test("hot-key partitions stay correct (one key holds most rows)") {
+    // skew correctness: 2000 left rows on one key + sparse other keys;
+    // the merge must carry the right candidate forward through the
+    // long run without drift
+    val left = ((1 to 2000).map(i => (i.toLong, 7L, ts("2024-01-01 00:00:00").getTime + i * 1000L)) ++
+      Seq((9001L, 8L, ts("2024-01-01 00:30:00").getTime)))
+      .map { case (id, k, ms) => (id, k, new java.sql.Timestamp(ms)) }
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (7L, ts("2024-01-01 00:10:00"), 1L), // covers left rows past 10:00
+      (7L, ts("2024-01-01 00:20:00"), 2L),
+      (8L, ts("2024-01-01 00:00:00"), 3L))
+      .toDF("user_id", "ts", "r_id")
+    val exec = AsOf.join(left, right, "user_id", "ts", Seq("r_id"))
+    val composed = Events.asOfJoin(left, right, "user_id", "ts", Seq("r_id"))
+    assert(exec.count() === 2001)
+    assert(sorted(exec.select("event_id", "r_id")) ===
+      sorted(composed.select("event_id", "r_id")))
+    // spot-check the regime boundaries
+    val m = exec.select("event_id", "r_id").as[(Long, Option[Long])].collect().toMap
+    assert(m(100L) === None)          // before first right row
+    assert(m(601L) === Some(1L))      // 00:10:01
+    assert(m(1201L) === Some(2L))     // 00:20:01
+    assert(m(9001L) === Some(3L))
+  }
+
   test("exactly one exchange+sort per side (no extra shuffle)") {
     val left = Seq((1L, 1L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
     val right = Seq((1L, ts("2024-01-01 09:00:00"), 9L)).toDF("user_id", "ts", "r_id")

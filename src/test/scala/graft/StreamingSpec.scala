@@ -168,6 +168,33 @@ class StreamingSpec extends SparkSpec {
       s"streamed sessions disagree with batch: ${streamed.diff(batched).take(3)}")
   }
 
+  test("stream-static join enriches the stream from a broadcast dim") {
+    // production shape: a live stream joined to a slowly-changing
+    // static snapshot (no watermark needed — the static side is fixed
+    // per micro-batch and broadcast, never shuffled as state)
+    val batch = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val dim = batch.select("user_id").distinct()
+      .withColumn("segment",
+        when(col("user_id") % 2 === 0, "even").otherwise("odd"))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    mem.addData(batch.as[EventStreams.Event].collect().toIndexedSeq)
+    val q = mem.toDF().join(broadcast(dim), "user_id")
+      .groupBy("segment").agg(count("*").as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ssd_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val streamed = spark.table("ssd_out")
+      .as[(String, Long)].collect().toMap
+    val batched = batch.join(dim, "user_id").groupBy("segment")
+      .agg(count("*").as("n")).as[(String, Long)].collect().toMap
+    assert(streamed === batched)
+    assert(streamed.values.sum === batch.count())
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val batch = Tables.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value")

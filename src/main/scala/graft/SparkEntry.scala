@@ -169,6 +169,50 @@ object SparkEntry {
     "q35_stats" -> ((s, dir) =>
       Relational.statsByReturnFlag(t(s, dir, "lineitem"))),
 
+    // the reference's core transform, oracle-gated end-to-end:
+    // synthesize a DBLP-shaped XML element per order row, parse it
+    // with the pure-Column XmlPublication parser, and emit flat
+    // fields — the oracle derives every expected value DIRECTLY from
+    // the base columns, so any parser defect (including author
+    // ordinal misalignment when pid/orcid is absent) hash-mismatches
+    "xml_roundtrip" -> ((s, dir) => {
+      import graft.functions.XmlPublication
+      val k = col("o_orderkey").cast("string")
+      val xml = concat(
+        lit("<article key=\"conf/spark/o"), k,
+        lit("\" mdate=\""), date_format(col("o_orderdate"), "yyyy-MM-dd"), lit("\">"),
+        lit("<author pid=\"p/P"), col("o_custkey").cast("string"),
+        lit("\">Alice "), col("o_custkey").cast("string"), lit("</author>"),
+        // second author has orcid but NO pid: its pid ordinal must be
+        // an explicit null at position 2, never a shift
+        lit("<author orcid=\"0000-"), (col("o_orderkey") % 1000).cast("string"),
+        lit("\">Bob "), (col("o_orderkey") % 97).cast("string"), lit("</author>"),
+        lit("<title>Order "), k, lit("</title>"),
+        lit("<year>"), year(col("o_orderdate")).cast("string"), lit("</year>"),
+        lit("<journal>J "), col("o_orderpriority"), lit("</journal>"),
+        lit("<pages>1-"), ((col("o_orderkey") % 50) + 1).cast("string"), lit("</pages>"),
+        lit("<ee>http://x/"), k, lit("</ee><ee>http://y/"), k, lit("</ee>"),
+        lit("</article>"))
+      t(s, dir, "orders").select(XmlPublication.parse(xml).as("p"))
+        .select(
+          col("p.paper_key").as("paper_key"),
+          col("p.title").as("title"),
+          col("p.year").as("year"),
+          col("p.publication_type").as("publication_type"),
+          col("p.category").as("category"),
+          col("p.publisher").as("publisher"),
+          col("p.authors_pids")(1).as("pid_1"),
+          col("p.authors_pids")(2).as("pid_2"),
+          col("p.authors_orcids")(1).as("orcid_1"),
+          col("p.authors_orcids")(2).as("orcid_2"),
+          col("p.authors_names")(1).as("name_1"),
+          col("p.authors_names")(2).as("name_2"),
+          col("p.position.pages").as("pages"),
+          size(col("p.ee")).as("n_ee"),
+          col("p.ee")(0).as("ee_1"),
+          col("p.mdate").as("mdate"))
+    }),
+
     // the engine's SQL-text surface: temp views + spark.sql — the
     // same Catalyst plan as the DataFrame form (broadcast dims, one
     // fact shuffle), driven entirely from ANSI SQL
@@ -794,6 +838,27 @@ object SparkEntry {
                 COALESCE(n_orders, 0) AS n_orders,
                 COALESCE(n_ships, 0) AS n_ships
          FROM o FULL OUTER JOIN l ON o.day = l.day""",
+
+    // expected values derived straight from the base columns — the
+    // parser must reconstruct exactly these from the synthesized XML
+    "xml_roundtrip" ->
+      """SELECT 'conf/spark/o' || CAST(o_orderkey AS VARCHAR) AS paper_key,
+                'Order ' || CAST(o_orderkey AS VARCHAR) AS title,
+                CAST(year(o_orderdate) AS INTEGER) AS year,
+                'article' AS publication_type,
+                'con' AS category,
+                'J ' || o_orderpriority AS publisher,
+                'p/P' || CAST(o_custkey AS VARCHAR) AS pid_1,
+                CAST(NULL AS VARCHAR) AS pid_2,
+                CAST(NULL AS VARCHAR) AS orcid_1,
+                '0000-' || CAST(o_orderkey % 1000 AS VARCHAR) AS orcid_2,
+                'Alice ' || CAST(o_custkey AS VARCHAR) AS name_1,
+                'Bob ' || CAST(o_orderkey % 97 AS VARCHAR) AS name_2,
+                '1-' || CAST(o_orderkey % 50 + 1 AS VARCHAR) AS pages,
+                CAST(2 AS INTEGER) AS n_ee,
+                'http://x/' || CAST(o_orderkey AS VARCHAR) AS ee_1,
+                CAST(o_orderdate AS DATE) AS mdate
+         FROM orders""",
 
     "q36_sql_surface" ->
       """SELECT n.n_name AS nation,

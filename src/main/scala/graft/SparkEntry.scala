@@ -372,6 +372,24 @@ object SparkEntry {
       Curation.tfidfTopTerms(d, "doc_id", Text.tokens(col("text")), k = 3)
     }),
 
+    // CMS heavy hitters: top-20 tokens by Count-Min estimate (native
+    // CmsAgg/CmsEstimate), candidates from a 20% hash-sample.
+    // Rows-gated: sketch internals are engine-specific; never-under-
+    // count + bounded-overcount vs exact are spec-tested
+    "approx_topk" -> ((s, dir) =>
+      Curation.approxTopTokens(t(s, dir, "documents"),
+        Text.tokens(col("text")), col("text"),
+        depth = 4, width = 2048, sampleBuckets = 10, takeBuckets = 2, k = 20)),
+
+    // content-addressed manifest over an opaque binary payload column
+    // (payload = the docs' UTF-8 bytes here; any media bytes in
+    // production) — the upload-once/reference-everywhere dedup shape
+    "mm_manifest" -> ((s, dir) =>
+      graft.operators.Multimodal.contentManifest(
+        t(s, dir, "documents")
+          .withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload")),
+
     // 128-token chunks every 64 tokens (retrieval/embedding prep)
     "text_chunk" -> ((s, dir) =>
       Curation.chunkTokens(t(s, dir, "documents"), "doc_id",
@@ -475,6 +493,50 @@ object SparkEntry {
       Relational.movingAvg(Tables.events(s, dir), "user_id", "ts", "value", 3600L)
         .select(col("user_id"), col("ts"), col("value"),
           round(col("moving_avg"), 4).as("moving_avg"))),
+
+    // SCD2 history: every order is a version of its customer's state;
+    // validity intervals from one window pass (lead + row_number over
+    // the same sort)
+    "q37_scd2" -> ((s, dir) =>
+      Pipeline.scd2Intervals(t(s, dir, "orders"),
+          Seq("o_custkey"), Seq(col("o_orderdate"), col("o_orderkey")))
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("valid_from").cast("date").as("valid_from"),
+          // open intervals close at the SCD2 sentinel high-date (also
+          // sidesteps None-vs-NaT null-date compare ambiguity)
+          coalesce(col("valid_to").cast("date"), to_date(lit("9999-12-31")))
+            .as("valid_to"),
+          col("version_n"), col("is_current"))),
+
+    // CDC triad completed: added / removed / changed / unchanged
+    // between the latest pre-1998 and latest post-1998 order state per
+    // customer; payloads diff via md5 fingerprint so the full-outer
+    // shuffle carries (key, hash) only
+    "q38_snapshot_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val fp = (df: DataFrame) =>
+        md5(concat_ws("|", df("o_orderpriority"), df("o_orderstatus")))
+      val ver = Seq(col("o_orderdate"), col("o_orderkey"))
+      Pipeline.snapshotDiff(
+        Pipeline.latestPerKey(
+          o.filter(col("o_orderdate") < to_timestamp(lit("1998-01-01"))),
+          Seq("o_custkey"), ver),
+        Pipeline.latestPerKey(
+          o.filter(col("o_orderdate") >= to_timestamp(lit("1998-01-01"))),
+          Seq("o_custkey"), ver),
+        "o_custkey", fp)
+    }),
+
+    // gap-fill resample: hourly grid per user, forward-filled last
+    // value + per-step observation count; grid generated in-row,
+    // events collapsed to buckets before any shuffle
+    "q39_resample" -> ((s, dir) =>
+      Events.resampleGrid(Tables.events(s, dir), "user_id", "ts", "value", 3600L)),
+
+    // growth accounting: first-seen day per user → daily new users →
+    // running total; the cumulative window sees day rows only
+    "q40_running_distinct" -> ((s, dir) =>
+      Events.runningDistinct(Tables.events(s, dir), "user_id", "ts")),
 
     // HLL-sketch distinct users per event type: the 100 TB shape for
     // cardinality (fixed-size sketch, mergeable map-side — exact
@@ -1340,6 +1402,79 @@ object SparkEntry {
                 pu.purchase_value,
                 pu.ts AS purchase_ts
          FROM c ASOF LEFT JOIN pu
-           ON c.user_id = pu.user_id AND c.ts >= pu.ts"""
+           ON c.user_id = pu.user_id AND c.ts >= pu.ts""",
+
+    "q37_scd2" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(o_orderdate AS DATE) AS valid_from,
+                coalesce(CAST(lead(o_orderdate) OVER w AS DATE),
+                         DATE '9999-12-31') AS valid_to,
+                CAST(row_number() OVER w AS INTEGER) AS version_n,
+                (lead(o_orderdate) OVER w IS NULL) AS is_current
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+
+    "q38_snapshot_diff" ->
+      """WITH pre AS (
+           SELECT o_custkey, f FROM (
+             SELECT o_custkey,
+                    md5(concat_ws('|', o_orderpriority, o_orderstatus)) AS f,
+                    row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01')
+           WHERE rn = 1),
+         post AS (
+           SELECT o_custkey, f FROM (
+             SELECT o_custkey,
+                    md5(concat_ws('|', o_orderpriority, o_orderstatus)) AS f,
+                    row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+           WHERE rn = 1)
+         SELECT coalesce(pre.o_custkey, post.o_custkey) AS o_custkey,
+                CASE WHEN pre.o_custkey IS NULL THEN 'added'
+                     WHEN post.o_custkey IS NULL THEN 'removed'
+                     WHEN pre.f <> post.f THEN 'changed'
+                     ELSE 'unchanged' END AS change_type
+         FROM pre FULL OUTER JOIN post ON pre.o_custkey = post.o_custkey""",
+
+    "q39_resample" ->
+      """WITH obs AS (
+           SELECT user_id,
+                  (epoch_us(CAST(ts AS TIMESTAMP)) + 3599999999) // 3600000000 AS b,
+                  CAST(ts AS TIMESTAMP) AS ts, event_id, value
+           FROM events),
+         per_bucket AS (
+           SELECT user_id, b, n_obs, value AS v FROM (
+             SELECT user_id, b, value,
+                    row_number() OVER (PARTITION BY user_id, b
+                      ORDER BY ts DESC, event_id DESC) AS rn,
+                    count(*) OVER (PARTITION BY user_id, b) AS n_obs
+             FROM obs) WHERE rn = 1),
+         grid AS (
+           SELECT user_id, unnest(range(bmin, bmax + 1)) AS b
+           FROM (SELECT user_id, min(b) AS bmin, max(b) AS bmax FROM obs GROUP BY 1)),
+         joined AS (
+           SELECT g.user_id, g.b, p.v, coalesce(p.n_obs, CAST(0 AS BIGINT)) AS n_obs
+           FROM grid g LEFT JOIN per_bucket p ON g.user_id = p.user_id AND g.b = p.b)
+         SELECT user_id, b * 3600 AS grid_epoch_s, n_obs,
+                last_value(v IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY b
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+         FROM joined""",
+
+    "mm_manifest" ->
+      """SELECT sha256(text) AS digest, count(*) AS n_refs,
+                min(doc_id) AS rep_id, CAST(min(strlen(text)) AS BIGINT) AS n_bytes
+         FROM documents GROUP BY 1""",
+
+    "q40_running_distinct" ->
+      """WITH fs AS (SELECT user_id, CAST(min(CAST(ts AS TIMESTAMP)) AS DATE) AS day
+                     FROM events GROUP BY 1),
+              daily AS (SELECT day, count(*) AS new_users FROM fs GROUP BY 1)
+         SELECT day, new_users,
+                CAST(sum(new_users) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+         FROM daily"""
   )
 }

@@ -152,6 +152,115 @@ case class SimHashAgg(child: Expression,
     copy(child = newChildren.head)
 }
 
+/** Shared Count-Min row hashing: murmur-style finalizer over
+  * (h ^ row-constant), folded to a non-negative slot. The aggregate
+  * and the probe expression MUST agree on this mapping. */
+private[expr] object CmsHash {
+  @inline def slot(h: Long, row: Int, width: Int): Int = {
+    var x = h ^ (row.toLong * -7046029254386353131L + 1442695040888963407L)
+    x ^= x >>> 33; x *= -49064778989728563L
+    x ^= x >>> 33; x *= -4265267296055464877L
+    x ^= x >>> 33
+    ((x & Long.MaxValue) % width).toInt
+  }
+}
+
+/** Count-Min sketch aggregate: `depth` hash rows × `width` counters,
+  * one increment per row per input. Fixed-size (depth×width longs)
+  * and merge-by-vector-add, so partial aggregation applies map-side
+  * and the shuffle moves one sketch per partition instead of one row
+  * per item — the 100 TB shape for frequency estimation, completing
+  * the sketch family (HLL cardinality / KLL-style quantiles / CMS
+  * frequency). Estimates are deterministic regardless of merge order
+  * (counter addition commutes). Input: LongType item hashes. Output:
+  * array<long> of depth×width counters, probed by [[CmsEstimate]].
+  */
+case class CmsAgg(child: Expression, depth: Int, width: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cms_agg"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var r = 0
+      while (r < depth) {
+        buf(r * width + CmsHash.slot(h, r, width)) += 1L
+        r += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    val n = depth * width
+    while (i < n) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(depth * width)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** Point estimate from a [[CmsAgg]] sketch: min over the depth rows of
+  * the item's counter — the classic CMS upper-bound estimate (never
+  * under-counts; over-counts by ≤ εN with prob 1−δ for width=e/ε,
+  * depth=ln(1/δ)). Evaluated per candidate row against a broadcast
+  * 1-row sketch; off the hot path (candidates ≪ corpus), so
+  * CodegenFallback is fine here.
+  */
+case class CmsEstimate(left: Expression, right: Expression, depth: Int, width: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_estimate"
+
+  override protected def nullSafeEval(sketch: Any, item: Any): Any = {
+    val arr = sketch.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val h = item.asInstanceOf[Long]
+    var est = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      val c = arr.getLong(r * width + CmsHash.slot(h, r, width))
+      if (c < est) est = c
+      r += 1
+    }
+    est
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object SketchAggregates {
   /** Aggregate Column: minhash signature of a long hash column. */
   def minhash_agg(hashes: Column, perms: Int): Column =
@@ -162,4 +271,16 @@ object SketchAggregates {
   def simhash_agg(hashes: Column): Column =
     ColumnBridge.toColumn(
       SimHashAgg(ColumnBridge.toExpr(hashes)).toAggregateExpression())
+
+  /** Aggregate Column: Count-Min sketch (depth×width flat counters)
+    * of a long hash column. */
+  def cms_agg(hashes: Column, depth: Int, width: Int): Column =
+    ColumnBridge.toColumn(
+      CmsAgg(ColumnBridge.toExpr(hashes), depth, width).toAggregateExpression())
+
+  /** Scalar Column: CMS point estimate for an item hash. `depth` and
+    * `width` must match the sketch's. */
+  def cms_estimate(sketch: Column, itemHash: Column, depth: Int, width: Int): Column =
+    ColumnBridge.toColumn(
+      CmsEstimate(ColumnBridge.toExpr(sketch), ColumnBridge.toExpr(itemHash), depth, width))
 }

@@ -30,6 +30,43 @@ object Curation {
     df.withColumn("bucket", hashBucket(content, buckets))
       .filter(col("bucket") < takeBuckets)
 
+  /** Approximate heavy hitters (top-k most frequent tokens) via a
+    * Count-Min sketch + a candidate probe set — the 100 TB shape for
+    * frequency ranking. Exact top-k needs a full (token, count)
+    * shuffle; here the corpus collapses map-side into fixed-size
+    * (depth×width) CMS partials, so the only full-corpus shuffle
+    * moves one 64 KB-ish sketch per partition. Candidates come from a
+    * deterministic hash-sample of documents (a true heavy hitter
+    * appears in any constant-fraction sample w.h.p.); each candidate
+    * is probed against the broadcast 1-row sketch with the native
+    * [[graft.functions.expr.CmsEstimate]] expression. Estimates never
+    * under-count and over-count by ≤ εN w.h.p. — and are
+    * deterministic across runs and merge orders (counter addition
+    * commutes; no rand() anywhere).
+    *
+    * Output: top `k` (token, est_count) by estimate, tokens as
+    * tiebreak.
+    */
+  def approxTopTokens(docs: DataFrame, tokens: Column, sampleOn: Column,
+      depth: Int, width: Int, sampleBuckets: Int, takeBuckets: Int,
+      k: Int): DataFrame = {
+    import graft.functions.expr.SketchAggregates.{cms_agg, cms_estimate}
+    val toks = docs.select(explode(tokens).as("token"))
+      .filter(col("token") =!= "")
+    val sketch = toks.agg(
+      cms_agg(xxhash64(col("token")), depth, width).as("__sk"))
+    val cands = hashSplit(docs, sampleOn, sampleBuckets, takeBuckets)
+      .select(explode(tokens).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+    cands.crossJoin(broadcast(sketch))
+      .select(col("token"),
+        cms_estimate(col("__sk"), xxhash64(col("token")), depth, width)
+          .as("est_count"))
+      .orderBy(col("est_count").desc, col("token"))
+      .limit(k)
+  }
+
   /** Overlapping token-window chunks (the retrieval/embedding-prep
     * split): windows of `chunkLen` tokens every `stride` tokens. The
     * last window start is rounded UP to the next stride step past

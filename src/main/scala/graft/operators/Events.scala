@@ -153,6 +153,73 @@ object Events {
     }.reduce(_ crossJoin _)
   }
 
+  /** Time-grid resample with forward fill: per key, a regular grid of
+    * `stepSeconds` points spanning the key's observed range, each
+    * point carrying the latest event value at-or-before it plus the
+    * count of events in its step. The standard gap-filling /
+    * downsampling primitive for uneven event series.
+    *
+    * Shape at scale: one aggregate collapses events to (key, bucket)
+    * rows — map-side combine, so the shuffle moves at most one row
+    * per occupied bucket, never the raw events; the grid is generated
+    * in-row (`sequence` explode) from a per-key min/max, so grid size
+    * is ∝ keys × horizon/step and independent of event count; the
+    * forward fill is one window over the same key partitioning. No
+    * driver state, keys fill independently (AQE-splittable).
+    *
+    * Bucket arithmetic is integer µs (`unix_micros`), mirrored by the
+    * oracle: an event exactly on a grid boundary belongs to that grid
+    * point (ts <= grid ts ⇒ bucket = ceil(us/step_us)).
+    */
+  def resampleGrid(events: DataFrame, key: String, ts: String, value: String,
+      stepSeconds: Long): DataFrame = {
+    val stepUs = stepSeconds * 1000000L
+    // integer ceil-division: (us + step-1) with the long kept exact in
+    // a decimal, then floor-div — double division would be fine at
+    // 2024 epochs but decimal is unconditionally exact
+    val bucket = floor((unix_micros(col(ts)) + lit(stepUs - 1))
+      .cast("decimal(28,0)") / lit(stepUs)).cast("long")
+    val perBucket = events
+      .groupBy(col(key), bucket.as("__b"))
+      .agg(
+        count("*").as("__n"),
+        // lexicographic max on (ts, event_id) = latest event, tiebreak
+        // by id — one aggregate instead of a row_number window
+        max(struct(col(ts), col("event_id"), col(value))).as("__last"))
+      .select(col(key), col("__b"), col("__n"), col("__last").getField(value).as("__v"))
+    val grid = perBucket
+      .groupBy(col(key))
+      .agg(min(col("__b")).as("__bmin"), max(col("__b")).as("__bmax"))
+      .select(col(key), explode(sequence(col("__bmin"), col("__bmax"))).as("__b"))
+    val fill = Window.partitionBy(col(key)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(perBucket, Seq(key, "__b"), "left")
+      .select(
+        col(key),
+        (col("__b") * stepSeconds).as("grid_epoch_s"),
+        coalesce(col("__n"), lit(0L)).as("n_obs"),
+        last(col("__v"), ignoreNulls = true).over(fill).as("value"))
+  }
+
+  /** Growth accounting: per day, first-time users and the running
+    * distinct-user total. Exact running distinct is a classic trap —
+    * the naive per-day `COUNT(DISTINCT)` over a growing range rescans
+    * the prefix per day; instead each user collapses to a first-seen
+    * day (one agg, map-side combine), days aggregate to new-user
+    * counts, and the cumulative sum is a window over day-granularity
+    * rows only. The unpartitioned window is safe BECAUSE it runs
+    * after both aggregations: its input is ≤ horizon-days rows no
+    * matter how many events or users feed it.
+    */
+  def runningDistinct(events: DataFrame, userCol: String, tsCol: String): DataFrame =
+    events.groupBy(col(userCol))
+      .agg(to_date(min(col(tsCol))).as("day"))
+      .groupBy(col("day"))
+      .agg(count("*").as("new_users"))
+      .withColumn("cum_users",
+        sum(col("new_users")).over(
+          Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)))
+
   /** Semi-structured JSON prop extraction + aggregate. get_json_object
     * is codegen'd; for a fixed schema, from_json + a struct column
     * would let Catalyst prune fields — used when more than one key is

@@ -31,6 +31,23 @@ object Multimodal {
     df.withColumn("n_bytes", length(col(payloadCol)).cast("long"))
       .withColumn("checksum", xxhash64(col(payloadCol)))
 
+  /** Content-addressed store manifest: group identical payloads by
+    * cryptographic digest → (digest, ref count, representative id,
+    * size). The dedup-by-content primitive a large media corpus
+    * stores payloads under (upload once per digest, reference
+    * everywhere). One groupBy on the digest — partial agg map-side;
+    * the shuffle carries (digest, id, length), never payload bytes,
+    * because every agg input is computed from the payload BEFORE the
+    * exchange. sha2-256: collision-addressable at exabyte scale,
+    * unlike the 64-bit checksum in [[withPayloadStats]].
+    */
+  def contentManifest(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.groupBy(sha2(col(payloadCol), 256).as("digest"))
+      .agg(
+        count("*").as("n_refs"),
+        min(col(idCol)).as("rep_id"),
+        min(length(col(payloadCol))).cast("long").as("n_bytes"))
+
   // ------------------------------------------------------------------
   // STUB: the decode kernel. In production this calls the native
   // codec (libjpeg/ffmpeg/...) per batch inside mapPartitions (one

@@ -111,6 +111,60 @@ object Pipeline {
       .orderBy(col("n").desc, col("token"))
       .limit(topN)
 
+  /** Latest version per key of a single table — [[upsertLatest]] with
+    * no delta batch (snapshot compaction). */
+  def latestPerKey(df: DataFrame, keys: Seq[String], version: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(version.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** SCD2 history build — the natural extension of the reference's
+    * keep-latest merge (main_dag.py:242-262): instead of discarding
+    * superseded versions, every version row gets a validity interval.
+    * `valid_from` = the version's own ordering value, `valid_to` = the
+    * next version's (null while current), plus `version_n` and
+    * `is_current`. One shuffle (on the key) feeds both window
+    * functions — `lead` and `row_number` share the same
+    * partition+ordering so Catalyst plans a single Window node over a
+    * single sort. At 100 TB the history table is append-heavy but the
+    * rebuild is still a single co-partitioned pass; keys are
+    * independent so AQE skew-split applies cleanly.
+    *
+    * `version` must be a total order within a key (pass a tiebreak
+    * column, same contract as [[upsertLatest]]).
+    */
+  def scd2Intervals(df: DataFrame, keys: Seq[String], version: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(version.map(_.asc): _*)
+    df.withColumn("valid_from", version.head)
+      .withColumn("valid_to", lead(version.head, 1).over(w))
+      .withColumn("version_n", row_number().over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** Full snapshot diff — the reference's merge classifies rows as
+    * new / deleted (main_dag.py:242-262); this completes the CDC
+    * triad with `changed` vs `unchanged` detection. Full-outer join
+    * on the key; each side carries only (key, fingerprint) into the
+    * shuffle — at 100 TB the diff moves two key+hash columns, never
+    * the payload. Callers compare payloads via the `fingerprint`
+    * expression (e.g. `md5(concat_ws(...))`) so arbitrarily wide rows
+    * diff at fixed shuffle width.
+    */
+  def snapshotDiff(base: DataFrame, delta: DataFrame, key: String,
+      fingerprint: DataFrame => Column): DataFrame = {
+    val b = base.select(col(key).as("__bk"), fingerprint(base).as("__bf"))
+    val d = delta.select(col(key).as("__dk"), fingerprint(delta).as("__df"))
+    b.join(d, col("__bk") === col("__dk"), "full_outer")
+      .select(
+        coalesce(col("__bk"), col("__dk")).as(key),
+        when(col("__bk").isNull, "added")
+          .when(col("__dk").isNull, "removed")
+          .when(col("__bf") =!= col("__df"), "changed")
+          .otherwise("unchanged").as("change_type"))
+  }
+
   /** Per-group sorted member roster — the reference's update-log
     * projection builds per-publication author structs
     * (main_dag.py:433-478). Aggregates each group's distinct members

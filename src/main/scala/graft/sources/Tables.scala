@@ -56,6 +56,11 @@ object Tables {
   def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC reader — ORC is self-describing like parquet; the explicit
+    * schema still prunes columns at scan and catches drift early. */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** Idempotent partitioned parquet sink — replaces the reference's
     * row-wise Cassandra loop (main_dag.py:313-396). `overwrite` +
     * partitionBy gives restartable, parallel loads; with

@@ -16,15 +16,16 @@ class EntrySpec extends SparkSpec {
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
     // the only rows-gated queries are the genuinely approximate /
     // engine-specific ones: LSH/IVF ANN variants (recall-tested
-    // against ann_topk in SimilaritySpec), the HLL cardinality
-    // sketch (estimates are engine-specific; accuracy-tested vs exact
-    // in EventsSpec), and k-means (float-summation-order-dependent
-    // centroids; separation/determinism/inertia spec-tested). Every
-    // deterministic operator — including the minhash and simhash
-    // sketches, whose hash pipelines the oracles reproduce in HUGEINT
-    // arithmetic — is hash-verified.
+    // against ann_topk in SimilaritySpec), the HLL cardinality,
+    // KLL-style quantile, and Count-Min frequency sketches (estimates
+    // are engine-specific; accuracy-tested vs exact in EventsSpec /
+    // RelationalSpec / SketchSpec), and k-means (float-summation-
+    // order-dependent centroids; separation/determinism/inertia
+    // spec-tested). Every deterministic operator — including the
+    // minhash and simhash sketches, whose hash pipelines the oracles
+    // reproduce in HUGEINT arithmetic — is hash-verified.
     assert(rowsOnly === Set("ann_lsh", "ann_ivf", "approx_distinct",
-        "emb_kmeans", "approx_quantiles"),
+        "emb_kmeans", "approx_quantiles", "approx_topk"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 }

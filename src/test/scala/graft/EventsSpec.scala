@@ -78,4 +78,41 @@ class EventsSpec extends SparkSpec {
       ("2024-01-01 10:00:00", 2L, 4.0),
       ("2024-01-01 11:00:00", 1L, 4.0)))
   }
+
+  test("resampleGrid fills gaps, carries forward, boundary event owns its grid point") {
+    val ev = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00"), 1.0), // exact boundary -> 10:00 point
+      (2L, 7L, ts("2024-01-01 10:30:00"), 2.0),
+      (3L, 7L, ts("2024-01-01 10:45:00"), 3.0), // latest in 11:00 bucket
+      (4L, 7L, ts("2024-01-01 13:10:00"), 4.0), // after a 2-bucket gap
+      (10L, 8L, ts("2024-01-01 09:15:00"), 5.0),
+      (11L, 8L, ts("2024-01-01 09:15:00"), 6.0)) // same ts: higher id wins
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = Events.resampleGrid(ev, "user_id", "ts", "value", 3600L)
+      .orderBy("user_id", "grid_epoch_s")
+      .as[(Long, Long, Long, Double)].collect()
+    def ep(s: String) = ts(s).getTime / 1000
+    assert(out === Array(
+      (7L, ep("2024-01-01 10:00:00"), 1L, 1.0),
+      (7L, ep("2024-01-01 11:00:00"), 2L, 3.0),
+      (7L, ep("2024-01-01 12:00:00"), 0L, 3.0),
+      (7L, ep("2024-01-01 13:00:00"), 0L, 3.0),
+      (7L, ep("2024-01-01 14:00:00"), 1L, 4.0),
+      (8L, ep("2024-01-01 10:00:00"), 2L, 6.0)))
+  }
+
+  test("runningDistinct counts first-seen users per day with a running total") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-02 10:00:00")),
+      (2L, ts("2024-01-01 23:59:59")),
+      (3L, ts("2024-01-03 00:00:00")))
+      .toDF("user_id", "ts")
+    val out = Events.runningDistinct(ev, "user_id", "ts")
+      .orderBy("day")
+      .select(col("day").cast("string"), col("new_users"), col("cum_users"))
+      .as[(String, Long, Long)].collect()
+    assert(out === Array(
+      ("2024-01-01", 2L, 2L),
+      ("2024-01-03", 1L, 3L)))
+  }
 }

@@ -48,4 +48,21 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(small.map(_.payload.toSeq) === again.map(_.payload.toSeq))
   }
+
+  test("contentManifest groups identical payloads under one digest") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa"))
+      .toDF("media_id", "s")
+      .withColumn("payload", org.apache.spark.sql.functions.encode(
+        org.apache.spark.sql.functions.col("s"), "UTF-8"))
+    val m = Multimodal.contentManifest(df, "media_id", "payload")
+      .orderBy("rep_id")
+      .as[(String, Long, Long, Long)].collect()
+    assert(m.length === 2)
+    assert(m(0) === ((m(0)._1, 3L, 1L, 3L))) // aaa: 3 refs, rep=min id
+    assert(m(1) === ((m(1)._1, 1L, 2L, 3L)))
+    assert(m.forall(_._1.length === 64)) // sha-256 hex
+    assert(m(0)._1 !== m(1)._1)
+  }
 }

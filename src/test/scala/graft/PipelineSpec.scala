@@ -66,4 +66,27 @@ class PipelineSpec extends SparkSpec {
     val r = Pipeline.volumeMetrics(df, col("is_new"), "k").collect().head
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 2L, 2L)))
   }
+
+  test("scd2Intervals tiles each key: valid_to(n) == valid_from(n+1), one current row") {
+    val df = Seq((1L, 10, "a"), (1L, 20, "b"), (1L, 30, "c"), (2L, 5, "x"))
+      .toDF("k", "v", "tag")
+    val out = Pipeline.scd2Intervals(df, Seq("k"), Seq(col("v"), col("tag")))
+      .orderBy("k", "version_n")
+      .select("k", "version_n", "valid_from", "valid_to", "is_current")
+      .as[(Long, Int, Int, Option[Int], Boolean)].collect()
+    assert(out === Array(
+      (1L, 1, 10, Some(20), false),
+      (1L, 2, 20, Some(30), false),
+      (1L, 3, 30, None, true),
+      (2L, 1, 5, None, true)))
+  }
+
+  test("snapshotDiff classifies added / removed / changed / unchanged") {
+    val base = Seq((1L, "p1"), (2L, "p2"), (3L, "p3")).toDF("k", "payload")
+    val delta = Seq((2L, "p2"), (3L, "CHANGED"), (4L, "p4")).toDF("k", "payload")
+    val out = Pipeline.snapshotDiff(base, delta, "k", df => md5(df("payload")))
+      .orderBy("k").as[(Long, String)].collect()
+    assert(out === Array((1L, "removed"), (2L, "unchanged"),
+      (3L, "changed"), (4L, "added")))
+  }
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.functions.expr.SketchAggregates.{cms_agg, cms_estimate}
+import graft.operators.Curation
+
+/** Count-Min sketch properties against exact counts on real corpus
+  * data (sf0.001 documents). */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val depth = 4
+  private val width = 2048
+
+  private lazy val toks = graft.sources.Tables.documents(spark, sfDir)
+    .select(explode(Text.tokens(col("text"))).as("token"))
+    .filter(col("token") =!= "")
+
+  test("CMS never under-counts and over-counts within the epsilon bound") {
+    val n = toks.count()
+    val sketch = toks.agg(cms_agg(xxhash64(col("token")), depth, width).as("sk"))
+    val est = toks.groupBy("token").agg(count("*").as("exact"))
+      .crossJoin(broadcast(sketch))
+      .select(col("token"), col("exact"),
+        cms_estimate(col("sk"), xxhash64(col("token")), depth, width).as("est"))
+      .as[(String, Long, Long)].collect()
+    assert(est.nonEmpty)
+    est.foreach { case (t, exact, e) =>
+      assert(e >= exact, s"CMS under-counted '$t': $e < $exact")
+      // classic bound: overcount <= 2N/width w.p. >= 1-2^-depth per
+      // query; allow 4x slack so the suite never flakes on the tail
+      assert(e - exact <= 8L * n / width, s"'$t' overcount ${e - exact} (N=$n)")
+    }
+  }
+
+  test("approxTopTokens finds the exact top token, deterministically") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val run = () => Curation.approxTopTokens(docs, Text.tokens(col("text")),
+      col("text"), depth, width, sampleBuckets = 10, takeBuckets = 2, k = 20)
+      .as[(String, Long)].collect()
+    val a = run()
+    val exactTop = toks.groupBy("token").agg(count("*").as("n"))
+      .orderBy(col("n").desc, col("token")).as[(String, Long)].head()
+    assert(a.head._1 === exactTop._1,
+      s"CMS top-1 ${a.head} != exact top-1 $exactTop")
+    // estimates rank by true frequency within sketch error; the exact
+    // top token's estimate must dominate
+    assert(a.head._2 >= exactTop._2)
+    assert(run() === a, "CMS pipeline must be deterministic across runs")
+  }
+}

@@ -24,6 +24,32 @@ class SourcesSpec extends SparkSpec {
     assert(df.filter($"PID" === "167/4350").select("Name").as[String].head() === "Ada")
   }
 
+  test("cross-format parity: csv / json-lines / orc round-trip the same rows") {
+    // the events slice exercises every awkward round-trip case at
+    // once: µs timestamps, doubles, and strings with JSON quotes
+    val src = Tables.events(spark, sfDir).limit(200).cache()
+    val schema = src.schema
+    val base = Files.createTempDirectory("graft_formats").toFile.getAbsolutePath
+    src.write.option("header", "true")
+      // Java Double.toString round-trips; default CSV formatting may not
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .csv(s"$base/csv")
+    src.write
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .json(s"$base/json")
+    src.write.orc(s"$base/orc")
+    val expected = src.orderBy("event_id").collect()
+    Seq(
+      Tables.csv(spark, s"$base/csv", schema),
+      Tables.jsonLines(spark, s"$base/json", schema),
+      Tables.orc(spark, s"$base/orc", schema)
+    ).zip(Seq("csv", "json", "orc")).foreach { case (df, fmt) =>
+      assert(df.schema === schema, s"$fmt schema drift")
+      assert(df.orderBy("event_id").collect() === expected, s"$fmt row drift")
+    }
+    src.unpersist()
+  }
+
   test("partitioned parquet sink round-trips and lays out partition dirs") {
     val out = Files.createTempDirectory("graft_sink").toFile.getAbsolutePath
     val df = Seq((1L, "a", 2020), (2L, "b", 2020), (3L, "c", 2021))

@@ -354,6 +354,19 @@ object SparkEntry {
         docs.filter(!isBench), docs.filter(isBench), "doc_id", "text", k = 5)
     }),
 
+    // Bloom-filter decontamination: benchmark compresses to a 512 KB
+    // broadcast bit array; every corpus doc probed in-row (native
+    // BloomAgg/BloomContainsAny) — the corpus is NEVER shuffled.
+    // Oracle reproduces the exact bit pipeline in HUGEINT SQL, so
+    // even the false positives must match
+    "decon_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isBench = col("source").isin("src0", "src1")
+      Curation.contaminationFlagsBloom(
+        docs.filter(!isBench), docs.filter(isBench),
+        "doc_id", "text", n = 5, numBits = 1 << 22, kHashes = 3)
+    }),
+
     // Gopher-style intra-doc repetition stats + keep flag
     "text_repetition" -> ((s, dir) =>
       Curation.repetitionStats(t(s, dir, "documents"), "doc_id", "text",
@@ -665,6 +678,68 @@ object SparkEntry {
        |  AND round(($eqSum) / 64.0, 4) >= 0.5""".stripMargin
   }
 
+  /** decon_bloom oracle: the Bloom bit pipeline reproduced exactly in
+    * HUGEINT mod-2^64 SQL — token poly-31 hashes, 5-gram shingle fold
+    * (same chain as the minhash oracle, two tokens deeper), the k=3
+    * CmsHash row mixes, and bit positions mod 2^22. A corpus doc is
+    * flagged iff ANY of its shingles has ALL 3 positions inside the
+    * benchmark's position set — bit-for-bit the broadcast-filter
+    * probe, INCLUDING false positives. */
+  private def bloomOracleSql: String = {
+    val T = BigInt(1) << 64
+    def u(l: Long): BigInt = BigInt(l) & ((BigInt(1) << 64) - 1)
+    val mult = -7046029254386353131L // ShingleHashes combine / CmsHash row constant
+    val M = u(mult)
+    val mu1 = u(-49064778989728563L)
+    val mu2 = u(-4265267296055464877L)
+    val c0 = (BigInt(1125899906842597L) * M) % T // shingle seed pre-multiplied
+    val consts = (0 until 3).map(i => u(i.toLong * mult + 1442695040888963407L))
+    def mm(x: String, m: BigInt): String =
+      s"((($x) % 4294967296) * $m::HUGEINT + " +
+        s"(((($x) >> 32) * $m::HUGEINT) % 4294967296) * 4294967296) % $T::HUGEINT"
+    val tokH = "list_transform(ts, t -> list_reduce(" +
+      "list_prepend(17::HUGEINT, list_transform(string_split(t, ''), c -> ord(c)::HUGEINT))," +
+      s"(a, b) -> (a * 31 + b) % $T::HUGEINT))"
+    val h1 = s"($c0::HUGEINT + th[i]) % $T::HUGEINT"
+    val h2 = s"(${mm(h1, M)} + th[i+1]) % $T::HUGEINT"
+    val h3 = s"(${mm(h2, M)} + th[i+2]) % $T::HUGEINT"
+    val h4 = s"(${mm(h3, M)} + th[i+3]) % $T::HUGEINT"
+    val h5 = s"(${mm(h4, M)} + th[i+4]) % $T::HUGEINT"
+    val constRows = consts.zipWithIndex
+      .map { case (c, i) => s"($i, $c::HUGEINT)" }.mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ts
+       |  FROM documents),
+       |tokh AS (SELECT doc_id, source, $tokH AS th FROM toks),
+       |shl AS (
+       |  SELECT doc_id, source,
+       |         list_distinct(list_transform(generate_series(1, len(th) - 4), i -> $h5)) AS sh
+       |  FROM tokh WHERE len(th) >= 5),
+       |sh_rows AS (SELECT doc_id, source, unnest(sh) AS h FROM shl),
+       |consts(i, c) AS (VALUES $constRows),
+       |m0 AS (SELECT doc_id, source, h, i, xor(h, c) AS x FROM sh_rows CROSS JOIN consts),
+       |m1 AS (SELECT doc_id, source, h, i, xor(x, x >> 33) AS x FROM m0),
+       |m2 AS (SELECT doc_id, source, h, i, ${mm("x", mu1)} AS x FROM m1),
+       |m3 AS (SELECT doc_id, source, h, i, xor(x, x >> 33) AS x FROM m2),
+       |m4 AS (SELECT doc_id, source, h, i, ${mm("x", mu2)} AS x FROM m3),
+       |m5 AS (SELECT doc_id, source, h, i, xor(x, x >> 33) AS x FROM m4),
+       |pos AS (SELECT doc_id, source, h, i,
+       |        (x % 9223372036854775808::HUGEINT) % 4194304 AS p FROM m5),
+       |bench_pos AS (SELECT DISTINCT p FROM pos WHERE source IN ('src0', 'src1')),
+       |corp AS (
+       |  SELECT c.doc_id, c.h,
+       |         count(*) FILTER (WHERE bp.p IS NOT NULL) AS hits
+       |  FROM (SELECT doc_id, h, p FROM pos
+       |        WHERE source NOT IN ('src0', 'src1')) c
+       |  LEFT JOIN bench_pos bp ON c.p = bp.p
+       |  GROUP BY 1, 2),
+       |flags AS (SELECT doc_id, bool_or(hits = 3) AS flagged FROM corp GROUP BY 1)
+       |SELECT d.doc_id, coalesce(f.flagged, FALSE) AS flagged
+       |FROM (SELECT doc_id FROM documents WHERE source NOT IN ('src0', 'src1')) d
+       |LEFT JOIN flags f ON d.doc_id = f.doc_id""".stripMargin
+  }
+
   /** dedup_simhash oracle: token poly-31 hashes avalanched by the
     * murmur-style finalizer (the same mod-2^64 HUGEINT stages as the
     * minhash oracle, minus the permutation constant), per-bit ±1 sign
@@ -721,6 +796,7 @@ object SparkEntry {
   /** DuckDB-runnable oracles, column-name-aligned with `queries`. */
   def oracleSql: Map[String, String] = Map(
     "dedup_minhash_lsh" -> minhashOracleSql,
+    "decon_bloom" -> bloomOracleSql,
     "dedup_simhash" -> simhashOracleSql,
     "q1_agg" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS year,

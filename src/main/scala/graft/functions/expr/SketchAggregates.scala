@@ -229,6 +229,112 @@ case class CmsAgg(child: Expression, depth: Int, width: Int,
     copy(child = newChildren.head)
 }
 
+/** Bloom filter aggregate: `numBits` bit array (must be a multiple of
+  * 64), `k` bit positions per item via the shared [[CmsHash]] row
+  * hashing. Fixed-size and merge-by-OR — map-side partials, one
+  * filter per partition crosses the wire. The membership side of the
+  * sketch family: at 100 TB a benchmark/eval set compresses to a
+  * fixed-size broadcast filter probed in-row, so the corpus is never
+  * shuffled at all for a decontamination pass. No false negatives;
+  * false positives at the classic (1−e^(−kn/m))^k rate. Input:
+  * LongType item hashes. Output: array<long> of numBits/64 words,
+  * probed by [[BloomContainsAny]].
+  */
+case class BloomAgg(child: Expression, numBits: Int, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+  require(numBits > 0 && numBits % 64 == 0, "numBits must be a positive multiple of 64")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bloom_agg"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](numBits / 64)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var i = 0
+      while (i < k) {
+        val p = CmsHash.slot(h, i, numBits)
+        buf(p >>> 6) |= 1L << (p & 63)
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { b1(i) |= b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(numBits / 64)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** True iff ANY hash in the right-side array<long> is (possibly)
+  * contained in the left-side [[BloomAgg]] filter — the whole
+  * membership probe for one document evaluated in-row as one tight
+  * loop (numBits derives from the filter's word count; `k` must match
+  * the aggregate's). Off the corpus shuffle path entirely: the filter
+  * arrives broadcast, the answer is a boolean per row.
+  */
+case class BloomContainsAny(left: Expression, right: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "bloom_contains_any"
+
+  override protected def nullSafeEval(bloom: Any, hashes: Any): Any = {
+    val bits = bloom.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val hs = hashes.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val numBits = bits.numElements() * 64
+    var j = 0
+    val n = hs.numElements()
+    while (j < n) {
+      val h = hs.getLong(j)
+      var i = 0
+      var all = true
+      while (all && i < k) {
+        val p = CmsHash.slot(h, i, numBits)
+        all = (bits.getLong(p >>> 6) & (1L << (p & 63))) != 0L
+        i += 1
+      }
+      if (all) return true
+      j += 1
+    }
+    false
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Point estimate from a [[CmsAgg]] sketch: min over the depth rows of
   * the item's counter — the classic CMS upper-bound estimate (never
   * under-counts; over-counts by ≤ εN with prob 1−δ for width=e/ε,
@@ -283,4 +389,16 @@ object SketchAggregates {
   def cms_estimate(sketch: Column, itemHash: Column, depth: Int, width: Int): Column =
     ColumnBridge.toColumn(
       CmsEstimate(ColumnBridge.toExpr(sketch), ColumnBridge.toExpr(itemHash), depth, width))
+
+  /** Aggregate Column: Bloom filter (numBits bits, k probes/item) of a
+    * long hash column. */
+  def bloom_agg(hashes: Column, numBits: Int, k: Int): Column =
+    ColumnBridge.toColumn(
+      BloomAgg(ColumnBridge.toExpr(hashes), numBits, k).toAggregateExpression())
+
+  /** Scalar Column: true iff any hash in the array may be in the
+    * filter. `k` must match the aggregate's. */
+  def bloom_contains_any(bloom: Column, hashes: Column, k: Int): Column =
+    ColumnBridge.toColumn(
+      BloomContainsAny(ColumnBridge.toExpr(bloom), ColumnBridge.toExpr(hashes), k))
 }

@@ -189,6 +189,33 @@ object Curation {
         countDistinct(col("bench_id")).as("n_bench_docs"))
   }
 
+  /** Bloom-filter decontamination — [[contaminationFlags]] at the
+    * scale where even the benchmark's distinct shingle set is too big
+    * to broadcast as rows: the benchmark compresses to a FIXED-SIZE
+    * bit array (numBits/8 bytes, any n), and every corpus document is
+    * probed IN-ROW against the broadcast filter by one native
+    * expression over its shingle-hash array. The corpus is never
+    * shuffled, exploded, or joined — the only data movement is the
+    * filter's own map-side OR-merge. One row per corpus doc with a
+    * may-be-contaminated flag: no false negatives (every true overlap
+    * flags), false positives at the Bloom rate for the chosen
+    * (numBits, kHashes) — callers route flagged docs to the exact
+    * [[contaminationFlags]] probe when FPs matter.
+    */
+  def contaminationFlagsBloom(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      numBits: Int, kHashes: Int): DataFrame = {
+    import graft.functions.expr.NativeFunctions.shingle_hashes
+    import graft.functions.expr.SketchAggregates.{bloom_agg, bloom_contains_any}
+    val bloom = bench
+      .select(explode(shingle_hashes(col(textCol), n)).as("__h"))
+      .agg(bloom_agg(col("__h"), numBits, kHashes).as("__bf"))
+    corpus.crossJoin(broadcast(bloom))
+      .select(col(idCol).as("doc_id"),
+        bloom_contains_any(col("__bf"), shingle_hashes(col(textCol), n), kHashes)
+          .as("flagged"))
+  }
+
   /** Per-stratum deterministic hash sampling: keep each row iff its
     * content-hash bucket falls under the stratum's rate (e.g. keep 10%
     * of English but 50% of everything else to rebalance a corpus).

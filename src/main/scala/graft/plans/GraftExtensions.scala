@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expr.{DotProduct, HammingDistance, RollingHash,
-  ShingleHashes, ShingleHashesAll}
+import graft.functions.expr.{BloomAgg, BloomContainsAny, CmsAgg, CmsEstimate,
+  DotProduct, HammingDistance, MinHashAgg, RollingHash, ShingleHashes,
+  ShingleHashesAll, SimHashAgg}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so `spark.sql("SELECT
@@ -101,6 +102,52 @@ object GraftExtensions {
         arity("shingle_hashes_all(text, k)", children, 2)
         ShingleHashesAll(children.head,
           constLong("shingle_hashes_all(text, k)", "k", children(1)).toInt)
+      }),
+    // sketch aggregates: builders return the AggregateFunction — the
+    // analyzer wraps it in an AggregateExpression like any built-in
+    (FunctionIdentifier("minhash_agg"),
+      info("minhash_agg", "minhash_agg(hash, perms) - MinHash signature of a group's int64 hashes"),
+      (children: Seq[Expression]) => {
+        arity("minhash_agg(hash, perms)", children, 2)
+        MinHashAgg(children.head,
+          constLong("minhash_agg(hash, perms)", "perms", children(1)).toInt)
+      }),
+    (FunctionIdentifier("simhash_agg"),
+      info("simhash_agg", "simhash_agg(hash) - SimHash-64 signature of a group's int64 hashes"),
+      (children: Seq[Expression]) => {
+        arity("simhash_agg(hash)", children, 1)
+        SimHashAgg(children.head)
+      }),
+    (FunctionIdentifier("cms_agg"),
+      info("cms_agg", "cms_agg(hash, depth, width) - Count-Min sketch of a group's int64 hashes"),
+      (children: Seq[Expression]) => {
+        arity("cms_agg(hash, depth, width)", children, 3)
+        CmsAgg(children.head,
+          constLong("cms_agg(hash, depth, width)", "depth", children(1)).toInt,
+          constLong("cms_agg(hash, depth, width)", "width", children(2)).toInt)
+      }),
+    (FunctionIdentifier("cms_estimate"),
+      info("cms_estimate", "cms_estimate(sketch, hash, depth, width) - CMS frequency upper bound"),
+      (children: Seq[Expression]) => {
+        arity("cms_estimate(sketch, hash, depth, width)", children, 4)
+        CmsEstimate(children(0), children(1),
+          constLong("cms_estimate(sketch, hash, depth, width)", "depth", children(2)).toInt,
+          constLong("cms_estimate(sketch, hash, depth, width)", "width", children(3)).toInt)
+      }),
+    (FunctionIdentifier("bloom_agg"),
+      info("bloom_agg", "bloom_agg(hash, numBits, k) - Bloom filter of a group's int64 hashes"),
+      (children: Seq[Expression]) => {
+        arity("bloom_agg(hash, numBits, k)", children, 3)
+        BloomAgg(children.head,
+          constLong("bloom_agg(hash, numBits, k)", "numBits", children(1)).toInt,
+          constLong("bloom_agg(hash, numBits, k)", "k", children(2)).toInt)
+      }),
+    (FunctionIdentifier("bloom_contains_any"),
+      info("bloom_contains_any", "bloom_contains_any(bloom, hashes, k) - any array element maybe in filter"),
+      (children: Seq[Expression]) => {
+        arity("bloom_contains_any(bloom, hashes, k)", children, 3)
+        BloomContainsAny(children(0), children(1),
+          constLong("bloom_contains_any(bloom, hashes, k)", "k", children(2)).toInt)
       }))
 
   /** Register on an already-running session (withExtensions only

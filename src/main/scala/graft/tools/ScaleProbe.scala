@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
-import graft.operators.{Clusters, Curation, Dedup, Pipeline, Similarity}
+import graft.operators.{Clusters, Curation, Dedup, Events, Pipeline, Similarity}
 
 /** Empirical scaling probe: runs the super-linear-risk operators (the
   * near-dup family and pair counting) at 1× and N× the sf0.1 corpus
@@ -128,6 +128,53 @@ object ScaleProbe {
       Curation.repetitionStats(docs1, "doc_id", "text", 0.12, 0.05).count()
     } {
       Curation.repetitionStats(docsN, "doc_id", "text", 0.12, 0.05).count()
+    }
+    // same fixed-benchmark shape as decon_ngram: the filter build side
+    // is constant, only the probed corpus grows
+    locally {
+      val bench = docsN.filter(col("doc_id") < 10000000L && col("doc_id") % 20 === 0)
+      val corpus1 = docsN.filter(col("doc_id") < 10000000L && col("doc_id") % 20 =!= 0)
+      val corpusN = docsN.filter(col("doc_id") % 20 =!= 0)
+      probe("decon_bloom") {
+        Curation.contaminationFlagsBloom(corpus1, bench, "doc_id", "text",
+          5, 1 << 22, 3).count()
+      } {
+        Curation.contaminationFlagsBloom(corpusN, bench, "doc_id", "text",
+          5, 1 << 22, 3).count()
+      }
+    }
+    probe("approx_topk") {
+      Curation.approxTopTokens(docs1, Text.tokens(col("text")), col("text"),
+        4, 2048, 10, 2, 20).count()
+    } {
+      Curation.approxTopTokens(docsN, Text.tokens(col("text")), col("text"),
+        4, 2048, 10, 2, 20).count()
+    }
+    probe("mm_manifest") {
+      graft.operators.Multimodal.contentManifest(
+        docs1.withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload").count()
+    } {
+      graft.operators.Multimodal.contentManifest(
+        docsN.withColumn("payload", encode(col("text"), "UTF-8")),
+        "doc_id", "payload").count()
+    }
+    // copies shift user_id, so the N× corpus has N× users over the
+    // same horizon — grid rows (and the true answer) scale linearly
+    locally {
+      val ev1 = graft.sources.Tables.events(spark, sfDir)
+        .select("event_id", "user_id", "ts", "value")
+      (0 until mult).map { k =>
+        ev1.select(col("event_id"),
+          (col("user_id") + lit(k.toLong * 10000000L)).as("user_id"),
+          col("ts"), col("value"))
+      }.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$tmp/events")
+      val evN = spark.read.parquet(s"$tmp/events")
+      probe("resample") {
+        Events.resampleGrid(ev1, "user_id", "ts", "value", 3600L).count()
+      } {
+        Events.resampleGrid(evN, "user_id", "ts", "value", 3600L).count()
+      }
     }
     locally {
       val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -90,4 +90,41 @@ class PlanQualitySpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
       s"more shuffles than collect_set/year-join/pair-agg need:\n$p")
   }
+
+  test("bloom decon never shuffles or joins the corpus (broadcast filter, in-row probe)") {
+    val docs = Tables.documents(spark, sfDir)
+    val isBench = col("source").isin("src0", "src1")
+    val p = plan(graft.operators.Curation.contaminationFlagsBloom(
+      docs.filter(!isBench), docs.filter(isBench), "doc_id", "text",
+      n = 5, numBits = 1 << 22, kHashes = 3))
+    // the only exchange is the filter's own partial-agg merge; the
+    // corpus side joins the 1-row filter via broadcast nested loop
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"corpus-side hash shuffle appeared:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"filter is not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("resample collapses events to buckets before any shuffle") {
+    val p = plan(graft.operators.Events.resampleGrid(
+      Tables.events(spark, sfDir), "user_id", "ts", "value", 3600L))
+    // partial aggregate below the first exchange: the raw events never
+    // cross the wire (one row per occupied bucket does)
+    val firstExchange = p.indexOf("Exchange hashpartitioning")
+    val partialAgg = p.indexOf("HashAggregate")
+    assert(firstExchange >= 0 && partialAgg >= 0)
+    assert(p.substring(firstExchange).contains("HashAggregate"),
+      s"no partial aggregation below the exchange:\n$p")
+  }
+
+  test("approx heavy hitters broadcast the sketch; candidates never shuffle the corpus") {
+    val p = plan(graft.operators.Curation.approxTopTokens(
+      Tables.documents(spark, sfDir), graft.functions.Text.tokens(col("text")),
+      col("text"), depth = 4, width = 2048, sampleBuckets = 10, takeBuckets = 2, k = 20))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"sketch is not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k fell back to a global sort:\n$p")
+  }
 }

@@ -35,6 +35,26 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("bloom decon: no false negatives vs the exact probe, few false positives") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val isBench = col("source").isin("src0", "src1")
+    val corpus = docs.filter(!isBench)
+    val bench = docs.filter(isBench)
+    val exact = Curation.contaminationFlags(corpus, bench, "doc_id", "text", k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    val bloom = Curation.contaminationFlagsBloom(corpus, bench, "doc_id", "text",
+      n = 5, numBits = 1 << 22, kHashes = 3)
+      .as[(Long, Boolean)].collect()
+    val flagged = bloom.filter(_._2).map(_._1).toSet
+    assert(bloom.length === corpus.count(), "one row per corpus doc")
+    assert(exact.subsetOf(flagged),
+      s"false negatives: ${exact.diff(flagged)} — Bloom filters cannot have any")
+    val fps = flagged.diff(exact).size
+    // m=4M bits vs a few hundred k inserted bits: FP rate ~1e-5; 1% of
+    // the corpus is an order-of-magnitude-safe ceiling
+    assert(fps <= math.max(1, bloom.length / 100), s"$fps false positives")
+  }
+
   test("approxTopTokens finds the exact top token, deterministically") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val run = () => Curation.approxTopTokens(docs, Text.tokens(col("text")),

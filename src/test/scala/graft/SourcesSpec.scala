@@ -129,5 +129,20 @@ class SourcesSpec extends SparkSpec {
     assert(r.getInt(3) === 2)
     assert(r.getInt(4) === 3) // positional: ab, ba, ab — duplicates kept
     assert(r.getInt(5) === 2) // deduped sibling
+
+    // sketch aggregates + probes, end-to-end from SQL text
+    Seq((1L, 10L), (2L, 10L), (3L, 20L)).toDF("id", "h")
+      .createOrReplaceTempView("sketch_in")
+    val s = spark.sql(
+      """SELECT size(minhash_agg(h, 16)) AS mh,
+                simhash_agg(h) AS sh,
+                cms_estimate(cms_agg(h, 4, 64), 10L, 4, 64) AS c10,
+                bloom_contains_any(bloom_agg(h, 512, 3), array(10L), 3) AS b10,
+                bloom_contains_any(bloom_agg(h, 512, 3), array(99L), 3) AS b99
+         FROM sketch_in""").collect().head
+    assert(s.getInt(0) === 16)
+    assert(s.getLong(2) === 2L) // hash 10 seen twice
+    assert(s.getBoolean(3))
+    assert(!s.getBoolean(4)) // 1 stray hash vs 512 bits: no FP expected
   }
 }

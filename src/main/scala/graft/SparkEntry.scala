@@ -455,6 +455,16 @@ object SparkEntry {
         "vec_id", "embedding", nCentroids = 16, nprobe = 8, k = 5)
     }),
 
+    // product-quantization ANN: corpus vectors as packed 8-byte codes
+    // + exact norms (32× compression), per-candidate scoring = m table
+    // lookups (native PqEncode/PqAdc); recall vs ann_topk spec-tested
+    "ann_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.pqTopK(
+        e.filter(col("vec_id") >= 8), e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", m = 8, kCent = 32, k = 5)
+    }),
+
     "text_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -506,6 +516,30 @@ object SparkEntry {
       Relational.movingAvg(Tables.events(s, dir), "user_id", "ts", "value", 3600L)
         .select(col("user_id"), col("ts"), col("value"),
           round(col("moving_avg"), 4).as("moving_avg"))),
+
+    // CDC apply (MERGE INTO): delta ops I/U/D against a base snapshot
+    // — one anti join + union, base scanned once
+    "q41_merge_apply" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+      val base = o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(cols.map(col): _*)
+      val delta = o.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .select(cols.map(col) :+
+          when(col("o_orderpriority").startsWith("1"), "D")
+            .otherwise("U").as("op"): _*)
+      Pipeline.mergeApply(base, delta, "o_orderkey", "op")
+    }),
+
+    // per-column table profile (ANALYZE): one scan, melted in-row;
+    // exact NDV here for the oracle — the 100 TB default is the HLL
+    // path (exactNdv=false, single pass, no Expand)
+    "table_profile" -> ((s, dir) =>
+      graft.operators.Profile.profile(
+        t(s, dir, "orders").withColumn("o_orderdate", to_date(col("o_orderdate"))),
+        Seq("o_custkey", "o_orderstatus", "o_orderpriority",
+          "o_totalprice", "o_orderdate"),
+        exactNdv = true)),
 
     // SCD2 history: every order is a version of its customer's state;
     // validity intervals from one window pass (lead + row_number over
@@ -1479,6 +1513,51 @@ object SparkEntry {
                 pu.ts AS purchase_ts
          FROM c ASOF LEFT JOIN pu
            ON c.user_id = pu.user_id AND c.ts >= pu.ts""",
+
+    "q41_merge_apply" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+           FROM orders WHERE o_orderkey % 2 = 0),
+         delta AS (
+           SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice,
+                  CASE WHEN o_orderpriority LIKE '1%' THEN 'D' ELSE 'U' END AS op
+           FROM orders WHERE o_orderkey % 3 = 0)
+         SELECT b.o_orderkey, b.o_custkey, b.o_orderpriority, b.o_totalprice
+         FROM base b
+         WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.o_orderkey = b.o_orderkey)
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+         FROM delta WHERE op <> 'D'""",
+
+    "table_profile" ->
+      """WITH t AS (
+           SELECT o_custkey, o_orderstatus, o_orderpriority, o_totalprice,
+                  CAST(o_orderdate AS DATE) AS o_orderdate
+           FROM orders)
+         SELECT 'o_custkey' AS "column", count(o_custkey) AS n_nonnull,
+                CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+                CAST(min(o_custkey) AS VARCHAR) AS min_value,
+                CAST(max(o_custkey) AS VARCHAR) AS max_value FROM t
+         UNION ALL
+         SELECT 'o_orderstatus', count(o_orderstatus),
+                CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+                CAST(min(o_orderstatus) AS VARCHAR),
+                CAST(max(o_orderstatus) AS VARCHAR) FROM t
+         UNION ALL
+         SELECT 'o_orderpriority', count(o_orderpriority),
+                CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+                CAST(min(o_orderpriority) AS VARCHAR),
+                CAST(max(o_orderpriority) AS VARCHAR) FROM t
+         UNION ALL
+         SELECT 'o_totalprice', count(o_totalprice),
+                CAST(count(DISTINCT o_totalprice) AS BIGINT),
+                CAST(min(o_totalprice) AS VARCHAR),
+                CAST(max(o_totalprice) AS VARCHAR) FROM t
+         UNION ALL
+         SELECT 'o_orderdate', count(o_orderdate),
+                CAST(count(DISTINCT o_orderdate) AS BIGINT),
+                CAST(min(o_orderdate) AS VARCHAR),
+                CAST(max(o_orderdate) AS VARCHAR) FROM t""",
 
     "q37_scd2" ->
       """SELECT o_custkey, o_orderkey,

@@ -316,6 +316,90 @@ case class SortedPairs(child: Expression)
     copy(child = newChild)
 }
 
+/** Product-quantization encoder: split a D-dim vector into `m`
+  * subspaces of D/m dims, snap each sub-vector to its nearest of
+  * `kCent` trained sub-centroids (L2, lowest index on ties), and pack
+  * the `m` code bytes into ONE long — 8 bytes replace 8·D vector
+  * bytes (32× at D=64/float). `codebook` is laid out
+  * [subspace][centroid][dim], trained offline (driver-side Lloyd on a
+  * sample — the same "small model state as literals" pattern as the
+  * IVF coarse quantizer). Requires m ≤ 8 and kCent ≤ 256 so codes
+  * fit the long. */
+case class PqEncode(child: Expression, codebook: IndexedSeq[Double], m: Int, kCent: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(m >= 1 && m <= 8 && kCent >= 1 && kCent <= 256,
+    "PqEncode: need 1 <= m <= 8 and 1 <= kCent <= 256")
+  require(codebook.length % (m * kCent) == 0,
+    "PqEncode: codebook length must be m * kCent * subDim")
+
+  private val subDim = codebook.length / (m * kCent)
+  private val cb = codebook.toArray
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var code = 0L
+    var mm = 0
+    while (mm < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var kk = 0
+      while (kk < kCent) {
+        val base = (mm * kCent + kk) * subDim
+        var d2 = 0.0
+        var dd = 0
+        while (dd < subDim) {
+          val diff = v.getDouble(mm * subDim + dd) - cb(base + dd)
+          d2 += diff * diff
+          dd += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = kk }
+        kk += 1
+      }
+      code |= best.toLong << (8 * mm)
+      mm += 1
+    }
+    code
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance lookup for PQ codes: given a packed code and a
+  * per-query table of sub-dot-products (layout [subspace][centroid],
+  * m·kCent doubles), the approximate inner product is `m` array
+  * lookups — no vector math per candidate pair at all. The table is
+  * computed ONCE per query row (O(m·kCent·subDim)); every corpus
+  * candidate then costs O(m). */
+case class PqAdc(left: Expression, right: Expression, m: Int, kCent: Int)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "pq_adc"
+
+  override protected def nullSafeEval(code: Any, table: Any): Any = {
+    val c = code.asInstanceOf[Long]
+    val t = table.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var s = 0.0
+    var mm = 0
+    while (mm < m) {
+      val kk = ((c >>> (8 * mm)) & 0xffL).toInt
+      s += t.getDouble(mm * kCent + kk)
+      mm += 1
+    }
+    s
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object NativeFunctions {
   /** Column API for HammingDistance. */
   def hamming_distance(a: Column, b: Column): Column =
@@ -346,4 +430,12 @@ object NativeFunctions {
   /** Column API for Avalanche64 (murmur-style 64-bit finalizer). */
   def avalanche64(c: Column): Column =
     ColumnBridge.toColumn(Avalanche64(ColumnBridge.toExpr(c)))
+
+  /** Column API for PqEncode (array<double> → packed code long). */
+  def pq_encode(vec: Column, codebook: IndexedSeq[Double], m: Int, kCent: Int): Column =
+    ColumnBridge.toColumn(PqEncode(ColumnBridge.toExpr(vec), codebook, m, kCent))
+
+  /** Column API for PqAdc (packed code + per-query table → approx dot). */
+  def pq_adc(code: Column, table: Column, m: Int, kCent: Int): Column =
+    ColumnBridge.toColumn(PqAdc(ColumnBridge.toExpr(code), ColumnBridge.toExpr(table), m, kCent))
 }

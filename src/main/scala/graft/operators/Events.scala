@@ -170,6 +170,12 @@ object Events {
     * Bucket arithmetic is integer µs (`unix_micros`), mirrored by the
     * oracle: an event exactly on a grid boundary belongs to that grid
     * point (ts <= grid ts ⇒ bucket = ceil(us/step_us)).
+    *
+    * Contract: `value` must be non-null (a null latest value would
+    * fill from an OLDER event through the ignoreNulls carry); grid
+    * size per key is (max−min)/step — pick `stepSeconds` so
+    * horizon/step stays sane (a 1s grid over years of data is ~3×10⁷
+    * rows per key by construction, not a bug in the operator).
     */
   def resampleGrid(events: DataFrame, key: String, ts: String, value: String,
       stepSeconds: Long): DataFrame = {

@@ -165,6 +165,31 @@ object Pipeline {
           .otherwise("unchanged").as("change_type"))
   }
 
+  /** CDC apply / MERGE INTO semantics in one declarative plan: the
+    * delta carries an op column (`I`/`U`/`D` — insert, upsert,
+    * delete); the result is the base with delta keys removed (covers
+    * matched-update and matched-delete) unioned with the delta's
+    * surviving rows (covers insert and the update's new image).
+    * Completes the reference's merge trio (upsertLatest /
+    * deletedKeys / snapshotDiff) as a single apply step.
+    *
+    * Shape: ONE left_anti join on the key — broadcast when the delta
+    * batch is small (the overwhelmingly common CDC case: a batch vs
+    * a 100 TB base), shuffle-hash with AQE otherwise — plus a
+    * shuffle-free union. The base is scanned once, never aggregated
+    * or windowed. Delta must be pre-deduplicated per key (one op per
+    * key, the contract every CDC apply shares); feed a raw multi-op
+    * batch through [[upsertLatest]] first.
+    */
+  def mergeApply(base: DataFrame, delta: DataFrame, key: String,
+      opCol: String): DataFrame = {
+    val cols = base.columns.toSeq
+    val deltaKeys = delta.select(col(key).as("__mk"))
+    base.join(deltaKeys, col(key) === col("__mk"), "left_anti")
+      .unionByName(
+        delta.filter(col(opCol) =!= "D").select(cols.map(col): _*))
+  }
+
   /** Per-group sorted member roster — the reference's update-log
     * projection builds per-publication author structs
     * (main_dag.py:433-478). Aggregates each group's distinct members

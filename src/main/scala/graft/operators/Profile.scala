@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Table profiling — the stats-collection pass (ANALYZE) that feeds
+  * cost-based planning, data-quality checks, and layout decisions.
+  */
+object Profile {
+
+  /** Per-column profile: non-null count, distinct count, min/max (as
+    * strings, so heterogeneous column types melt into one result
+    * relation). One aggregation job over one scan; the per-column
+    * single-row aggregate melts to (column, stats) rows IN-ROW
+    * (struct array explode — no extra shuffle).
+    *
+    * `exactNdv = false` (default) uses the HLL sketch for distinct
+    * counts: all columns profile in a single pass with fixed memory —
+    * the only sane choice at 100 TB. `exactNdv = true` uses exact
+    * COUNT(DISTINCT): Catalyst plans N distinct aggregates as an
+    * Expand (N-way input replication before the shuffle) — fine at
+    * verify scale and oracle-comparable, but the 100 TB profile
+    * should stay approximate.
+    */
+  def profile(df: DataFrame, cols: Seq[String], exactNdv: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__n_$c"),
+        (if (exactNdv) countDistinct(col(c))
+         else approx_count_distinct(col(c))).as(s"__d_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col(s"__n_$c").as("n_nonnull"),
+        col(s"__d_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_value"),
+        col(s"__max_$c").as("max_value"))
+    }
+    row.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
+}

@@ -185,4 +185,128 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk").cast("int").as("rnk"), col("neighbor_id"))
   }
+
+  /** Product-quantization top-k: the memory-bound ANN path. Each
+    * corpus vector compresses to ONE packed long of `m` sub-centroid
+    * codes plus its exact squared norm — 16 bytes instead of 8·D
+    * (32× at D=64): the representation that lets a 100 TB embedding
+    * corpus be scanned from a fraction of the storage, which is the
+    * actual bottleneck of exhaustive ANN at scale.
+    *
+    * Train: per-subspace Lloyd on a deterministic lowest-id sample,
+    * on the driver — the codebook (m·kCent·subDim doubles) is the
+    * same "small model state as literals" pattern as the IVF coarse
+    * quantizer. Encode: native [[graft.functions.expr.PqEncode]],
+    * one pass, no shuffle. Score: per-QUERY the sub-dot-product
+    * table is computed once (O(m·kCent·subDim) on the tiny broadcast
+    * side); per CANDIDATE the approximate inner product is `m` array
+    * lookups via native [[graft.functions.expr.PqAdc]] — no vector
+    * math in the corpus-side hot loop at all. The ADC pass shortlists
+    * `rerank` candidates per query; only those are reranked with the
+    * exact cosine (the FAISS refine pattern — the full-vector fetch
+    * is queries × rerank rows, never the corpus). Deterministic
+    * end-to-end (sample, init, ties). Exact for any corpus the
+    * codebook reconstructs perfectly (spec-tested); recall vs
+    * [[bruteForceTopK]] spec-tested on the real embeddings.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      m: Int, kCent: Int, k: Int,
+      trainSample: Int = 512, iters: Int = 8, rerank: Int = 50): DataFrame = {
+    require(rerank >= k, "pqTopK: rerank shortlist must be at least k")
+    import graft.functions.expr.NativeFunctions.{pq_adc, pq_encode}
+    val sample: Array[Array[Double]] = corpus
+      .select(col(vecCol).cast("array<double>"), col(idCol))
+      .orderBy(col(idCol)).limit(trainSample).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "pqTopK: empty training sample")
+    val dim = sample.head.length
+    require(dim % m == 0, s"pqTopK: dim $dim not divisible by m=$m")
+    val subDim = dim / m
+
+    val codebook = new Array[Double](m * kCent * subDim)
+    var mm = 0
+    while (mm < m) {
+      var cents = Array.tabulate(kCent)(i =>
+        sample(i % sample.length).slice(mm * subDim, (mm + 1) * subDim))
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(kCent)(new Array[Double](subDim))
+        val counts = new Array[Int](kCent)
+        sample.foreach { s =>
+          var best = 0; var bd = Double.MaxValue
+          var kk = 0
+          while (kk < kCent) {
+            var d2 = 0.0; var dd = 0
+            while (dd < subDim) {
+              val df = s(mm * subDim + dd) - cents(kk)(dd); d2 += df * df; dd += 1
+            }
+            if (d2 < bd) { bd = d2; best = kk }
+            kk += 1
+          }
+          counts(best) += 1
+          var dd = 0
+          while (dd < subDim) { sums(best)(dd) += s(mm * subDim + dd); dd += 1 }
+        }
+        cents = Array.tabulate(kCent)(kk =>
+          if (counts(kk) > 0) sums(kk).map(_ / counts(kk)) else cents(kk))
+        it += 1
+      }
+      var kk = 0
+      while (kk < kCent) {
+        System.arraycopy(cents(kk), 0, codebook, (mm * kCent + kk) * subDim, subDim)
+        kk += 1
+      }
+      mm += 1
+    }
+    val cb = codebook.toIndexedSeq
+
+    val codes = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+      .select(col("neighbor_id"),
+        pq_encode(col("cv"), cb, m, kCent).as("code"),
+        Vectors.normSq(col("cv")).as("cn2"))
+    val tableEntries = (0 until m).flatMap { mi =>
+      (0 until kCent).map { kk =>
+        Vectors.dot(
+          slice(col("qv"), mi * subDim + 1, subDim),
+          array((0 until subDim).map(dd =>
+            lit(codebook((mi * kCent + kk) * subDim + dd))): _*))
+      }
+    }
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn2", Vectors.normSq(col("qv")))
+      .withColumn("tbl", array(tableEntries: _*))
+      .select("query_id", "qn2", "tbl")
+
+    val scored = codes.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        (pq_adc(col("code"), col("tbl"), m, kCent) /
+          sqrt(col("qn2") * col("cn2"))).as("cos_approx"))
+    // ADC shortlist → exact rerank of only `rerank` candidates per
+    // query (the FAISS refine pattern): the full-vector fetch happens
+    // for queries × rerank rows, never the corpus — at scale this is
+    // the point: the exhaustive pass reads 16-byte codes, the exact
+    // pass reads `rerank` full vectors per query
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_approx").desc, col("neighbor_id"))
+    val shortlist = scored.withColumn("arnk", row_number().over(wApprox))
+      .filter(col("arnk") <= rerank)
+      .select("query_id", "neighbor_id")
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn2", Vectors.normSq(col("cv")))
+    val qv = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv2"))
+      .withColumn("qn22", Vectors.normSq(col("qv2")))
+    val exact = shortlist.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.cosineWithNorms(col("qv2"), col("cv"),
+          col("qn22"), col("cn2")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    exact.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("int").as("rnk"), col("neighbor_id"))
+  }
 }

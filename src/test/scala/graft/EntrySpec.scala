@@ -24,7 +24,7 @@ class EntrySpec extends SparkSpec {
     // spec-tested). Every deterministic operator — including the
     // minhash and simhash sketches, whose hash pipelines the oracles
     // reproduce in HUGEINT arithmetic — is hash-verified.
-    assert(rowsOnly === Set("ann_lsh", "ann_ivf", "approx_distinct",
+    assert(rowsOnly === Set("ann_lsh", "ann_ivf", "ann_pq", "approx_distinct",
         "emb_kmeans", "approx_quantiles", "approx_topk"),
       s"unexpected rows-only queries: $rowsOnly")
   }

@@ -81,6 +81,28 @@ class PipelineSpec extends SparkSpec {
       (2L, 1, 5, None, true)))
   }
 
+  test("mergeApply applies I/U/D delta ops in one pass") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val delta = Seq((2L, "B", "U"), (3L, "c", "D"), (4L, "d", "I"))
+      .toDF("k", "v", "op")
+    val out = Pipeline.mergeApply(base, delta, "k", "op")
+      .orderBy("k").as[(Long, String)].collect()
+    // 1 untouched, 2 updated image, 3 deleted, 4 inserted
+    assert(out === Array((1L, "a"), (2L, "B"), (4L, "d")))
+  }
+
+  test("profile reports per-column stats from one scan") {
+    val df = Seq((1L, "x", 2.5), (2L, "y", 1.0), (2L, null, 4.0))
+      .toDF("id", "s", "v")
+    val p = graft.operators.Profile.profile(df, Seq("id", "s", "v"), exactNdv = true)
+      .orderBy("column")
+      .as[(String, Long, Long, String, String)].collect()
+    assert(p === Array(
+      ("id", 3L, 2L, "1", "2"),
+      ("s", 2L, 2L, "x", "y"),
+      ("v", 3L, 3L, "1.0", "4.0")))
+  }
+
   test("snapshotDiff classifies added / removed / changed / unchanged") {
     val base = Seq((1L, "p1"), (2L, "p2"), (3L, "p3")).toDF("k", "payload")
     val delta = Seq((2L, "p2"), (3L, "CHANGED"), (4L, "p4")).toDF("k", "payload")

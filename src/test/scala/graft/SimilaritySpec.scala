@@ -62,6 +62,43 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall@5 = $recall")
   }
 
+  test("pqTopK is exact when the codebook reconstructs the corpus perfectly") {
+    // 4 distinct sub-vectors per subspace, kCent=4: Lloyd's init pins a
+    // centroid on each, so quantization error is zero and PQ == exact
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 1.0f)),
+      (10L, Seq(1.0f, 0.0f, 0.0f, 1.0f)),
+      (11L, Seq(0.0f, 1.0f, 1.0f, 0.0f)),
+      (12L, Seq(2.0f, 1.0f, 0.5f, 0.5f)),
+      (13L, Seq(0.5f, 0.5f, 2.0f, 1.0f))).toDF("vec_id", "embedding")
+    val corpus = vecs.filter(col("vec_id") >= 10)
+    val queries = vecs.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 3)
+      .as[(Long, Int, Long)].collect().toSet
+    val pq = Similarity.pqTopK(corpus, queries, "vec_id", "embedding",
+      m = 2, kCent = 4, k = 3, trainSample = 4, iters = 4)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(pq === exact)
+  }
+
+  test("pqTopK recall@5 against brute force on real embeddings") {
+    val e = Tables.embeddings(spark, sfDir)
+    val corpus = e.filter(col("vec_id") >= 8)
+    val queries = e.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.pqTopK(corpus, queries, "vec_id", "embedding",
+      m = 8, kCent = 32, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"PQ recall@5 = $recall")
+    // determinism: train + encode + score twice, same result
+    val again = Similarity.pqTopK(corpus, queries, "vec_id", "embedding",
+      m = 8, kCent = 32, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(again === approx)
+  }
+
   test("kmeans separates well-separated clusters exactly") {
     val vecs = Seq(
       (0L, Array(0.0, 0.0)), (1L, Array(0.1, 0.0)), (2L, Array(0.0, 0.2)),

@@ -341,6 +341,10 @@ case class PqEncode(child: Expression, codebook: IndexedSeq[Double], m: Int, kCe
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    // a ragged row (corrupt corpus) must fail intelligibly, not AIOOBE
+    // on short vectors or silently encode a prefix of long ones
+    require(v.numElements() == m * subDim,
+      s"pq_encode: vector has ${v.numElements()} dims, codebook expects ${m * subDim}")
     var code = 0L
     var mm = 0
     while (mm < m) {

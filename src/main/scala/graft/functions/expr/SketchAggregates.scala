@@ -316,15 +316,19 @@ case class BloomContainsAny(left: Expression, right: Expression, k: Int)
     var j = 0
     val n = hs.numElements()
     while (j < n) {
-      val h = hs.getLong(j)
-      var i = 0
-      var all = true
-      while (all && i < k) {
-        val p = CmsHash.slot(h, i, numBits)
-        all = (bits.getLong(p >>> 6) & (1L << (p & 63))) != 0L
-        i += 1
+      // a null element is an unknown hash, not hash 0 (getLong on a
+      // null slot reads 0) — skip it rather than probe a wrong slot
+      if (!hs.isNullAt(j)) {
+        val h = hs.getLong(j)
+        var i = 0
+        var all = true
+        while (all && i < k) {
+          val p = CmsHash.slot(h, i, numBits)
+          all = (bits.getLong(p >>> 6) & (1L << (p & 63))) != 0L
+          i += 1
+        }
+        if (all) return true
       }
-      if (all) return true
       j += 1
     }
     false
@@ -351,6 +355,11 @@ case class CmsEstimate(left: Expression, right: Expression, depth: Int, width: I
 
   override protected def nullSafeEval(sketch: Any, item: Any): Any = {
     val arr = sketch.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    // SQL-exposed: a depth/width mismatch vs the sketch must fail with
+    // the cause, not index out of bounds / silently misaligned reads
+    require(arr.numElements() == depth * width,
+      s"cms_estimate: sketch has ${arr.numElements()} counters, " +
+        s"depth=$depth width=$width expects ${depth * width}")
     val h = item.asInstanceOf[Long]
     var est = Long.MaxValue
     var r = 0

@@ -180,11 +180,14 @@ object Events {
   def resampleGrid(events: DataFrame, key: String, ts: String, value: String,
       stepSeconds: Long): DataFrame = {
     val stepUs = stepSeconds * 1000000L
-    // integer ceil-division: (us + step-1) with the long kept exact in
-    // a decimal, then floor-div — double division would be fine at
-    // 2024 epochs but decimal is unconditionally exact
-    val bucket = floor((unix_micros(col(ts)) + lit(stepUs - 1))
-      .cast("decimal(28,0)") / lit(stepUs)).cast("long")
+    // integer ceil-division via pmod: ceil(us/S) = (a - a mod S)/S with
+    // a = us + S - 1. The subtraction makes the numerator an exact
+    // multiple of S (both < 2^53, exactly representable), so the double
+    // division is exact — unlike decimal division, whose scale-10
+    // HALF_UP rounding mis-buckets boundary events once 1/S < 5e-11
+    // (daily steps), and unlike a raw double floor(us/S)
+    val usC = unix_micros(col(ts)) + lit(stepUs - 1)
+    val bucket = ((usC - pmod(usC, lit(stepUs))) / lit(stepUs)).cast("long")
     val perBucket = events
       .groupBy(col(key), bucket.as("__b"))
       .agg(

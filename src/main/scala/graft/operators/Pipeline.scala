@@ -70,13 +70,8 @@ object Pipeline {
     * (WindowGroupLimit) so no full per-key sort materializes.
     * `version` columns must make the ordering total (pass a tiebreak).
     */
-  def upsertLatest(base: DataFrame, delta: DataFrame, keys: Seq[String], version: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(version.map(_.desc): _*)
-    base.unionByName(delta)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
-  }
+  def upsertLatest(base: DataFrame, delta: DataFrame, keys: Seq[String], version: Seq[Column]): DataFrame =
+    latestPerKey(base.unionByName(delta), keys, version)
 
   /** Delete detection — keys present in the snapshot but absent from
     * the latest batch (the reference's `is_seen == False` scan,
@@ -111,8 +106,10 @@ object Pipeline {
       .orderBy(col("n").desc, col("token"))
       .limit(topN)
 
-  /** Latest version per key of a single table — [[upsertLatest]] with
-    * no delta batch (snapshot compaction). */
+  /** Latest version per key (snapshot compaction) — the single
+    * keep-latest window both [[upsertLatest]] and the snapshot-diff
+    * call sites share (one definition, so the ordering/tiebreak
+    * contract cannot silently diverge between paths). */
   def latestPerKey(df: DataFrame, keys: Seq[String], version: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(version.map(_.desc): _*)
     df.withColumn("__rn", row_number().over(w))
@@ -184,10 +181,17 @@ object Pipeline {
   def mergeApply(base: DataFrame, delta: DataFrame, key: String,
       opCol: String): DataFrame = {
     val cols = base.columns.toSeq
+    // fail loudly on a malformed op (null or unknown): without this, a
+    // null op would anti-join the base row away AND fail the =!= "D"
+    // filter (null), silently deleting data on a corrupt feed
+    val op = when(col(opCol).isin("I", "U", "D"), col(opCol))
+      .otherwise(raise_error(concat(
+        lit(s"mergeApply: $opCol must be I/U/D, got "),
+        coalesce(col(opCol), lit("NULL")))))
     val deltaKeys = delta.select(col(key).as("__mk"))
     base.join(deltaKeys, col(key) === col("__mk"), "left_anti")
       .unionByName(
-        delta.filter(col(opCol) =!= "D").select(cols.map(col): _*))
+        delta.filter(op =!= "D").select(cols.map(col): _*))
   }
 
   /** Per-group sorted member roster — the reference's update-log

@@ -19,7 +19,7 @@ class EntrySpec extends SparkSpec {
     // against ann_topk in SimilaritySpec), the HLL cardinality,
     // KLL-style quantile, and Count-Min frequency sketches (estimates
     // are engine-specific; accuracy-tested vs exact in EventsSpec /
-    // RelationalSpec / SketchSpec), and k-means (float-summation-
+    // CurationNewSpec / SketchSpec), and k-means (float-summation-
     // order-dependent centroids; separation/determinism/inertia
     // spec-tested). Every deterministic operator — including the
     // minhash and simhash sketches, whose hash pipelines the oracles

@@ -101,6 +101,24 @@ class EventsSpec extends SparkSpec {
       (8L, ep("2024-01-01 10:00:00"), 2L, 6.0)))
   }
 
+  test("resampleGrid daily-step boundary events stay in their own grid point") {
+    // regression: decimal(38,10) HALF_UP division rounded (q*S + S-1)/S
+    // up to q+1 once 1/S < 5e-11 — a midnight event on a daily grid
+    // landed one day late
+    val ev = Seq(
+      (1L, 9L, ts("2024-01-01 00:00:00"), 1.0),
+      (2L, 9L, ts("2024-01-03 00:00:00"), 2.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = Events.resampleGrid(ev, "user_id", "ts", "value", 86400L)
+      .orderBy("grid_epoch_s")
+      .as[(Long, Long, Long, Double)].collect()
+    def ep(s: String) = ts(s).getTime / 1000
+    assert(out === Array(
+      (9L, ep("2024-01-01 00:00:00"), 1L, 1.0),
+      (9L, ep("2024-01-02 00:00:00"), 0L, 1.0),
+      (9L, ep("2024-01-03 00:00:00"), 1L, 2.0)))
+  }
+
   test("runningDistinct counts first-seen users per day with a running total") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-02 10:00:00")),

@@ -91,6 +91,17 @@ class PipelineSpec extends SparkSpec {
     assert(out === Array((1L, "a"), (2L, "B"), (4L, "d")))
   }
 
+  test("mergeApply fails loudly on a malformed delta op instead of silently deleting") {
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val delta = Seq((1L, "x", null.asInstanceOf[String])).toDF("k", "v", "op")
+    val ex = intercept[Throwable] {
+      Pipeline.mergeApply(base, delta, "k", "op").collect()
+    }
+    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("must be I/U/D"), s"unexpected failure: $msgs")
+  }
+
   test("profile reports per-column stats from one scan") {
     val df = Seq((1L, "x", 2.5), (2L, "y", 1.0), (2L, null, 4.0))
       .toDF("id", "s", "v")

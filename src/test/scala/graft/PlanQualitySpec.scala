@@ -109,13 +109,14 @@ class PlanQualitySpec extends SparkSpec {
   test("resample collapses events to buckets before any shuffle") {
     val p = plan(graft.operators.Events.resampleGrid(
       Tables.events(spark, sfDir), "user_id", "ts", "value", 3600L))
-    // partial aggregate below the first exchange: the raw events never
-    // cross the wire (one row per occupied bucket does)
+    // a PARTIAL-mode aggregate must sit below (textually after) the
+    // first exchange: the raw events never cross the wire, one row per
+    // occupied bucket does. Matching any HashAggregate would pass even
+    // if the collapse moved above the shuffle — require partial_ mode
     val firstExchange = p.indexOf("Exchange hashpartitioning")
-    val partialAgg = p.indexOf("HashAggregate")
-    assert(firstExchange >= 0 && partialAgg >= 0)
-    assert(p.substring(firstExchange).contains("HashAggregate"),
-      s"no partial aggregation below the exchange:\n$p")
+    assert(firstExchange >= 0, s"no hash exchange at all:\n$p")
+    assert(p.substring(firstExchange).contains("partial_"),
+      s"no partial (map-side) aggregation below the first exchange:\n$p")
   }
 
   test("approx heavy hitters broadcast the sketch; candidates never shuffle the corpus") {

@@ -34,4 +34,44 @@ object StreamUpsert {
     ds.groupByKey(keyFn)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fold)
   }
+
+  /** Streaming CDC apply — the continuous form of
+    * [[graft.operators.Pipeline.mergeApply]]: a stream of versioned
+    * I/U/D ops folds into per-key state; the output is a change log
+    * of `(key, Some(currentRow))` on upsert and `(key, None)`
+    * tombstones on delete, emitted only when the key's live row
+    * actually changes.
+    *
+    * State per key is `(appliedVersion, liveRow)`: the version guard
+    * makes at-least-once redelivery and out-of-order ops safe (a
+    * stale op — version ≤ applied — is ignored, so a replayed U
+    * cannot resurrect a deleted key). Deleted keys retain a
+    * `(version, None)` tombstone so the guard keeps working; a
+    * production deployment bounds tombstone state with an
+    * event-time/processing-time timeout — kept NoTimeout here so the
+    * semantics stay exact for the spec's replay checks.
+    */
+  def cdcApply[K, T](ds: Dataset[T])(keyFn: T => K)(
+      ver: T => Long, isDelete: T => Boolean)(
+      implicit kEnc: Encoder[K],
+      stateEnc: Encoder[(Long, Option[T])],
+      outEnc: Encoder[(K, Option[T])]): Dataset[(K, Option[T])] = {
+    def fold(key: K, rows: Iterator[T],
+        state: GroupState[(Long, Option[T])]): Iterator[(K, Option[T])] = {
+      val prev = state.getOption
+      var curVer = prev.map(_._1).getOrElse(Long.MinValue)
+      var cur = prev.flatMap(_._2)
+      rows.foreach { r =>
+        if (ver(r) > curVer) {
+          curVer = ver(r)
+          cur = if (isDelete(r)) None else Some(r)
+        }
+      }
+      state.update((curVer, cur))
+      if (cur == prev.flatMap(_._2)) Iterator.empty
+      else Iterator.single((key, cur))
+    }
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fold)
+  }
 }

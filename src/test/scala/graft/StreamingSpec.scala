@@ -224,4 +224,56 @@ class StreamingSpec extends SparkSpec {
     assert(batched.nonEmpty, "batch twin found no interval pairs")
     assert(streamed === batched)
   }
+
+  test("streaming cdcApply folds I/U/D ops; tombstones delete; stale replays ignored") {
+    // ops over events: key = user_id, version = event_id, delete when
+    // event_type == 'error'
+    val rows = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Event].collect().toIndexedSeq.sortBy(_.event_id)
+    val (first, second) = rows.splitAt(rows.length / 2)
+    def model(ops: Seq[EventStreams.Event]): Map[Long, Option[Long]] =
+      ops.groupBy(_.user_id).map { case (k, es) =>
+        val last = es.maxBy(_.event_id)
+        k -> (if (last.event_type == "error") None else Some(last.event_id))
+      }
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val changes = graft.streaming.StreamUpsert.cdcApply(mem.toDS())(_.user_id)(
+      _.event_id, _.event_type == "error")
+    val q = changes.writeStream.outputMode("update")
+      .format("memory").queryName("cdc_out").start()
+    try {
+      def snap(): Seq[(Long, Option[Long])] =
+        spark.table("cdc_out").as[(Long, Option[EventStreams.Event])]
+          .collect().toSeq.map { case (k, e) => (k, e.map(_.event_id)) }
+      mem.addData(first); q.processAllAvailable()
+      // a key whose batch nets out to deleted-without-ever-being-live
+      // must NOT emit a tombstone (downstream never saw it)
+      assert(snap().toMap === model(first).filter(_._2.nonEmpty),
+        "batch-1 change log != model")
+      val afterOne = snap()
+      mem.addData(second); q.processAllAvailable()
+      // batch-2 emissions (order-free multiset diff) must be exactly
+      // the keys whose live row changed, each at its final model value
+      // — tombstones included as (k, None)
+      val batch2New = afterOne.foldLeft(snap()) { (acc, r) =>
+        acc.patch(acc.indexOf(r), Nil, 1)
+      }
+      val finalModel = model(rows)
+      val state1 = model(first) // state after batch 1 (None == never live)
+      val expectedNew = finalModel.filter { case (k, v) =>
+        state1.getOrElse(k, None) != v
+      }
+      assert(batch2New.toMap === expectedNew, "batch-2 change log != model delta")
+      assert(batch2New.toSet.size === batch2New.size, "duplicate emissions for a key in one batch")
+      assert(finalModel.values.exists(_.isEmpty), "test data produced no tombstones")
+      // stale replay: batch 1 versions are all <= applied — no emissions
+      val before = spark.table("cdc_out").count()
+      mem.addData(first); q.processAllAvailable()
+      assert(spark.table("cdc_out").count() === before,
+        "stale replayed ops must not emit or resurrect deleted keys")
+    } finally { q.stop() }
+  }
 }

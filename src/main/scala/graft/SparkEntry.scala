@@ -213,6 +213,39 @@ object SparkEntry {
           col("p.mdate").as("mdate"))
     }),
 
+    // deep semi-structured JSON: synthesize a nested document per
+    // orders row (struct-in-struct, string array, array-of-struct) →
+    // from_json with explicit schema → flatten + in-row array agg.
+    // The oracle derives every expected value DIRECTLY from the base
+    // columns, so any parse/extraction defect hash-mismatches. Item
+    // prices use .5/.25 fractions — exact in binary, so the in-row
+    // double sum is bit-stable across engines
+    "json_roundtrip" -> ((s, dir) => {
+      val k = col("o_orderkey")
+      val js = concat(
+        lit("{\"id\":"), k.cast("string"),
+        lit(",\"cust\":{\"key\":"), col("o_custkey").cast("string"),
+        lit(",\"segment\":\""), col("o_orderpriority"), lit("\"}"),
+        lit(",\"tags\":[\"t"), (k % 7).cast("string"),
+        lit("\",\"t"), (k % 11).cast("string"), lit("\"]"),
+        lit(",\"items\":[{\"n\":1,\"price\":"), ((k % 50) + lit(0.5)).cast("string"),
+        lit("},{\"n\":2,\"price\":"), ((k % 30) + lit(0.25)).cast("string"),
+        lit("}]}"))
+      val schema = "id BIGINT, cust STRUCT<key: BIGINT, segment: STRING>, " +
+        "tags ARRAY<STRING>, items ARRAY<STRUCT<n: INT, price: DOUBLE>>"
+      t(s, dir, "orders")
+        .select(from_json(js, org.apache.spark.sql.types.StructType.fromDDL(schema)).as("j"))
+        .select(
+          col("j.id").as("id"),
+          col("j.cust.key").as("cust_key"),
+          col("j.cust.segment").as("segment"),
+          size(col("j.tags")).as("n_tags"),
+          col("j.tags")(0).as("tag_1"),
+          size(col("j.items")).as("n_items"),
+          aggregate(col("j.items"), lit(0.0),
+            (acc, x) => acc + x.getField("price")).as("sum_price"))
+    }),
+
     // the engine's SQL-text surface: temp views + spark.sql — the
     // same Catalyst plan as the DataFrame form (broadcast dims, one
     // fact shuffle), driven entirely from ANSI SQL
@@ -1558,6 +1591,16 @@ object SparkEntry {
                 CAST(count(DISTINCT o_orderdate) AS BIGINT),
                 CAST(min(o_orderdate) AS VARCHAR),
                 CAST(max(o_orderdate) AS VARCHAR) FROM t""",
+
+    "json_roundtrip" ->
+      """SELECT o_orderkey AS id,
+                o_custkey AS cust_key,
+                o_orderpriority AS segment,
+                CAST(2 AS INTEGER) AS n_tags,
+                't' || CAST(o_orderkey % 7 AS VARCHAR) AS tag_1,
+                CAST(2 AS INTEGER) AS n_items,
+                ((o_orderkey % 50) + 0.5) + ((o_orderkey % 30) + 0.25) AS sum_price
+         FROM orders""",
 
     "q37_scd2" ->
       """SELECT o_custkey, o_orderkey,

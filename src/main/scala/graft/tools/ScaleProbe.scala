@@ -143,6 +143,22 @@ object ScaleProbe {
           5, 1 << 22, 3).count()
       }
     }
+    // a copy marker PREPENDED to the text keeps blocks copy-local
+    // (the shared-token perturbation leaves first-4-chars equal, which
+    // would merge blocks across copies and measure the hot-block
+    // pathology instead of scaling)
+    locally {
+      val edN = (0 until mult).map { k =>
+        docs1.select((col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
+          concat(lit(s"c$k "), col("text")).as("text"))
+      }.reduce(_ unionByName _)
+      val ed1 = edN.filter(col("doc_id") < 10000000L)
+      probe("dedup_edit") {
+        Dedup.editDistancePairs(ed1, "doc_id", "text", 64).count()
+      } {
+        Dedup.editDistancePairs(edN, "doc_id", "text", 64).count()
+      }
+    }
     probe("approx_topk") {
       Curation.approxTopTokens(docs1, Text.tokens(col("text")), col("text"),
         4, 2048, 10, 2, 20).count()

@@ -222,15 +222,17 @@ object SparkEntry {
     // double sum is bit-stable across engines
     "json_roundtrip" -> ((s, dir) => {
       val k = col("o_orderkey")
-      val js = concat(
-        lit("{\"id\":"), k.cast("string"),
-        lit(",\"cust\":{\"key\":"), col("o_custkey").cast("string"),
-        lit(",\"segment\":\""), col("o_orderpriority"), lit("\"}"),
-        lit(",\"tags\":[\"t"), (k % 7).cast("string"),
-        lit("\",\"t"), (k % 11).cast("string"), lit("\"]"),
-        lit(",\"items\":[{\"n\":1,\"price\":"), ((k % 50) + lit(0.5)).cast("string"),
-        lit("},{\"n\":2,\"price\":"), ((k % 30) + lit(0.25)).cast("string"),
-        lit("}]}"))
+      // to_json owns quoting/escaping (a raw-concat synthesis is only
+      // valid while the embedded strings happen to contain no quotes)
+      val js = to_json(struct(
+        k.as("id"),
+        struct(col("o_custkey").as("key"),
+          col("o_orderpriority").as("segment")).as("cust"),
+        array(concat(lit("t"), (k % 7).cast("string")),
+          concat(lit("t"), (k % 11).cast("string"))).as("tags"),
+        array(
+          struct(lit(1).as("n"), ((k % 50) + lit(0.5)).as("price")),
+          struct(lit(2).as("n"), ((k % 30) + lit(0.25)).as("price"))).as("items")))
       val schema = "id BIGINT, cust STRUCT<key: BIGINT, segment: STRING>, " +
         "tags ARRAY<STRING>, items ARRAY<STRUCT<n: INT, price: DOUBLE>>"
       t(s, dir, "orders")
@@ -339,14 +341,14 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding", "label", 0.4)),
 
-    // pairwise near-dup output → dedup decisions: connected components
-    // by min-label propagation; cluster_id = min doc id of the cluster
     // fuzzy near-dup by edit distance: prefix+length blocking (equi-
     // join, never n²), exact levenshtein verify on block-local pairs
     "dedup_edit" -> ((s, dir) =>
       Dedup.editDistancePairs(t(s, dir, "documents"), "doc_id", "text",
         maxDist = 64)),
 
+    // pairwise near-dup output → dedup decisions: connected components
+    // by min-label propagation; cluster_id = min doc id of the cluster
     "dedup_clusters" -> ((s, dir) =>
       Clusters.connectedComponents(
           Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", k = 3, tau = 0.6),
@@ -1603,16 +1605,22 @@ object SparkEntry {
                 CAST(min(o_orderdate) AS VARCHAR),
                 CAST(max(o_orderdate) AS VARCHAR) FROM t""",
 
+    // the count(*) OVER block-size filter mirrors the operator's
+    // maxBlock=1000 hot-block guard, so the two engines agree even at
+    // a scale (or on a boilerplate-heavy corpus) where the guard fires
     "dedup_edit" ->
       """WITH d AS (
            SELECT doc_id, text,
                   CAST(floor(length(text) / 32.0) AS BIGINT) AS lb,
                   substr(text, 1, 4) AS p
-           FROM documents)
+           FROM documents),
+         sized AS (
+           SELECT *, count(*) OVER (PARTITION BY lb, p) AS bs FROM d)
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                 CAST(levenshtein(a.text, b.text) AS INTEGER) AS lev
-         FROM d a JOIN d b ON a.lb = b.lb AND a.p = b.p AND a.doc_id < b.doc_id
-         WHERE levenshtein(a.text, b.text) <= 64""",
+         FROM sized a JOIN sized b
+           ON a.lb = b.lb AND a.p = b.p AND a.doc_id < b.doc_id
+         WHERE a.bs <= 1000 AND levenshtein(a.text, b.text) <= 64""",
 
     "q42_histogram" ->
       """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin,

@@ -181,15 +181,17 @@ object Events {
       stepSeconds: Long): DataFrame = {
     val stepUs = stepSeconds * 1000000L
     // integer ceil-division via pmod: ceil(us/S) = (a - a mod S)/S with
-    // a = us + S - 1. The subtraction makes the numerator an exact
-    // multiple of S (both < 2^53, exactly representable), so the double
-    // division is exact — unlike decimal division, whose scale-10
-    // HALF_UP rounding mis-buckets boundary events once 1/S < 5e-11
-    // (daily steps), and unlike a raw double floor(us/S)
+    // a = us + S - 1. pmod keeps the numerator an exact floor-aligned
+    // multiple of S even for negative (pre-1970) timestamps, and `div`
+    // (integral divide) on that multiple is unconditionally exact —
+    // unlike double division, which mis-buckets once |us| > 2^53, and
+    // unlike decimal division, whose scale-10 HALF_UP rounding
+    // mis-buckets boundary events once 1/S < 5e-11 (daily steps)
     val usC = unix_micros(col(ts)) + lit(stepUs - 1)
-    val bucket = ((usC - pmod(usC, lit(stepUs))) / lit(stepUs)).cast("long")
     val perBucket = events
-      .groupBy(col(key), bucket.as("__b"))
+      .withColumn("__usC", usC)
+      .withColumn("__b", expr(s"(__usC - pmod(__usC, ${stepUs}L)) div ${stepUs}L"))
+      .groupBy(col(key), col("__b"))
       .agg(
         count("*").as("__n"),
         // lexicographic max on (ts, event_id) = latest event, tiebreak

@@ -44,15 +44,28 @@ object StreamUpsert {
     *
     * State per key is `(appliedVersion, liveRow)`: the version guard
     * makes at-least-once redelivery and out-of-order ops safe (a
-    * stale op — version ≤ applied — is ignored, so a replayed U
+    * stale op — version < applied — is ignored, so a replayed U
     * cannot resurrect a deleted key). Deleted keys retain a
     * `(version, None)` tombstone so the guard keeps working; a
     * production deployment bounds tombstone state with an
     * event-time/processing-time timeout — kept NoTimeout here so the
     * semantics stay exact for the spec's replay checks.
+    *
+    * Version-uniqueness contract: versions should be UNIQUE per key
+    * (log-offset / LSN semantics). Ties between DISTINCT ops sharing
+    * `(key, version)` are resolved deterministically where the state
+    * shape allows: a delete beats a live row at the same version
+    * (and a replayed upsert never resurrects a same-version delete);
+    * between two distinct LIVE rows at one version, `tiebreak(r, c)`
+    * decides if provided ("r beats c"), else the first-applied op
+    * keeps winning — which depends on arrival order, so feeds that
+    * can carry genuine live-row ties (e.g. coarse timestamp
+    * versions) must pass a tiebreak or pack a sequence number into
+    * the version's low bits.
     */
   def cdcApply[K, T](ds: Dataset[T])(keyFn: T => K)(
-      ver: T => Long, isDelete: T => Boolean)(
+      ver: T => Long, isDelete: T => Boolean,
+      tiebreak: Option[(T, T) => Boolean] = None)(
       implicit kEnc: Encoder[K],
       stateEnc: Encoder[(Long, Option[T])],
       outEnc: Encoder[(K, Option[T])]): Dataset[(K, Option[T])] = {
@@ -62,9 +75,18 @@ object StreamUpsert {
       var curVer = prev.map(_._1).getOrElse(Long.MinValue)
       var cur = prev.flatMap(_._2)
       rows.foreach { r =>
-        if (ver(r) > curVer) {
-          curVer = ver(r)
+        val v = ver(r)
+        if (v > curVer) {
+          curVer = v
           cur = if (isDelete(r)) None else Some(r)
+        } else if (v == curVer) (cur, isDelete(r)) match {
+          // same-version ties (see contract above): delete wins over
+          // a live row; a delete already applied at this version is
+          // final; two live rows defer to the caller's tiebreak
+          case (Some(_), true) => cur = None
+          case (Some(c), false) =>
+            tiebreak.foreach(tb => if (tb(r, c)) cur = Some(r))
+          case (None, _) => ()
         }
       }
       state.update((curVer, cur))

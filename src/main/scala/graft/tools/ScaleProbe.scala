@@ -148,11 +148,14 @@ object ScaleProbe {
     // would merge blocks across copies and measure the hot-block
     // pathology instead of scaling)
     locally {
-      val edN = (0 until mult).map { k =>
-        docs1.select((col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
+      def edCopy(base: DataFrame, k: Int): DataFrame =
+        base.select((col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
           concat(lit(s"c$k "), col("text")).as("text"))
-      }.reduce(_ unionByName _)
-      val ed1 = edN.filter(col("doc_id") < 10000000L)
+      val edN = (0 until mult).map(edCopy(docs1, _)).reduce(_ unionByName _)
+      // the 1× arm is built directly from docs1 (one clean scan), NOT
+      // by filtering the N-way union — that would scan all N copies
+      // in both arms and bias the reported ratio toward 1.0
+      val ed1 = edCopy(docs1, 0)
       probe("dedup_edit") {
         Dedup.editDistancePairs(ed1, "doc_id", "text", 64).count()
       } {

@@ -137,10 +137,4 @@ class DedupSpec extends SparkSpec {
     assert(loose === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
-  test("histogram bins values equi-width and drops out-of-range") {
-    val df = Seq(0.0, 4.9, 5.0, 9.99, 10.0, -1.0, 30.0).toDF("v")
-    val h = graft.operators.Profile.histogram(df, "v", lo = 0.0, width = 5.0, nBins = 6)
-      .orderBy("bin").as[(Long, Long)].collect()
-    assert(h === Array((0L, 2L), (1L, 2L), (2L, 1L))) // -1 and 30 dropped
-  }
 }

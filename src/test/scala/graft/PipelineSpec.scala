@@ -114,6 +114,13 @@ class PipelineSpec extends SparkSpec {
       ("v", 3L, 3L, "1.0", "4.0")))
   }
 
+  test("histogram bins values equi-width and drops out-of-range") {
+    val df = Seq(0.0, 4.9, 5.0, 9.99, 10.0, -1.0, 30.0).toDF("v")
+    val h = graft.operators.Profile.histogram(df, "v", lo = 0.0, width = 5.0, nBins = 6)
+      .orderBy("bin").as[(Long, Long)].collect()
+    assert(h === Array((0L, 2L), (1L, 2L), (2L, 1L))) // -1 and 30 dropped
+  }
+
   test("snapshotDiff classifies added / removed / changed / unchanged") {
     val base = Seq((1L, "p1"), (2L, "p2"), (3L, "p3")).toDF("k", "payload")
     val delta = Seq((2L, "p2"), (3L, "CHANGED"), (4L, "p4")).toDF("k", "payload")

@@ -276,4 +276,49 @@ class StreamingSpec extends SparkSpec {
         "stale replayed ops must not emit or resurrect deleted keys")
     } finally { q.stop() }
   }
+
+  test("cdcApply same-version ties: delete wins; tiebreak orders live rows") {
+    import graft.streaming.EventStreams.Event
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    implicit val sqlCtx = spark.sqlContext
+
+    // delete beats a live row at the same version, whatever order the
+    // batch iterator delivers them in; a replayed same-version upsert
+    // cannot resurrect the delete
+    val mem = MemoryStream[Event]
+    val q = graft.streaming.StreamUpsert.cdcApply(mem.toDS())(_.user_id)(
+        _.event_id, _.event_type == "error")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("cdc_ties").start()
+    try {
+      def snap(): Seq[(Long, Option[Long])] =
+        spark.table("cdc_ties").as[(Long, Option[Event])]
+          .collect().toSeq.map { case (k, e) => (k, e.map(_.event_id)) }
+      mem.addData(Event(4L, ts, 1L, "click", 1.0)); q.processAllAvailable()
+      assert(snap() === Seq((1L, Some(4L))))
+      mem.addData(Event(5L, ts, 1L, "click", 2.0), Event(5L, ts, 1L, "error", 0.0))
+      q.processAllAvailable()
+      assert(snap() === Seq((1L, Some(4L)), (1L, None)),
+        "same-version U+D must net to a tombstone")
+      mem.addData(Event(5L, ts, 1L, "click", 2.0)); q.processAllAvailable()
+      assert(spark.table("cdc_ties").count() === 2,
+        "a same-version upsert must not resurrect the delete")
+    } finally { q.stop() }
+
+    // two distinct live rows at one version: the caller's tiebreak
+    // decides (here max value), independent of arrival order
+    val mem2 = MemoryStream[Event]
+    val q2 = graft.streaming.StreamUpsert.cdcApply(mem2.toDS())(_.user_id)(
+        _.event_id, _.event_type == "error",
+        tiebreak = Some((r, c) => r.value > c.value))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("cdc_ties2").start()
+    try {
+      mem2.addData(Event(7L, ts, 2L, "click", 1.0), Event(7L, ts, 2L, "click", 9.0))
+      q2.processAllAvailable()
+      val out = spark.table("cdc_ties2").as[(Long, Option[Event])].collect()
+      assert(out.length === 1 && out.head._2.map(_.value) === Some(9.0),
+        "tiebreak must pick the max-value row for a version tie")
+    } finally { q2.stop() }
+  }
 }

@@ -386,6 +386,26 @@ object SparkEntry {
           rates = Map("en" -> 0.1), defaultRate = 0.5)
         .select(col("doc_id"), col("lang"), col("bucket"))),
 
+    // per-source quota: at most 20 docs per source, chosen by
+    // deterministic hash order — the per-domain cap of a web corpus
+    "sample_domain_cap" -> ((s, dir) =>
+      Curation.stratumCap(t(s, dir, "documents"), "source", "doc_id", maxPerStratum = 20)
+        .select(col("doc_id"), col("source"), col("cap_rank").cast("int").as("cap_rank"))),
+
+    // mixture resampling: pull en down to a 25% share and de toward
+    // 35%, leave unmapped languages at a flat 60% keep rate
+    "sample_mixture" -> ((s, dir) =>
+      Curation.mixtureSample(t(s, dir, "documents"), "lang", col("n_chars"),
+          col("text"), targetShares = Map("en" -> 0.25, "de" -> 0.35),
+          defaultRate = 0.6)
+        .select(col("doc_id"), col("lang"))),
+
+    // C4-style cleaning flags: word-count bounds, >=2 sentences, no
+    // curly braces / lorem-ipsum boilerplate
+    "text_c4_filters" -> ((s, dir) =>
+      Curation.c4Filters(t(s, dir, "documents"), "doc_id", "text",
+        minWords = 10, maxWords = 50000, minSentences = 2)),
+
     // benchmark decontamination: docs from sources src0/src1 act as the
     // held-out eval set; corpus docs sharing any word-5-gram are flagged
     "decon_ngram" -> ((s, dir) => {
@@ -549,6 +569,21 @@ object SparkEntry {
     "q16_sessionize" -> ((s, dir) => Events.sessionize(Tables.events(s, dir), 1800.0)),
 
     "q17_json_extract" -> ((s, dir) => Events.jsonPropAgg(Tables.events(s, dir))),
+
+    // sliding (hopping) windows: 1-hour windows every 15 minutes —
+    // overlapping-window variant of q15, epoch-second window starts
+    "q43_sliding_windows" -> ((s, dir) =>
+      Events.slidingCounts(Tables.events(s, dir), 3600, 900)),
+
+    // weekly cohort retention triangle: users by first-seen week ×
+    // week offset of activity
+    "q44_cohort_retention" -> ((s, dir) =>
+      Events.cohortRetention(Tables.events(s, dir), "user_id", "ts")),
+
+    // z-score outliers: events > 2.5 sample stddevs from their
+    // event_type mean — one broadcast moments agg, fact never shuffled
+    "q45_zscore_outliers" -> ((s, dir) =>
+      Events.zscoreOutliers(Tables.events(s, dir), threshold = 2.5)),
 
     // trailing 1-hour moving average per user — VALUE-bound window
     // frame (rangeBetween on truncated epoch seconds, mirrored in the
@@ -1156,6 +1191,45 @@ object SparkEntry {
          WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000
                < CASE WHEN lang = 'en' THEN 1000 ELSE 5000 END""",
 
+    "sample_domain_cap" ->
+      """SELECT doc_id, source, CAST(rn AS INTEGER) AS cap_rank
+         FROM (SELECT doc_id, source, row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+               FROM documents)
+         WHERE rn <= 20""",
+
+    "sample_mixture" ->
+      """WITH w AS (SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS wt
+                    FROM documents GROUP BY 1),
+         g AS (SELECT sum(wt) AS wtot FROM w),
+         r AS (SELECT lang,
+                 coalesce(least(1.0,
+                   (CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.35 END * wtot) / wt),
+                   0.6) AS rate
+               FROM w CROSS JOIN g)
+         SELECT doc_id, d.lang AS lang
+         FROM documents d JOIN r USING (lang)
+         WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000
+               < rate * 10000""",
+
+    "text_c4_filters" ->
+      """WITH b AS (
+           SELECT doc_id,
+                  len(list_filter(string_split_regex(trim(text), '\s+'),
+                      x -> x <> '')) AS nw,
+                  length(text) - length(replace(replace(replace(
+                      text, '.', ''), '!', ''), '?', '')) AS ns,
+                  (contains(text, '{') OR contains(text, '}')) AS has_curly,
+                  contains(lower(text), 'lorem ipsum') AS has_lorem
+           FROM documents)
+         SELECT doc_id, CAST(nw AS INTEGER) AS n_words,
+                CAST(ns AS INTEGER) AS n_sentences,
+                has_curly, has_lorem,
+                (nw >= 10 AND nw <= 50000 AND ns >= 2
+                 AND NOT has_curly AND NOT has_lorem) AS c4_keep
+         FROM b""",
+
     // word-5-gram overlap between the corpus and the src0/src1 "eval"
     // docs; distinct STRING 5-grams here ≡ distinct shingle hashes in
     // the Spark plan (collision-free at these scales, same convention
@@ -1453,6 +1527,42 @@ object SparkEntry {
                 event_type, count(*) AS n_events,
                 round(sum(value), 2) AS total_value
          FROM events GROUP BY 1, 2""",
+
+    // every event sits in exactly window/slide = 4 hopping windows:
+    // starts (floor(us/slide) - k)*slide for k in 0..3 — integer µs
+    // arithmetic, no timezone in play (epoch-second output)
+    "q43_sliding_windows" ->
+      """WITH e AS (SELECT event_type, value,
+                           epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                    FROM events)
+         SELECT (us // 900000000 - k.k) * 900 AS window_start_s,
+                event_type, count(*) AS n_events,
+                round(sum(value), 2) AS total_value
+         FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+         GROUP BY 1, 2""",
+
+    "q44_cohort_retention" ->
+      """WITH fw AS (SELECT user_id,
+                            date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS cw
+                     FROM events GROUP BY 1),
+         act AS (SELECT DISTINCT user_id,
+                        date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+                 FROM events)
+         SELECT CAST(cw AS DATE) AS cohort_week,
+                CAST((CAST(wk AS DATE) - CAST(cw AS DATE)) / 7 AS INTEGER)
+                  AS week_offset,
+                count(*) AS n_active
+         FROM act JOIN fw USING (user_id)
+         GROUP BY 1, 2""",
+
+    "q45_zscore_outliers" ->
+      """WITH st AS (SELECT event_type, avg(value) AS mu,
+                            stddev_samp(value) AS sigma
+                     FROM events GROUP BY 1)
+         SELECT event_id, e.event_type AS event_type, value,
+                round((value - mu) / sigma, 4) AS zscore
+         FROM events e JOIN st USING (event_type)
+         WHERE abs((value - mu) / sigma) > 2.5""",
 
     "q16_sessionize" ->
       """WITH g AS (

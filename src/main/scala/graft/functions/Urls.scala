@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization — the first step of web-crawl dedup: distinct
+  * fetches of the same resource (case-jittered scheme/host, default
+  * ports, tracking params, fragments, trailing slashes) must collapse
+  * to one key BEFORE content dedup ever runs.
+  *
+  * Pure Column regex/array ops (RE2-compatible patterns, no UDF). The
+  * param filter/sort uses array higher-order functions — interpreted,
+  * not codegen'd, but over per-row arrays of a handful of params; the
+  * scan stays one pass.
+  */
+object Urls {
+
+  private val scheme = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+  /** Tracking params dropped during canonicalization. */
+  val trackingParamPattern = "^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref_src)="
+
+  /** Canonical form: lowercase scheme+host, default port stripped,
+    * trailing path slashes collapsed (root stays "/"), tracking
+    * params dropped, surviving params sorted, fragment dropped.
+    */
+  def canonicalize(url: Column): Column = {
+    val sch = lower(regexp_extract(url, scheme, 1))
+    val hostport = lower(regexp_extract(url, scheme + "([^/?#]*)", 1))
+    val host = when(sch === "http", regexp_replace(hostport, ":80$", ""))
+      .when(sch === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val rawPath = regexp_extract(url, scheme + "[^/?#]*([^?#]*)", 1)
+    val path = when(regexp_replace(rawPath, "/+$", "") === "", lit("/"))
+      .otherwise(regexp_replace(rawPath, "/+$", ""))
+    val rawQ = regexp_extract(url, "\\?([^#]*)", 1)
+    val params = array_sort(filter(split(rawQ, "&"),
+      p => p =!= "" && !p.rlike(trackingParamPattern)))
+    val qs = concat_ws("&", params)
+    concat(sch, lit("://"), host, path,
+      when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
+  }
+}

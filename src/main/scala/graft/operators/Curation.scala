@@ -216,6 +216,87 @@ object Curation {
           .as("flagged"))
   }
 
+  /** Per-stratum cap: keep at most `maxPerStratum` rows per stratum,
+    * chosen by deterministic content-hash order (the per-domain quota
+    * a web corpus applies so one giant site cannot dominate the
+    * training mix). The hash order makes the kept subset a uniform
+    * pseudo-random sample of each stratum, yet identical across runs,
+    * executors, and task retries — no rand(), no sampling state.
+    *
+    * One shuffle on the stratum key; the rank<=k filter directly over
+    * row_number lets Spark's WindowGroupLimit rewrite keep only the
+    * top k rows per stratum per partition BEFORE the shuffle, so a
+    * hot domain never funnels its full row set to one reducer.
+    */
+  def stratumCap(df: DataFrame, stratumCol: String, idCol: String,
+      maxPerStratum: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("cap_rank", row_number().over(w))
+      .filter(col("cap_rank") <= maxPerStratum)
+  }
+
+  /** Source-mixture resampling: down-sample each stratum toward a
+    * target share of the total corpus weight (the Pile/Dolma-style
+    * mixing step that rebalances e.g. web/books/code before packing).
+    *
+    * For a stratum with weight w in a corpus of total weight W and
+    * target share s, the keep rate is min(1, s·W/w) — exact
+    * down-sampling toward the target mixture (strata already below
+    * target keep everything; this operator never up-samples).
+    * Strata absent from `targetShares` keep `defaultRate`.
+    *
+    * Scale shape: stratum weights are ONE aggregate (map-side
+    * combine, output rows = #strata); rates ride back as a broadcast
+    * join; the keep decision is the stateless [[hashBucket]] filter —
+    * deterministic under retries, zero sampling state, and the corpus
+    * itself is never shuffled.
+    */
+  def mixtureSample(df: DataFrame, stratumCol: String, weight: Column,
+      content: Column, targetShares: Map[String, Double],
+      defaultRate: Double, buckets: Int = 10000): DataFrame = {
+    require(defaultRate >= 0.0 && defaultRate <= 1.0,
+      s"defaultRate $defaultRate outside [0, 1]")
+    targetShares.values.foreach(s =>
+      require(s >= 0.0 && s <= 1.0, s"target share $s outside [0, 1]"))
+    val share = targetShares.foldLeft(lit(null).cast("double")) {
+      case (acc, (stratum, sh)) =>
+        when(col(stratumCol) === stratum, lit(sh)).otherwise(acc)
+    }
+    val totals = df.groupBy(col(stratumCol))
+      .agg(sum(weight).cast("double").as("__w"))
+    val grand = totals.agg(sum(col("__w")).as("__wtot"))
+    val rates = totals.crossJoin(broadcast(grand))
+      .select(col(stratumCol),
+        coalesce(least(lit(1.0), (share * col("__wtot")) / col("__w")),
+          lit(defaultRate)).as("__rate"))
+    df.join(broadcast(rates), stratumCol)
+      .filter(hashBucket(content, buckets) < col("__rate") * buckets)
+      .drop("__rate")
+  }
+
+  /** C4-style heuristic cleaning flags (Raffel et al. '20): word-count
+    * bounds, a minimum terminal-punctuation (sentence) count, code/
+    * boilerplate markers (curly braces, "lorem ipsum"). All flags are
+    * integer/boolean-exact — no float thresholds — and computed in one
+    * codegen'd pass over the scan; `c4_keep` is the conjunction.
+    */
+  def c4Filters(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int, maxWords: Int, minSentences: Int): DataFrame = {
+    val t = col(textCol)
+    val nWords = size(array_remove(graft.functions.Text.tokens(t), ""))
+    val nSentences = length(t) - length(translate(t, ".!?", ""))
+    val hasCurly = t.contains("{") || t.contains("}")
+    val hasLorem = lower(t).contains("lorem ipsum")
+    docs.select(col(idCol).as("doc_id"),
+      nWords.cast("int").as("n_words"),
+      nSentences.cast("int").as("n_sentences"),
+      hasCurly.as("has_curly"),
+      hasLorem.as("has_lorem"),
+      (nWords >= minWords && nWords <= maxWords &&
+        nSentences >= minSentences && !hasCurly && !hasLorem).as("c4_keep"))
+  }
+
   /** Per-stratum deterministic hash sampling: keep each row iff its
     * content-hash bucket falls under the stratum's rate (e.g. keep 10%
     * of English but 50% of everything else to rebalance a corpus).

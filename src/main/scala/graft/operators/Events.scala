@@ -231,6 +231,75 @@ object Events {
         sum(col("new_users")).over(
           Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)))
 
+  /** Sliding (hopping) window aggregate per event type: overlapping
+    * windows of `windowSeconds` every `slideSeconds`. Spark's
+    * `window()` generates each event's window/slide memberships
+    * IN-ROW (an event lands in window/slide rows before the shuffle),
+    * so the one shuffle moves (window, type) partials — the same
+    * map-side-combine shape as the tumbling q15, ×(window/slide)
+    * fan-out. Matches the Structured Streaming windowing semantics
+    * exactly (same function), so a streaming variant is the identical
+    * expression over readStream.
+    *
+    * Emits epoch seconds for the window start (integer — timezone- and
+    * engine-neutral). `windowSeconds` must be a multiple of
+    * `slideSeconds` (every event then sits in exactly window/slide
+    * windows).
+    */
+  def slidingCounts(events: DataFrame, windowSeconds: Int, slideSeconds: Int): DataFrame = {
+    require(windowSeconds % slideSeconds == 0,
+      s"windowSeconds $windowSeconds must be a multiple of slideSeconds $slideSeconds")
+    events.groupBy(
+        window(col("ts"), s"$windowSeconds seconds", s"$slideSeconds seconds"),
+        col("event_type"))
+      .agg(count("*").as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").cast("long").as("window_start_s"),
+        col("event_type"), col("n_events"), col("total_value"))
+  }
+
+  /** Weekly cohort retention: users grouped by first-seen week, and
+    * for each (cohort, week-offset) the count of cohort members active
+    * that week — the classic retention triangle.
+    *
+    * Both feeding aggregates key on user_id (first-seen week) or
+    * (user_id, week) (distinct activity), so the expensive work is
+    * two map-side-combining aggs over the fact; the join carries one
+    * row per (user, active week) — already collapsed — and the final
+    * agg output is ∝ weeks², independent of event count. Week
+    * arithmetic is date-exact (trunc + day diff / 7), no floats.
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val firstWeek = events.groupBy(col(userCol))
+      .agg(date_trunc("week", min(col(tsCol))).as("__cohort"))
+    val activity = events
+      .select(col(userCol), date_trunc("week", col(tsCol)).as("__week"))
+      .distinct()
+    activity.join(firstWeek, userCol)
+      .groupBy(col("__cohort"),
+        (datediff(col("__week"), col("__cohort")) / 7).cast("int").as("week_offset"))
+      .agg(count("*").as("n_active"))
+      .select(col("__cohort").cast("date").as("cohort_week"),
+        col("week_offset"), col("n_active"))
+  }
+
+  /** Z-score outlier detection: events whose value sits more than
+    * `threshold` sample standard deviations from their event_type's
+    * mean. The per-group moments are ONE aggregate (map-side partial
+    * moment tuples, output rows = #types) broadcast back over the
+    * fact — the fact itself is never shuffled, so the scan stays a
+    * single codegen'd pass. The standard first-pass anomaly screen
+    * over telemetry/metrics streams.
+    */
+  def zscoreOutliers(events: DataFrame, threshold: Double): DataFrame = {
+    val stats = events.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("__mu"), stddev_samp(col("value")).as("__sigma"))
+    events.join(broadcast(stats), "event_type")
+      .withColumn("__z", (col("value") - col("__mu")) / col("__sigma"))
+      .filter(abs(col("__z")) > threshold)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("__z"), 4).as("zscore"))
+  }
+
   /** Semi-structured JSON prop extraction + aggregate. get_json_object
     * is codegen'd; for a fixed schema, from_json + a struct column
     * would let Catalyst prune fields — used when more than one key is

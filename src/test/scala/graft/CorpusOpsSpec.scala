@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Events}
+import graft.sources.Tables
+
+/** Per-domain cap, mixture resampling, C4 filters (Curation) and the
+  * sliding-window / cohort-retention / z-score event operators. */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  // ---- stratumCap ----
+
+  test("stratumCap keeps at most k per stratum, deterministically") {
+    val docs = Tables.documents(spark, sfDir)
+    val capped = Curation.stratumCap(docs, "source", "doc_id", 5)
+    val bySource = capped.groupBy("source").count().as[(String, Long)].collect()
+    assert(bySource.nonEmpty && bySource.forall(_._2 <= 5))
+    // a source with >=5 docs is capped exactly at 5
+    val big = docs.groupBy("source").count().filter(col("count") >= 5)
+      .select("source").as[String].collect().toSet
+    bySource.filter(r => big(r._1)).foreach(r => assert(r._2 === 5L))
+    val again = Curation.stratumCap(docs, "source", "doc_id", 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(capped.select("doc_id").as[Long].collect().toSet === again)
+  }
+
+  test("stratumCap rank filter is pushed below the shuffle (WindowGroupLimit)") {
+    val p = plan(Curation.stratumCap(Tables.documents(spark, sfDir), "source", "doc_id", 5))
+    assert(p.contains("WindowGroupLimit"),
+      s"hot stratum would funnel all rows to one reducer:\n$p")
+  }
+
+  // ---- mixtureSample ----
+
+  test("mixtureSample downsamples toward target shares and never upsamples") {
+    val docs = Tables.documents(spark, sfDir)
+    val total = docs.agg(sum("n_chars")).as[Long].head.toDouble
+    val out = Curation.mixtureSample(docs, "lang", col("n_chars"), col("text"),
+      Map("en" -> 0.25, "de" -> 0.35), defaultRate = 0.6)
+    val keptByLang = out.groupBy("lang").agg(sum("n_chars").as("w"))
+      .as[(String, Long)].collect().toMap
+    val allByLang = docs.groupBy("lang").agg(sum("n_chars").as("w"))
+      .as[(String, Long)].collect().toMap
+    // never upsample: kept weight <= original weight per stratum
+    keptByLang.foreach { case (l, w) => assert(w <= allByLang(l)) }
+    // a stratum above its target share lands near (at most ~2x, hash
+    // granularity at this tiny SF) the target weight
+    val enShare = allByLang("en") / total
+    if (enShare > 0.25) {
+      assert(keptByLang("en") <= allByLang("en"))
+      assert(keptByLang("en").toDouble / total < 0.25 * 2.0,
+        s"en kept ${keptByLang("en")} of $total — far over the 25% target")
+    }
+    // deterministic
+    val again = Curation.mixtureSample(docs, "lang", col("n_chars"), col("text"),
+      Map("en" -> 0.25, "de" -> 0.35), defaultRate = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.select("doc_id").as[Long].collect().toSet === again)
+  }
+
+  test("mixtureSample keeps everything in a stratum already below target") {
+    val df = Seq(
+      ("small", "doc a", 10L), ("big", "doc b", 1000L), ("big", "doc c", 1000L),
+      ("big", "doc d", 990L))
+      .toDF("lang", "text", "n_chars")
+    // small is 10/3000 ≈ 0.3% of weight; target 50% ⇒ rate 1.0
+    val out = Curation.mixtureSample(df, "lang", col("n_chars"), col("text"),
+      Map("small" -> 0.5), defaultRate = 1.0)
+    assert(out.filter(col("lang") === "small").count() === 1L)
+  }
+
+  test("mixtureSample rejects out-of-range rates") {
+    val df = Seq(("en", "x", 1L)).toDF("lang", "text", "n_chars")
+    intercept[IllegalArgumentException] {
+      Curation.mixtureSample(df, "lang", col("n_chars"), col("text"),
+        Map("en" -> 1.5), defaultRate = 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.mixtureSample(df, "lang", col("n_chars"), col("text"),
+        Map("en" -> 0.5), defaultRate = -0.1)
+    }
+  }
+
+  // ---- c4Filters ----
+
+  test("c4Filters flags each heuristic independently") {
+    val docs = Seq(
+      (1L, "A good doc. It has sentences! Three of them? plus " +
+        "enough words to clear the minimum bar easily here."),
+      (2L, "too short. yes."),                       // < 10 words
+      (3L, "this one has code { return 1; } inside it. " +
+        "and otherwise enough words to pass the bar. really truly."),
+      (4L, "Lorem ipsum dolor sit amet filler text goes on. " +
+        "and on and on and on it goes here. done."))
+      .toDF("doc_id", "text")
+    val out = Curation.c4Filters(docs, "doc_id", "text",
+        minWords = 10, maxWords = 50000, minSentences = 2)
+      .as[(Long, Int, Int, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._6 === true)
+    assert(out(2L)._6 === false && out(2L)._2 < 10)
+    assert(out(3L)._6 === false && out(3L)._4 === true)   // has_curly
+    assert(out(4L)._6 === false && out(4L)._5 === true)   // has_lorem
+    assert(out(1L)._3 >= 2)                               // sentence count
+  }
+
+  // ---- slidingCounts ----
+
+  test("sliding windows place every event in exactly window/slide windows") {
+    val ev = Tables.events(spark, sfDir)
+    val n = ev.count()
+    val out = Events.slidingCounts(ev, 3600, 900)
+    assert(out.agg(sum("n_events")).as[Long].head === 4L * n)
+    // window starts are slide-aligned
+    assert(out.filter(pmod(col("window_start_s"), lit(900)) =!= 0).count() === 0L)
+  }
+
+  test("sliding with window == slide degenerates to tumbling (q15 parity)") {
+    val ev = Tables.events(spark, sfDir)
+    val slid = Events.slidingCounts(ev, 3600, 3600)
+      .select(col("window_start_s"), col("event_type"), col("n_events"))
+      .as[(Long, String, Long)].collect().toSet
+    val tumb = Events.hourlyByType(ev)
+      .select(col("hour_start").cast("long"), col("event_type"), col("n_events"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(slid === tumb)
+  }
+
+  // ---- cohortRetention ----
+
+  test("cohort retention: offset-0 count equals cohort size; offsets non-negative") {
+    val ev = Tables.events(spark, sfDir)
+    val out = Events.cohortRetention(ev, "user_id", "ts")
+      .as[(java.sql.Date, Int, Long)].collect()
+    assert(out.forall(_._2 >= 0))
+    val zero = out.filter(_._2 == 0).map(r => r._1 -> r._3).toMap
+    val cohorts = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cw"))
+      .groupBy("cw").count().as[(java.sql.Date, Long)].collect().toMap
+    // every user is active in their own first week by construction
+    assert(zero === cohorts)
+    // retention never exceeds cohort size
+    out.foreach { case (cw, _, n) => assert(n <= cohorts(cw)) }
+  }
+
+  // ---- zscoreOutliers ----
+
+  test("zscore flags the planted outlier and nothing in a tight cluster") {
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 10L, "a", 5.0),
+      (2L, "2024-01-01 00:01:00", 11L, "a", 5.1),
+      (3L, "2024-01-01 00:02:00", 12L, "a", 4.9),
+      (4L, "2024-01-01 00:03:00", 13L, "a", 5.05),
+      (5L, "2024-01-01 00:04:00", 14L, "a", 500.0), // the outlier
+      (6L, "2024-01-01 00:05:00", 15L, "a", 4.95))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = Events.zscoreOutliers(ev, 2.0).select("event_id").as[Long].collect()
+    assert(out.toSeq === Seq(5L))
+  }
+
+  test("zscore join broadcasts the per-type moments (fact never shuffled)") {
+    val p = plan(Events.zscoreOutliers(Tables.events(spark, sfDir), 2.5))
+    assert(p.contains("BroadcastHashJoin"), s"moments join shuffled the fact:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"moments join shuffled the fact:\n$p")
+  }
+}

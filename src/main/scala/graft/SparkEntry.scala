@@ -386,6 +386,47 @@ object SparkEntry {
           rates = Map("en" -> 0.1), defaultRate = 0.5)
         .select(col("doc_id"), col("lang"), col("bucket"))),
 
+    // fixed-iteration PageRank over the supplier co-occurrence graph
+    // (suppliers sharing an order, symmetrized) — the web-corpus
+    // quality signal and the canonical iterative-join workload
+    "graph_pagerank" -> ((s, dir) => {
+      import graft.functions.expr.NativeFunctions.sorted_pairs
+      val sets = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_suppkey"))).as("__ms"))
+      val pairs = sets.select(explode(sorted_pairs(col("__ms"))).as("__p"))
+        .select(col("__p.a").as("a"), col("__p.b").as("b"))
+        .distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      graft.operators.Graph.pagerank(edges, "src", "dst", iterations = 3)
+        .select(col("node").as("suppkey"), round(col("rank"), 6).as("pagerank"))
+    }),
+
+    // URL canonicalization dedup, oracle-gated end-to-end by the
+    // synthesize-parse round trip (the xml_roundtrip pattern): build a
+    // messy URL per order (case-jittered host, default port, tracking
+    // params, trailing-slash jitter, fragment), canonicalize, group —
+    // the oracle derives the expected canonical DIRECTLY from the base
+    // columns, so any canonicalization defect hash-mismatches
+    "dedup_url" -> ((s, dir) => {
+      import graft.functions.Urls
+      val even = col("o_orderkey") % 2 === 0
+      val url = concat(
+        when(even, lit("HTTPS://WWW.Shop")).otherwise(lit("https://www.shop")),
+        (col("o_custkey") % 5).cast("string"),
+        when(even, lit(".COM:443")).otherwise(lit(".com")),
+        lit("/cat/"), lower(col("o_orderpriority")), lit("/"),
+        (col("o_orderkey") % 200).cast("string"),
+        when(col("o_orderkey") % 3 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&z=9&a="), (col("o_orderkey") % 7).cast("string"),
+        lit("#sec"), col("o_orderkey").cast("string"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), Urls.canonicalize(url).as("canonical_url"))
+        .groupBy(col("canonical_url"))
+        .agg(count("*").as("n_dups"), min(col("o_orderkey")).as("min_key"))
+    }),
+
     // per-source quota: at most 20 docs per source, chosen by
     // deterministic hash order — the per-domain cap of a web corpus
     "sample_domain_cap" -> ((s, dir) =>
@@ -584,6 +625,33 @@ object SparkEntry {
     // event_type mean — one broadcast moments agg, fact never shuffled
     "q45_zscore_outliers" -> ((s, dir) =>
       Events.zscoreOutliers(Tables.events(s, dir), threshold = 2.5)),
+
+    // TPC-H Q7-style bilateral trade volume: both nation roles
+    // broadcast; the fact shuffles only on its key joins
+    "q46_trade_volume" -> ((s, dir) =>
+      Relational.tradeVolume(t(s, dir, "lineitem"), t(s, dir, "orders"),
+        t(s, dir, "customer"), t(s, dir, "supplier"), t(s, dir, "nation"))),
+
+    // robust (median/MAD) outliers — the screen one wild value can't
+    // blind, vs q45's moment-based z
+    "q47_mad_outliers" -> ((s, dir) =>
+      Events.madOutliers(Tables.events(s, dir), threshold = 3.5)),
+
+    // equi-depth histogram: percentile cutpoints broadcast, bucket
+    // assignment in-row — the skew-proof distribution profile
+    "q48_equidepth" -> ((s, dir) =>
+      graft.operators.Profile.equidepthHistogram(t(s, dir, "orders"),
+        "o_totalprice", nBuckets = 10)),
+
+    // navigation/frame/rank window families over ONE shuffle+sort
+    "q49_window_suite" -> ((s, dir) =>
+      Events.windowSuite(Tables.events(s, dir))),
+
+    // deterministic shard assignment + within-shard pseudo-random
+    // order — the training-corpus "global shuffle" without a global sort
+    "sample_shards" -> ((s, dir) =>
+      Curation.shardAssign(t(s, dir, "documents"), "doc_id", col("text"), nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))),
 
     // trailing 1-hour moving average per user — VALUE-bound window
     // frame (rangeBetween on truncated epoch seconds, mirrored in the
@@ -1191,6 +1259,47 @@ object SparkEntry {
          WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000
                < CASE WHEN lang = 'en' THEN 1000 ELSE 5000 END""",
 
+    // 3 unrolled PageRank iterations; symmetric graph ⇒ every node has
+    // both in- and out-edges, so no dangling/teleport-only special
+    // cases diverge between the engines; 6dp round absorbs double
+    // summation-order noise (~1e-16 relative)
+    "graph_pagerank" ->
+      """WITH lo AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         pairs AS (SELECT a.l_suppkey AS pa, b.l_suppkey AS pb
+                   FROM lo a JOIN lo b
+                     ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+                   GROUP BY 1, 2),
+         e AS (SELECT pa AS src, pb AS dst FROM pairs
+               UNION ALL SELECT pb, pa FROM pairs),
+         deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         nv AS (SELECT count(*) AS n FROM deg),
+         r0 AS (SELECT src AS node, 1.0 / n AS r FROM deg CROSS JOIN nv),
+         i1 AS (SELECT e.dst AS node, sum(r0.r / deg.outdeg) AS infl
+                FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+                GROUP BY 1),
+         r1 AS (SELECT node, 0.15 / n + 0.85 * infl AS r FROM i1 CROSS JOIN nv),
+         i2 AS (SELECT e.dst AS node, sum(r1.r / deg.outdeg) AS infl
+                FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+                GROUP BY 1),
+         r2 AS (SELECT node, 0.15 / n + 0.85 * infl AS r FROM i2 CROSS JOIN nv),
+         i3 AS (SELECT e.dst AS node, sum(r2.r / deg.outdeg) AS infl
+                FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+                GROUP BY 1),
+         r3 AS (SELECT node, 0.15 / n + 0.85 * infl AS r FROM i3 CROSS JOIN nv)
+         SELECT node AS suppkey, round(r, 6) AS pagerank FROM r3""",
+
+    "dedup_url" ->
+      """WITH c AS (
+           SELECT o_orderkey,
+                  'https://www.shop' || CAST(o_custkey % 5 AS VARCHAR) ||
+                  '.com/cat/' || lower(o_orderpriority) || '/' ||
+                  CAST(o_orderkey % 200 AS VARCHAR) ||
+                  '?a=' || CAST(o_orderkey % 7 AS VARCHAR) || '&z=9'
+                    AS canonical_url
+           FROM orders)
+         SELECT canonical_url, count(*) AS n_dups, min(o_orderkey) AS min_key
+         FROM c GROUP BY 1""",
+
     "sample_domain_cap" ->
       """SELECT doc_id, source, CAST(rn AS INTEGER) AS cap_rank
          FROM (SELECT doc_id, source, row_number() OVER (
@@ -1563,6 +1672,66 @@ object SparkEntry {
                 round((value - mu) / sigma, 4) AS zscore
          FROM events e JOIN st USING (event_type)
          WHERE abs((value - mu) / sigma) > 2.5""",
+
+    // revenue in exact decimal: double sums flip 2dp rounding at this
+    // group count (order-dependent); decimal addition commutes
+    "q46_trade_volume" ->
+      """SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+                CAST(year(o_orderdate) AS INTEGER) AS year,
+                count(*) AS n_items,
+                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS volume
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         WHERE n1.n_name <> n2.n_name
+         GROUP BY 1, 2, 3""",
+
+    "q47_mad_outliers" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                      FROM events GROUP BY 1),
+         dev AS (SELECT event_id, e.event_type AS event_type, value, med,
+                        abs(value - med) AS ad
+                 FROM events e JOIN med USING (event_type)),
+         mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+                 FROM dev GROUP BY 1)
+         SELECT event_id, d.event_type AS event_type, value,
+                round((value - med) / (1.4826 * mad), 4) AS robust_z
+         FROM dev d JOIN mad USING (event_type)
+         WHERE ad > 3.5 * 1.4826 * mad""",
+
+    "q48_equidepth" ->
+      """WITH cuts AS (SELECT quantile_cont(o_totalprice,
+                         [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs
+                       FROM orders),
+         b AS (SELECT len(list_filter(cs, c -> o_totalprice > c)) AS bucket,
+                      o_totalprice AS v
+               FROM orders CROSS JOIN cuts)
+         SELECT CAST(bucket AS INTEGER) AS bucket, count(*) AS n,
+                min(v) AS lo, max(v) AS hi
+         FROM b GROUP BY 1""",
+
+    "q49_window_suite" ->
+      """SELECT event_id, user_id, value,
+                lag(value) OVER w AS prev_value,
+                lead(value) OVER w AS next_value,
+                first_value(value) OVER w AS first_value,
+                max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS running_max,
+                round(cume_dist() OVER w, 4) AS cume
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+
+    "sample_shards" ->
+      """SELECT doc_id,
+                CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 8 AS shard,
+                CAST(row_number() OVER (
+                  PARTITION BY CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 8
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS pos
+         FROM documents""",
 
     "q16_sessionize" ->
       """WITH g AS (

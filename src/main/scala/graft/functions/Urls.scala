@@ -16,6 +16,9 @@ import org.apache.spark.sql.functions._
 object Urls {
 
   private val scheme = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  // non-capturing variant: host/path extraction patterns must keep
+  // group 1 for their own capture
+  private val schemeNc = "^(?:[A-Za-z][A-Za-z0-9+.-]*)://"
 
   /** Tracking params dropped during canonicalization. */
   val trackingParamPattern = "^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref_src)="
@@ -26,11 +29,11 @@ object Urls {
     */
   def canonicalize(url: Column): Column = {
     val sch = lower(regexp_extract(url, scheme, 1))
-    val hostport = lower(regexp_extract(url, scheme + "([^/?#]*)", 1))
+    val hostport = lower(regexp_extract(url, schemeNc + "([^/?#]*)", 1))
     val host = when(sch === "http", regexp_replace(hostport, ":80$", ""))
       .when(sch === "https", regexp_replace(hostport, ":443$", ""))
       .otherwise(hostport)
-    val rawPath = regexp_extract(url, scheme + "[^/?#]*([^?#]*)", 1)
+    val rawPath = regexp_extract(url, schemeNc + "[^/?#]*([^?#]*)", 1)
     val path = when(regexp_replace(rawPath, "/+$", "") === "", lit("/"))
       .otherwise(regexp_replace(rawPath, "/+$", ""))
     val rawQ = regexp_extract(url, "\\?([^#]*)", 1)

@@ -275,6 +275,25 @@ object Curation {
       .drop("__rate")
   }
 
+  /** Deterministic shard assignment + within-shard order — the
+    * "global shuffle" a training corpus gets before packing: every
+    * row lands in a content-hash shard (uniform, stateless,
+    * retry-safe) and receives a pseudo-random position inside it
+    * (rank by a second, decorrelated hash of the id). Downstream
+    * readers stream shard files in position order and see an
+    * epoch-stable random permutation without any global sort: the
+    * only shuffle is the per-shard window, and shards order
+    * independently (width, not depth, at 100 TB).
+    */
+  def shardAssign(df: DataFrame, idCol: String, content: Column,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards $nShards must be >= 1")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("shard", hashBucket(content, nShards))
+      .withColumn("pos", row_number().over(w))
+  }
+
   /** C4-style heuristic cleaning flags (Raffel et al. '20): word-count
     * bounds, a minimum terminal-punctuation (sentence) count, code/
     * boilerplate markers (curly braces, "lorem ipsum"). All flags are

@@ -300,6 +300,55 @@ object Events {
         round(col("__z"), 4).as("zscore"))
   }
 
+  /** Robust outlier detection via median absolute deviation: events
+    * whose |value − median| exceeds `threshold` × 1.4826 × MAD of
+    * their event_type (the consistency constant makes MAD a σ
+    * estimate under normality). Unlike [[zscoreOutliers]], one wild
+    * value cannot inflate the spread estimate and mask later
+    * anomalies — the robust variant of the same screen.
+    *
+    * Two EXACT percentile aggregates (median of values, median of
+    * absolute deviations) — full-multiset aggregates, the q21 trade;
+    * at 100 TB swap in percentile_approx (approx_quantiles) for
+    * fixed-memory sketch medians. Each aggregate's output is one row
+    * per type, broadcast back; the fact is scanned twice but never
+    * shuffled.
+    *
+    * Degenerate spread: when a type's MAD is 0 (≥half its values
+    * identical), ANY deviation flags and robust_z is ±Infinity — the
+    * mathematically honest answer; gate upstream if that's noise.
+    */
+  def madOutliers(events: DataFrame, threshold: Double): DataFrame = {
+    val med = events.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("__med"))
+    val dev = events.join(broadcast(med), "event_type")
+      .withColumn("__ad", abs(col("value") - col("__med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(__ad, 0.5)").as("__mad"))
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("__ad") > lit(threshold) * lit(1.4826) * col("__mad"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round((col("value") - col("__med")) / (lit(1.4826) * col("__mad")), 4)
+          .as("robust_z"))
+  }
+
+  /** One-pass window-function suite per user (ordered by ts, id):
+    * previous/next value, first value, running max, cumulative
+    * distribution — the navigation/frame/rank families over ONE
+    * shuffle + sort (all five share the same WindowSpec partitioning,
+    * so Spark plans a single Window operator). */
+  def windowSuite(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events.select(
+      col("event_id"), col("user_id"), col("value"),
+      lag(col("value"), 1).over(w).as("prev_value"),
+      lead(col("value"), 1).over(w).as("next_value"),
+      first(col("value")).over(w).as("first_value"),
+      max(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .as("running_max"),
+      round(cume_dist().over(w), 4).as("cume"))
+  }
+
   /** Semi-structured JSON prop extraction + aggregate. get_json_object
     * is codegen'd; for a fixed schema, from_json + a struct column
     * would let Catalyst prune fields — used when more than one key is

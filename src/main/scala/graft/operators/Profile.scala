@@ -44,6 +44,34 @@ object Profile {
     row.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
 
+  /** Equi-depth histogram: `nBuckets` buckets holding ~equal row
+    * counts, bounded by exact percentile cutpoints — the
+    * distribution summary that stays informative under skew, where
+    * equi-width ([[histogram]]) dumps everything into two bins.
+    *
+    * One exact-percentile aggregate produces the nBuckets−1 interior
+    * cutpoints (full-multiset exact, the q21 trade — at 100 TB use
+    * percentile_approx for the cuts); the cut array rides back as a
+    * broadcast 1-row frame, each row's bucket = #cuts below its value
+    * (an in-row array scan), and the bucket agg combines map-side.
+    * The fact is never shuffled — only nBuckets partial rows per
+    * partition cross the wire.
+    */
+  def equidepthHistogram(df: DataFrame, valueCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets $nBuckets must be >= 2")
+    // exact decimal strings so the oracle's literal probabilities
+    // parse to bit-identical doubles
+    val ps = (1 until nBuckets)
+      .map(i => (BigDecimal(i) / nBuckets).underlying.toPlainString)
+    val cuts = df.agg(
+      expr(s"percentile($valueCol, array(${ps.mkString(", ")}))").as("__cuts"))
+    val v = col(valueCol)
+    df.crossJoin(broadcast(cuts))
+      .select(size(filter(col("__cuts"), c => v > c)).as("bucket"), v.as("__v"))
+      .groupBy(col("bucket"))
+      .agg(count("*").as("n"), min(col("__v")).as("lo"), max(col("__v")).as("hi"))
+  }
+
   /** Equi-width histogram of a numeric column: values in
     * [lo, lo + width·nBins) bucketed by `floor((v−lo)/width)`,
     * out-of-range values dropped. A groupBy on a codegen'd arithmetic

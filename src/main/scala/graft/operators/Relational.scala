@@ -237,6 +237,42 @@ object Relational {
       col("c_acctbal"), ntile(4).over(w).as("quartile"))
   }
 
+  /** TPC-H Q7-style bilateral trade volume: discounted revenue between
+    * distinct (customer nation, supplier nation) pairs per year. The
+    * snowflake closes with BOTH nation roles broadcast (aliased dims);
+    * supplier broadcasts too; the only big shuffles are the
+    * lineitem⋈orders and ⋈customer key joins, each carrying a
+    * pre-projected minimal column set.
+    *
+    * Revenue sums in EXACT decimal (prices/discounts are 2dp values;
+    * the cast recovers exact cents): with ~#nations² × years groups,
+    * double summation-order noise flips 2dp rounding somewhere almost
+    * surely — decimal addition commutes, so the result is identical
+    * across engines, partitionings, and retries at any group count. */
+  def tradeVolume(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val n1 = broadcast(nation.select(col("n_nationkey").as("__cnk"),
+      col("n_name").as("cust_nation")))
+    val n2 = broadcast(nation.select(col("n_nationkey").as("__snk"),
+      col("n_name").as("supp_nation")))
+    lineitem.select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))).as("__rev"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).as("year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(n1, col("c_nationkey") === col("__cnk"))
+      .join(n2, col("s_nationkey") === col("__snk"))
+      .filter(col("cust_nation") =!= col("supp_nation"))
+      .groupBy(col("cust_nation"), col("supp_nation"), col("year"))
+      .agg(count("*").as("n_items"),
+        round(sum(col("__rev")), 2).cast("double").as("volume"))
+  }
+
   /** Full-outer join of two daily activity series, zero-filled on both
     * sides. Each side pre-aggregates to its key BEFORE the join, so
     * the full-outer (which must shuffle both inputs) moves day-level

@@ -182,17 +182,85 @@ object ScaleProbe {
     // same horizon — grid rows (and the true answer) scale linearly
     locally {
       val ev1 = graft.sources.Tables.events(spark, sfDir)
-        .select("event_id", "user_id", "ts", "value")
+        .select("event_id", "user_id", "ts", "event_type", "value")
       (0 until mult).map { k =>
         ev1.select(col("event_id"),
           (col("user_id") + lit(k.toLong * 10000000L)).as("user_id"),
-          col("ts"), col("value"))
+          col("ts"), col("event_type"), col("value"))
       }.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$tmp/events")
       val evN = spark.read.parquet(s"$tmp/events")
       probe("resample") {
         Events.resampleGrid(ev1, "user_id", "ts", "value", 3600L).count()
       } {
         Events.resampleGrid(evN, "user_id", "ts", "value", 3600L).count()
+      }
+      // same horizon, N× users: retention output rows constant
+      // (weeks²), input work linear
+      probe("cohort_retention") {
+        Events.cohortRetention(ev1, "user_id", "ts").count()
+      } {
+        Events.cohortRetention(evN, "user_id", "ts").count()
+      }
+      // ×4 in-row fan-out, then map-side combine: window rows are
+      // horizon-bounded, so the agg shuffle stays constant-size
+      probe("sliding_windows") {
+        Events.slidingCounts(ev1, 3600, 900).count()
+      } {
+        Events.slidingCounts(evN, 3600, 900).count()
+      }
+      probe("mad_outliers") {
+        Events.madOutliers(ev1, 3.5).count()
+      } {
+        Events.madOutliers(evN, 3.5).count()
+      }
+    }
+    // iterative fixpoint: each copy is a disjoint component (offset
+    // keys), so edges, nodes, and per-iteration join work all scale
+    // linearly; ratio ≈ mult means the per-iteration joins are linear
+    probe("graph_pagerank") {
+      val pairs = Pipeline.pairCounts(li1, "l_orderkey", "l_suppkey", or1, "o_orderkey")
+        .select(col("member_a"), col("member_b")).distinct()
+      graft.operators.Graph.pagerank(
+        pairs.select(col("member_a").as("src"), col("member_b").as("dst"))
+          .union(pairs.select(col("member_b").as("src"), col("member_a").as("dst"))),
+        "src", "dst", 3).count()
+    } {
+      val pairs = Pipeline.pairCounts(liN, "l_orderkey", "l_suppkey", orN, "o_orderkey")
+        .select(col("member_a"), col("member_b")).distinct()
+      graft.operators.Graph.pagerank(
+        pairs.select(col("member_a").as("src"), col("member_b").as("dst"))
+          .union(pairs.select(col("member_b").as("src"), col("member_a").as("dst"))),
+        "src", "dst", 3).count()
+    }
+    // per-stratum window with a rank cap: WindowGroupLimit must keep
+    // the per-reducer work bounded as strata get N× hotter (copies
+    // share the same #strata, so each stratum grows N×)
+    locally {
+      def withSource(d: DataFrame): DataFrame =
+        d.withColumn("source", (col("doc_id") % 50).cast("string"))
+      probe("stratum_cap") {
+        Curation.stratumCap(withSource(docs1), "source", "doc_id", 20).count()
+      } {
+        Curation.stratumCap(withSource(docsN), "source", "doc_id", 20).count()
+      }
+      probe("shard_assign") {
+        Curation.shardAssign(docs1, "doc_id", col("text"), 64).count()
+      } {
+        Curation.shardAssign(docsN, "doc_id", col("text"), 64).count()
+      }
+    }
+    locally {
+      val o1 = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+      (0 until mult).map { k =>
+        o1.select((col("o_orderkey") + lit(k.toLong * 1000000000L)).as("o_orderkey"),
+          col("o_totalprice"))
+      }.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$tmp/orders_ed")
+      val oN = spark.read.parquet(s"$tmp/orders_ed")
+      probe("equidepth_hist") {
+        graft.operators.Profile.equidepthHistogram(o1, "o_totalprice", 10).count()
+      } {
+        graft.operators.Profile.equidepthHistogram(oN, "o_totalprice", 10).count()
       }
     }
     locally {

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Urls
+import graft.operators.Graph
+
+class GraphUrlSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- pagerank ----
+
+  test("pagerank on a symmetric triangle is uniform at every iteration") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    for (iters <- Seq(1, 4)) {
+      val r = Graph.pagerank(edges, "src", "dst", iters)
+        .as[(Long, Double)].collect().toMap
+      assert(r.keySet === Set(1L, 2L, 3L))
+      r.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12, s"iters=$iters: $r"))
+    }
+  }
+
+  test("pagerank ranks a star center above its leaves, mass conserved") {
+    // undirected star: center 0 <-> leaves 1..5
+    val pairs = (1L to 5L).map(l => (0L, l))
+    val edgeList = pairs ++ pairs.map(_.swap)
+    val edges = edgeList.toDF("src", "dst")
+    val iters = 10
+    val r = Graph.pagerank(edges, "src", "dst", iters).as[(Long, Double)].collect().toMap
+    assert((1L to 5L).forall(l => r(0L) > r(l)))
+    // symmetric graph: no dangling mass, ranks sum to 1
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    // exact equivalence with an independent driver-side power iteration
+    val nodes = edgeList.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val outdeg = edgeList.groupBy(_._1).view.mapValues(_.size).toMap
+    var exp = nodes.map(_ -> 1.0 / nodes.size).toMap
+    for (_ <- 1 to iters) {
+      val inflow = edgeList.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => exp(s) / outdeg(s) }.sum).toMap
+      exp = nodes.map(v =>
+        v -> (0.15 / nodes.size + 0.85 * inflow.getOrElse(v, 0.0))).toMap
+    }
+    nodes.foreach(v => assert(math.abs(r(v) - exp(v)) < 1e-12, s"node $v: ${r(v)} vs ${exp(v)}"))
+  }
+
+  test("pagerank hand-check on an asymmetric directed graph (dangling mass drops)") {
+    // 1 -> 2, 1 -> 3, 2 -> 3; 3 is dangling (no out-edges)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val r = Graph.pagerank(edges, "src", "dst", 1).as[(Long, Double)].collect().toMap
+    val t = 0.15 / 3
+    assert(math.abs(r(1L) - t) < 1e-12)                          // no in-links
+    assert(math.abs(r(2L) - (t + 0.85 * (1.0 / 3 / 2))) < 1e-12) // half of 1's rank
+    assert(math.abs(r(3L) - (t + 0.85 * (1.0 / 3 / 2 + 1.0 / 3))) < 1e-12)
+  }
+
+  test("pagerank validates arguments") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    intercept[IllegalArgumentException](Graph.pagerank(edges, "src", "dst", 0))
+    intercept[IllegalArgumentException](Graph.pagerank(edges, "src", "dst", 3, damping = 1.0))
+  }
+
+  // ---- url canonicalization ----
+
+  private def canon(url: String): String =
+    Seq(url).toDF("u").select(Urls.canonicalize(col("u"))).as[String].head()
+
+  test("canonicalize lowercases scheme+host, strips default port / fragment / trailing slash") {
+    assert(canon("HTTPS://WWW.Example.COM:443/A/B/#frag") === "https://www.example.com/A/B")
+    assert(canon("http://Host.com:80/") === "http://host.com/")
+    // non-default port survives; path case survives
+    assert(canon("https://host.com:8443/Path") === "https://host.com:8443/Path")
+    // :80 is only default for http
+    assert(canon("https://host.com:80/x") === "https://host.com:80/x")
+  }
+
+  test("canonicalize drops tracking params and sorts the rest") {
+    assert(canon("https://h.com/p?utm_source=x&b=2&a=1&fbclid=Z") === "https://h.com/p?a=1&b=2")
+    assert(canon("https://h.com/p?utm_campaign=only") === "https://h.com/p")
+    assert(canon("https://h.com?z=1") === "https://h.com/?z=1")
+  }
+
+  test("case/port/tracking jitter collapses to one canonical form") {
+    val variants = Seq(
+      "https://www.shop1.com/cat/9?a=3&z=9",
+      "HTTPS://WWW.SHOP1.COM:443/cat/9/?z=9&a=3#top",
+      "https://www.Shop1.com/cat/9?utm_source=feed&a=3&z=9")
+    val c = variants.toDF("u").select(Urls.canonicalize(col("u"))).as[String].collect().toSet
+    assert(c === Set("https://www.shop1.com/cat/9?a=3&z=9"))
+  }
+}

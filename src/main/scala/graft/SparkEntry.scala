@@ -447,6 +447,13 @@ object SparkEntry {
       Curation.c4Filters(t(s, dir, "documents"), "doc_id", "text",
         minWords = 10, maxWords = 50000, minSentences = 2)),
 
+    // fastText-style classifier gate: logistic score over cheap text
+    // features, literal weights, one codegen'd pass — keep = z > 0
+    "quality_classifier" -> ((s, dir) =>
+      Curation.qualityClassifier(t(s, dir, "documents"), "doc_id", "text",
+        bias = -2.0, wLogTokens = 0.6, wStopDev = -6.0,
+        wTokenLen = 0.1, wPunct = -4.0)),
+
     // benchmark decontamination: docs from sources src0/src1 act as the
     // held-out eval set; corpus docs sharing any word-5-gram are flagged
     "decon_ngram" -> ((s, dir) => {
@@ -615,6 +622,22 @@ object SparkEntry {
     // overlapping-window variant of q15, epoch-second window starts
     "q43_sliding_windows" -> ((s, dir) =>
       Events.slidingCounts(Tables.events(s, dir), 3600, 900)),
+
+    // interval-overlap join: per error "episode" (event + value×10s
+    // duration), how many same-user click episodes overlap it —
+    // bucket-decomposed equi-join, not a per-key cross product
+    "q50_interval_overlap" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def episodes(typ: String) = ev
+        .filter(col("event_type") === typ)
+        .select(col("event_id"), col("user_id"), col("ts").as("start_ts"),
+          timestamp_micros(unix_micros(col("ts")) +
+            round(col("value") * 10).cast("long") * 1000000L).as("end_ts"))
+      Events.intervalOverlapCount(episodes("error"), episodes("click"),
+          "user_id", "event_id", "event_id", "start_ts", "end_ts",
+          bucketSeconds = 600)
+        .select(col("event_id"), col("user_id"), col("n_overlaps"))
+    }),
 
     // weekly cohort retention triangle: users by first-seen week ×
     // week offset of activity
@@ -1322,6 +1345,31 @@ object SparkEntry {
          WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000
                < rate * 10000""",
 
+    // feature arithmetic mirrored term-by-term (left-assoc) so the
+    // logit is bit-identical; keep thresholds the raw logit (no
+    // transcendental in the decision), sigmoid rounded at the edge
+    "quality_classifier" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS ntok,
+                  CAST(len(regexp_extract_all(
+                        regexp_replace(' ' || lower(text) || ' ', '\s+', '  ', 'g'),
+                        ' (the|a|of|and|in|to|is) ')) AS DOUBLE)
+                    / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS swr,
+                  length(regexp_replace(trim(text), '\s+', '', 'g'))
+                    / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS atl,
+                  len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                    / CAST(length(text) AS DOUBLE) AS pr
+           FROM documents),
+         z AS (SELECT doc_id,
+                 -2.0 + 0.6 * ln(1.0 + ntok)
+                      + (-6.0) * (swr - 0.4) * (swr - 0.4)
+                      + 0.1 * atl + (-4.0) * pr AS zv
+               FROM f)
+         SELECT doc_id, round(1.0 / (1.0 + exp(-zv)), 4) AS score,
+                (zv > 0) AS keep
+         FROM z""",
+
     "text_c4_filters" ->
       """WITH b AS (
            SELECT doc_id,
@@ -1636,6 +1684,23 @@ object SparkEntry {
                 event_type, count(*) AS n_events,
                 round(sum(value), 2) AS total_value
          FROM events GROUP BY 1, 2""",
+
+    // closed-interval overlap (rs <= le AND ls <= re), µs integer
+    // arithmetic; count DISTINCT right ids mirrors the operator's
+    // bucket-dedup; LEFT JOIN keeps zero-overlap episodes at 0
+    "q50_interval_overlap" ->
+      """WITH iv AS (
+           SELECT event_id, user_id, event_type,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+                  epoch_us(CAST(ts AS TIMESTAMP))
+                    + CAST(round(value * 10, 0) AS BIGINT) * 1000000 AS e
+           FROM events)
+         SELECT l.event_id AS event_id, l.user_id AS user_id,
+                count(DISTINCT r.event_id) AS n_overlaps
+         FROM (SELECT * FROM iv WHERE event_type = 'error') l
+         LEFT JOIN (SELECT * FROM iv WHERE event_type = 'click') r
+           ON r.user_id = l.user_id AND r.s <= l.e AND l.s <= r.e
+         GROUP BY 1, 2""",
 
     // every event sits in exactly window/slide = 4 hopping windows:
     // starts (floor(us/slide) - k)*slide for k in 0..3 — integer µs

@@ -316,6 +316,47 @@ object Curation {
         nSentences >= minSentences && !hasCurly && !hasLorem).as("c4_keep"))
   }
 
+  /** Model-based quality gate: a logistic score over cheap text
+    * features with literal weights — the fastText-/KenLM-style
+    * classifier filter every production corpus runs after the
+    * heuristic gates. Weights come from offline training; they ship
+    * in the plan as literals (broadcast by construction), so scoring
+    * is ONE codegen'd pass over the scan — no shuffle, no UDF, no
+    * model server in the hot path.
+    *
+    * Features: ln(1+tokens), SQUARED deviation of the stopword ratio
+    * from typical English (~0.4 — both stopword-free junk and
+    * stopword spam deviate), mean token length, punctuation density.
+    * Stopwords are counted with one RE2-safe regexp over
+    * space-doubled text (every whitespace run becomes two spaces so
+    * adjacent stopwords keep their own delimiters) — no higher-order
+    * array lambda, so the projection stays inside whole-stage
+    * codegen. `keep` thresholds the raw logit (z > 0 ⇔ score > 0.5)
+    * — exact, no transcendental in the decision; the sigmoid score
+    * is display-edge only (rounded).
+    */
+  def qualityClassifier(docs: DataFrame, idCol: String, textCol: String,
+      bias: Double, wLogTokens: Double, wStopDev: Double,
+      wTokenLen: Double, wPunct: Double): DataFrame = {
+    import graft.functions.Text
+    val t = col(textCol)
+    val nTok = Text.tokenCount(t).cast("double")
+    val padded = regexp_replace(concat(lit(" "), lower(t), lit(" ")),
+      lit("\\s+"), lit("  "))
+    val swr = size(regexp_extract_all(padded,
+      lit(" (" + Text.stopwords.mkString("|") + ") "), lit(0))).cast("double") / nTok
+    val swDev = swr - lit(0.4)
+    val punctRatio =
+      size(regexp_extract_all(t, lit("[^A-Za-z0-9\\s]"), lit(0))) / length(t).cast("double")
+    val z = lit(bias) + lit(wLogTokens) * log(lit(1.0) + nTok) +
+      lit(wStopDev) * swDev * swDev +
+      lit(wTokenLen) * Text.avgTokenLen(t) +
+      lit(wPunct) * punctRatio
+    docs.select(col(idCol).as("doc_id"),
+      round(lit(1.0) / (lit(1.0) + exp(-z)), 4).as("score"),
+      (z > 0).as("keep"))
+  }
+
   /** Per-stratum deterministic hash sampling: keep each row iff its
     * content-hash bucket falls under the stratum's rate (e.g. keep 10%
     * of English but 50% of everything else to rebalance a corpus).

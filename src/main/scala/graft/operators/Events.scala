@@ -119,6 +119,56 @@ object Events {
         coalesce(col("__n"), lit(0L)).as("n_in_window"))
   }
 
+  /** Interval-overlap join: for each left interval, count right
+    * intervals of the same key that overlap it (closed-interval
+    * semantics: rs ≤ le ∧ ls ≤ re) — concurrency analysis, overlap
+    * detection, double-booking checks. Generalizes [[rangeJoinCount]]
+    * from point-probes-interval to interval-probes-interval.
+    *
+    * A naive inequality join is a per-key cross product; here BOTH
+    * sides decompose into the integral `bucketSeconds` buckets their
+    * intervals span (in-row `sequence` explode), candidates meet in an
+    * equi-join on (key, bucket) that Catalyst hash-partitions, pairs
+    * deduplicate (an overlap spanning k shared buckets matches k
+    * times) and the exact predicate filters bucket-local candidates.
+    * Choose `bucketSeconds` ≈ the typical interval length: explode
+    * fan-out is len/bucket + 1 per row, and a bucket's candidate set
+    * stays local. Zero-overlap left intervals keep a 0 count.
+    *
+    * Interval µs arithmetic throughout — no double epochs (at 2026
+    * epochs a double ulp is ~0.5 µs, enough to flip a boundary
+    * overlap).
+    */
+  def intervalOverlapCount(left: DataFrame, right: DataFrame, key: String,
+      leftId: String, rightId: String, startCol: String, endCol: String,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds $bucketSeconds must be >= 1")
+    val bUs = bucketSeconds * 1000000L
+    def us(c: Column): Column = unix_micros(c)
+    // µs longs stay < 2^53, so the double divide inside floor is exact
+    // enough: integer inputs are ≥ 1/bUs relative distance from the
+    // next bucket boundary, orders of magnitude beyond a double ulp
+    def buckets(sUs: Column, eUs: Column): Column =
+      sequence(floor(sUs / bUs), floor(eUs / bUs))
+    val l = left.select(col(leftId), col(key),
+        us(col(startCol)).as("__ls"), us(col(endCol)).as("__le"))
+      .withColumn("__bkt", explode(buckets(col("__ls"), col("__le"))))
+    val r = right.select(col(key).as("__rkey"), col(rightId).as("__rid"),
+        us(col(startCol)).as("__rs"), us(col(endCol)).as("__re"))
+      .withColumn("__bkt", explode(buckets(col("__rs"), col("__re"))))
+    val counts = l.join(r,
+        l(key) === r("__rkey") && l("__bkt") === r("__bkt") &&
+          col("__rs") <= col("__le") && col("__ls") <= col("__re"))
+      // an overlap spanning k shared buckets matched k times: count
+      // DISTINCT right rows
+      .groupBy(col(leftId).as("__cid"))
+      .agg(countDistinct(col("__rid")).as("__n"))
+    left.select(col(leftId), col(key), col(startCol), col(endCol))
+      .join(counts, col(leftId) === col("__cid"), "left")
+      .select(col(leftId), col(key), col(startCol), col(endCol),
+        coalesce(col("__n"), lit(0L)).as("n_overlaps"))
+  }
+
   /** Ordered conversion funnel: users who hit stage 1 → first stage-2
     * event within `maxGapSeconds` at-or-after it → first stage-3
     * event within the window after THAT, and so on. Classic

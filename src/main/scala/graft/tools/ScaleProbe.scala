@@ -19,12 +19,13 @@ import graft.operators.{Clusters, Curation, Dedup, Events, Pipeline, Similarity}
   * every doc an N-way exact dup and the honest answer itself
   * quadratic — useless for measuring operator scaling.)
   *
-  * Usage: runMain graft.tools.ScaleProbe [mult] [sfDir]
+  * Usage: runMain graft.tools.ScaleProbe [mult] [sfDir] [names-csv]
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val onlyNames: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = graft.Sessions.build(cpus, appName = "graft-scaleprobe")
 
@@ -62,6 +63,7 @@ object ScaleProbe {
     }
 
     def probe(name: String)(at1: => Long)(atN: => Long): Unit = {
+      if (!onlyNames.forall(_.contains(name))) return
       val (w1, n1) = time(at1) // warm codegen at 1x, then measure both
       val (t1, _) = time(at1)
       val (tN, nN) = time(atN)
@@ -214,23 +216,30 @@ object ScaleProbe {
         Events.madOutliers(evN, 3.5).count()
       }
     }
-    // iterative fixpoint: each copy is a disjoint component (offset
-    // keys), so edges, nodes, and per-iteration join work all scale
-    // linearly; ratio ≈ mult means the per-iteration joins are linear
-    probe("graph_pagerank") {
-      val pairs = Pipeline.pairCounts(li1, "l_orderkey", "l_suppkey", or1, "o_orderkey")
-        .select(col("member_a"), col("member_b")).distinct()
-      graft.operators.Graph.pagerank(
+    // iterative fixpoint: SUPPLIER keys offset per copy, so each copy
+    // is a disjoint component — nodes, edges, and per-iteration join
+    // work all scale linearly (offsetting only order keys would
+    // densify one shared 1000-node graph instead)
+    locally {
+      def edgesOf(pc: DataFrame): DataFrame = {
+        val pairs = pc.select(col("member_a"), col("member_b")).distinct()
         pairs.select(col("member_a").as("src"), col("member_b").as("dst"))
-          .union(pairs.select(col("member_b").as("src"), col("member_a").as("dst"))),
-        "src", "dst", 3).count()
-    } {
-      val pairs = Pipeline.pairCounts(liN, "l_orderkey", "l_suppkey", orN, "o_orderkey")
-        .select(col("member_a"), col("member_b")).distinct()
-      graft.operators.Graph.pagerank(
-        pairs.select(col("member_a").as("src"), col("member_b").as("dst"))
-          .union(pairs.select(col("member_b").as("src"), col("member_a").as("dst"))),
-        "src", "dst", 3).count()
+          .union(pairs.select(col("member_b").as("src"), col("member_a").as("dst")))
+      }
+      val liG = (0 until mult).map { k =>
+        li1.select(
+          (col("l_orderkey") + lit(k.toLong * 1000000000L)).as("l_orderkey"),
+          (col("l_suppkey") + lit(k.toLong * 10000000L)).as("l_suppkey"))
+      }.reduce(_ unionByName _)
+      probe("graph_pagerank") {
+        graft.operators.Graph.pagerank(
+          edgesOf(Pipeline.pairCounts(li1, "l_orderkey", "l_suppkey", or1, "o_orderkey")),
+          "src", "dst", 3).count()
+      } {
+        graft.operators.Graph.pagerank(
+          edgesOf(Pipeline.pairCounts(liG, "l_orderkey", "l_suppkey", orN, "o_orderkey")),
+          "src", "dst", 3).count()
+      }
     }
     // per-stratum window with a rank cap: WindowGroupLimit must keep
     // the per-reducer work bounded as strata get N× hotter (copies

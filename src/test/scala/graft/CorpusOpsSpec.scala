@@ -109,6 +109,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(1L)._3 >= 2)                               // sentence count
   }
 
+  // ---- qualityClassifier ----
+
+  test("classifier gate ranks clean prose above punctuation junk") {
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog and runs to the " +
+        "river in the morning light with a steady pace and a clear goal"),
+      (2L, "!!! ### $$$ %%% ^^^ &&& *** ((( ))) @@@ ~~~ ||| >>> <<< ???"),
+      (3L, "the " * 200))
+      .toDF("doc_id", "text")
+    val out = Curation.qualityClassifier(docs, "doc_id", "text",
+        bias = -2.0, wLogTokens = 0.6, wStopDev = -6.0,
+        wTokenLen = 0.1, wPunct = -4.0)
+      .as[(Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 > out(2L)._2, s"prose must outscore junk: $out")
+    assert(out(1L)._3, "clean prose must pass the gate")
+    assert(!out(2L)._3, "pure punctuation must not pass the gate")
+    // stopword spam deviates from the typical ratio → scores below prose
+    assert(out(1L)._2 > out(3L)._2)
+    // scores are probabilities
+    out.values.foreach(r => assert(r._2 >= 0.0 && r._2 <= 1.0))
+  }
+
+  test("classifier gate is one codegen'd pass — no shuffle, no UDF") {
+    val p = plan(Curation.qualityClassifier(Tables.documents(spark, sfDir),
+      "doc_id", "text", -2.0, 0.6, -6.0, 0.1, -4.0))
+    assert(!p.contains("Exchange"), s"classifier scoring shuffled the corpus:\n$p")
+    // '*(n)' marks whole-stage-codegen'd operators in simple explain
+    assert(p.linesIterator.next().startsWith("*("),
+      s"scoring projection fell out of codegen:\n$p")
+  }
+
   // ---- slidingCounts ----
 
   test("sliding windows place every event in exactly window/slide windows") {

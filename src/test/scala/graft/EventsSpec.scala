@@ -41,6 +41,38 @@ class EventsSpec extends SparkSpec {
     assert(out === Array((1L, 2L), (2L, 0L)))
   }
 
+  test("intervalOverlapCount matches brute force across bucket boundaries") {
+    val left = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+      (2L, 7L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:10:00")),
+      (3L, 8L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"))
+    ).toDF("event_id", "user_id", "start_ts", "end_ts")
+    val right = Seq(
+      (101L, 7L, ts("2024-01-01 09:00:00"), ts("2024-01-01 10:00:00")), // touches start (closed): counted for 1
+      (102L, 7L, ts("2024-01-01 10:30:00"), ts("2024-01-01 13:00:00")), // spans many buckets: counted ONCE for 1 and 2
+      (103L, 7L, ts("2024-01-01 11:00:01"), ts("2024-01-01 11:30:00")), // past 1's end, before 2: excluded
+      (104L, 8L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:30:00"))  // other user, no overlap with 3
+    ).toDF("event_id", "user_id", "start_ts", "end_ts")
+    // bucket = 10 min, far smaller than the intervals — forces
+    // multi-bucket matches that the distinct-count must dedup
+    val out = Events.intervalOverlapCount(left, right, "user_id",
+        "event_id", "event_id", "start_ts", "end_ts", bucketSeconds = 600)
+      .select("event_id", "n_overlaps").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out === Array((1L, 2L), (2L, 1L), (3L, 0L)))
+  }
+
+  test("intervalOverlapCount candidates meet in an equi-join, not a cross product") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    def episodes(typ: String) = ev.filter(col("event_type") === typ)
+      .select(col("event_id"), col("user_id"), col("ts").as("start_ts"),
+        timestamp_micros(unix_micros(col("ts")) + 600000000L).as("end_ts"))
+    val p = Events.intervalOverlapCount(episodes("error"), episodes("click"),
+        "user_id", "event_id", "event_id", "start_ts", "end_ts", 600)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"overlap join degenerated to a cross product:\n$p")
+  }
+
   test("sessionize splits on gaps strictly greater than the threshold") {
     val events = Seq(
       (1L, ts("2024-01-01 00:00:00"), 7L, "a", 1.0),

@@ -19,6 +19,15 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** percentile_approx accuracy for the oracle-gated sketch twins
+    * (q21a/q47a/q48a). Above 2·n the GK sketch never merges samples
+    * and query() degenerates to exact rank selection (the element at
+    * 1-based rank ceil(p·n)) — reproducible in the oracle with a
+    * row_number window. Largest gate-scale input is orders at sf0.1
+    * (150k rows), so 1e6 keeps the whole verify surface in the exact
+    * regime; production would use ~1e4 (same plan, fixed memory). */
+  private val gateAccuracy = 1000000
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
@@ -306,6 +315,21 @@ object SparkEntry {
           round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
           round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
           round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))),
+
+    // the scale-default twin of q21: percentile_approx sketch (O(acc)
+    // memory per agg buffer vs exact percentile's full multiset — the
+    // 100 TB shape). At gate accuracy (acc > 2·|group|) the sketch is
+    // exact rank selection — the element at 1-based rank ceil(p·n) —
+    // which the oracle reproduces with a row_number window, so this
+    // IS hash-gated. At 100 TB drop acc to ~1e4: same plan, fixed
+    // memory, rank error ≤ n/acc.
+    "q21a_percentiles_sketch" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr(s"percentile_approx(o_totalprice, 0.5, $gateAccuracy)").as("p50"),
+          expr(s"percentile_approx(o_totalprice, 0.9, $gateAccuracy)").as("p90"),
+          expr(s"percentile_approx(o_totalprice, 0.99, $gateAccuracy)").as("p99"))),
 
     // salted join of fact × dim, aggregated — the oracle proves the
     // manual skew mitigation is result-identical to the plain join
@@ -660,11 +684,25 @@ object SparkEntry {
     "q47_mad_outliers" -> ((s, dir) =>
       Events.madOutliers(Tables.events(s, dir), threshold = 3.5)),
 
+    // scale-default twin of q47: sketch medians (percentile_approx) —
+    // fixed memory per group; exact rank selection at gate accuracy,
+    // so the whole robust-z pipeline stays hash-gated
+    "q47a_mad_sketch" -> ((s, dir) =>
+      Events.madOutliers(Tables.events(s, dir), threshold = 3.5,
+        approxAccuracy = Some(gateAccuracy))),
+
     // equi-depth histogram: percentile cutpoints broadcast, bucket
     // assignment in-row — the skew-proof distribution profile
     "q48_equidepth" -> ((s, dir) =>
       graft.operators.Profile.equidepthHistogram(t(s, dir, "orders"),
         "o_totalprice", nBuckets = 10)),
+
+    // scale-default twin of q48: sketch cuts (percentile_approx) —
+    // the registered 100 TB plan; exact rank selection at gate
+    // accuracy keeps it hash-gated
+    "q48a_equidepth_sketch" -> ((s, dir) =>
+      graft.operators.Profile.equidepthHistogram(t(s, dir, "orders"),
+        "o_totalprice", nBuckets = 10, approxAccuracy = Some(gateAccuracy))),
 
     // navigation/frame/rank window families over ONE shuffle+sort
     "q49_window_suite" -> ((s, dir) =>
@@ -1146,6 +1184,22 @@ object SparkEntry {
                 round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
                 round(quantile_cont(o_totalprice, 0.99), 4) AS p99
          FROM orders GROUP BY 1""",
+
+    // percentile_approx at gate accuracy = exact rank selection: the
+    // element at 1-based rank ceil(p·n) in ascending order (p and the
+    // product both IEEE doubles — CAST forces DuckDB off its DECIMAL
+    // literal so both engines ceil the same double)
+    "q21a_percentiles_sketch" ->
+      """WITH s AS (SELECT o_orderpriority, o_totalprice AS v,
+                           row_number() OVER (PARTITION BY o_orderpriority
+                                              ORDER BY o_totalprice) AS rn,
+                           count(*) OVER (PARTITION BY o_orderpriority) AS n
+                    FROM orders)
+         SELECT o_orderpriority,
+                max(CASE WHEN rn = CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT) THEN v END) AS p50,
+                max(CASE WHEN rn = CAST(ceil(CAST(0.9 AS DOUBLE) * n) AS BIGINT) THEN v END) AS p90,
+                max(CASE WHEN rn = CAST(ceil(CAST(0.99 AS DOUBLE) * n) AS BIGINT) THEN v END) AS p99
+         FROM s GROUP BY 1""",
 
     "q22_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_rows,
@@ -1768,10 +1822,53 @@ object SparkEntry {
          FROM dev d JOIN mad USING (event_type)
          WHERE ad > 3.5 * 1.4826 * mad""",
 
+    // sketch medians = rank-selection elements (see q21a note); the
+    // rest of the robust-z pipeline is identical to q47
+    "q47a_mad_sketch" ->
+      """WITH m1 AS (SELECT event_type, value AS v,
+                            row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                            count(*) OVER (PARTITION BY event_type) AS n
+                     FROM events),
+         med AS (SELECT event_type,
+                        max(CASE WHEN rn = CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT) THEN v END) AS med
+                 FROM m1 GROUP BY 1),
+         dev AS (SELECT event_id, e.event_type AS event_type, value, med,
+                        abs(value - med) AS ad
+                 FROM events e JOIN med USING (event_type)),
+         m2 AS (SELECT event_type, ad,
+                       row_number() OVER (PARTITION BY event_type ORDER BY ad) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM dev),
+         mad AS (SELECT event_type,
+                        max(CASE WHEN rn = CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT) THEN ad END) AS mad
+                 FROM m2 GROUP BY 1)
+         SELECT event_id, d.event_type AS event_type, value,
+                round((value - med) / (1.4826 * mad), 4) AS robust_z
+         FROM dev d JOIN mad USING (event_type)
+         WHERE ad > 3.5 * 1.4826 * mad""",
+
     "q48_equidepth" ->
       """WITH cuts AS (SELECT quantile_cont(o_totalprice,
                          [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs
                        FROM orders),
+         b AS (SELECT len(list_filter(cs, c -> o_totalprice > c)) AS bucket,
+                      o_totalprice AS v
+               FROM orders CROSS JOIN cuts)
+         SELECT CAST(bucket AS INTEGER) AS bucket, count(*) AS n,
+                min(v) AS lo, max(v) AS hi
+         FROM b GROUP BY 1""",
+
+    // sketch cuts = rank-selection elements (see q21a note); bucketing
+    // identical to q48
+    "q48a_equidepth_sketch" ->
+      """WITH s AS (SELECT o_totalprice AS v,
+                           row_number() OVER (ORDER BY o_totalprice) AS rn
+                    FROM orders),
+         cnt AS (SELECT count(*) AS c FROM orders),
+         ps AS (SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]::DOUBLE[]) AS p),
+         cuts AS (SELECT list(s.v ORDER BY ps.p) AS cs
+                  FROM ps CROSS JOIN cnt
+                  JOIN s ON s.rn = CAST(ceil(ps.p * cnt.c) AS BIGINT)),
          b AS (SELECT len(list_filter(cs, c -> o_totalprice > c)) AS bucket,
                       o_totalprice AS v
                FROM orders CROSS JOIN cuts)

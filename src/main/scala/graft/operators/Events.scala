@@ -368,13 +368,23 @@ object Events {
     * identical), ANY deviation flags and robust_z is ±Infinity — the
     * mathematically honest answer; gate upstream if that's noise.
     */
-  def madOutliers(events: DataFrame, threshold: Double): DataFrame = {
-    val med = events.groupBy(col("event_type"))
-      .agg(expr("percentile(value, 0.5)").as("__med"))
-    val dev = events.join(broadcast(med), "event_type")
+  def madOutliers(events: DataFrame, threshold: Double,
+      approxAccuracy: Option[Int] = None): DataFrame = {
+    // approxAccuracy = Some(acc): medians from the percentile_approx
+    // sketch (O(acc) memory per group — the 100 TB default; the exact
+    // form buffers each group's full value multiset in one agg
+    // buffer). When acc > 2·|group| the sketch degenerates to exact
+    // rank selection (the element at 1-based rank ceil(p·n)), which
+    // is what lets the sketch path be hash-gated at verify scale.
+    def med(c: String): Column = approxAccuracy match {
+      case Some(acc) => expr(s"percentile_approx($c, 0.5, $acc)")
+      case None      => expr(s"percentile($c, 0.5)")
+    }
+    val medDf = events.groupBy(col("event_type")).agg(med("value").as("__med"))
+    val dev = events.join(broadcast(medDf), "event_type")
       .withColumn("__ad", abs(col("value") - col("__med")))
     val mad = dev.groupBy(col("event_type"))
-      .agg(expr("percentile(__ad, 0.5)").as("__mad"))
+      .agg(med("__ad").as("__mad"))
     dev.join(broadcast(mad), "event_type")
       .filter(col("__ad") > lit(threshold) * lit(1.4826) * col("__mad"))
       .select(col("event_id"), col("event_type"), col("value"),

@@ -57,14 +57,26 @@ object Profile {
     * The fact is never shuffled — only nBuckets partial rows per
     * partition cross the wire.
     */
-  def equidepthHistogram(df: DataFrame, valueCol: String, nBuckets: Int): DataFrame = {
+  def equidepthHistogram(df: DataFrame, valueCol: String, nBuckets: Int,
+      approxAccuracy: Option[Int] = None): DataFrame = {
     require(nBuckets >= 2, s"nBuckets $nBuckets must be >= 2")
     // exact decimal strings so the oracle's literal probabilities
     // parse to bit-identical doubles
     val ps = (1 until nBuckets)
       .map(i => (BigDecimal(i) / nBuckets).underlying.toPlainString)
-    val cuts = df.agg(
-      expr(s"percentile($valueCol, array(${ps.mkString(", ")}))").as("__cuts"))
+    // approxAccuracy = Some(acc): cuts from the percentile_approx
+    // sketch (fixed O(acc) memory — the 100 TB default; exact
+    // `percentile` buffers the full multiset). acc > 2·n makes the
+    // sketch exact rank selection (element at rank ceil(p·n)) — the
+    // hash-gatable regime at verify scale.
+    val cutExpr = approxAccuracy match {
+      case Some(acc) =>
+        expr(s"percentile_approx($valueCol, array(${ps.mkString(", ")}), $acc)")
+          .cast("array<double>")
+      case None =>
+        expr(s"percentile($valueCol, array(${ps.mkString(", ")}))")
+    }
+    val cuts = df.agg(cutExpr.as("__cuts"))
     val v = col(valueCol)
     df.crossJoin(broadcast(cuts))
       .select(size(filter(col("__cuts"), c => v > c)).as("bucket"), v.as("__v"))

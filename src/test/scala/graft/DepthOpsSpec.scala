@@ -90,6 +90,55 @@ class DepthOpsSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"fact shuffled for the cut join:\n$p")
   }
 
+  // ---- percentile_approx sketch twins (q21a/q47a/q48a) ----
+
+  test("percentile_approx at gate accuracy IS exact rank selection (ceil(p·n), 1-based)") {
+    // the property the q21a/q47a/q48a oracles rely on: above 2·n the
+    // GK sketch never merges samples, so query(p) returns the element
+    // at 1-based rank ceil(p·n) exactly
+    val o = Tables.orders(spark, sfDir)
+    for (p <- Seq(0.1, 0.5, 0.9, 0.99)) {
+      val approx = o.groupBy("o_orderpriority")
+        .agg(expr(s"percentile_approx(o_totalprice, $p, 1000000)").as("v"))
+        .as[(String, Double)].collect().toMap
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderpriority").orderBy("o_totalprice")
+      val ranked = o.select(col("o_orderpriority"), col("o_totalprice"),
+          row_number().over(w).as("rn"),
+          count("*").over(org.apache.spark.sql.expressions.Window
+            .partitionBy("o_orderpriority")).as("n"))
+        .filter(col("rn") === ceil(lit(p) * col("n")).cast("long"))
+        .select("o_orderpriority", "o_totalprice")
+        .as[(String, Double)].collect().toMap
+      assert(approx === ranked, s"rank rule broke at p=$p")
+    }
+  }
+
+  test("sketch equi-depth matches exact equi-depth to within cut-gap tolerance") {
+    val o = Tables.orders(spark, sfDir)
+    val exact = Profile.equidepthHistogram(o, "o_totalprice", 10)
+      .orderBy("bucket").as[(Int, Long, Double, Double)].collect()
+    val sketch = Profile.equidepthHistogram(o, "o_totalprice", 10,
+        approxAccuracy = Some(1000000))
+      .orderBy("bucket").as[(Int, Long, Double, Double)].collect()
+    assert(sketch.map(_._1).toSeq === exact.map(_._1).toSeq)
+    assert(sketch.map(_._2).sum === exact.map(_._2).sum)
+    // discrete (rank-selected) cuts sit within one element of the
+    // interpolated cuts, so each bucket count moves by at most 1
+    exact.zip(sketch).foreach { case ((b, ne, _, _), (_, ns, _, _)) =>
+      assert(math.abs(ne - ns) <= 1, s"bucket $b: exact=$ne sketch=$ns") }
+  }
+
+  test("sketch MAD outliers flag the same rows as exact MAD outliers") {
+    val ev = Tables.events(spark, sfDir)
+    val exact = Events.madOutliers(ev, 3.5).select("event_id").as[Long].collect().toSet
+    val sketch = Events.madOutliers(ev, 3.5, approxAccuracy = Some(1000000))
+      .select("event_id").as[Long].collect().toSet
+    // the discrete median differs from the interpolated one by less
+    // than the 3.5·1.4826·MAD threshold margin on this data
+    assert(sketch === exact)
+  }
+
   // ---- windowSuite ----
 
   test("window suite hand-check") {

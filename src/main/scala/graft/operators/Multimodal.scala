@@ -1,5 +1,10 @@
 package graft.operators
 
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -8,11 +13,14 @@ import org.apache.spark.sql.functions._
   * Media payloads are opaque `binary` columns with a typed metadata
   * struct riding alongside — the schema a 100 TB multimodal corpus
   * actually uses (payload bytes never parsed by Catalyst; metadata
-  * prunable/pushable). Real codecs are NOT available in this
-  * environment, so the decode kernels are STUBBED with deterministic
-  * fakes (clearly marked below); everything around them — schema,
-  * batch iteration shape, partition-level processing, output
-  * contracts — is real and tested.
+  * prunable/pushable).
+  *
+  * The IMAGE path is real: PNG/JPEG payloads are decoded, resized,
+  * and feature-extracted with `javax.imageio` + Java2D (pure JVM, no
+  * native deps), inside `mapPartitions` so codec setup amortizes per
+  * partition. Audio/video kernels remain deterministic STUBS (clearly
+  * marked — their codecs need native libraries absent from this
+  * environment); the distributed plumbing around them is identical.
   */
 object Multimodal {
 
@@ -49,11 +57,79 @@ object Multimodal {
         min(length(col(payloadCol))).cast("long").as("n_bytes"))
 
   // ------------------------------------------------------------------
-  // STUB: the decode kernel. In production this calls the native
-  // codec (libjpeg/ffmpeg/...) per batch inside mapPartitions (one
-  // codec init per partition, not per row). Here it derives a
-  // deterministic fake feature vector from the payload bytes so the
-  // distributed plumbing is exercised end-to-end.
+  // Real image codec (javax.imageio — pure JVM). ImageIO's disk cache
+  // is disabled once per executor: media batches must never touch
+  // local disk for an in-memory transcode.
+  // ------------------------------------------------------------------
+  private object Codec {
+    ImageIO.setUseCache(false)
+
+    def decode(payload: Array[Byte]): BufferedImage = {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      require(img != null, s"undecodable image payload (${payload.length} bytes)")
+      img
+    }
+
+    def encodePng(img: BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream(1024)
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Deterministic software rescale: Java2D bilinear draw into a
+      * fixed-type raster (no platform-dependent acceleration paths in
+      * the software pipeline — same bytes on every executor/JVM). */
+    def rescale(img: BufferedImage, w: Int, h: Int): BufferedImage = {
+      val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+          RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      out
+    }
+
+    /** `dim` mean-luminance features over `dim` horizontal strips —
+      * a real decoded-pixel statistic (stands where an embedding
+      * model's forward pass would run; the I/O + batching shape is
+      * identical). Values in [0, 1]. */
+    def stripLuminance(img: BufferedImage, dim: Int): Array[Float] = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new Array[Float](dim)
+      var s = 0
+      while (s < dim) {
+        val y0 = (s.toLong * h / dim).toInt
+        val y1 = math.max(y0 + 1, ((s + 1).toLong * h / dim).toInt)
+        var sum = 0.0; var y = y0
+        while (y < y1) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+            x += 1
+          }
+          y += 1
+        }
+        out(s) = (sum / (255.0 * w.toLong * (y1 - y0))).toFloat
+        s += 1
+      }
+      out
+    }
+  }
+
+  /** PNG-encode helper exposed for tests/synthesis. */
+  private[graft] def encodePng(img: BufferedImage): Array[Byte] = Codec.encodePng(img)
+  private[graft] def decodeImage(payload: Array[Byte]): BufferedImage = Codec.decode(payload)
+
+  private def isImage(meta: MediaMeta): Boolean = meta.mediaType.startsWith("image/")
+
+  // ------------------------------------------------------------------
+  // STUB: the non-image decode kernel. Audio/video codecs need native
+  // libraries (ffmpeg etc.) absent from this environment, so those
+  // rows get a deterministic fake feature vector derived from the
+  // payload bytes — the distributed plumbing is identical to the real
+  // image path above.
   // ------------------------------------------------------------------
   private[operators] def payloadHash(payload: Array[Byte]): Long = {
     var h = 1125899906842597L
@@ -62,9 +138,6 @@ object Multimodal {
     h
   }
 
-  /** Features derived from the payload hash — one payload scan feeds
-    * both the checksum and the fake features (a real decoder would
-    * likewise read the bytes once). */
   private[operators] def decodeStub(payloadHash: Long, dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var h = payloadHash
@@ -77,19 +150,23 @@ object Multimodal {
     out
   }
 
-  /** Per-partition batched "decode" → feature extraction. The
-    * partition iterator shape mirrors a real codec pipeline: amortized
-    * per-partition setup, row-at-a-time streaming (no partition-wide
-    * materialization), typed output. */
+  /** Per-partition batched decode → feature extraction. Image rows
+    * decode REAL pixels (javax.imageio) and emit strip-luminance
+    * features; audio/video rows fall back to the marked stub. The
+    * partition iterator shape mirrors a production codec pipeline:
+    * amortized per-partition setup, row-at-a-time streaming (no
+    * partition-wide materialization), typed output. */
   def extractFeatures(ds: Dataset[MediaRow], dim: Int)(
       implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     ds.mapPartitions { rows =>
-      // production: codec/context init here, once per partition
+      // codec/context init amortizes here, once per partition
       rows.map { r =>
-        val h = payloadHash(r.payload) // single pass over the bytes
-        MediaFeatures(r.media_id, r.payload.length.toLong, h,
-          decodeStub(h, dim))
+        val h = payloadHash(r.payload)
+        val feats =
+          if (isImage(r.meta)) Codec.stripLuminance(Codec.decode(r.payload), dim)
+          else decodeStub(h, dim) // STUB: no native audio/video codecs
+        MediaFeatures(r.media_id, r.payload.length.toLong, h, feats)
       }
     }
   }
@@ -106,47 +183,78 @@ object Multimodal {
       .drop(payloadCol)
   }
 
-  /** Resize STUB: returns rows with updated dimension metadata and a
-    * deterministically re-derived payload whose size scales with the
-    * target area — the real op's contract (payload AND metadata must
-    * change together; a resize that edits only metadata corrupts the
-    * corpus). Per-partition batching mirrors extractFeatures: one
-    * scaler init per partition in production. */
+  /** Resize. Image rows: REAL decode → Java2D bilinear rescale →
+    * PNG re-encode, with the metadata dims updated in the same row
+    * mutation (payload and metadata must change together; a resize
+    * that edits only metadata corrupts the corpus). Audio/video rows:
+    * deterministic payload-resynthesis STUB honoring the same
+    * size-tracks-area contract. Per-partition batching as in
+    * [[extractFeatures]]. */
   def resize(ds: Dataset[MediaRow], width: Int, height: Int)(
       implicit spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
     require(width > 0 && height > 0, s"bad target ${width}x$height")
     ds.mapPartitions { rows =>
-      // production: scaler/codec context init here, once per partition
+      // codec/scaler context init amortizes here, once per partition
       rows.map { r =>
-        // unclamped: an upscale legitimately GROWS the payload — size
-        // and metadata must track together in both directions
-        val scale =
-          (width.toLong * height).toDouble / (r.meta.width.toLong * r.meta.height)
-        val n = math.max(1, (r.payload.length * scale).toInt)
-        val out = new Array[Byte](n)
-        var h = payloadHash(r.payload)
-        var i = 0
-        while (i < n) {
-          h = h * 6364136223846793005L + 1442695040888963407L
-          out(i) = (h >>> 56).toByte
-          i += 1
+        if (isImage(r.meta)) {
+          val scaled = Codec.rescale(Codec.decode(r.payload), width, height)
+          MediaRow(r.media_id, Codec.encodePng(scaled),
+            r.meta.copy(width = width, height = height, codec = "png"))
+        } else {
+          // STUB (non-image): unclamped resynthesis — an upscale
+          // legitimately GROWS the payload; size and metadata track
+          // together in both directions. Dimensionless media (audio:
+          // 0×0) passes through at scale 1.
+          val srcArea = r.meta.width.toLong * r.meta.height
+          val scale =
+            if (srcArea <= 0) 1.0
+            else (width.toLong * height).toDouble / srcArea
+          val n = math.max(1, (r.payload.length * scale).toInt)
+          val out = new Array[Byte](n)
+          var h = payloadHash(r.payload)
+          var i = 0
+          while (i < n) {
+            h = h * 6364136223846793005L + 1442695040888963407L
+            out(i) = (h >>> 56).toByte
+            i += 1
+          }
+          MediaRow(r.media_id, out,
+            r.meta.copy(width = width, height = height))
         }
-        MediaRow(r.media_id, out,
-          r.meta.copy(width = width, height = height))
       }
     }
   }
 
-  /** Deterministic synthetic media table for tests/demos: payload
-    * bytes derived from the id. */
+  /** Deterministic synthetic media table for tests/demos. Even ids
+    * are REAL PNG images (id-seeded LCG pixels, varying dimensions —
+    * decodable by any compliant reader); odd ids are fake audio bytes
+    * for the stub path. */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n.toLong).map { id =>
-      val bytes = Array.tabulate[Byte](64 + (id % 64).toInt)(i => ((id * 31 + i) % 127).toByte)
-      MediaRow(id, bytes,
-        MediaMeta(if (id % 2 == 0) "image/png" else "audio/wav",
-          640, 480, id * 10, "fake"))
+      if (id % 2 == 0) {
+        val w = 96 + (id % 5).toInt * 16
+        val h = 64 + (id % 3).toInt * 16
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var seed = id * 6364136223846793005L + 1442695040888963407L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            seed = seed * 6364136223846793005L + 1442695040888963407L
+            img.setRGB(x, y, ((seed >>> 40) & 0xffffff).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        MediaRow(id, Codec.encodePng(img),
+          MediaMeta("image/png", w, h, 0L, "png"))
+      } else {
+        val bytes = Array.tabulate[Byte](4096 + (id % 64).toInt * 64)(
+          i => ((id * 31 + i) % 127).toByte)
+        MediaRow(id, bytes, MediaMeta("audio/wav", 0, 0, id * 10, "fake"))
+      }
     }
   }
 }

@@ -1,18 +1,44 @@
 package graft
 
+import java.awt.image.BufferedImage
+
 import org.apache.spark.sql.functions._
 
 import graft.operators.Multimodal
+import graft.operators.Multimodal.{MediaMeta, MediaRow}
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  private def solidPng(id: Long, w: Int, h: Int, rgb: Int): MediaRow = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    MediaRow(id, Multimodal.encodePng(img), MediaMeta("image/png", w, h, 0L, "png"))
+  }
+
   test("payload stats are computed without decoding") {
-    val media = Multimodal.syntheticMedia(spark, 10).toDF()
-    val out = Multimodal.withPayloadStats(media, "payload")
+    val rows = Multimodal.syntheticMedia(spark, 10).collect().sortBy(_.media_id)
+    val out = Multimodal.withPayloadStats(
+      Multimodal.syntheticMedia(spark, 10).toDF(), "payload")
     val r = out.select("media_id", "n_bytes").as[(Long, Long)].collect().toMap
-    assert(r(0L) === 64L && r(63L % 10) === (64L + 3 % 64))
+    rows.foreach(row => assert(r(row.media_id) === row.payload.length.toLong))
     assert(out.columns.contains("checksum"))
+  }
+
+  test("synthetic image payloads are real decodable PNGs with matching metadata") {
+    val imgs = Multimodal.syntheticMedia(spark, 10).collect()
+      .filter(_.meta.mediaType == "image/png")
+    assert(imgs.nonEmpty)
+    imgs.foreach { r =>
+      val img = Multimodal.decodeImage(r.payload)
+      assert(img.getWidth === r.meta.width)
+      assert(img.getHeight === r.meta.height)
+    }
   }
 
   test("extractFeatures is deterministic and shape-stable") {
@@ -26,6 +52,14 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.map(_.features.toSeq) === f2.map(_.features.toSeq))
   }
 
+  test("extractFeatures reads REAL pixels: solid black/white images bound luminance") {
+    implicit val s = spark
+    val ds = Seq(solidPng(0L, 40, 30, 0x000000), solidPng(1L, 40, 30, 0xffffff)).toDS()
+    val f = Multimodal.extractFeatures(ds, dim = 4).collect().sortBy(_.media_id)
+    assert(f(0).features.forall(v => v === 0.0f))
+    assert(f(1).features.forall(v => v === 1.0f))
+  }
+
   test("sampleFrames explodes each media row into n frame rows") {
     val media = Multimodal.syntheticMedia(spark, 5).toDF()
     val frames = Multimodal.sampleFrames(media, "payload", nFrames = 4)
@@ -34,19 +68,33 @@ class MultimodalSpec extends SparkSpec {
       .select("count").as[Long].collect().forall(_ === 4L))
   }
 
-  test("resize updates metadata and payload together, deterministically") {
+  test("resize decodes + rescales REAL images: output payload is a PNG of the target size") {
     implicit val s = spark
     val media = Multimodal.syntheticMedia(spark, 10)
-    val small = Multimodal.resize(media, 64, 48).collect().sortBy(_.media_id)
-    val again = Multimodal.resize(media, 64, 48).collect().sortBy(_.media_id)
-    val orig = media.collect().sortBy(_.media_id)
-    assert(small.forall(r => r.meta.width === 64 && r.meta.height === 48))
-    // downscale shrinks the payload and changes its bytes
-    small.zip(orig).foreach { case (r, o) =>
-      assert(r.payload.length < o.payload.length)
-      assert(!(r.payload.toSeq == o.payload.toSeq.take(r.payload.length)))
+    val out = Multimodal.resize(media, 64, 48).collect().sortBy(_.media_id)
+    val orig = media.collect().sortBy(_.media_id).map(r => r.media_id -> r).toMap
+    out.filter(_.meta.mediaType == "image/png").foreach { r =>
+      assert(r.meta.width === 64 && r.meta.height === 48)
+      val img = Multimodal.decodeImage(r.payload) // pixel-true target dims
+      assert(img.getWidth === 64)
+      assert(img.getHeight === 48)
+      // a real downscale (sources are >= 96x64 noise) shrinks the bytes
+      assert(r.payload.length < orig(r.media_id).payload.length)
     }
-    assert(small.map(_.payload.toSeq) === again.map(_.payload.toSeq))
+    // deterministic: same input -> identical bytes
+    val again = Multimodal.resize(media, 64, 48).collect().sortBy(_.media_id)
+    assert(out.map(_.payload.toSeq).toSeq === again.map(_.payload.toSeq).toSeq)
+  }
+
+  test("resize preserves content, not just size: solid color survives the rescale") {
+    implicit val s = spark
+    val ds = Seq(solidPng(7L, 100, 80, 0xff0000)).toDS()
+    val r = Multimodal.resize(ds, 25, 20).collect().head
+    val img = Multimodal.decodeImage(r.payload)
+    assert(img.getWidth === 25 && img.getHeight === 20)
+    // every pixel still pure red after bilinear downscale of a solid
+    for (x <- 0 until 25; y <- 0 until 20)
+      assert((img.getRGB(x, y) & 0xffffff) === 0xff0000)
   }
 
   test("contentManifest groups identical payloads under one digest") {

@@ -57,13 +57,22 @@ object Similarity {
     * shuffles once on the list id; queries broadcast.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int, nprobe: Int, k: Int): DataFrame = {
+      nCentroids: Int, nprobe: Int, k: Int,
+      quantizer: Option[Array[Array[Double]]] = None): DataFrame = {
     import org.apache.spark.sql.Row
-    // deterministic coarse quantizer: the nCentroids lowest-id vectors
-    val cents: Array[(Int, Array[Double])] = corpus
-      .select(col(idCol), col(vecCol).cast("array<double>"))
-      .orderBy(col(idCol)).limit(nCentroids).collect()
-      .zipWithIndex.map { case (r: Row, i) => (i, r.getSeq[Double](1).toArray) }
+    // coarse quantizer: a TRAINED centroid set when provided (the
+    // real index build: kmeansCentroids with kmeansPlusPlusInit —
+    // balanced lists, tighter probes), else the deterministic
+    // nCentroids lowest-id vectors (the zero-training fallback)
+    val cents: Array[(Int, Array[Double])] = quantizer match {
+      case Some(q) =>
+        require(q.length == nCentroids, s"quantizer has ${q.length}, want $nCentroids")
+        q.zipWithIndex.map { case (c, i) => (i, c) }
+      case None => corpus
+        .select(col(idCol), col(vecCol).cast("array<double>"))
+        .orderBy(col(idCol)).limit(nCentroids).collect()
+        .zipWithIndex.map { case (r: Row, i) => (i, r.getSeq[Double](1).toArray) }
+    }
 
     def centArr(c: Array[Double]) = array(c.map(lit).toIndexedSeq: _*)
     // rank lists by L2: |v - c|^2 = |v|^2 - 2 v.c + |c|^2; |v|^2 is
@@ -117,23 +126,38 @@ object Similarity {
     * float-order-independent (§5 determinism rule).
     */
   def kmeans(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): DataFrame = {
+      k: Int, iters: Int, init: Option[Array[Array[Double]]] = None): DataFrame = {
     val vecs = corpus.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("v"))
-    var cents: Array[Array[Double]] = vecs.orderBy("vec_id").limit(k).collect()
-      .map(_.getSeq[Double](1).toArray)
+    val cents = kmeansCentroids(corpus, idCol, vecCol, k, iters, init)
+    vecs.select(col("vec_id"), assignCol(cents, col("v")).as("cluster_id"))
+  }
 
-    // argmin_c |v - c|² via struct-min over (|c|² - 2 v·c, cid):
-    // |v|² is constant per row and drops out of the argmin
-    def assignCol(v: Column): Column =
-      array_min(array(cents.zipWithIndex.map { case (c, cid) =>
-        val c2 = c.map(x => x * x).sum
-        struct((lit(c2) - lit(2.0) * Vectors.dot(v,
-          array(c.map(lit).toIndexedSeq: _*))).as("d"), lit(cid).as("cid"))
-      }.toIndexedSeq: _*)).getField("cid")
+  /** argmin_c |v − c|² via struct-min over (|c|² − 2 v·c, cid): |v|²
+    * is constant per row and drops out of the argmin; ties break to
+    * the lowest centroid id. Pure codegen'd column math over literal
+    * centroids — NO corpus shuffle. */
+  private[graft] def assignCol(cents: Array[Array[Double]], v: Column): Column =
+    array_min(array(cents.zipWithIndex.map { case (c, cid) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * Vectors.dot(v,
+        array(c.map(lit).toIndexedSeq: _*))).as("d"), lit(cid).as("cid"))
+    }.toIndexedSeq: _*)).getField("cid")
 
+  /** The Lloyd loop of [[kmeans]], returning the trained centroids —
+    * the piece an IVF index build consumes directly. `init` defaults
+    * to the k lowest-id vectors (deterministic, initialization-
+    * quality-poor); pass [[kmeansPlusPlusInit]] for the seeded
+    * D²-weighted start. */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, init: Option[Array[Array[Double]]] = None): Array[Array[Double]] = {
+    val vecs = corpus.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    var cents: Array[Array[Double]] = init.getOrElse(
+      vecs.orderBy("vec_id").limit(k).collect().map(_.getSeq[Double](1).toArray))
+    require(cents.length == k, s"init has ${cents.length} centroids, expected $k")
     for (_ <- 1 to iters) {
-      val byDim = vecs.withColumn("cluster_id", assignCol(col("v")))
+      val byDim = vecs.withColumn("cluster_id", assignCol(cents, col("v")))
         .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cluster_id", "pos").agg(avg(col("x")).as("m"))
         .collect()
@@ -143,7 +167,65 @@ object Similarity {
       }
       cents = next
     }
-    vecs.select(col("vec_id"), assignCol(col("v")).as("cluster_id"))
+    cents
+  }
+
+  /** Seeded k-means++ over a bounded deterministic sample: the
+    * standard D²-weighted seeding (Arthur & Vassilvitskii '07) run
+    * driver-side on `sampleSize` vectors picked by hash order
+    * (xxhash64(id, seed) — content-independent, retry-stable, no
+    * rand() in the plan). The sample is the same "small model state"
+    * pattern as the IVF/PQ training collects: bounded by sampleSize,
+    * never the corpus. Deterministic for a given (seed, corpus). */
+  def kmeansPlusPlusInit(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, sampleSize: Int, seed: Long): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] = corpus
+      .select(col(vecCol).cast("array<double>").as("v"),
+        xxhash64(col(idCol), lit(seed)).as("__r"), col(idCol))
+      .orderBy(col("__r"), col(idCol)).limit(sampleSize)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= k, s"sample ${sample.length} smaller than k=$k")
+    val rnd = new scala.util.Random(seed)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val cents = scala.collection.mutable.ArrayBuffer(sample(rnd.nextInt(sample.length)))
+    val minD2 = sample.map(d2(_, cents.head))
+    while (cents.length < k) {
+      val total = minD2.sum
+      val idx =
+        if (total <= 0.0) rnd.nextInt(sample.length) // degenerate: all points coincide
+        else {
+          val r = rnd.nextDouble() * total
+          var acc = 0.0; var i = 0
+          while (i < sample.length - 1 && acc + minD2(i) < r) { acc += minD2(i); i += 1 }
+          i
+        }
+      val c = sample(idx)
+      cents += c
+      var i = 0
+      while (i < sample.length) {
+        val d = d2(sample(i), c); if (d < minD2(i)) minD2(i) = d; i += 1
+      }
+    }
+    cents.toArray
+  }
+
+  /** Within-cluster sum of squares for a given centroid set — the
+    * objective Lloyd descends. One codegen'd pass (assignment +
+    * distance against literals), one scalar agg; no corpus shuffle.
+    */
+  def inertia(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]]): Double = {
+    val vecs = corpus.select(col(vecCol).cast("array<double>").as("v"))
+    val assigned = vecs.withColumn("cid", assignCol(cents, col("v")))
+    val centArr = array(cents.map(c =>
+      array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    assigned
+      .select(Vectors.l2sq(col("v"), element_at(centArr, col("cid") + 1)).as("d2"))
+      .agg(sum(col("d2"))).collect()(0).getDouble(0)
   }
 
   /** Random-hyperplane LSH bucket id for each vector. Deterministic

@@ -147,6 +147,56 @@ class SimilaritySpec extends SparkSpec {
       s"final assignment should be a pure map over the scan:\n$p")
   }
 
+  test("k-means++ init lowers inertia vs lowest-id init, deterministically") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val k = 8; val iters = 3
+    val kpp = Similarity.kmeansPlusPlusInit(emb, "vec_id", "embedding",
+      k, sampleSize = 256, seed = 42L)
+    val kpp2 = Similarity.kmeansPlusPlusInit(emb, "vec_id", "embedding",
+      k, sampleSize = 256, seed = 42L)
+    assert(kpp.map(_.toSeq).toSeq === kpp2.map(_.toSeq).toSeq, "seeded init not deterministic")
+    val centsKpp = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k, iters, Some(kpp))
+    val centsLow = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k, iters)
+    val iKpp = Similarity.inertia(emb, "vec_id", "embedding", centsKpp)
+    val iLow = Similarity.inertia(emb, "vec_id", "embedding", centsLow)
+    assert(iKpp < iLow, s"k-means++ should beat lowest-id init: $iKpp vs $iLow")
+  }
+
+  test("IVF with a kmeans-trained quantizer: exhaustive probe still equals brute force") {
+    val e = Tables.embeddings(spark, sfDir)
+    val corpus = e.filter(col("vec_id") >= 8)
+    val queries = e.filter(col("vec_id") < 8)
+    val q = Similarity.kmeansCentroids(corpus, "vec_id", "embedding",
+      k = 8, iters = 2,
+      Some(Similarity.kmeansPlusPlusInit(corpus, "vec_id", "embedding",
+        k = 8, sampleSize = 256, seed = 7L)))
+    val ivf = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding",
+        nCentroids = 8, nprobe = 8, k = 5, quantizer = Some(q))
+      .as[(Long, Int, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 5)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(ivf === brute)
+  }
+
+  test("trained quantizer balances inverted lists better than lowest-id centroids") {
+    val e = Tables.embeddings(spark, sfDir)
+    val corpus = e.filter(col("vec_id") >= 8)
+    def maxListShare(q: Option[Array[Array[Double]]]): Double = {
+      val cents = q.getOrElse(corpus
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .orderBy("vec_id").limit(8).collect().map(_.getSeq[Double](1).toArray))
+      val sizes = corpus
+        .select(Similarity.assignCol(cents, col("embedding").cast("array<double>")).as("cid"))
+        .groupBy("cid").count().as[(Int, Long)].collect().map(_._2)
+      sizes.max.toDouble / sizes.sum
+    }
+    val trained = Similarity.kmeansCentroids(corpus, "vec_id", "embedding", 8, 3,
+      Some(Similarity.kmeansPlusPlusInit(corpus, "vec_id", "embedding", 8, 256, 7L)))
+    // a probe's cost is the hottest list it can hit — training must
+    // not leave one list holding most of the corpus
+    assert(maxListShare(Some(trained)) <= maxListShare(None))
+  }
+
   test("lshTopK is deterministic across runs (seeded hyperplanes)") {
     val e = Tables.embeddings(spark, sfDir)
     def run() = Similarity.lshTopK(e.filter(col("vec_id") >= 8),

@@ -505,12 +505,14 @@ object SparkEntry {
       Curation.repetitionStats(t(s, dir, "documents"), "doc_id", "text",
         maxTopTokenRatio = 0.12, maxDupTrigramRatio = 0.05)),
 
-    // distributed Lloyd k-means over embeddings (ids-only output;
-    // rows-gated — float summation order makes centroid coordinates
-    // engine-specific, so the spec suite owns correctness)
+    // distributed Lloyd k-means over embeddings (ids-only output).
+    // Hash-gated: centroids round to 6dp at each iteration edge, which
+    // makes the whole Lloyd trajectory engine-reproducible (unrounded,
+    // distributed summation order leaves centroid ulps engine-
+    // specific); the oracle unrolls all 3 iterations in SQL
     "emb_kmeans" -> ((s, dir) =>
       Similarity.kmeans(t(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 8, iters = 3)),
+        k = 8, iters = 3, roundTo = Some(6))),
 
     // top-3 characteristic terms per document by smoothed TF-IDF
     "text_tfidf" -> ((s, dir) => {
@@ -574,6 +576,9 @@ object SparkEntry {
         "vec_id", "embedding", k = 5)
     }),
 
+    // hash-gated: the oracle rebuilds the identical seeded hyperplane
+    // set as ±1 literals and replays signature -> bucket join ->
+    // cosine rerank in SQL
     "ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(
@@ -1038,7 +1043,78 @@ object SparkEntry {
   }
 
   /** DuckDB-runnable oracles, column-name-aligned with `queries`. */
+  /** ann_lsh oracle: the full LSH pipeline replayed in SQL. The ±1
+    * hyperplanes come from the SAME seeded generator the Spark plan
+    * uses ([[graft.functions.Vectors.hyperplaneWeights]]), inlined as
+    * literals; weights are ±1 so each inner-product term is exactly
+    * ±v[i] and both engines fold the same doubles in array order —
+    * signatures agree bit-for-bit, then bucket join → distinct pair →
+    * cosine rerank mirror the plan 1:1. */
+  private def annLshOracle: String = {
+    val (dim, bits, tables, seed) = (64, 4, 8, 42L)
+    def sigExpr(v: String, tableSeed: Long): String = {
+      val w = graft.functions.Vectors.hyperplaneWeights(dim, bits, tableSeed)
+      (0 until bits).map { b =>
+        val wlist = w(b).map(x => if (x > 0) "1.0" else "-1.0")
+          .mkString("[", ", ", "]")
+        s"(CASE WHEN list_inner_product($v, $wlist) >= 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    }
+    val sigList = (0 until tables).map(ti => sigExpr("v", seed + ti))
+      .mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       sigged AS (SELECT vec_id, v, $sigList AS sigs FROM e),
+       qb AS (SELECT vec_id AS query_id, t.range AS tbl, sigs[t.range + 1] AS bucket
+              FROM sigged, range($tables) t WHERE vec_id < 8),
+       cb AS (SELECT vec_id AS neighbor_id, t.range AS tbl, sigs[t.range + 1] AS bucket
+              FROM sigged, range($tables) t WHERE vec_id >= 8),
+       pairs AS (SELECT DISTINCT query_id, neighbor_id
+                 FROM qb JOIN cb USING (tbl, bucket)),
+       scored AS (SELECT p.query_id, p.neighbor_id,
+                         list_cosine_similarity(q.v, c.v) AS cos
+                  FROM pairs p
+                  JOIN e q ON p.query_id = q.vec_id
+                  JOIN e c ON p.neighbor_id = c.vec_id)
+       SELECT query_id,
+              CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk,
+              neighbor_id
+       FROM scored QUALIFY rnk <= 5"""
+  }
+
+  /** emb_kmeans oracle: 3 Lloyd iterations unrolled in SQL. Init =
+    * the 8 lowest-id vectors; assignment = min_by over [d, cid] (the
+    * plan's struct-min tie rule); means round to 6dp per iteration
+    * (the plan's roundTo) so the trajectory is engine-reproducible;
+    * an empty cluster keeps its previous centroid (LEFT JOIN +
+    * coalesce = the plan's clone-then-update). */
+  private def embKmeansOracle: String = {
+    val iters = 3
+    def assign(n: Int, centRel: String) =
+      s"""a$n AS (SELECT e.vec_id, e.v,
+             (min(struct_pack(d := list_inner_product(cent.c, cent.c)
+               - 2 * list_inner_product(e.v, cent.c), cid := cent.cid))).cid AS cid
+           FROM e CROSS JOIN $centRel cent GROUP BY e.vec_id, e.v)"""
+    def recompute(n: Int) =
+      s"""x$n AS (SELECT cid, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a$n),
+         m$n AS (SELECT cid, pos, round(avg(x), 6) AS m FROM x$n GROUP BY cid, pos),
+         cent$n AS (SELECT prev.cid, coalesce(mm.c, prev.c) AS c
+                    FROM cent${n - 1} prev
+                    LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS c
+                               FROM m$n GROUP BY cid) mm ON prev.cid = mm.cid)"""
+    val steps = (1 to iters).map(n => s"${assign(n, s"cent${n - 1}")},\n${recompute(n)}")
+      .mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       cent0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid, v AS c
+                 FROM e ORDER BY vec_id LIMIT 8),
+       $steps,
+       ${assign(iters + 1, s"cent$iters")}
+       SELECT vec_id, cid AS cluster_id FROM a${iters + 1}"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "ann_lsh" -> annLshOracle,
+    "emb_kmeans" -> embKmeansOracle,
     "dedup_minhash_lsh" -> minhashOracleSql,
     "decon_bloom" -> bloomOracleSql,
     "dedup_simhash" -> simhashOracleSql,

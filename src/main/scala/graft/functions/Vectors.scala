@@ -59,9 +59,16 @@ object Vectors {
     * instead blows the generated-method size limit and falls back to
     * interpreted eval — measured 40× slower.)
     */
-  def hyperplaneSig(v: Column, dim: Int, bits: Int, seed: Long): Column = {
+  /** The ±1 hyperplane weight matrix for [[hyperplaneSig]] — public
+    * so an oracle can reproduce the identical plane set (same seeded
+    * PRNG draw order) as literals. */
+  def hyperplaneWeights(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
-    val weights = Array.fill(bits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    Array.fill(bits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  def hyperplaneSig(v: Column, dim: Int, bits: Int, seed: Long): Column = {
+    val weights = hyperplaneWeights(dim, bits, seed)
     val vd = d(v)
     val bitCols = (0 until bits).map { b =>
       val w = array(weights(b).map(lit).toIndexedSeq: _*)

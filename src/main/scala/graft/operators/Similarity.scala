@@ -126,10 +126,11 @@ object Similarity {
     * float-order-independent (§5 determinism rule).
     */
   def kmeans(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, init: Option[Array[Array[Double]]] = None): DataFrame = {
+      k: Int, iters: Int, init: Option[Array[Array[Double]]] = None,
+      roundTo: Option[Int] = None): DataFrame = {
     val vecs = corpus.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("v"))
-    val cents = kmeansCentroids(corpus, idCol, vecCol, k, iters, init)
+    val cents = kmeansCentroids(corpus, idCol, vecCol, k, iters, init, roundTo)
     vecs.select(col("vec_id"), assignCol(cents, col("v")).as("cluster_id"))
   }
 
@@ -150,16 +151,27 @@ object Similarity {
     * quality-poor); pass [[kmeansPlusPlusInit]] for the seeded
     * D²-weighted start. */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, init: Option[Array[Array[Double]]] = None): Array[Array[Double]] = {
+      k: Int, iters: Int, init: Option[Array[Array[Double]]] = None,
+      roundTo: Option[Int] = None): Array[Array[Double]] = {
     val vecs = corpus.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("v"))
     var cents: Array[Array[Double]] = init.getOrElse(
       vecs.orderBy("vec_id").limit(k).collect().map(_.getSeq[Double](1).toArray))
     require(cents.length == k, s"init has ${cents.length} centroids, expected $k")
+    // roundTo = Some(d): round each recomputed mean to d decimals —
+    // the gate-determinism trade. Distributed double summation is
+    // order-dependent at the ulp, so unrounded centroids are engine-
+    // specific; rounding at the iteration edge (~1e-d perturbation,
+    // far below cluster geometry) makes the whole Lloyd trajectory
+    // reproducible in an independent engine for the hash oracle.
     for (_ <- 1 to iters) {
+      val meanExpr = roundTo match {
+        case Some(d) => round(avg(col("x")), d)
+        case None    => avg(col("x"))
+      }
       val byDim = vecs.withColumn("cluster_id", assignCol(cents, col("v")))
         .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cluster_id", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cluster_id", "pos").agg(meanExpr.as("m"))
         .collect()
       val next = cents.map(_.clone())
       byDim.foreach { r =>

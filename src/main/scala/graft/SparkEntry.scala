@@ -1112,8 +1112,41 @@ object SparkEntry {
        SELECT vec_id, cid AS cluster_id FROM a${iters + 1}"""
   }
 
+  /** ann_ivf oracle: coarse-quantizer assignment (argmin via the
+    * struct-min rule), nprobe nearest lists per query (row_number
+    * over the same (d, cid) order), bucket join, exact cosine rerank
+    * — the emb_kmeans oracle machinery applied to the IVF probe path.
+    * Distances use the plan's exact arithmetic: |c|² − 2 v·c with
+    * both inner products folding in array order. */
+  private def annIvfOracle: String = {
+    val (nCentroids, nprobe, k) = (16, 8, 5)
+    def d(v: String) = s"list_inner_product(cent.cv, cent.cv) - 2 * list_inner_product($v, cent.cv)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       c AS (SELECT vec_id, v FROM e WHERE vec_id >= 8),
+       q AS (SELECT vec_id, v FROM e WHERE vec_id < 8),
+       cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid, v AS cv
+                FROM c ORDER BY vec_id LIMIT $nCentroids),
+       cass AS (SELECT c.vec_id AS neighbor_id, c.v,
+                       (min(struct_pack(d := ${d("c.v")}, cid := cent.cid))).cid AS cid
+                FROM c CROSS JOIN cent GROUP BY c.vec_id, c.v),
+       qprobe AS (SELECT vec_id AS query_id, v, cid FROM (
+                    SELECT q.vec_id, q.v, cent.cid,
+                           row_number() OVER (PARTITION BY q.vec_id
+                             ORDER BY ${d("q.v")}, cent.cid) AS pr
+                    FROM q CROSS JOIN cent) WHERE pr <= $nprobe),
+       cand AS (SELECT qp.query_id, ca.neighbor_id,
+                       list_cosine_similarity(qp.v, ca.v) AS cos
+                FROM qprobe qp JOIN cass ca USING (cid))
+       SELECT query_id,
+              CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk,
+              neighbor_id
+       FROM cand QUALIFY rnk <= $k"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "ann_lsh" -> annLshOracle,
+    "ann_ivf" -> annIvfOracle,
     "emb_kmeans" -> embKmeansOracle,
     "dedup_minhash_lsh" -> minhashOracleSql,
     "decon_bloom" -> bloomOracleSql,

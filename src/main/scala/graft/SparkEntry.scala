@@ -1144,10 +1144,68 @@ object SparkEntry {
        FROM cand QUALIFY rnk <= $k"""
   }
 
+  /** approx_topk oracle: the ENTIRE Count-Min sketch reproduced in
+    * HUGEINT mod-2^64 SQL — per-occurrence poly-31 token hashes, the
+    * CmsHash per-row avalanche (same constants/stages as the bloom
+    * oracle), counters as sum of colliding occurrence counts per
+    * (row, slot), estimates as the min over depth probes, md5
+    * hash-sample candidates, (est desc, token) top-k. Integer
+    * end-to-end: even collision over-counts must match exactly. */
+  private def annCmsOracle: String = {
+    val (depth, width, sampleBuckets, takeBuckets, k) = (4, 2048, 10, 2, 20)
+    val T = BigInt(1) << 64
+    def u(l: Long): BigInt = BigInt(l) & (T - 1)
+    val M = u(-7046029254386353131L) // CmsHash row constant
+    val mu1 = u(-49064778989728563L)
+    val mu2 = u(-4265267296055464877L)
+    val consts = (0 until depth).map(i =>
+      u(i.toLong * -7046029254386353131L + 1442695040888963407L))
+    def mm(x: String, m: BigInt): String =
+      s"((($x) % 4294967296) * $m::HUGEINT + " +
+        s"(((($x) >> 32) * $m::HUGEINT) % 4294967296) * 4294967296) % $T::HUGEINT"
+    val constRows = consts.zipWithIndex
+      .map { case (c, i) => s"($i, $c::HUGEINT)" }.mkString(", ")
+    s"""WITH occ AS (
+       |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+       |  FROM documents),
+       |cnt AS (SELECT token, count(*) AS n FROM occ WHERE token <> '' GROUP BY 1),
+       |th AS (
+       |  SELECT token, n, list_reduce(
+       |    list_prepend(1125899906842597::HUGEINT,
+       |      list_transform(string_split(token, ''), c -> ord(c)::HUGEINT)),
+       |    (a, b) -> (a * 31 + b) % $T::HUGEINT) AS h
+       |  FROM cnt),
+       |consts(i, c) AS (VALUES $constRows),
+       |m0 AS (SELECT token, n, i, xor(h, c) AS x FROM th CROSS JOIN consts),
+       |m1 AS (SELECT token, n, i, xor(x, x >> 33) AS x FROM m0),
+       |m2 AS (SELECT token, n, i, ${mm("x", mu1)} AS x FROM m1),
+       |m3 AS (SELECT token, n, i, xor(x, x >> 33) AS x FROM m2),
+       |m4 AS (SELECT token, n, i, ${mm("x", mu2)} AS x FROM m3),
+       |m5 AS (SELECT token, n, i, xor(x, x >> 33) AS x FROM m4),
+       |slot AS (SELECT token, n, i,
+       |         (x % 9223372036854775808::HUGEINT) % $width AS p FROM m5),
+       |counters AS (SELECT i, p, sum(n) AS total FROM slot GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS token
+       |  FROM documents
+       |  WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % $sampleBuckets
+       |          < $takeBuckets),
+       |est AS (
+       |  SELECT s.token, CAST(min(c.total) AS BIGINT) AS est_count
+       |  FROM slot s
+       |  JOIN cand ON s.token = cand.token
+       |  JOIN counters c ON c.i = s.i AND c.p = s.p
+       |  WHERE s.token <> ''
+       |  GROUP BY 1)
+       |SELECT token, est_count FROM est
+       |ORDER BY est_count DESC, token LIMIT $k""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "ann_lsh" -> annLshOracle,
     "ann_ivf" -> annIvfOracle,
     "emb_kmeans" -> embKmeansOracle,
+    "approx_topk" -> annCmsOracle,
     "dedup_minhash_lsh" -> minhashOracleSql,
     "decon_bloom" -> bloomOracleSql,
     "dedup_simhash" -> simhashOracleSql,

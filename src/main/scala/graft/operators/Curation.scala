@@ -51,17 +51,22 @@ object Curation {
       depth: Int, width: Int, sampleBuckets: Int, takeBuckets: Int,
       k: Int): DataFrame = {
     import graft.functions.expr.SketchAggregates.{cms_agg, cms_estimate}
+    import graft.functions.expr.NativeFunctions.rolling_hash
+    // item hash = the native 64-bit poly-31 rolling hash (not
+    // xxhash64): equally well-mixed after CmsHash's per-row avalanche,
+    // and byte-for-byte reproducible in the oracle engine — which is
+    // what lets the ENTIRE sketch (counters included) be hash-gated
     val toks = docs.select(explode(tokens).as("token"))
       .filter(col("token") =!= "")
     val sketch = toks.agg(
-      cms_agg(xxhash64(col("token")), depth, width).as("__sk"))
+      cms_agg(rolling_hash(col("token")), depth, width).as("__sk"))
     val cands = hashSplit(docs, sampleOn, sampleBuckets, takeBuckets)
       .select(explode(tokens).as("token"))
       .filter(col("token") =!= "")
       .distinct()
     cands.crossJoin(broadcast(sketch))
       .select(col("token"),
-        cms_estimate(col("__sk"), xxhash64(col("token")), depth, width)
+        cms_estimate(col("__sk"), rolling_hash(col("token")), depth, width)
           .as("est_count"))
       .orderBy(col("est_count").desc, col("token"))
       .limit(k)

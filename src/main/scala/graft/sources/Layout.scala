@@ -87,8 +87,16 @@ object Layout {
     *         callers log skipping effectiveness.
     */
   def prunedRead(spark: SparkSession, path: String, manifest: DataFrame,
-      column: String, lo: Column, hi: Column): (DataFrame, Int, Int) = {
+      column: String, lo: Column, hi: Column,
+      maxFiles: Int = 1000000): (DataFrame, Int, Int) = {
     val total = manifest.count().toInt
+    // the collect is ∝ matching files; `maxFiles` is the guard rail
+    // for degenerate manifests (a million-file table whose predicate
+    // matches everything should be read as a plain scan + filter, not
+    // via a driver-side path list)
+    require(total <= maxFiles,
+      s"manifest has $total files > maxFiles=$maxFiles; " +
+        "read the table directly instead of via the pruned path list")
     val live = manifest
       .filter(!(col(s"max_$column") < lo || col(s"min_$column") > hi))
       .select("file")

@@ -14,18 +14,18 @@ class EntrySpec extends SparkSpec {
 
   test("oracle coverage stays high (rows-only checks are weaker)") {
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
-    // the only rows-gated queries are the genuinely approximate /
-    // engine-specific ones: LSH/IVF ANN variants (recall-tested
-    // against ann_topk in SimilaritySpec), the HLL cardinality,
-    // KLL-style quantile, and Count-Min frequency sketches (estimates
-    // are engine-specific; accuracy-tested vs exact in EventsSpec /
-    // CurationNewSpec / SketchSpec), and k-means (float-summation-
-    // order-dependent centroids; separation/determinism/inertia
-    // spec-tested). Every deterministic operator — including the
-    // minhash and simhash sketches, whose hash pipelines the oracles
-    // reproduce in HUGEINT arithmetic — is hash-verified.
-    assert(rowsOnly === Set("ann_lsh", "ann_ivf", "ann_pq", "approx_distinct",
-        "emb_kmeans", "approx_quantiles", "approx_topk"),
+    // the only rows-gated queries are the genuinely engine-specific
+    // ones: PQ (driver-trained float codebook, summation-order-
+    // dependent), the HLL cardinality sketch, and the GK quantile
+    // sketch in its genuinely-approximate regime (accuracy-tested vs
+    // exact in EventsSpec / SketchSpec; the exact-regime twins
+    // q21a/q47a/q48a ARE hash-gated). Everything else — including
+    // ann_lsh (seeded ±1 hyperplanes as literals), ann_ivf
+    // (struct-min probe replay), emb_kmeans (unrolled Lloyd with
+    // edge-rounded centroids) and approx_topk (the full Count-Min
+    // counter pipeline in HUGEINT SQL) — is hash-verified against a
+    // full-pipeline SQL oracle.
+    assert(rowsOnly === Set("ann_pq", "approx_distinct", "approx_quantiles"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 }

@@ -423,7 +423,10 @@ object SparkEntry {
         .distinct()
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
         .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      graft.operators.Graph.pagerank(edges, "src", "dst", iterations = 3)
+      // truncateEvery = iterations: one materialization barrier for
+      // the whole 3-iteration run (plan depth stays ∝ 3 — bounded)
+      graft.operators.Graph.pagerank(edges, "src", "dst", iterations = 3,
+        truncateEvery = 3)
         .select(col("node").as("suppkey"), round(col("rank"), 6).as("pagerank"))
     }),
 

@@ -35,9 +35,11 @@ object Graph {
     * @return (node, rank) — one row per distinct node in `edges`.
     */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int, damping: Double = 0.85): DataFrame = {
+      iterations: Int, damping: Double = 0.85,
+      truncateEvery: Int = 1): DataFrame = {
     require(iterations >= 1, s"iterations $iterations must be >= 1")
     require(damping > 0.0 && damping < 1.0, s"damping $damping outside (0, 1)")
+    require(truncateEvery >= 1, s"truncateEvery $truncateEvery must be >= 1")
     // reliable checkpoints when a dir is configured (executor loss
     // mid-iteration survives on a real cluster), executor-local
     // otherwise — the Clusters.connectedComponents contract; bounded
@@ -46,7 +48,11 @@ object Graph {
     def truncate(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
 
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // the raw edge list is truncated FIRST: everything below (degree
+    // join input AND node set) derives from the materialized blocks,
+    // so an expensive upstream edge derivation (pair explosion,
+    // dedup) runs exactly once, not once per consumer
+    val e = truncate(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
     // (src, dst, outdeg): the per-iteration join input, materialized
     // once. count("*") over src = outdegree (parallel edges count,
     // as in the matrix formulation).
@@ -57,16 +63,20 @@ object Graph {
         .union(e.select(col("dst").as("node")))
         .distinct())
     val n = nodes.count()
+    // truncateEvery > 1 trades bounded lineage growth (plan depth ∝
+    // truncateEvery) against fewer materialization barriers — each
+    // skipped truncation saves one full rank-frame job; ranks are
+    // ∝ |V| rows so the recompute inside a window is cheap
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val inflow = ew.join(ranks, ew("src") === ranks("node"))
         .select(col("dst"), (col("rank") / col("__outdeg")).as("__c"))
         .groupBy("dst").agg(sum("__c").as("__in"))
-      ranks = truncate(
-        nodes.join(inflow, nodes("node") === inflow("dst"), "left")
-          .select(col("node"),
-            (lit((1.0 - damping) / n) +
-              lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank")))
+      val next = nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
+      ranks = if (i % truncateEvery == 0 || i == iterations) truncate(next) else next
     }
     ranks
   }

@@ -215,6 +215,13 @@ object ScaleProbe {
       } {
         Events.madOutliers(evN, 3.5).count()
       }
+      // the scale-default sketch twin: fixed-size GK buffers replace
+      // the full-multiset exact percentile state
+      probe("mad_sketch") {
+        Events.madOutliers(ev1, 3.5, approxAccuracy = Some(10000)).count()
+      } {
+        Events.madOutliers(evN, 3.5, approxAccuracy = Some(10000)).count()
+      }
     }
     // iterative fixpoint: SUPPLIER keys offset per copy, so each copy
     // is a disjoint component — nodes, edges, and per-iteration join
@@ -270,6 +277,15 @@ object ScaleProbe {
         graft.operators.Profile.equidepthHistogram(o1, "o_totalprice", 10).count()
       } {
         graft.operators.Profile.equidepthHistogram(oN, "o_totalprice", 10).count()
+      }
+      // sketch cuts at production accuracy: the agg buffer stays
+      // O(accuracy) while the exact form's multiset grows N×
+      probe("equidepth_sketch") {
+        graft.operators.Profile.equidepthHistogram(o1, "o_totalprice", 10,
+          approxAccuracy = Some(10000)).count()
+      } {
+        graft.operators.Profile.equidepthHistogram(oN, "o_totalprice", 10,
+          approxAccuracy = Some(10000)).count()
       }
     }
     locally {

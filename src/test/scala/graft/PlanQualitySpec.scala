@@ -128,4 +128,34 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"top-k fell back to a global sort:\n$p")
   }
+
+  test("sketch equi-depth keeps the q48 shape: broadcast cuts, fact never shuffled") {
+    val p = plan(graft.operators.Profile.equidepthHistogram(
+      Tables.orders(spark, sfDir), "o_totalprice", 10,
+      approxAccuracy = Some(1000000)))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"sketch cutpoints must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact shuffled for the cut join:\n$p")
+  }
+
+  test("sketch MAD outliers keep the q47 shape: broadcast medians, fact never shuffled") {
+    val p = plan(graft.operators.Events.madOutliers(
+      Tables.events(spark, sfDir), 3.5, approxAccuracy = Some(1000000)))
+    assert(p.contains("BroadcastHashJoin"), s"median frames must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact shuffled for a stats join:\n$p")
+  }
+
+  test("external sink collapse prunes rank>1 below the shuffle (WindowGroupLimit)") {
+    // the latest-version-per-key collapse must not move every delta
+    // row through the exchange when only the per-key winner survives
+    import spark.implicits._
+    val changes = (1 to 100).map(i => (s"k${i % 10}", i.toLong, false, Array[Byte]()))
+      .toDF("key", "version", "is_delete", "payload")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("version").desc, col("is_delete").desc)
+    val collapsed = changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    assert(plan(collapsed).contains("WindowGroupLimit"),
+      s"rank-1 filter not pushed below the shuffle:\n${plan(collapsed)}")
+  }
 }

@@ -207,6 +207,22 @@ object Dedup {
     * within the Hamming radius agrees exactly on at least one block.
     * Join per block (linear), verify with bit_count(xor). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame =
+    hammingPairs(simhashSigsRelational(docs, idCol, textCol),
+      "doc_id", "sig", maxHamming)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+
+  /** Hamming-near pairs over ANY precomputed 64-bit signature column
+    * (simhash text sigs, perceptual image hashes, …) via the
+    * pigeonhole block join: two signatures within `maxHamming` must
+    * agree exactly on at least one of maxHamming+1 disjoint bit
+    * blocks, so candidates meet in a hash equi-join on (block, bits)
+    * — linear in corpus + collisions, never all-pairs — and the
+    * native HammingDistance verifies exactly.
+    *
+    * @return (id_a, id_b, hamming), id_a < id_b.
+    */
+  def hammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int): DataFrame = {
     // width = 64/blocks: maxHamming 0 means exact-signature join (one
     // 64-bit block — mask must be -1L, not (1<<64)-1 which wraps to 0
@@ -217,22 +233,22 @@ object Dedup {
     val blocks = maxHamming + 1
     val width = 64 / blocks
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val sigs = simhashSigsRelational(docs, idCol, textCol)
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    val s = sigs.select(col(idCol).as("__id"), col(sigCol).as("__sig"))
+    val banded = s.select(col("__id"), col("__sig"),
       explode(array((0 until blocks).map { i =>
         struct(lit(i).as("blk"),
-          shiftright(col("sig"), i * width)
+          shiftright(col("__sig"), i * width)
             .bitwiseAND(lit(mask)).as("key"))
       }: _*)).as("b"))
-      .select(col("doc_id"), col("sig"), col("b.blk").as("blk"), col("b.key").as("key"))
+      .select(col("__id"), col("__sig"), col("b.blk").as("blk"), col("b.key").as("key"))
     banded.as("a")
       .join(banded.as("b"),
         col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
         graft.functions.expr.NativeFunctions
-          .hamming_distance(col("a.sig"), col("b.sig")).as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
+          .hamming_distance(col("a.__sig"), col("b.__sig")).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
   }
 

@@ -226,6 +226,55 @@ object Multimodal {
     }
   }
 
+  /** 64-bit average-hash (aHash): rescale to 8×8, bit i set iff cell
+    * luminance ≥ image mean. The standard cheap perceptual
+    * fingerprint: stable under rescaling/re-encoding (what
+    * content-addressing by byte digest — [[contentManifest]] —
+    * cannot see), flipped by genuinely different content. */
+  private[graft] def aHash64(img: BufferedImage): Long = {
+    val small = Codec.rescale(img, 8, 8)
+    val lum = new Array[Double](64)
+    var i = 0
+    while (i < 64) {
+      val rgb = small.getRGB(i % 8, i / 8)
+      lum(i) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+      i += 1
+    }
+    val mean = lum.sum / 64.0
+    var bits = 0L
+    i = 0
+    while (i < 64) { if (lum(i) >= mean) bits |= 1L << i; i += 1 }
+    bits
+  }
+
+  /** (media_id, phash) for the image rows: REAL decode + 8×8
+    * average-hash, batched per partition like [[extractFeatures]].
+    * Non-image rows are dropped (a perceptual IMAGE hash has no
+    * meaning for audio bytes). */
+  def perceptualHashes(ds: Dataset[MediaRow])(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    ds.mapPartitions { rows =>
+      // codec init amortizes here, once per partition
+      rows.filter(r => isImage(r.meta))
+        .map(r => (r.media_id, aHash64(Codec.decode(r.payload))))
+    }.toDF("media_id", "phash")
+  }
+
+  /** Perceptual near-duplicate image pairs: aHash signatures into the
+    * SAME pigeonhole block join the text simhash uses
+    * ([[Dedup.hammingPairs]] — linear bucket join, never all-pairs).
+    * The multimodal completion of the dedup family: contentManifest
+    * catches byte-identical payloads; this catches re-encoded /
+    * resized / lightly-edited copies of the same picture.
+    *
+    * @return (media_a, media_b, hamming), media_a < media_b.
+    */
+  def phashNearDups(ds: Dataset[MediaRow], maxHamming: Int)(
+      implicit spark: SparkSession): DataFrame =
+    Dedup.hammingPairs(perceptualHashes(ds), "media_id", "phash", maxHamming)
+      .select(col("id_a").as("media_a"), col("id_b").as("media_b"), col("hamming"))
+
   /** Deterministic synthetic media table for tests/demos. Even ids
     * are REAL PNG images (id-seeded LCG pixels, varying dimensions —
     * decodable by any compliant reader); odd ids are fake audio bytes

@@ -97,6 +97,49 @@ class MultimodalSpec extends SparkSpec {
       assert((img.getRGB(x, y) & 0xffffff) === 0xff0000)
   }
 
+  private def gradientPng(id: Long, w: Int, h: Int, ax: Double, ay: Double): MediaRow = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val l = math.max(0, math.min(255,
+          (ax * x / w + ay * y / h).toInt))
+        img.setRGB(x, y, (l << 16) | (l << 8) | l)
+        x += 1
+      }
+      y += 1
+    }
+    MediaRow(id, Multimodal.encodePng(img), MediaMeta("image/png", w, h, 0L, "png"))
+  }
+
+  test("perceptual near-dups: a resized re-encoded copy is found, different content is not") {
+    implicit val s = spark
+    // three structurally different images + a resized copy of each
+    val originals = Seq(
+      gradientPng(0L, 96, 64, 255, 0),   // left→right ramp
+      gradientPng(1L, 96, 64, 0, 255),   // top→bottom ramp
+      gradientPng(2L, 96, 64, 255, -255) // diagonal
+    )
+    val copies = Multimodal.resize(originals.toDS(), 48, 32).collect()
+      .map(r => r.copy(media_id = r.media_id + 10)).toSeq
+    val pairs = Multimodal.phashNearDups((originals ++ copies).toDS(), maxHamming = 8)
+      .select("media_a", "media_b").as[(Long, Long)].collect().toSet
+    // each original pairs with exactly its own rescaled copy — the
+    // byte digests differ (contentManifest would see 6 distinct
+    // payloads), but the CONTENT is the same picture
+    assert(pairs === Set((0L, 10L), (1L, 11L), (2L, 12L)))
+  }
+
+  test("perceptual hash is deterministic and drops non-image rows") {
+    implicit val s = spark
+    val media = Multimodal.syntheticMedia(spark, 10)
+    val a = Multimodal.perceptualHashes(media).as[(Long, Long)].collect().sortBy(_._1)
+    val b = Multimodal.perceptualHashes(media).as[(Long, Long)].collect().sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+    assert(a.map(_._1).toSet === (0 until 10 by 2).map(_.toLong).toSet, "images are even ids")
+  }
+
   test("contentManifest groups identical payloads under one digest") {
     import spark.implicits._
     val df = Seq(

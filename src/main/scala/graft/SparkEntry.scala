@@ -468,6 +468,14 @@ object SparkEntry {
           defaultRate = 0.6)
         .select(col("doc_id"), col("lang"))),
 
+    // temperature-scaled mixture (alpha=0.5): output language shares
+    // follow w^alpha normalization — low-resource languages
+    // up-weighted, no stratum up-sampled, retention maximal
+    "sample_temperature" -> ((s, dir) =>
+      Curation.temperatureSample(t(s, dir, "documents"), "lang",
+          col("n_chars"), col("text"), alpha = 0.5)
+        .select(col("doc_id"), col("lang"))),
+
     // C4-style cleaning flags: word-count bounds, >=2 sentences, no
     // curly braces / lorem-ipsum boilerplate
     "text_c4_filters" -> ((s, dir) =>
@@ -1564,6 +1572,22 @@ object SparkEntry {
                    (CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.35 END * wtot) / wt),
                    0.6) AS rate
                FROM w CROSS JOIN g)
+         SELECT doc_id, d.lang AS lang
+         FROM documents d JOIN r USING (lang)
+         WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000
+               < rate * 10000""",
+
+    // arithmetic mirrored step-by-step (pow, share normalization,
+    // K = min(w/q), rate = K*q/w left-assoc) so rates agree to the ulp
+    "sample_temperature" ->
+      """WITH w AS (SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS wt
+                    FROM documents GROUP BY 1),
+         s AS (SELECT sum(pow(wt, CAST(0.5 AS DOUBLE))) AS tot FROM w),
+         q AS (SELECT lang, wt, pow(wt, CAST(0.5 AS DOUBLE)) / tot AS qs
+               FROM w CROSS JOIN s),
+         k AS (SELECT min(wt / qs) AS kk FROM q),
+         r AS (SELECT lang, least(1.0, kk * qs / wt) AS rate
+               FROM q CROSS JOIN k)
          SELECT doc_id, d.lang AS lang
          FROM documents d JOIN r USING (lang)
          WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000

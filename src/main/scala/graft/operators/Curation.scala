@@ -280,6 +280,37 @@ object Curation {
       .drop("__rate")
   }
 
+  /** Temperature-scaled mixture sampling: output stratum shares
+    * follow q_i = w_i^α / Σ_j w_j^α (the standard multilingual /
+    * multi-source rebalancing — α=1 keeps natural proportions, α→0
+    * approaches uniform, α∈(0,1) up-weights low-resource strata).
+    *
+    * Down-sampling only, with maximal retention: keep rate
+    * r_i = K·q_i/w_i with K = min_j(w_j/q_j) — the largest scale at
+    * which every rate stays ≤ 1, which makes the kept weight of every
+    * stratum EXACTLY K·q_i (shares land on q exactly in expectation,
+    * no stratum up-samples). Same scale shape as [[mixtureSample]]:
+    * one #strata-row aggregate + broadcast rates + stateless hash
+    * filter; the corpus never shuffles, retries are deterministic.
+    */
+  def temperatureSample(df: DataFrame, stratumCol: String, weight: Column,
+      content: Column, alpha: Double, buckets: Int = 10000): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha $alpha outside (0, 1]")
+    val totals = df.groupBy(col(stratumCol))
+      .agg(sum(weight).cast("double").as("__w"))
+    val grand = totals.agg(sum(pow(col("__w"), alpha)).as("__s"))
+    val q = totals.crossJoin(broadcast(grand))
+      .select(col(stratumCol), col("__w"),
+        (pow(col("__w"), alpha) / col("__s")).as("__q"))
+    val kk = q.agg(min(col("__w") / col("__q")).as("__k"))
+    val rates = q.crossJoin(broadcast(kk))
+      .select(col(stratumCol),
+        least(lit(1.0), col("__k") * col("__q") / col("__w")).as("__rate"))
+    df.join(broadcast(rates), stratumCol)
+      .filter(hashBucket(content, buckets) < col("__rate") * buckets)
+      .drop("__rate")
+  }
+
   /** Deterministic shard assignment + within-shard order — the
     * "global shuffle" a training corpus gets before packing: every
     * row lands in a content-hash shard (uniform, stateless,

@@ -63,6 +63,44 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSet === again)
   }
 
+  // ---- temperatureSample ----
+
+  test("temperatureSample lands kept-weight shares on the w^alpha normalization") {
+    val docs = Tables.documents(spark, sfDir)
+    val alpha = 0.5
+    val allByLang = docs.groupBy("lang").agg(sum("n_chars").as("w"))
+      .as[(String, Long)].collect().toMap
+    val q = {
+      val p = allByLang.view.mapValues(w => math.pow(w.toDouble, alpha)).toMap
+      val s = p.values.sum
+      p.view.mapValues(_ / s).toMap
+    }
+    val out = Curation.temperatureSample(docs, "lang", col("n_chars"),
+      col("text"), alpha)
+    val keptByLang = out.groupBy("lang").agg(sum("n_chars").as("w"))
+      .as[(String, Long)].collect().toMap
+    // never upsample
+    keptByLang.foreach { case (l, w) => assert(w <= allByLang(l)) }
+    // the binding stratum (max w/q is min rate=1... the stratum with
+    // minimal w/q keeps everything); every kept share tracks q within
+    // hash-rounding noise at this tiny SF
+    val keptTotal = keptByLang.values.sum.toDouble
+    q.foreach { case (l, qi) =>
+      val share = keptByLang.getOrElse(l, 0L) / keptTotal
+      assert(math.abs(share - qi) < 0.1,
+        s"lang $l kept share $share far from temperature target $qi")
+    }
+    // low-resource strata gain share relative to natural proportions
+    val total = allByLang.values.sum.toDouble
+    val (minLang, _) = allByLang.minBy(_._2)
+    assert(keptByLang(minLang) / keptTotal >= allByLang(minLang) / total,
+      "temperature sampling must up-weight the smallest stratum's share")
+    // deterministic
+    val again = Curation.temperatureSample(docs, "lang", col("n_chars"),
+      col("text"), alpha).select("doc_id").as[Long].collect().toSet
+    assert(out.select("doc_id").as[Long].collect().toSet === again)
+  }
+
   test("mixtureSample keeps everything in a stratum already below target") {
     val df = Seq(
       ("small", "doc a", 10L), ("big", "doc b", 1000L), ("big", "doc c", 1000L),

@@ -360,6 +360,28 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
 
+    // incremental exact dedup: a 10% "incoming batch" probed against
+    // the remaining 90% corpus — batch hashes broadcast, corpus
+    // scanned but never shuffled; dup_of = lowest matching corpus id
+    "dedup_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.exactIncremental(
+        d.filter(pmod(col("doc_id"), lit(10)) =!= 3),
+        d.filter(pmod(col("doc_id"), lit(10)) === 3),
+        "doc_id", "text")
+    }),
+
+    // incremental MinHash-LSH: the same batch/corpus split probed
+    // through the banded index (batch bands broadcast); same sig
+    // pipeline as dedup_minhash_lsh, pair sides corpus × batch
+    "dedup_minhash_inc" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.minhashLshIncremental(
+        d.filter(pmod(col("doc_id"), lit(10)) =!= 3),
+        d.filter(pmod(col("doc_id"), lit(10)) === 3),
+        "doc_id", "text", k = 3, perms = 64, bands = 16, tau = 0.5)
+    }),
+
     // synthetic embeddings top out at cos~0.51; tau=0.4 keeps the
     // operator's output non-trivial while staying a "near"-dup filter
     "dedup_embedding" -> ((s, dir) =>
@@ -883,7 +905,15 @@ object SparkEntry {
     * a 32-bit-split mulmod so 128-bit intermediates never overflow
     * HUGEINT. Parameters mirror the query: perms=64, bands=16 (4
     * rows/band), k=3, tau=0.5. */
-  private def minhashOracleSql: String = {
+  private def minhashOracleSql: String =
+    minhashOracleCore("sa.doc_id < sb.doc_id")
+
+  /** dedup_minhash_inc oracle: identical sig pipeline, pair sides
+    * split corpus (left) × batch (right) instead of a<b. */
+  private def minhashIncOracleSql: String =
+    minhashOracleCore("(sa.doc_id % 10 <> 3) AND (sb.doc_id % 10 = 3)")
+
+  private def minhashOracleCore(pairCond: String): String = {
     val T = BigInt(1) << 64
     def u(l: Long): BigInt = BigInt(l) & ((BigInt(1) << 64) - 1)
     val mult = -7046029254386353131L // MinHashAgg.mix / ShingleHashes combine constant
@@ -933,7 +963,7 @@ object SparkEntry {
        |sigs AS (SELECT doc_id, list(slot ORDER BY i) AS sig FROM slots GROUP BY 1)
        |SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
        |       round(($eqSum) / 64.0, 4) AS est_jaccard
-       |FROM sigs sa JOIN sigs sb ON sa.doc_id < sb.doc_id
+       |FROM sigs sa JOIN sigs sb ON $pairCond
        |WHERE ($bandOr)
        |  AND round(($eqSum) / 64.0, 4) >= 0.5""".stripMargin
   }
@@ -1217,6 +1247,14 @@ object SparkEntry {
     "ann_ivf" -> annIvfOracle,
     "emb_kmeans" -> embKmeansOracle,
     "approx_topk" -> annCmsOracle,
+    "dedup_minhash_inc" -> minhashIncOracleSql,
+
+    "dedup_incremental" ->
+      """WITH b AS (SELECT doc_id, md5(text) AS h
+                    FROM documents WHERE doc_id % 10 = 3),
+         c AS (SELECT md5(text) AS h, min(doc_id) AS dup_of
+               FROM documents WHERE doc_id % 10 <> 3 GROUP BY 1)
+         SELECT b.doc_id, c.dup_of FROM b LEFT JOIN c USING (h)""",
     "dedup_minhash_lsh" -> minhashOracleSql,
     "decon_bloom" -> bloomOracleSql,
     "dedup_simhash" -> simhashOracleSql,

@@ -119,47 +119,17 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, perms: Int, bands: Int, tau: Double): DataFrame = {
     require(perms % bands == 0, "bands must divide perms")
-    val rows = perms / bands
     // persisted: feeds both band-join sides and the final verify.
-    // Shingle hashes come from the native single-pass expression; the
-    // perms re-mix the 8-byte hash, so string bytes are touched once.
-    val sigs = minhashSigsRelational(
-      docs.select(col(idCol).as("doc_id"),
-        explode(graft.functions.expr.NativeFunctions
-          .shingle_hashes(col(textCol), k)).as("s")),
-      perms)
+    val sigs = minhashSigsOf(docs, idCol, textCol, k, perms)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // ids-only through the band self-join: the 1 KB signature arrays
-    // stay out of the exploded band table and its shuffle; they're
-    // re-attached only to surviving candidate pairs. Band hash =
-    // variadic xxhash64 over the band's raw longs — no slice, no
-    // array→string cast (that cast alone cost ~1 s/pass at sf0.1).
-    val banded = sigs.select(
-      col("doc_id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(lit(b) +: (0 until rows).map(r =>
-            element_at(col("sig"), b * rows + r + 1)): _*).as("bh"))
-      }: _*)).as("bd"))
-      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
-
+    val banded = bandedOf(sigs, perms, bands)
     val candIds = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-
-    val out = candIds
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .withColumn("est_jaccard", round(
-        size(filter(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, lit(1)).otherwise(lit(0))), v => v === 1))
-          / lit(perms.toDouble), 4))
-      .filter(col("est_jaccard") >= tau)
-      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+    val out = verifyPairs(candIds, sigs, sigs, perms, tau)
     // eager result persist + index release: same caching contract as
     // ngramJaccardPairs — no signature-table-sized persist survives
     // the call, lineage stays recomputable
@@ -167,6 +137,93 @@ object Dedup {
     materialized.count()
     sigs.unpersist(blocking = false)
     materialized
+  }
+
+  /** MinHash signatures (doc_id, sig) — the persistable dedup INDEX.
+    * Shingle hashes come from the native single-pass expression; the
+    * perms re-mix the 8-byte hash, so string bytes are touched once.
+    */
+  def minhashSigsOf(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, perms: Int): DataFrame =
+    minhashSigsRelational(
+      docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.expr.NativeFunctions
+          .shingle_hashes(col(textCol), k)).as("s")),
+      perms)
+
+  /** ids-only band table: the 1 KB signature arrays stay out of the
+    * exploded band table and its shuffle; they're re-attached only to
+    * surviving candidate pairs. Band hash = variadic xxhash64 over
+    * the band's raw longs — no slice, no array→string cast (that cast
+    * alone cost ~1 s/pass at sf0.1). */
+  private def bandedOf(sigs: DataFrame, perms: Int, bands: Int): DataFrame = {
+    val rows = perms / bands
+    sigs.select(
+      col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(lit(b) +: (0 until rows).map(r =>
+            element_at(col("sig"), b * rows + r + 1)): _*).as("bh"))
+      }: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+  }
+
+  private def verifyPairs(candIds: DataFrame, sigsA: DataFrame, sigsB: DataFrame,
+      perms: Int, tau: Double): DataFrame =
+    candIds
+      .join(sigsA.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigsB.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est_jaccard", round(
+        size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, lit(1)).otherwise(lit(0))), v => v === 1))
+          / lit(perms.toDouble), 4))
+      .filter(col("est_jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+
+  /** Incremental MinHash-LSH: near-dups of an incoming BATCH against
+    * an existing CORPUS — the continuous-ingestion dedup shape. The
+    * corpus side is the reusable index ([[minhashSigsOf]] persisted at
+    * land time in production; recomputed here); the batch bands are
+    * BROADCAST into the index join, so the corpus is scanned but
+    * never shuffled for a probe, and candidate volume is ∝ batch.
+    *
+    * @return (doc_a = corpus id, doc_b = batch id, est_jaccard).
+    */
+  def minhashLshIncremental(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      k: Int, perms: Int, bands: Int, tau: Double): DataFrame = {
+    require(perms % bands == 0, "bands must divide perms")
+    val sigsC = minhashSigsOf(corpus, idCol, textCol, k, perms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigsB = minhashSigsOf(batch, idCol, textCol, k, perms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = bandedOf(sigsC, perms, bands).as("a")
+      .join(broadcast(bandedOf(sigsB, perms, bands)).as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val out = verifyPairs(candIds, sigsC, sigsB, perms, tau)
+    val materialized = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    materialized.count()
+    sigsC.unpersist(blocking = false)
+    sigsB.unpersist(blocking = false)
+    materialized
+  }
+
+  /** Incremental exact dedup: for each batch doc, the lowest-id
+    * corpus doc with identical content (null = genuinely new). The
+    * batch hash set is BROADCAST against the corpus scan — the corpus
+    * is never shuffled; only matching rows (∝ batch) reach the
+    * min-id aggregate. */
+  def exactIncremental(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val bh = batch.select(col(idCol).as("doc_id"), md5(col(textCol)).as("__h"))
+    val matches = corpus
+      .select(col(idCol).as("__cid"), md5(col(textCol)).as("__h"))
+      .join(broadcast(bh.select("__h").distinct()), "__h")
+      .groupBy("__h").agg(min("__cid").as("dup_of"))
+    bh.join(broadcast(matches), Seq("__h"), "left")
+      .select(col("doc_id"), col("dup_of"))
   }
 
   /** SimHash-64: per token, xxhash64 gives 64 pseudo-random bits;

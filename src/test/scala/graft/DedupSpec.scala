@@ -51,6 +51,42 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall too low (found ${lsh.size}, expected ${exact.size})")
   }
 
+  test("incremental minhash equals the full self-dedup restricted to cross pairs") {
+    val docs = Tables.documents(spark, sfDir)
+    val batchPred = col("doc_id") % 10 === 3
+    val full = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        k = 3, perms = 64, bands = 16, tau = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val crossExpected = full.filter { case (a, b) =>
+        (a % 10 == 3) != (b % 10 == 3) } // exactly one side in the batch
+      .map { case (a, b) => if (a % 10 == 3) (b, a) else (a, b) }.toSet
+    val inc = Dedup.minhashLshIncremental(
+        docs.filter(!batchPred), docs.filter(batchPred),
+        "doc_id", "text", k = 3, perms = 64, bands = 16, tau = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(inc === crossExpected)
+  }
+
+  test("incremental exact dedup resolves batch docs to the lowest matching corpus id") {
+    val corpus = Seq((1L, "same text"), (5L, "same text"), (2L, "other"))
+      .toDF("doc_id", "text")
+    val batch = Seq((100L, "same text"), (101L, "brand new"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactIncremental(corpus, batch, "doc_id", "text")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out === Map(100L -> Some(1L), 101L -> None))
+  }
+
+  test("incremental probes broadcast the batch side (corpus never shuffled for the probe)") {
+    val docs = Tables.documents(spark, sfDir)
+    val p = Dedup.exactIncremental(
+        docs.filter(col("doc_id") % 10 =!= 3), docs.filter(col("doc_id") % 10 === 3),
+        "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"batch hash set must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for an incremental probe:\n$p")
+  }
+
   test("simhashPairs only returns pairs within the Hamming radius") {
     val docs = Tables.documents(spark, sfDir)
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).collect()

@@ -498,6 +498,12 @@ object SparkEntry {
           col("n_chars"), col("text"), alpha = 0.5)
         .select(col("doc_id"), col("lang"))),
 
+    // k-anonymity suppression over the (lang, source) quasi-identifier
+    // pair: rows in combinations seen < 25 times are dropped
+    "privacy_kanon" -> ((s, dir) =>
+      Curation.kAnonymize(t(s, dir, "documents"), Seq("lang", "source"), k = 25)
+        .select(col("doc_id"), col("lang"), col("source"))),
+
     // C4-style cleaning flags: word-count bounds, >=2 sentences, no
     // curly braces / lorem-ipsum boilerplate
     "text_c4_filters" -> ((s, dir) =>
@@ -1614,6 +1620,13 @@ object SparkEntry {
          FROM documents d JOIN r USING (lang)
          WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000
                < rate * 10000""",
+
+    "privacy_kanon" ->
+      """SELECT doc_id, d.lang AS lang, d.source AS source
+         FROM documents d
+         JOIN (SELECT lang, source FROM documents
+               GROUP BY 1, 2 HAVING count(*) >= 25) g
+         USING (lang, source)""",
 
     // arithmetic mirrored step-by-step (pow, share normalization,
     // K = min(w/q), rate = K*q/w left-assoc) so rates agree to the ulp

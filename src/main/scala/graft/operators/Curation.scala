@@ -311,6 +311,28 @@ object Curation {
       .drop("__rate")
   }
 
+  /** k-anonymity suppression: drop every row whose quasi-identifier
+    * combination is shared by fewer than `k` rows — the privacy gate
+    * a curated corpus applies to metadata-bearing records (a (lang,
+    * source, …) combination seen once can re-identify its
+    * contributor; seen k times it is a crowd).
+    *
+    * Scale shape: group cardinalities are ONE map-side-combining
+    * aggregate whose output is ∝ #distinct combinations (≪ rows);
+    * the qualifying-group table rides back as a broadcast join — the
+    * corpus itself is never shuffled and never sorted (the window
+    * alternative pays a full shuffle+sort for the same count).
+    */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymize needs at least one quasi-identifier")
+    require(k >= 1, s"k $k must be >= 1")
+    val groups = df.groupBy(quasiCols.map(col): _*)
+      .agg(count("*").as("__n"))
+      .filter(col("__n") >= k)
+      .drop("__n")
+    df.join(broadcast(groups), quasiCols)
+  }
+
   /** Deterministic shard assignment + within-shard order — the
     * "global shuffle" a training corpus gets before packing: every
     * row lands in a content-hash shard (uniform, stateless,

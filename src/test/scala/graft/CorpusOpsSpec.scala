@@ -63,6 +63,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSet === again)
   }
 
+  // ---- kAnonymize ----
+
+  test("kAnonymize suppresses rare quasi-identifier combinations, keeps crowds") {
+    val df = (1 to 30).map(i => (i.toLong, "en", "web")) ++
+      Seq((100L, "xx", "rare_site")) // a 1-row combination
+    val out = Curation.kAnonymize(df.toDF("doc_id", "lang", "source"),
+      Seq("lang", "source"), k = 25)
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(kept === (1 to 30).map(_.toLong).toSet)
+    assert(!kept.contains(100L), "the re-identifiable singleton must be suppressed")
+  }
+
+  test("kAnonymize broadcasts the group table and never sorts the corpus") {
+    val p = plan(Curation.kAnonymize(Tables.documents(spark, sfDir),
+      Seq("lang", "source"), k = 25))
+    assert(p.contains("BroadcastHashJoin"), s"qualifying groups must broadcast:\n$p")
+    assert(!p.contains("Window"), s"paying a window shuffle+sort for a count:\n$p")
+  }
+
   // ---- temperatureSample ----
 
   test("temperatureSample lands kept-weight shares on the w^alpha normalization") {

@@ -387,6 +387,20 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding", "label", 0.4)),
 
+    // SemDeDup-style semantic dedup end-to-end: embedding-cosine
+    // pairs -> connected components -> keep min-id per cluster (the
+    // composition of dedup_embedding + dedup_clusters + dedup_keep
+    // over the vector space instead of the token space)
+    "dedup_semantic" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val drop = Clusters.connectedComponents(
+          Dedup.embeddingPairs(e, "vec_id", "embedding", "label", 0.4),
+          "vec_a", "vec_b")
+        .filter(col("node") =!= col("cluster_id"))
+        .select(col("node").as("vec_id"))
+      e.join(drop, Seq("vec_id"), "left_anti").select(col("vec_id"))
+    }),
+
     // fuzzy near-dup by edit distance: prefix+length blocking (equi-
     // join, never n²), exact levenshtein verify on block-local pairs
     "dedup_edit" -> ((s, dir) =>
@@ -1832,6 +1846,22 @@ object SparkEntry {
          clusters AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY 1)
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT node FROM clusters WHERE node <> cluster_id)""",
+
+    "dedup_semantic" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT a.vec_id AS va, b.vec_id AS vb
+           FROM embeddings a
+           JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4),
+         edges AS (SELECT va AS src, vb AS dst FROM pairs
+                   UNION ALL SELECT vb, va FROM pairs),
+         reach(node, lbl) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node),
+         clusters AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY 1)
+         SELECT vec_id FROM embeddings
+         WHERE vec_id NOT IN (SELECT node FROM clusters WHERE node <> cluster_id)""",
 
     "sample_hash" ->
       """SELECT doc_id,

@@ -601,6 +601,12 @@ object SparkEntry {
       Curation.unigramLogProb(t(s, dir, "documents"), "doc_id",
         Text.tokens(col("text")))),
 
+    // conditional bigram LM score (CCNet direction): word ORDER now
+    // matters, unlike the unigram signal
+    "text_bigram_lm" -> ((s, dir) =>
+      Curation.bigramLogProb(t(s, dir, "documents"), "doc_id",
+        Text.tokens(col("text")))),
+
     // fixed-budget sequence packing per source shard (2048 tokens)
     "pack_sequences" -> ((s, dir) =>
       Curation.packSequences(t(s, dir, "documents"), "source", "doc_id",
@@ -1894,6 +1900,21 @@ object SparkEntry {
          SELECT doc_id, count(*) AS n_tokens,
                 round(avg(ln(cnt / CAST(total AS DOUBLE))), 4) AS avg_logprob
          FROM tk JOIN freq USING (token) CROSS JOIN tot
+         GROUP BY 1""",
+
+    "text_bigram_lm" ->
+      """WITH t AS (SELECT doc_id,
+                    list_filter(string_split_regex(trim(text), '\s+'),
+                                x -> x <> '') AS tk
+             FROM documents),
+         b AS (SELECT doc_id, tk[i] AS prefix, tk[i] || ' ' || tk[i+1] AS bigram
+               FROM t, unnest(generate_series(1, len(tk) - 1)) AS u(i)
+               WHERE len(tk) >= 2),
+         bf AS (SELECT bigram, count(*) AS bcnt FROM b GROUP BY 1),
+         pf AS (SELECT prefix, count(*) AS pcnt FROM b GROUP BY 1)
+         SELECT doc_id, count(*) AS n_bigrams,
+                round(avg(ln(bcnt / CAST(pcnt AS DOUBLE))), 4) AS avg_logprob
+         FROM b JOIN bf USING (bigram) JOIN pf USING (prefix)
          GROUP BY 1""",
 
     "pack_sequences" ->

@@ -120,6 +120,39 @@ object Curation {
         round(avg(log(col("cnt") / col("total"))), 4).as("avg_logprob"))
   }
 
+  /** Per-document average conditional bigram log-likelihood — the
+    * next step up from [[unigramLogProb]] toward the CCNet n-gram-LM
+    * quality signal: ln P(w_i | w_{i−1}) with MLE conditionals from
+    * the corpus itself (c(w_{i−1} w_i) / c(w_{i−1} as prefix) —
+    * proper: the prefix count is the sum of its bigram counts, so
+    * probabilities per prefix sum to 1). Formulaic/boilerplate text
+    * scores high, token-salad scores low — and unlike the unigram
+    * signal, scrambled word order is penalized.
+    *
+    * Shapes: bigrams are built IN-ROW (zip of two slices — no
+    * self-join); both frequency tables are one map-side-combining agg
+    * each; the score joins key on the bigram/prefix strings (at
+    * 100 TB swap the join keys for 8-byte shingle hashes — the
+    * minhash trick — to keep shuffle width fixed). Docs with < 2
+    * tokens drop out (no bigram evidence). */
+  def bigramLogProb(docs: DataFrame, idCol: String, tokens: Column): DataFrame = {
+    val withB = docs.select(col(idCol).as("doc_id"), array_remove(tokens, "").as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col("doc_id"), explode(
+          zip_with(
+            slice(col("__t"), lit(1), size(col("__t")) - 1),
+            slice(col("__t"), lit(2), size(col("__t")) - 1),
+            (a, b) => struct(a.as("prefix"), concat_ws(" ", a, b).as("bigram"))))
+        .as("p"))
+      .select(col("doc_id"), col("p.prefix").as("prefix"), col("p.bigram").as("bigram"))
+    val bfreq = withB.groupBy("bigram").agg(count("*").as("bcnt"))
+    val pfreq = withB.groupBy("prefix").agg(count("*").as("pcnt"))
+    withB.join(bfreq, "bigram").join(pfreq, "prefix")
+      .groupBy("doc_id")
+      .agg(count("*").as("n_bigrams"),
+        round(avg(log(col("bcnt") / col("pcnt"))), 4).as("avg_logprob"))
+  }
+
   /** Greedy sequence packing: assign documents to fixed-budget packs
     * (the training-data step that concatenates documents into
     * context-length sequences). Docs are ordered deterministically

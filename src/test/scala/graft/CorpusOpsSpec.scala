@@ -63,6 +63,36 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSet === again)
   }
 
+  // ---- bigramLogProb ----
+
+  test("bigramLogProb computes proper MLE conditionals (hand check)") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c"))
+      .toDF("doc_id", "text")
+    // prefix 'a' appears 4 times; P(b|a)=3/4, P(c|a)=1/4
+    val out = Curation.bigramLogProb(docs, "doc_id", graft.functions.Text.tokens(col("text")))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val r34 = BigDecimal(math.log(3.0 / 4.0)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r14 = BigDecimal(math.log(1.0 / 4.0)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) === ((1L, r34)) && out(2L) === ((1L, r34)) && out(3L) === ((1L, r34)))
+    assert(out(4L) === ((1L, r14)))
+  }
+
+  test("bigramLogProb penalizes scrambled word order where the unigram signal cannot") {
+    // same multiset of tokens; one doc follows the corpus phrasing,
+    // the other scrambles it
+    val phrase = "the quick brown fox jumps over the lazy dog"
+    val corpus = (1L to 20L).map(i => (i, phrase)) ++
+      Seq((100L, phrase), (101L, "dog the brown lazy jumps fox quick over the"))
+    val docs = corpus.toDF("doc_id", "text")
+    val toks = graft.functions.Text.tokens(col("text"))
+    val bi = Curation.bigramLogProb(docs, "doc_id", toks)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val uni = Curation.unigramLogProb(docs, "doc_id", toks)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(bi(100L) > bi(101L), "bigram LM must prefer corpus-typical word order")
+    assert(uni(100L) === uni(101L), "unigram signal is order-blind by construction")
+  }
+
   // ---- kAnonymize ----
 
   test("kAnonymize suppresses rare quasi-identifier combinations, keeps crowds") {

@@ -1217,7 +1217,16 @@ object SparkEntry {
     * oracle), counters as sum of colliding occurrence counts per
     * (row, slot), estimates as the min over depth probes, md5
     * hash-sample candidates, (est desc, token) top-k. Integer
-    * end-to-end: even collision over-counts must match exactly. */
+    * end-to-end: even collision over-counts must match exactly.
+    *
+    * Known domain bound shared by EVERY hash oracle in this file
+    * (minhash/simhash/bloom/rolling_fp too): the SQL folds ord(c)
+    * codepoints while the JVM folds signed UTF-8 bytes — identical
+    * for ASCII (the entire driver-generated gate corpus), divergent
+    * for multi-byte characters. A Unicode corpus would need the hash
+    * family switched to codepoint folds on the Spark side (operator
+    * semantics unchanged — any 64-bit hash is valid; only oracle
+    * parity is at stake). */
   private def annCmsOracle: String = {
     val (depth, width, sampleBuckets, takeBuckets, k) = (4, 2048, 10, 2, 20)
     val T = BigInt(1) << 64
@@ -1641,12 +1650,15 @@ object SparkEntry {
          WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000
                < rate * 10000""",
 
+    // null-safe key compare mirrors the operator: a NULL combination
+    // seen >= k times is an anonymous crowd and stays
     "privacy_kanon" ->
       """SELECT doc_id, d.lang AS lang, d.source AS source
          FROM documents d
          JOIN (SELECT lang, source FROM documents
                GROUP BY 1, 2 HAVING count(*) >= 25) g
-         USING (lang, source)""",
+         ON d.lang IS NOT DISTINCT FROM g.lang
+        AND d.source IS NOT DISTINCT FROM g.source""",
 
     // arithmetic mirrored step-by-step (pow, share normalization,
     // K = min(w/q), rate = K*q/w left-assoc) so rates agree to the ulp

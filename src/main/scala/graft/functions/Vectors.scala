@@ -48,6 +48,14 @@ object Vectors {
   def l2sq(a: Column, b: Column): Column =
     fsum(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)))
 
+  /** The ±1 hyperplane weight matrix for [[hyperplaneSig]] — public
+    * so an oracle can reproduce the identical plane set (same seeded
+    * PRNG draw order) as literals. */
+  def hyperplaneWeights(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
   /** Random-hyperplane signature for LSH bucketing: `bits` sign bits
     * packed into a long.
     *
@@ -59,14 +67,6 @@ object Vectors {
     * instead blows the generated-method size limit and falls back to
     * interpreted eval — measured 40× slower.)
     */
-  /** The ±1 hyperplane weight matrix for [[hyperplaneSig]] — public
-    * so an oracle can reproduce the identical plane set (same seeded
-    * PRNG draw order) as literals. */
-  def hyperplaneWeights(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(bits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
-  }
-
   def hyperplaneSig(v: Column, dim: Int, bits: Int, seed: Long): Column = {
     val weights = hyperplaneWeights(dim, bits, seed)
     val vd = d(v)

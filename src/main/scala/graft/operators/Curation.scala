@@ -54,8 +54,11 @@ object Curation {
     import graft.functions.expr.NativeFunctions.rolling_hash
     // item hash = the native 64-bit poly-31 rolling hash (not
     // xxhash64): equally well-mixed after CmsHash's per-row avalanche,
-    // and byte-for-byte reproducible in the oracle engine — which is
-    // what lets the ENTIRE sketch (counters included) be hash-gated
+    // and reproducible in the oracle engine — which is what lets the
+    // ENTIRE sketch (counters included) be hash-gated. (The SQL
+    // reproduction folds codepoints where this folds UTF-8 bytes —
+    // identical on the ASCII gate corpus, as for every hash oracle in
+    // this repo; see the annCmsOracle note.)
     val toks = docs.select(explode(tokens).as("token"))
       .filter(col("token") =!= "")
     val sketch = toks.agg(
@@ -331,14 +334,22 @@ object Curation {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha $alpha outside (0, 1]")
     val totals = df.groupBy(col(stratumCol))
       .agg(sum(weight).cast("double").as("__w"))
-    val grand = totals.agg(sum(pow(col("__w"), alpha)).as("__s"))
-    val q = totals.crossJoin(broadcast(grand))
+    // zero-weight strata are EXCLUDED from the normalization (their
+    // temperature share q is 0 by the formula, and leaving them in
+    // makes w/q a silent NaN that poisons K) and get an explicit 0.0
+    // keep rate below — dropped deliberately, not by NaN accident
+    val pos = totals.filter(col("__w") > 0.0)
+    val grand = pos.agg(sum(pow(col("__w"), alpha)).as("__s"))
+    val q = pos.crossJoin(broadcast(grand))
       .select(col(stratumCol), col("__w"),
         (pow(col("__w"), alpha) / col("__s")).as("__q"))
     val kk = q.agg(min(col("__w") / col("__q")).as("__k"))
-    val rates = q.crossJoin(broadcast(kk))
+    val posRates = q.crossJoin(broadcast(kk))
       .select(col(stratumCol),
         least(lit(1.0), col("__k") * col("__q") / col("__w")).as("__rate"))
+    val rates = totals.select(col(stratumCol))
+      .join(posRates, Seq(stratumCol), "left")
+      .select(col(stratumCol), coalesce(col("__rate"), lit(0.0)).as("__rate"))
     df.join(broadcast(rates), stratumCol)
       .filter(hashBucket(content, buckets) < col("__rate") * buckets)
       .drop("__rate")
@@ -362,8 +373,13 @@ object Curation {
     val groups = df.groupBy(quasiCols.map(col): _*)
       .agg(count("*").as("__n"))
       .filter(col("__n") >= k)
-      .drop("__n")
-    df.join(broadcast(groups), quasiCols)
+      .select(quasiCols.map(c => col(c).as(s"__g_$c")): _*)
+    // null-SAFE join keys: groupBy counts the NULL combination as a
+    // group, so a NULL crowd of >= k rows is anonymous and must be
+    // KEPT — a null-unsafe equi-join would silently suppress it
+    val cond = quasiCols.map(c => df(c) <=> groups(s"__g_$c")).reduce(_ && _)
+    df.join(broadcast(groups), cond)
+      .drop(quasiCols.map(c => s"__g_$c"): _*)
   }
 
   /** Deterministic shard assignment + within-shard order — the

@@ -199,8 +199,11 @@ object Multimodal {
       rows.map { r =>
         if (isImage(r.meta)) {
           val scaled = Codec.rescale(Codec.decode(r.payload), width, height)
+          // payload is re-encoded as PNG, so mediaType AND codec must
+          // follow — metadata that contradicts the bytes is corruption
           MediaRow(r.media_id, Codec.encodePng(scaled),
-            r.meta.copy(width = width, height = height, codec = "png"))
+            r.meta.copy(mediaType = "image/png", width = width, height = height,
+              codec = "png"))
         } else {
           // STUB (non-image): unclamped resynthesis — an upscale
           // legitimately GROWS the payload; size and metadata track

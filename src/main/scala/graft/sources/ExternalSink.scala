@@ -34,6 +34,27 @@ object ExternalSink {
   case class Mutation(key: String, version: Long, delete: Boolean,
       payload: Array[Byte])
 
+  /** The collapse plan [[writeChangelog]] writes from — exposed so
+    * plan-shape specs assert on the PRODUCTION window (rank-1 over
+    * (key → version desc, delete-wins tiebreak)), not a private
+    * re-implementation. One shuffle, which doubles as the
+    * one-writer-per-key partitioning; the rank-1 filter sits directly
+    * on the window so WindowGroupLimit prunes rank>1 map-side; the
+    * sort feeds key-ordered batches for free. */
+  private[graft] def collapse(changes: DataFrame, keyCol: String,
+      versionCol: String, deleteCol: String, payloadCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__v").desc, col("__d").desc)
+    changes
+      .select(col(keyCol).cast("string").as("__k"),
+        col(versionCol).cast("long").as("__v"),
+        col(deleteCol).cast("boolean").as("__d"),
+        col(payloadCol).cast("binary").as("__p"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .sortWithinPartitions("__k")
+  }
+
   /** The external store contract. One instance per partition task
     * (created by the factory passed to [[writeChangelog]] — never
     * serialized), closed on task completion. `applyBatch` must be
@@ -56,21 +77,7 @@ object ExternalSink {
       batchSize: Int = 500, maxAttempts: Int = 3,
       backoffMs: Long => Unit = Thread.sleep): Unit = {
     require(batchSize >= 1 && maxAttempts >= 1, "bad sink config")
-    // Collapse to the winning (highest-version) mutation per key
-    // BEFORE any store traffic: rank-1 over (key → version desc,
-    // delete-wins tiebreak). One shuffle, which doubles as the
-    // one-writer-per-key partitioning; the sort feeds key-ordered
-    // batches for free (WindowGroupLimit prunes rank>1 map-side).
-    val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__v").desc, col("__d").desc)
-    val winners = changes
-      .select(col(keyCol).cast("string").as("__k"),
-        col(versionCol).cast("long").as("__v"),
-        col(deleteCol).cast("boolean").as("__d"),
-        col(payloadCol).cast("binary").as("__p"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-      .sortWithinPartitions("__k")
+    val winners = collapse(changes, keyCol, versionCol, deleteCol, payloadCol)
 
     winners.foreachPartition { (rows: Iterator[Row]) =>
       val store = newStore() // one store client per partition task

@@ -34,8 +34,8 @@ object RunManifest {
 
   /** All committed runs (empty frame if no ledger yet). */
   def runs(spark: SparkSession, path: String): DataFrame = {
-    val dir = new java.io.File(path)
-    if (!dir.exists() || dir.listFiles() == null || dir.listFiles().isEmpty)
+    val files = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+    if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(schema))
     else spark.read.schema(schema).parquet(path)
@@ -65,8 +65,14 @@ object RunManifest {
   def incrementalRun(spark: SparkSession, path: String, runId: String,
       newHi: Long, epochFloor: Long = Long.MinValue)(
       body: (Long, Long) => Unit): Option[(Long, Long)] = {
-    if (isCommitted(spark, path, runId)) return None // replayed run: no-op
-    val lo = lastWatermark(spark, path).getOrElse(epochFloor)
+    // ONE ledger scan answers both probes (replay guard + watermark) —
+    // this sits on every scheduled run's hot path
+    val probe = runs(spark, path).agg(
+      max(col("hi_watermark")).as("hi"),
+      sum(when(col("run_id") === runId, 1L).otherwise(0L)).as("seen"))
+      .collect()(0)
+    if (!probe.isNullAt(1) && probe.getLong(1) > 0) return None // replayed run: no-op
+    val lo = if (probe.isNullAt(0)) epochFloor else probe.getLong(0)
     if (newHi <= lo) return None // nothing new to process
     body(lo, newHi) // outputs land first...
     import spark.implicits._

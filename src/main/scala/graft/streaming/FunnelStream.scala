@@ -31,9 +31,6 @@ object FunnelStream {
   /** Funnel cursor (public: state encoder codegen). */
   case class FunnelCursor(completed: Int, lastTsUs: Long)
 
-  private def micros(t: Timestamp): Long =
-    t.getTime * 1000L + (t.getNanos / 1000) % 1000
-
   def funnelStream(events: Dataset[EventStreams.Event], stages: Seq[String],
       maxGapSeconds: Long)(
       implicit spark: SparkSession): Dataset[Transition] = {
@@ -41,22 +38,42 @@ object FunnelStream {
     require(stages.nonEmpty, "funnelStream needs at least one stage")
     val gapUs = maxGapSeconds * 1000000L
     val stageArr = stages.toIndexedSeq
+    // local so the fold closure captures a function value, not this
+    // (non-serializable) object
+    def micros(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
 
     def fold(userId: Long, it: Iterator[EventStreams.Event],
         state: GroupState[FunnelCursor]): Iterator[Transition] = {
       var cur = state.getOption.getOrElse(FunnelCursor(0, Long.MinValue))
       val out = Seq.newBuilder[Transition]
-      it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
-        if (cur.completed < stageArr.length &&
-            e.event_type == stageArr(cur.completed)) {
-          val us = micros(e.ts)
+      // events at ONE timestamp are processed as a group with a
+      // stage-advance fixpoint: the batch min-chaining accepts a
+      // next-stage event whose ts EQUALS the prior stage's ts, so a
+      // same-ts pair must advance in stage order regardless of
+      // event_id order (a plain single pass would drop the conversion
+      // when the later stage carries the smaller id)
+      val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var idx = 0
+      while (idx < sorted.length) {
+        val us = micros(sorted(idx).ts)
+        var end = idx
+        while (end < sorted.length && micros(sorted(end).ts) == us) end += 1
+        val group = sorted.slice(idx, end)
+        var advanced = true
+        while (advanced && cur.completed < stageArr.length) {
+          advanced = false
           val inWindow = cur.completed == 0 ||
             (us >= cur.lastTsUs && us <= cur.lastTsUs + gapUs)
-          if (inWindow) {
+          if (inWindow && group.exists(_.event_type == stageArr(cur.completed))) {
+            val e = group.filter(_.event_type == stageArr(cur.completed))
+              .minBy(_.event_id)
             out += Transition(userId, cur.completed, stageArr(cur.completed), e.ts)
             cur = FunnelCursor(cur.completed + 1, us)
+            advanced = true
           }
         }
+        idx = end
       }
       state.update(cur)
       out.result().iterator

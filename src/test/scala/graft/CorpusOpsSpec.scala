@@ -105,6 +105,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!kept.contains(100L), "the re-identifiable singleton must be suppressed")
   }
 
+  test("kAnonymize keeps a NULL quasi-identifier crowd (null-safe join keys)") {
+    val rows = (1 to 30).map(i => (i.toLong, null: String, "web")) ++
+      Seq((200L, null: String, "lonely_source"))
+    val out = Curation.kAnonymize(rows.toDF("doc_id", "lang", "source"),
+      Seq("lang", "source"), k = 25)
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(kept === (1 to 30).map(_.toLong).toSet,
+      "a NULL combination seen >= k times is an anonymous crowd and must stay")
+  }
+
+  test("temperatureSample drops zero-weight strata deliberately, not via NaN") {
+    val rows = (1 to 40).map(i => ("en", s"doc $i words", 100L)) ++
+      (1 to 5).map(i => ("zz", s"empty $i", 0L))
+    val out = Curation.temperatureSample(rows.toDF("lang", "text", "n_chars"),
+      "lang", col("n_chars"), col("text"), alpha = 0.5)
+    assert(out.filter(col("lang") === "zz").count() === 0L)
+    assert(out.filter(col("lang") === "en").count() === 40L,
+      "the sole positive stratum must keep rate 1 (K*q/w = 1), not be NaN-poisoned")
+  }
+
   test("kAnonymize broadcasts the group table and never sorts the corpus") {
     val p = plan(Curation.kAnonymize(Tables.documents(spark, sfDir),
       Seq("lang", "source"), k = 25))

@@ -75,6 +75,7 @@ class MultimodalSpec extends SparkSpec {
     val orig = media.collect().sortBy(_.media_id).map(r => r.media_id -> r).toMap
     out.filter(_.meta.mediaType == "image/png").foreach { r =>
       assert(r.meta.width === 64 && r.meta.height === 48)
+      assert(r.meta.codec === "png")
       val img = Multimodal.decodeImage(r.payload) // pixel-true target dims
       assert(img.getWidth === 64)
       assert(img.getHeight === 48)
@@ -84,6 +85,20 @@ class MultimodalSpec extends SparkSpec {
     // deterministic: same input -> identical bytes
     val again = Multimodal.resize(media, 64, 48).collect().sortBy(_.media_id)
     assert(out.map(_.payload.toSeq).toSeq === again.map(_.payload.toSeq).toSeq)
+  }
+
+  test("resize of a JPEG re-labels mediaType to match the PNG re-encode") {
+    implicit val s = spark
+    val img = new BufferedImage(40, 30, BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpeg = MediaRow(1L, bos.toByteArray,
+      MediaMeta("image/jpeg", 40, 30, 0L, "jpeg"))
+    val r = Multimodal.resize(Seq(jpeg).toDS(), 20, 15).collect().head
+    // the payload is PNG bytes now — metadata must say so
+    assert(r.meta.mediaType === "image/png" && r.meta.codec === "png")
+    val decoded = Multimodal.decodeImage(r.payload)
+    assert(decoded.getWidth === 20 && decoded.getHeight === 15)
   }
 
   test("resize preserves content, not just size: solid color survives the rescale") {

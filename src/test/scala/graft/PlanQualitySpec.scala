@@ -147,14 +147,13 @@ class PlanQualitySpec extends SparkSpec {
 
   test("external sink collapse prunes rank>1 below the shuffle (WindowGroupLimit)") {
     // the latest-version-per-key collapse must not move every delta
-    // row through the exchange when only the per-key winner survives
+    // row through the exchange when only the per-key winner survives —
+    // asserted on the PRODUCTION plan builder writeChangelog uses
     import spark.implicits._
     val changes = (1 to 100).map(i => (s"k${i % 10}", i.toLong, false, Array[Byte]()))
       .toDF("key", "version", "is_delete", "payload")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("key")).orderBy(col("version").desc, col("is_delete").desc)
-    val collapsed = changes.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    val collapsed = graft.sources.ExternalSink.collapse(
+      changes, "key", "version", "is_delete", "payload")
     assert(plan(collapsed).contains("WindowGroupLimit"),
       s"rank-1 filter not pushed below the shuffle:\n${plan(collapsed)}")
   }

@@ -75,6 +75,32 @@ class StreamTwinsSpec extends SparkSpec {
     assert(streamCounts(0) >= streamCounts(1) && streamCounts(1) >= streamCounts(2))
   }
 
+  test("stream_funnel accepts equal-timestamp stage chains regardless of event_id order") {
+    // batch min-chaining accepts click.ts == signup.ts; the stream's
+    // per-timestamp fixpoint must too, even when the LATER stage
+    // carries the SMALLER event_id (a plain (ts, id) fold drops it)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:10")
+    val evs = Seq(
+      EventStreams.Event(5L, t0, 1L, "signup", 0.0),
+      EventStreams.Event(3L, t0, 1L, "click", 0.0), // smaller id, later stage
+      EventStreams.Event(9L, java.sql.Timestamp.valueOf("2024-01-01 00:00:20"),
+        1L, "purchase", 0.0))
+    val mem = MemoryStream[EventStreams.Event]
+    val q = FunnelStream.funnelStream(mem.toDS(),
+        Seq("signup", "click", "purchase"), maxGapSeconds = 100000L)
+      .writeStream.outputMode("append").format("memory").queryName("fun_tie").start()
+    try { mem.addData(evs); q.processAllAvailable() } finally q.stop()
+    val trans = spark.table("fun_tie").as[FunnelStream.Transition].collect()
+    assert(trans.map(_.stage_idx).sorted.toSeq === Seq(0, 1, 2),
+      s"equal-ts chain must fully convert, got ${trans.mkString(",")}")
+    // and the batch funnel agrees
+    import org.apache.spark.sql.functions.col
+    val batch = Events.funnelCounts(
+      evs.toDS().toDF(), Seq("signup", "click", "purchase"), 100000L)
+      .as[(Long, Long, Long)].head()
+    assert(batch === ((1L, 1L, 1L)))
+  }
+
   test("stream_funnel stage timestamps match the batch min-chaining, not just counts") {
     // per user: the ts of each stage reached must equal the batch
     // scanLeft's per-stage min(ts) — the greedy≡min equivalence

@@ -902,6 +902,24 @@ object SparkEntry {
           col("ts").as("purchase_ts"), col("signup_event_id"), col("signup_ts"))
     }),
 
+    // FORWARD as-of: each click's next purchase at-or-after (the
+    // attribution direction q18 can't answer); same one-shuffle
+    // tagged-union plan, window traversing ts descending
+    "q51_asof_next" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("purchase_event_id"))
+        .select(col("user_id"), col("ts"), col("purchase_event_id"),
+          col("ts").as("purchase_ts"))
+      Events.asOfJoin(clicks, purchases, "user_id", "ts",
+          Seq("purchase_event_id", "purchase_ts"), forward = true)
+        .select(col("event_id"), col("user_id"),
+          col("ts").as("click_ts"), col("purchase_event_id"), col("purchase_ts"))
+    }),
+
     // same point-in-time semantics through the whole-operator path:
     // custom LogicalPlan → strategy → sort-based AsOfJoinExec (each
     // side shuffles only its own columns; no null-padded union rows)
@@ -2295,6 +2313,21 @@ object SparkEntry {
                 s.ts AS signup_ts
          FROM p ASOF LEFT JOIN s
            ON p.user_id = s.user_id AND p.ts >= s.ts""",
+
+    // DuckDB's ASOF supports the <= direction natively — the forward
+    // oracle is the backward one with the inequality flipped
+    "q51_asof_next" ->
+      """WITH pu AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                            max(event_id) AS purchase_event_id
+                     FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+              c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'click')
+         SELECT c.event_id, c.user_id,
+                c.ts AS click_ts,
+                pu.purchase_event_id,
+                pu.ts AS purchase_ts
+         FROM c ASOF LEFT JOIN pu
+           ON c.user_id = pu.user_id AND c.ts <= pu.ts""",
 
     "q28_asof_exec" ->
       """WITH pu AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,

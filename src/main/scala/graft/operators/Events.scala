@@ -59,9 +59,14 @@ object Events {
     * `rightPayload` columns must not collide with left columns; right
     * rows with duplicate (key, ts) should be pre-deduplicated for
     * deterministic output.
+    *
+    * `forward = true` flips the direction: the EARLIEST right row
+    * with right.ts >= left.ts (next-event attribution — the click's
+    * following purchase) — the identical one-shuffle/one-sort plan
+    * with the window traversing ts descending.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
-      rightPayload: Seq[String]): DataFrame = {
+      rightPayload: Seq[String], forward: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
     // the payload travels as ONE struct (null for left rows): carrying
     // fields independently through last(ignoreNulls) would backfill a
@@ -78,7 +83,11 @@ object Events {
       .select((leftCols.map(c =>
         (if (c == key || c == ts) col(c) else lit(null).cast(left.schema(c).dataType)).as(c)) :+
         col("__tag")) :+ col("__pay"): _*)
-    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("__tag"))
+    // forward: traverse ts DESCENDING, so "last right seen" at a left
+    // row is the smallest right.ts >= left.ts; the tag tiebreak keeps
+    // an exactly coincident right row visible in both directions
+    val ord = if (forward) col(ts).desc else col(ts).asc
+    val w = Window.partitionBy(col(key)).orderBy(ord, col("__tag"))
       .rowsBetween(Window.unboundedPreceding, 0)
     l.unionByName(r)
       .withColumn("__carried", last(col("__pay"), ignoreNulls = true).over(w))

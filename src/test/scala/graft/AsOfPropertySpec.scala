@@ -64,4 +64,37 @@ class AsOfPropertySpec extends SparkSpec {
       .withMinSuccessfulTests(50).withWorkers(1), prop)
     assert(res.passed, res.status.toString)
   }
+
+  private def modelForward(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long)])
+      : Set[(Long, Option[Long])] =
+    left.map { case (id, k, t) =>
+      val cand = right.filter(r => r._2 == k && r._3 >= t)
+      id -> cand.sortBy(_._3).headOption.map(_._1)
+    }.toSet
+
+  test("forward as-of == in-memory next-event model on random data (50 cases)") {
+    val prop = Prop.forAll(
+      Gen.listOfN(30, rowGen), Gen.listOfN(20, rowGen)) { (ls, rs) =>
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val right = rs.distinctBy(r => (r._1, r._2)).zipWithIndex
+        .map { case ((k, t), i) => (1000L + i, k, t) }
+      val lDf = left.map { case (id, k, t) => (id, k, ts(t * 1000)) }
+        .toDF("event_id", "user_id", "ts")
+      val rDf = right.map { case (id, k, t) => (k, ts(t * 1000), id) }
+        .toDF("user_id", "ts", "r_id")
+      val fwd = Events.asOfJoin(lDf, rDf, "user_id", "ts", Seq("r_id"),
+          forward = true)
+        .select("event_id", "r_id").as[(Long, Option[Long])].collect().toSet
+      val expected = modelForward(left, right)
+      val ok = fwd == expected
+      if (!ok) {
+        System.err.println(s"left=$left\nright=$right\n" +
+          s"fwd diff=${fwd.diff(expected)}/${expected.diff(fwd)}")
+      }
+      ok
+    }
+    val res = ScTest.check(ScTest.Parameters.default
+      .withMinSuccessfulTests(50).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

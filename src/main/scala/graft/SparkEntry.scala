@@ -748,6 +748,11 @@ object SparkEntry {
     "q47_mad_outliers" -> ((s, dir) =>
       Events.madOutliers(Tables.events(s, dir), threshold = 3.5)),
 
+    // seasonality-aware z-screen: moments per (type, hour-of-day)
+    // cell — the daily cycle stops flagging, off-hours anomalies start
+    "q52_seasonal_outliers" -> ((s, dir) =>
+      Events.seasonalZscoreOutliers(Tables.events(s, dir), threshold = 2.5)),
+
     // scale-default twin of q47: sketch medians (percentile_approx) —
     // fixed memory per group; exact rank selection at gate accuracy,
     // so the whole robust-z pipeline stays hash-gated
@@ -2117,6 +2122,20 @@ object SparkEntry {
                 round((value - mu) / sigma, 4) AS zscore
          FROM events e JOIN st USING (event_type)
          WHERE abs((value - mu) / sigma) > 2.5""",
+
+    "q52_seasonal_outliers" ->
+      """WITH e AS (SELECT event_id, event_type,
+                           hour(CAST(ts AS TIMESTAMP)) AS hod, value
+                    FROM events),
+         st AS (SELECT event_type, hod, avg(value) AS mu,
+                       stddev_samp(value) AS sigma, count(*) AS n
+                FROM e GROUP BY 1, 2)
+         SELECT event_id, e.event_type AS event_type,
+                CAST(e.hod AS INTEGER) AS hod, value,
+                round((value - mu) / sigma, 4) AS zscore
+         FROM e JOIN st USING (event_type, hod)
+         WHERE n >= 30 AND sigma > 0
+           AND abs((value - mu) / sigma) > 2.5""",
 
     // revenue in exact decimal: double sums flip 2dp rounding at this
     // group count (order-dependent); decimal addition commutes

@@ -359,6 +359,30 @@ object Events {
         round(col("__z"), 4).as("zscore"))
   }
 
+  /** Seasonality-aware z-score screen: moments are computed per
+    * (event_type, hour-of-day) cell instead of per type, so a value
+    * that is normal at peak hour but wild at 3am flags — and the
+    * daily cycle itself stops flagging (the #1 false-positive source
+    * of the plain screen, [[zscoreOutliers]]). Same scale shape: one
+    * broadcast-back moments aggregate (≤ types × 24 rows), the fact
+    * scanned once, never shuffled. Cells need `minN` observations to
+    * score (a 2-row cell has no meaningful variance). */
+  def seasonalZscoreOutliers(events: DataFrame, threshold: Double,
+      minN: Long = 30L): DataFrame = {
+    val stats = events
+      .groupBy(col("event_type"), hour(col("ts")).as("hod"))
+      .agg(avg(col("value")).as("__mu"),
+        stddev_samp(col("value")).as("__sigma"),
+        count("*").as("__n"))
+    events.withColumn("hod", hour(col("ts")))
+      .join(broadcast(stats), Seq("event_type", "hod"))
+      .filter(col("__n") >= minN && col("__sigma") > 0.0)
+      .withColumn("__z", (col("value") - col("__mu")) / col("__sigma"))
+      .filter(abs(col("__z")) > threshold)
+      .select(col("event_id"), col("event_type"), col("hod").cast("int").as("hod"),
+        col("value"), round(col("__z"), 4).as("zscore"))
+  }
+
   /** Robust outlier detection via median absolute deviation: events
     * whose |value − median| exceeds `threshold` × 1.4826 × MAD of
     * their event_type (the consistency constant makes MAD a σ

@@ -90,6 +90,35 @@ class DepthOpsSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"fact shuffled for the cut join:\n$p")
   }
 
+  // ---- seasonalZscoreOutliers ----
+
+  test("seasonal z-screen ignores the daily cycle and flags the off-hours value") {
+    def at(id: Long, hh: Int, i: Int, v: Double) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-0${1 + i % 5} $hh%02d:00:${i % 60}%02d"),
+        1L, "a", v)
+    // a strong clean cycle: ~100 at hour 08, ~10 at hour 20
+    val cycle = (0 until 40).map(i => at(i, 8, i, 100.0 + (i % 5))) ++
+      (100 until 140).map(i => at(i, 20, i, 10.0 + (i % 5)))
+    // the anomaly: a peak-hour value arriving in the quiet hour
+    val planted = at(999, 20, 7, 100.0)
+    val df = evDf(cycle :+ planted)
+    val seasonal = Events.seasonalZscoreOutliers(df, threshold = 2.5, minN = 30)
+      .select("event_id").as[Long].collect().toSet
+    assert(seasonal === Set(999L),
+      "the quiet-hour cell must flag the planted peak-hour value and nothing else")
+    // the plain screen can't see it: 100.0 is an ordinary global value
+    val plain = Events.zscoreOutliers(df, threshold = 2.5)
+      .select("event_id").as[Long].collect().toSet
+    assert(!plain.contains(999L), "globally, 100.0 is unremarkable — the point")
+  }
+
+  test("seasonal z-screen stays silent below minN observations per cell") {
+    def at(id: Long, hh: Int, s: Int, v: Double) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-01 $hh%02d:00:$s%02d"), 1L, "a", v)
+    val df = evDf((0 until 10).map(i => at(i, 3, i, 5.0)) :+ at(99, 3, 50, 900.0))
+    assert(Events.seasonalZscoreOutliers(df, 2.5, minN = 30).count() === 0L)
+  }
+
   // ---- percentile_approx sketch twins (q21a/q47a/q48a) ----
 
   test("percentile_approx at gate accuracy IS exact rank selection (ceil(p·n), 1-based)") {

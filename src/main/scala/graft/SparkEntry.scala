@@ -1684,16 +1684,22 @@ object SparkEntry {
         AND d.source IS NOT DISTINCT FROM g.source""",
 
     // arithmetic mirrored step-by-step (pow, share normalization,
-    // K = min(w/q), rate = K*q/w left-assoc) so rates agree to the ulp
+    // K = min(w/q), rate = K*q/w left-assoc) so rates agree to the
+    // ulp; zero-weight strata excluded from the normalization and
+    // given rate 0 — mirroring the operator's explicit handling (a
+    // 0/0 NaN here would slip through least() as rate 1.0)
     "sample_temperature" ->
       """WITH w AS (SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS wt
                     FROM documents GROUP BY 1),
-         s AS (SELECT sum(pow(wt, CAST(0.5 AS DOUBLE))) AS tot FROM w),
+         p AS (SELECT lang, wt FROM w WHERE wt > 0),
+         s AS (SELECT sum(pow(wt, CAST(0.5 AS DOUBLE))) AS tot FROM p),
          q AS (SELECT lang, wt, pow(wt, CAST(0.5 AS DOUBLE)) / tot AS qs
-               FROM w CROSS JOIN s),
+               FROM p CROSS JOIN s),
          k AS (SELECT min(wt / qs) AS kk FROM q),
-         r AS (SELECT lang, least(1.0, kk * qs / wt) AS rate
-               FROM q CROSS JOIN k)
+         pr AS (SELECT lang, least(1.0, kk * qs / wt) AS rate
+                FROM q CROSS JOIN k),
+         r AS (SELECT w.lang, coalesce(pr.rate, 0.0) AS rate
+               FROM w LEFT JOIN pr ON w.lang = pr.lang)
          SELECT doc_id, d.lang AS lang
          FROM documents d JOIN r USING (lang)
          WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000

@@ -335,9 +335,11 @@ object Curation {
     val totals = df.groupBy(col(stratumCol))
       .agg(sum(weight).cast("double").as("__w"))
     // zero-weight strata are EXCLUDED from the normalization (their
-    // temperature share q is 0 by the formula, and leaving them in
-    // makes w/q a silent NaN that poisons K) and get an explicit 0.0
-    // keep rate below — dropped deliberately, not by NaN accident
+    // temperature share q is 0 by the formula; left in, their rate
+    // becomes least(1.0, 0/0 = NaN) = 1.0 — FULL retention of a
+    // stratum the formula says to drop, since NaN compares greater
+    // than any double in least/min) and get an explicit 0.0 keep
+    // rate below — dropped deliberately, not kept by NaN accident
     val pos = totals.filter(col("__w") > 0.0)
     val grand = pos.agg(sum(pow(col("__w"), alpha)).as("__s"))
     val q = pos.crossJoin(broadcast(grand))

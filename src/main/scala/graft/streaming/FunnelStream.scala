@@ -20,9 +20,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * qualifying stage-k event in event-time order IS min(ts) of the
   * qualifying set, stage by stage (induction the parity spec checks
   * on real data). Window math is integer µs, as in batch. Ordering
-  * contract as in Anomaly.zscoreStream: in-batch rows fold sorted by
-  * (ts, event_id); the cross-batch feed is event-time ordered per
-  * user.
+  * contract as in Anomaly.zscoreStream, one notch stronger: in-batch
+  * rows fold sorted by (ts, event_id); the cross-batch feed is
+  * event-time ordered per user AND events sharing one timestamp must
+  * arrive in one batch (the per-timestamp fixpoint below makes
+  * same-ts stage chains order-independent WITHIN a batch, but a
+  * same-ts pair split across batches in reverse stage order loses
+  * the earlier-batch event — state holds a cursor, not an event
+  * buffer; batch parity holds under the stated contract).
   */
 object FunnelStream {
 

@@ -33,11 +33,15 @@ class AsOfPropertySpec extends SparkSpec {
       id -> cand.sortBy(_._3).lastOption.map(_._1)
     }.toSet
 
-  test("exec == composed == in-memory model on random data (50 cases)") {
+  /** Shared harness: generate colliding left/right rows (right
+    * deduped per (key, ts) — the documented operator contract), run
+    * each labelled operator-under-test, compare against the model. */
+  private def checkAsOfProp(
+      model: (Seq[(Long, Long, Long)], Seq[(Long, Long, Long)]) => Set[(Long, Option[Long])])(
+      ops: (String, (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =>
+        org.apache.spark.sql.DataFrame)*): Unit = {
     val prop = Prop.forAll(
       Gen.listOfN(30, rowGen), Gen.listOfN(20, rowGen)) { (ls, rs) =>
-      // ids make rows unique; right deduped per (key, ts) for a
-      // deterministic "latest" (documented operator contract)
       val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
       val right = rs.distinctBy(r => (r._1, r._2)).zipWithIndex
         .map { case ((k, t), i) => (1000L + i, k, t) }
@@ -45,24 +49,28 @@ class AsOfPropertySpec extends SparkSpec {
         .toDF("event_id", "user_id", "ts")
       val rDf = right.map { case (id, k, t) => (k, ts(t * 1000), id) }
         .toDF("user_id", "ts", "r_id")
-
-      val exec = AsOf.join(lDf, rDf, "user_id", "ts", Seq("r_id"))
-        .select("event_id", "r_id").as[(Long, Option[Long])].collect().toSet
-      val composed = Events.asOfJoin(lDf, rDf, "user_id", "ts", Seq("r_id"))
-        .select("event_id", "r_id").as[(Long, Option[Long])].collect().toSet
       val expected = model(left, right)
-
-      val ok = exec == expected && composed == expected
+      val results = ops.map { case (label, op) =>
+        label -> op(lDf, rDf)
+          .select("event_id", "r_id").as[(Long, Option[Long])].collect().toSet
+      }
+      val ok = results.forall(_._2 == expected)
       if (!ok) {
         System.err.println(s"left=$left\nright=$right\n" +
-          s"exec diff=${exec.diff(expected)}/${expected.diff(exec)}\n" +
-          s"composed diff=${composed.diff(expected)}/${expected.diff(composed)}")
+          results.map { case (l, got) =>
+            s"$l diff=${got.diff(expected)}/${expected.diff(got)}" }.mkString("\n"))
       }
       ok
     }
     val res = ScTest.check(ScTest.Parameters.default
       .withMinSuccessfulTests(50).withWorkers(1), prop)
     assert(res.passed, res.status.toString)
+  }
+
+  test("exec == composed == in-memory model on random data (50 cases)") {
+    checkAsOfProp(model)(
+      "exec" -> ((l, r) => AsOf.join(l, r, "user_id", "ts", Seq("r_id"))),
+      "composed" -> ((l, r) => Events.asOfJoin(l, r, "user_id", "ts", Seq("r_id"))))
   }
 
   private def modelForward(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long)])
@@ -73,28 +81,8 @@ class AsOfPropertySpec extends SparkSpec {
     }.toSet
 
   test("forward as-of == in-memory next-event model on random data (50 cases)") {
-    val prop = Prop.forAll(
-      Gen.listOfN(30, rowGen), Gen.listOfN(20, rowGen)) { (ls, rs) =>
-      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
-      val right = rs.distinctBy(r => (r._1, r._2)).zipWithIndex
-        .map { case ((k, t), i) => (1000L + i, k, t) }
-      val lDf = left.map { case (id, k, t) => (id, k, ts(t * 1000)) }
-        .toDF("event_id", "user_id", "ts")
-      val rDf = right.map { case (id, k, t) => (k, ts(t * 1000), id) }
-        .toDF("user_id", "ts", "r_id")
-      val fwd = Events.asOfJoin(lDf, rDf, "user_id", "ts", Seq("r_id"),
-          forward = true)
-        .select("event_id", "r_id").as[(Long, Option[Long])].collect().toSet
-      val expected = modelForward(left, right)
-      val ok = fwd == expected
-      if (!ok) {
-        System.err.println(s"left=$left\nright=$right\n" +
-          s"fwd diff=${fwd.diff(expected)}/${expected.diff(fwd)}")
-      }
-      ok
-    }
-    val res = ScTest.check(ScTest.Parameters.default
-      .withMinSuccessfulTests(50).withWorkers(1), prop)
-    assert(res.passed, res.status.toString)
+    checkAsOfProp(modelForward)(
+      "forward" -> ((l, r) =>
+        Events.asOfJoin(l, r, "user_id", "ts", Seq("r_id"), forward = true)))
   }
 }

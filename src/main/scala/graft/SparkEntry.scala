@@ -512,6 +512,16 @@ object SparkEntry {
           col("n_chars"), col("text"), alpha = 0.5)
         .select(col("doc_id"), col("lang"))),
 
+    // semantic decontamination: corpus embeddings probed against a
+    // broadcast eval set (vec_id < 8 plays the benchmark) — the
+    // paraphrase leakage n-gram/Bloom decon can't see
+    "decon_embedding" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Curation.contaminationFlagsEmbedding(
+        e.filter(col("vec_id") >= 8), e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", tau = 0.4)
+    }),
+
     // k-anonymity suppression over the (lang, source) quasi-identifier
     // pair: rows in combinations seen < 25 times are dropped
     "privacy_kanon" -> ((s, dir) =>
@@ -1672,6 +1682,15 @@ object SparkEntry {
          FROM documents d JOIN r USING (lang)
          WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000
                < rate * 10000""",
+
+    "decon_embedding" ->
+      """WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+         ev AS (SELECT embedding AS e FROM embeddings WHERE vec_id < 8),
+         hits AS (SELECT DISTINCT c.vec_id
+                  FROM c CROSS JOIN ev
+                  WHERE list_cosine_similarity(c.embedding, ev.e) >= 0.4)
+         SELECT c.vec_id, (h.vec_id IS NOT NULL) AS flagged
+         FROM c LEFT JOIN hits h ON c.vec_id = h.vec_id""",
 
     // null-safe key compare mirrors the operator: a NULL combination
     // seen >= k times is an anonymous crowd and stays

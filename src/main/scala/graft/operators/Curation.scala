@@ -357,6 +357,38 @@ object Curation {
       .drop("__rate")
   }
 
+  /** Semantic decontamination: flag corpus docs whose EMBEDDING is
+    * within cosine `tau` of any eval-set item — the leakage the
+    * n-gram ([[contaminationFlags]]) and Bloom probes cannot see
+    * (paraphrased benchmark questions share no 5-gram with the
+    * original). Completes the decon family: exact n-gram → bitset →
+    * semantic.
+    *
+    * Scale shape: the EVAL side broadcasts (benchmark sets are
+    * thousands of rows — a dim table); the corpus is scanned once,
+    * never shuffled for the probe; norms computed once per row before
+    * the join. Every corpus doc gets a row (flag = false kept) so the
+    * output is a gating column, not a filtered set.
+    */
+  def contaminationFlagsEmbedding(corpus: DataFrame, eval: DataFrame,
+      idCol: String, vecCol: String, tau: Double): DataFrame = {
+    import graft.functions.Vectors
+    val c = corpus.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__n2", Vectors.normSq(col("__v")))
+    val e = eval.select(col(vecCol).cast("array<double>").as("__ev"))
+      .withColumn("__en2", Vectors.normSq(col("__ev")))
+    val hits = c.crossJoin(broadcast(e))
+      .filter(Vectors.cosineWithNorms(col("__v"), col("__ev"),
+        col("__n2"), col("__en2")) >= tau)
+      .select(col("vec_id")).distinct()
+      .withColumn("__hit", lit(true))
+    // hits ∝ contaminated docs (a small set when decon is working);
+    // broadcast keeps the flag-attach from re-shuffling the corpus
+    c.select(col("vec_id")).join(broadcast(hits), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("__hit"), lit(false)).as("flagged"))
+  }
+
   /** k-anonymity suppression: drop every row whose quasi-identifier
     * combination is shared by fewer than `k` rows — the privacy gate
     * a curated corpus applies to metadata-bearing records (a (lang,

@@ -35,6 +35,29 @@ class CurationNewSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"bench probe join shuffled the corpus:\n$p")
   }
 
+  // ---- contaminationFlagsEmbedding ----
+
+  test("semantic decon flags the near-parallel vector the n-gram probe cannot see") {
+    val evalSet = Seq((100L, Array(1.0, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(0.99, 0.1, 0.0, 0.0)),  // a near-paraphrase in vector space
+      (2L, Array(0.0, 0.0, 1.0, 0.0)))   // orthogonal — clean
+      .toDF("vec_id", "embedding")
+    val out = Curation.contaminationFlagsEmbedding(corpus, evalSet,
+      "vec_id", "embedding", tau = 0.9).as[(Long, Boolean)].collect().toMap
+    assert(out === Map(1L -> true, 2L -> false))
+  }
+
+  test("semantic decon broadcasts the eval side (corpus never shuffled for the probe)") {
+    val e = Tables.embeddings(spark, sfDir)
+    val p = plan(Curation.contaminationFlagsEmbedding(
+      e.filter(col("vec_id") >= 8), e.filter(col("vec_id") < 8),
+      "vec_id", "embedding", tau = 0.4))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"eval probe must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the probe:\n$p")
+  }
+
   // ---- stratifiedHashSample ----
 
   test("stratifiedHashSample applies per-stratum rates deterministically") {

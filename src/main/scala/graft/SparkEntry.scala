@@ -383,9 +383,15 @@ object SparkEntry {
     }),
 
     // synthetic embeddings top out at cos~0.51; tau=0.4 keeps the
-    // operator's output non-trivial while staying a "near"-dup filter
+    // operator's output non-trivial while staying a "near"-dup filter.
+    // Blocking = seeded-hyperplane LSH buckets (bits × tables is an
+    // index tunable, so bucket occupancy stays bounded as the corpus
+    // grows — a label-column block would grow linearly and its
+    // within-block all-pairs join quadratically); measured recall on
+    // the gate corpus is ~8× the label-blocked form's (DedupSpec)
     "dedup_embedding" -> ((s, dir) =>
-      Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding", "label", 0.4)),
+      Dedup.embeddingPairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, bits = 4, tables = 8, seed = 42L, tau = 0.4)),
 
     // SemDeDup-style semantic dedup end-to-end: embedding-cosine
     // pairs -> connected components -> keep min-id per cluster (the
@@ -394,7 +400,8 @@ object SparkEntry {
     "dedup_semantic" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val drop = Clusters.connectedComponents(
-          Dedup.embeddingPairs(e, "vec_id", "embedding", "label", 0.4),
+          Dedup.embeddingPairsLsh(e, "vec_id", "embedding",
+            dim = 64, bits = 4, tables = 8, seed = 42L, tau = 0.4),
           "vec_a", "vec_b")
         .filter(col("node") =!= col("cluster_id"))
         .select(col("node").as("vec_id"))
@@ -1182,6 +1189,38 @@ object SparkEntry {
        FROM scored QUALIFY rnk <= 5"""
   }
 
+  /** Shared CTE text for the LSH-blocked embedding-dedup oracles:
+    * replays signature → (table, bucket) band → distinct candidate
+    * pair → exact-cosine verify with the identical seeded ±1
+    * hyperplanes inlined as literals (the annLshOracle pattern).
+    * Yields CTEs `e` (vec_id, v) and `pairs` (vec_a, vec_b). */
+  private def embLshPairsCtes: String = {
+    val (dim, bits, tables, seed, tau) = (64, 4, 8, 42L, 0.4)
+    def sigExpr(v: String, tableSeed: Long): String = {
+      val w = graft.functions.Vectors.hyperplaneWeights(dim, bits, tableSeed)
+      (0 until bits).map { b =>
+        val wlist = w(b).map(x => if (x > 0) "1.0" else "-1.0")
+          .mkString("[", ", ", "]")
+        s"(CASE WHEN list_inner_product($v, $wlist) >= 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    }
+    val sigList = (0 until tables).map(ti => sigExpr("v", seed + ti))
+      .mkString("[", ", ", "]")
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       sigged AS (SELECT vec_id, v, $sigList AS sigs FROM e),
+       bande AS (SELECT vec_id, t.range AS tbl, sigs[t.range + 1] AS bucket
+                 FROM sigged, range($tables) t),
+       cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                FROM bande a JOIN bande b
+                  ON a.tbl = b.tbl AND a.bucket = b.bucket
+                 AND a.vec_id < b.vec_id),
+       pairs AS (SELECT vec_a, vec_b
+                 FROM cand
+                 JOIN e ea ON cand.vec_a = ea.vec_id
+                 JOIN e eb ON cand.vec_b = eb.vec_id
+                 WHERE list_cosine_similarity(ea.v, eb.v) >= $tau)"""
+  }
+
   /** emb_kmeans oracle: 3 Lloyd iterations unrolled in SQL. Init =
     * the 8 lowest-id vectors; assignment = min_by over [d, cid] (the
     * plan's struct-min tie rule); means round to 6dp per iteration
@@ -1914,13 +1953,9 @@ object SparkEntry {
          WHERE doc_id NOT IN (SELECT node FROM clusters WHERE node <> cluster_id)""",
 
     "dedup_semantic" ->
-      """WITH RECURSIVE pairs AS (
-           SELECT a.vec_id AS va, b.vec_id AS vb
-           FROM embeddings a
-           JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-           WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4),
-         edges AS (SELECT va AS src, vb AS dst FROM pairs
-                   UNION ALL SELECT vb, va FROM pairs),
+      s"""WITH RECURSIVE $embLshPairsCtes,
+         edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+                   UNION ALL SELECT vec_b, vec_a FROM pairs),
          reach(node, lbl) AS (
            SELECT src, src FROM edges
            UNION
@@ -2009,10 +2044,8 @@ object SparkEntry {
             AND (percent_rank() OVER w) <= 0.95""",
 
     "dedup_embedding" ->
-      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-         FROM embeddings a
-         JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""",
+      s"""WITH $embLshPairsCtes
+         SELECT vec_a, vec_b FROM pairs""",
 
     "ann_topk" ->
       """SELECT q.vec_id AS query_id,

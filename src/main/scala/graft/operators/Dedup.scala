@@ -352,10 +352,12 @@ object Dedup {
       .drop("grp")
   }
 
-  /** Embedding near-dup pairs: cosine >= tau within blocks.
-    * Blocking (here: the label column; in production an LSH bucket —
-    * see Similarity.lshBuckets) bounds the self-join; ids-only output
-    * keeps floats out of the comparison surface. */
+  /** Embedding near-dup pairs: cosine >= tau within blocks keyed on
+    * an EXISTING column. Only sound at scale when the block column is
+    * high-cardinality (a shard key, a pre-computed cluster id): a
+    * low-cardinality block (e.g. a class label) makes block size grow
+    * linearly with the corpus and the within-block all-pairs join
+    * quadratically — use [[embeddingPairsLsh]] as the default. */
   def embeddingPairs(embeddings: DataFrame, idCol: String, vecCol: String,
       blockCol: String, tau: Double): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(blockCol).as("blk"),
@@ -366,6 +368,52 @@ object Dedup {
       .filter(Vectors.cosineWithNorms(col("a.v"), col("b.v"),
         col("a.n2"), col("b.n2")) >= tau)
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"))
+  }
+
+  /** Embedding near-dup pairs blocked by random-hyperplane LSH — the
+    * scale-default embedding dedup (the SemDeDup candidate step).
+    *
+    * Each vector lands in one bucket per hash table (seeded ±1
+    * hyperplanes, [[graft.functions.Vectors.hyperplaneSig]]);
+    * candidates are pairs sharing a (table, bucket) cell, verified by
+    * exact cosine ≥ tau. Bucket count is 2^bits × tables and is a
+    * TUNABLE of the index, not a property of the data — unlike
+    * blocking on a data column (a label: O(10) blocks forever, so
+    * block size and the |block|² within-block join grow with the
+    * corpus), bits scales with corpus size at constant expected
+    * bucket occupancy, keeping the bucket join linear. Recall is
+    * 1−(1−p^bits)^tables with p = 1−θ/π — tunable, and measured ≥
+    * the label-blocked form's recall on the gate corpus (spec).
+    *
+    * Shuffle shape: the exploded band table carries (id, tbl, bucket)
+    * only — vectors never enter the candidate join; full vectors are
+    * re-attached to surviving candidate pairs by two id-keyed joins
+    * (the ids-only-band-table pattern of [[minhashLshPairs]]).
+    *
+    * Deterministic (seeded hyperplanes as literals — retry-safe, and
+    * reproducible in an independent engine for the hash oracle).
+    */
+  def embeddingPairsLsh(embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int, bits: Int, tables: Int, seed: Long, tau: Double): DataFrame = {
+    val e = embeddings.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n2", Vectors.normSq(col("v"))) // norm once per row, not per pair
+    val banded = e.select(col("id"),
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("tbl"),
+          Vectors.hyperplaneSig(col("v"), dim, bits, seed + t).as("bucket"))
+      }: _*)).as("tb"))
+      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+    cand
+      .join(e.select(col("id").as("vec_a"), col("v").as("va"), col("n2").as("na")), "vec_a")
+      .join(e.select(col("id").as("vec_b"), col("v").as("vb"), col("n2").as("nb")), "vec_b")
+      .filter(Vectors.cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")) >= tau)
+      .select(col("vec_a"), col("vec_b"))
   }
 
   /** Fuzzy near-dup pairs by EDIT DISTANCE with deterministic

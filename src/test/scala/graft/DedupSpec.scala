@@ -155,6 +155,57 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("embeddingPairsLsh: no false positives, recall beats label blocking") {
+    val e = Tables.embeddings(spark, sfDir)
+    val tau = 0.4
+    val got = Dedup.embeddingPairsLsh(e, "vec_id", "embedding",
+        dim = 64, bits = 4, tables = 8, seed = 42L, tau = tau)
+      .as[(Long, Long)].collect().toSet
+    val vecs = e.select("vec_id", "label", "embedding")
+      .as[(Long, Int, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / math.sqrt(na * nb)
+    }
+    val truth = (for {
+      x <- vecs; y <- vecs
+      if x._1 < y._1 && cos(x._3, y._3) >= tau
+    } yield (x._1, y._1)).toSet
+    val labelBlocked = truth.count { case (a, b) =>
+      val la = vecs.find(_._1 == a).get._2; val lb = vecs.find(_._1 == b).get._2
+      la == lb
+    }
+    assert(truth.nonEmpty, "threshold too high for test data")
+    // every emitted pair is a true above-threshold pair (cosine verify)
+    assert(got.subsetOf(truth), s"false positives: ${got.diff(truth).take(5)}")
+    // LSH blocking recalls strictly more of the truth than blocking on
+    // the low-cardinality label column (the round-3 scale-killer)
+    val lshRecall = got.size.toDouble / truth.size
+    val labelRecall = labelBlocked.toDouble / truth.size
+    assert(lshRecall >= labelRecall,
+      s"LSH recall $lshRecall below label-block recall $labelRecall")
+  }
+
+  test("registered dedup_embedding plan has no label-keyed self-join") {
+    // the round-3 scale-killer: blocking on a low-cardinality data
+    // column makes within-block all-pairs quadratic; the registered
+    // plan must block on LSH buckets only
+    // (the Relation node prints the full table schema, so test the
+    // join conditions, not raw substring presence)
+    val labelJoin = """label#\d+[^)]*=\s*label#\d+""".r
+    val plan = SparkEntry.queries("dedup_embedding")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(labelJoin.findFirstIn(plan).isEmpty,
+      "label-keyed join in the dedup_embedding plan")
+    val planSem = SparkEntry.queries("dedup_semantic")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(labelJoin.findFirstIn(planSem).isEmpty,
+      "label-keyed join in the dedup_semantic plan")
+  }
+
   test("editDistancePairs finds shared-prefix near-dups within the distance bound") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),

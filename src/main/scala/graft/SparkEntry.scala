@@ -409,10 +409,13 @@ object SparkEntry {
     }),
 
     // fuzzy near-dup by edit distance: prefix+length blocking (equi-
-    // join, never n²), exact levenshtein verify on block-local pairs
+    // join, never n²), exact levenshtein verify on block-local pairs.
+    // lenBucket = maxDist: edit distance bounds the length gap by
+    // maxDist, so every within-threshold pair lands in the same or
+    // adjacent bucket and the adjacent-bucket probe guarantees recall
     "dedup_edit" -> ((s, dir) =>
       Dedup.editDistancePairs(t(s, dir, "documents"), "doc_id", "text",
-        maxDist = 64)),
+        maxDist = 64, lenBucket = 64)),
 
     // pairwise near-dup output → dedup decisions: connected components
     // by min-label propagation; cluster_id = min doc id of the cluster
@@ -2470,16 +2473,27 @@ object SparkEntry {
     "dedup_edit" ->
       """WITH d AS (
            SELECT doc_id, text,
-                  CAST(floor(length(text) / 32.0) AS BIGINT) AS lb,
+                  CAST(floor(length(text) / 64.0) AS BIGINT) AS lb,
                   substr(text, 1, 4) AS p
            FROM documents),
          sized AS (
-           SELECT *, count(*) OVER (PARTITION BY lb, p) AS bs FROM d)
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                CAST(levenshtein(a.text, b.text) AS INTEGER) AS lev
-         FROM sized a JOIN sized b
-           ON a.lb = b.lb AND a.p = b.p AND a.doc_id < b.doc_id
-         WHERE a.bs <= 1000 AND levenshtein(a.text, b.text) <= 64""",
+           SELECT *, count(*) OVER (PARTITION BY lb, p) AS bs FROM d),
+         keep AS (SELECT doc_id, text, lb, p FROM sized WHERE bs <= 1000),
+         cand AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.text AS ta, b.text AS tb
+           FROM keep a JOIN keep b
+             ON a.lb = b.lb AND a.p = b.p AND a.doc_id < b.doc_id
+           UNION ALL
+           SELECT least(a.doc_id, b.doc_id),
+                  greatest(a.doc_id, b.doc_id),
+                  CASE WHEN a.doc_id < b.doc_id THEN a.text ELSE b.text END,
+                  CASE WHEN a.doc_id < b.doc_id THEN b.text ELSE a.text END
+           FROM keep a JOIN keep b
+             ON a.lb + 1 = b.lb AND a.p = b.p)
+         SELECT doc_a, doc_b, CAST(levenshtein(ta, tb) AS INTEGER) AS lev
+         FROM cand
+         WHERE levenshtein(ta, tb) <= 64""",
 
     "q42_histogram" ->
       """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin,

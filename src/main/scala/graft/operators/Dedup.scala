@@ -424,10 +424,15 @@ object Dedup {
     * product — and the O(len²) edit-distance only runs on block-local
     * candidates.
     *
-    * Recall contract (honest): this catches near-dups that share a
-    * prefix and similar length — the common head-insertion/trailing-
-    * edit corruption shapes. Dups with edits in the first `prefixLen`
-    * chars land in different blocks; use [[minhashLshPairs]] for
+    * Recall contract: any pair within `maxDist` sharing the prefix is
+    * found PROVIDED `lenBucket >= maxDist` — edit distance bounds the
+    * length difference by maxDist, so the two lengths then land in
+    * the same or ADJACENT buckets, and the candidate join probes both
+    * (same-bucket equi-join ∪ adjacent-bucket equi-join — each
+    * unordered pair meets exactly once, no dedup pass). With
+    * `lenBucket < maxDist` a pair can straddle two bucket edges and
+    * be missed. Dups with edits in the first `prefixLen` chars land
+    * in different blocks; use [[minhashLshPairs]] for
     * position-independent similarity.
     *
     * Hot-block guard: a block's local work is |block|² pairs, so a
@@ -448,8 +453,21 @@ object Dedup {
       .drop("__bs")
     val a = d.select(col("id").as("doc_a"), col("t").as("__ta"), col("__lb"), col("__p"))
     val b = d.select(col("id").as("doc_b"), col("t").as("__tb"), col("__lb"), col("__p"))
-    a.join(b, Seq("__lb", "__p"))
+    // same-bucket candidates (id-ordered: each pair once) ∪
+    // adjacent-bucket candidates (a one bucket BELOW b: each
+    // straddling pair meets exactly once regardless of id order, so
+    // ids are normalized with least/greatest — no dedup shuffle)
+    val same = a.join(b, Seq("__lb", "__p"))
       .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("__ta"), col("__tb"))
+    val adj = a.as("x").join(b.as("y"),
+        col("x.__lb") + 1 === col("y.__lb") && col("x.__p") === col("y.__p"))
+      .select(
+        least(col("x.doc_a"), col("y.doc_b")).as("doc_a"),
+        greatest(col("x.doc_a"), col("y.doc_b")).as("doc_b"),
+        when(col("x.doc_a") < col("y.doc_b"), col("x.__ta")).otherwise(col("y.__tb")).as("__ta"),
+        when(col("x.doc_a") < col("y.doc_b"), col("y.__tb")).otherwise(col("x.__ta")).as("__tb"))
+    same.union(adj)
       // thresholded levenshtein: banded DP, O(len·maxDist) per pair
       // instead of the full O(len²) matrix; returns -1 above the
       // threshold, exact distance at-or-below — kept rows identical

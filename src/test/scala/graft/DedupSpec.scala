@@ -224,4 +224,23 @@ class DedupSpec extends SparkSpec {
     assert(loose === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("editDistancePairs finds pairs straddling a length-bucket edge") {
+    // lengths 7 and 8 fall in buckets 0 and 1 at lenBucket=8: the
+    // round-3 blocking (exact bucket equality) missed this pair even
+    // though lev=1 <= maxDist — the adjacent-bucket probe finds it.
+    // id order is deliberately inverted vs bucket order (doc 2 is the
+    // SHORTER text) to cover the least/greatest normalization.
+    val docs = Seq(
+      (1L, "abcd efgh"),     // 9 chars, bucket 1
+      (2L, "abcd efg"),      // 8 chars, bucket 1
+      (3L, "abcd ef"),       // 7 chars, bucket 0 — 1 edit from doc 2
+      (4L, "zzzz unrelated"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.editDistancePairs(docs, "doc_id", "text",
+      maxDist = 2, lenBucket = 8, prefixLen = 4)
+      .select("doc_a", "doc_b", "lev").as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((1L, 2L, 1), (1L, 3L, 2), (2L, 3L, 1)),
+      s"bucket-edge pair missing from $got")
+  }
+
 }

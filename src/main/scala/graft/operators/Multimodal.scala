@@ -30,8 +30,12 @@ object Multimodal {
 
   case class MediaRow(media_id: Long, payload: Array[Byte], meta: MediaMeta)
 
+  /** `ok`/`error` make decode failure DATA, not a job failure — the
+    * Fetch accounting stance: at corpus scale a few corrupt blobs are
+    * certain, and one bad payload must not kill a 100 TB pass. A
+    * failed row carries empty features and the decoder's message. */
   case class MediaFeatures(media_id: Long, n_bytes: Long, checksum: Long,
-      features: Array[Float])
+      features: Array[Float], ok: Boolean = true, error: String = "")
 
   /** Attach payload-level columns computable without decoding —
     * size, checksum — straight Column exprs over the binary. */
@@ -155,7 +159,10 @@ object Multimodal {
     * features; audio/video rows fall back to the marked stub. The
     * partition iterator shape mirrors a production codec pipeline:
     * amortized per-partition setup, row-at-a-time streaming (no
-    * partition-wide materialization), typed output. */
+    * partition-wide materialization), typed output. An undecodable
+    * payload emits a FLAGGED row (ok=false, empty features) instead
+    * of failing the task — decode failure is data ([[MediaFeatures]]).
+    */
   def extractFeatures(ds: Dataset[MediaRow], dim: Int)(
       implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -163,10 +170,16 @@ object Multimodal {
       // codec/context init amortizes here, once per partition
       rows.map { r =>
         val h = payloadHash(r.payload)
-        val feats =
-          if (isImage(r.meta)) Codec.stripLuminance(Codec.decode(r.payload), dim)
-          else decodeStub(h, dim) // STUB: no native audio/video codecs
-        MediaFeatures(r.media_id, r.payload.length.toLong, h, feats)
+        try {
+          val feats =
+            if (isImage(r.meta)) Codec.stripLuminance(Codec.decode(r.payload), dim)
+            else decodeStub(h, dim) // STUB: no native audio/video codecs
+          MediaFeatures(r.media_id, r.payload.length.toLong, h, feats)
+        } catch { case e: Exception =>
+          MediaFeatures(r.media_id, r.payload.length.toLong, h,
+            Array.empty[Float], ok = false,
+            error = s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
       }
     }
   }
@@ -189,22 +202,42 @@ object Multimodal {
     * that edits only metadata corrupts the corpus). Audio/video rows:
     * deterministic payload-resynthesis STUB honoring the same
     * size-tracks-area contract. Per-partition batching as in
-    * [[extractFeatures]]. */
-  def resize(ds: Dataset[MediaRow], width: Int, height: Int)(
+    * [[extractFeatures]].
+    *
+    * Decode-failure policy: `skipUndecodable = false` (default) fails
+    * the job loudly on the first corrupt payload — the right default
+    * for a transform whose OUTPUT contract is "every row resized"
+    * (silently passing a corrupt blob through would corrupt the
+    * output corpus). Pass `true` for dirty corpora: undecodable rows
+    * are DROPPED, and the caller reconciles counts (or runs
+    * [[extractFeatures]] first, whose ok/error flags identify the bad
+    * rows without failing). */
+  def resize(ds: Dataset[MediaRow], width: Int, height: Int,
+      skipUndecodable: Boolean = false)(
       implicit spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
     require(width > 0 && height > 0, s"bad target ${width}x$height")
     ds.mapPartitions { rows =>
       // codec/scaler context init amortizes here, once per partition
-      rows.map { r =>
+      rows.flatMap { r =>
         if (isImage(r.meta)) {
-          val scaled = Codec.rescale(Codec.decode(r.payload), width, height)
-          // payload is re-encoded as PNG, so mediaType AND codec must
-          // follow — metadata that contradicts the bytes is corruption
-          MediaRow(r.media_id, Codec.encodePng(scaled),
-            r.meta.copy(mediaType = "image/png", width = width, height = height,
-              codec = "png"))
-        } else {
+          val decoded =
+            try Some(Codec.decode(r.payload))
+            catch { case e: Exception =>
+              if (skipUndecodable) None
+              else throw new IllegalArgumentException(
+                s"resize: undecodable payload for media_id=${r.media_id} " +
+                  s"(${r.payload.length} bytes): ${e.getMessage}", e)
+            }
+          decoded.map { img =>
+            val scaled = Codec.rescale(img, width, height)
+            // payload is re-encoded as PNG, so mediaType AND codec must
+            // follow — metadata that contradicts the bytes is corruption
+            MediaRow(r.media_id, Codec.encodePng(scaled),
+              r.meta.copy(mediaType = "image/png", width = width, height = height,
+                codec = "png"))
+          }
+        } else Some {
           // STUB (non-image): unclamped resynthesis — an upscale
           // legitimately GROWS the payload; size and metadata track
           // together in both directions. Dimensionless media (audio:
@@ -253,14 +286,19 @@ object Multimodal {
   /** (media_id, phash) for the image rows: REAL decode + 8×8
     * average-hash, batched per partition like [[extractFeatures]].
     * Non-image rows are dropped (a perceptual IMAGE hash has no
-    * meaning for audio bytes). */
+    * meaning for audio bytes), and so are UNDECODABLE image rows — a
+    * hash of garbage bytes would only produce spurious near-dup
+    * pairs; run [[extractFeatures]] for per-row failure accounting. */
   def perceptualHashes(ds: Dataset[MediaRow])(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     ds.mapPartitions { rows =>
       // codec init amortizes here, once per partition
       rows.filter(r => isImage(r.meta))
-        .map(r => (r.media_id, aHash64(Codec.decode(r.payload))))
+        .flatMap { r =>
+          try Some((r.media_id, aHash64(Codec.decode(r.payload))))
+          catch { case _: Exception => None }
+        }
     }.toDF("media_id", "phash")
   }
 

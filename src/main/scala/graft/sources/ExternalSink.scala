@@ -30,7 +30,17 @@ import org.apache.spark.sql.functions._
 object ExternalSink {
 
   /** One store mutation: an upsert carrying a payload, or a delete
-    * tombstone. `version` is the monotonic per-key guard. */
+    * tombstone. `version` is the monotonic per-key guard.
+    *
+    * Version contract ACROSS jobs: versions must be STRICTLY
+    * increasing per key over the lifetime of the store — deletes
+    * included. The store guard is strictly-newer (equal versions are
+    * no-ops, which is what makes replays idempotent), and the
+    * delete-wins tiebreak in [[collapse]] only arbitrates within one
+    * job — a later job issuing a delete that REUSES the version of an
+    * already-landed upsert is silently dropped. Event-time or a
+    * monotonic change-log sequence as the version satisfies this;
+    * per-job counters restarting from 0 do not. */
   case class Mutation(key: String, version: Long, delete: Boolean,
       payload: Array[Byte])
 
@@ -50,6 +60,17 @@ object ExternalSink {
         col(versionCol).cast("long").as("__v"),
         col(deleteCol).cast("boolean").as("__d"),
         col(payloadCol).cast("binary").as("__p"))
+      // fail fast, loudly, on malformed changelog rows: a null key /
+      // version / flag would otherwise surface as an opaque NPE deep
+      // inside an executor write task (null ConcurrentHashMap key,
+      // getLong on null) — same loud-fail stance as mergeApply
+      .withColumn("__k", when(col("__k").isNotNull, col("__k")).otherwise(
+        raise_error(concat(lit("ExternalSink: null key in changelog (version="),
+          coalesce(col("__v").cast("string"), lit("null")), lit(")")))))
+      .withColumn("__v", when(col("__v").isNotNull, col("__v")).otherwise(
+        raise_error(concat(lit("ExternalSink: null version for key "), col("__k")))))
+      .withColumn("__d", when(col("__d").isNotNull, col("__d")).otherwise(
+        raise_error(concat(lit("ExternalSink: null delete flag for key "), col("__k")))))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
       .sortWithinPartitions("__k")

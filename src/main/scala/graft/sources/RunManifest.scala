@@ -25,17 +25,33 @@ import org.apache.spark.sql.functions._
   *    because every sink in this library is idempotent (partitioned
   *    parquet overwrite / version-guarded ExternalSink);
   *  - re-submitting an ALREADY COMMITTED run_id is a no-op (the
-  *    replay guard an at-least-once scheduler needs).
+  *    replay guard an at-least-once scheduler needs);
+  *  - **single scheduler at a time** (the same assumption Airflow's
+  *    own scheduler lock provides): probe → body → append is not
+  *    atomic, so two schedulers racing the SAME ledger could both
+  *    pass the watermark probe and commit overlapping intervals. The
+  *    ledger serializes RUNS, not SCHEDULERS — wrap `incrementalRun`
+  *    in the orchestrator's run lock (every orchestrator has one; a
+  *    second live scheduler is an operations error there too).
+  *    Overlap with a RETRY of a crashed run is safe: the crashed
+  *    attempt left no ledger row, and the sinks are idempotent.
   */
 object RunManifest {
 
   private val schema = "run_id string, lo_watermark long, hi_watermark long, " +
     "committed_at_epoch_ms long"
 
-  /** All committed runs (empty frame if no ledger yet). */
+  /** All committed runs (empty frame if no ledger yet). The
+    * empty-ledger probe goes through the Hadoop FileSystem API, not
+    * java.io.File — the ledger lives on durable storage (hdfs://,
+    * s3a://, ...) where a local-file probe would always read "empty"
+    * and silently reset the watermark (re-processing committed
+    * intervals and appending duplicate ledger rows). */
   def runs(spark: SparkSession, path: String): DataFrame = {
-    val files = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-    if (files.isEmpty)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nonEmpty = fs.exists(p) && fs.listStatus(p).nonEmpty
+    if (!nonEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(schema))
     else spark.read.schema(schema).parquet(path)

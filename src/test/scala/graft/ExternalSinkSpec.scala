@@ -108,6 +108,21 @@ class ExternalSinkSpec extends SparkSpec {
     assert(batches === 4) // ceil(100/30)
   }
 
+  test("malformed changelog rows fail fast with a clear message, not an executor NPE") {
+    val name = "t_nulls"; InMemoryStore.drop(name)
+    val nullKey = Seq(("a", 1L, false, "x")).toDF("key", "version", "is_delete", "body")
+      .withColumn("payload", encode(col("body"), "UTF-8")).drop("body")
+      .withColumn("key", lit(null).cast("string"))
+    val e1 = intercept[Exception] { write(name, nullKey) }
+    assert(e1.getMessage.contains("null key") ||
+      Option(e1.getCause).exists(_.getMessage.contains("null key")))
+    val nullVersion = changelog(Seq(("a", 1L, false, "x")))
+      .withColumn("version", lit(null).cast("long"))
+    val e2 = intercept[Exception] { write(name, nullVersion) }
+    assert(e2.getMessage.contains("null version") ||
+      Option(e2.getCause).exists(_.getMessage.contains("null version")))
+  }
+
   test("collapse happens before store traffic: one mutation per key, not per delta row") {
     val name = "t_collapse"; InMemoryStore.drop(name)
     write(name, changelog((1 to 50).map(i => ("hot", i.toLong, false, s"v$i"))))

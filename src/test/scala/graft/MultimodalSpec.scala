@@ -60,6 +60,29 @@ class MultimodalSpec extends SparkSpec {
     assert(f(1).features.forall(v => v === 1.0f))
   }
 
+  test("decode failure is data: corrupt image rows flag, don't kill the job") {
+    implicit val s = spark
+    val corrupt = Multimodal.MediaRow(7L, Array[Byte](1, 2, 3, 4),
+      Multimodal.MediaMeta("image/png", 10, 10, 0L, "png"))
+    val ds = Seq(solidPng(0L, 20, 20, 0x336699), corrupt).toDS()
+    // extractFeatures: per-row ok/error accounting (the Fetch stance)
+    val f = Multimodal.extractFeatures(ds, dim = 4).collect().sortBy(_.media_id)
+    assert(f.length === 2)
+    assert(f(0).ok && f(0).features.length === 4)
+    assert(!f(1).ok && f(1).features.isEmpty && f(1).error.nonEmpty)
+    // perceptualHashes: undecodable rows dropped, good rows hashed
+    assert(Multimodal.perceptualHashes(ds).collect().map(_.getLong(0)).toSeq === Seq(0L))
+    // resize: loud fail by default, skip policy drops the bad row
+    val failed = intercept[org.apache.spark.SparkException] {
+      Multimodal.resize(ds, 10, 10).collect()
+    }
+    assert(failed.getMessage.contains("media_id=7") ||
+      Option(failed.getCause).exists(_.getMessage.contains("media_id=7")))
+    val kept = Multimodal.resize(ds, 10, 10, skipUndecodable = true).collect()
+    assert(kept.map(_.media_id).toSeq === Seq(0L))
+    assert(kept.head.meta.width === 10)
+  }
+
   test("sampleFrames explodes each media row into n frame rows") {
     val media = Multimodal.syntheticMedia(spark, 5).toDF()
     val frames = Multimodal.sampleFrames(media, "payload", nFrames = 4)

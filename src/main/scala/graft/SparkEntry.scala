@@ -674,12 +674,19 @@ object SparkEntry {
 
     // product-quantization ANN: corpus vectors as packed 8-byte codes
     // + exact norms (32× compression), per-candidate scoring = m table
-    // lookups (native PqEncode/PqAdc); recall vs ann_topk spec-tested
+    // lookups (native PqEncode/PqAdc); recall vs ann_topk spec-tested.
+    // HASH-GATED (r4): codebook training is deterministic seeded
+    // Lloyd with 6dp centroid rounding at each iteration edge, so the
+    // oracle re-derives the identical codebook in SQL (unrolled
+    // per-subspace iterations) and replays encode -> ADC shortlist ->
+    // exact rerank; gate iterations = 3 (production raises iters —
+    // identical plan, the trajectory just runs longer)
     "ann_pq" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.pqTopK(
         e.filter(col("vec_id") >= 8), e.filter(col("vec_id") < 8),
-        "vec_id", "embedding", m = 8, kCent = 32, k = 5)
+        "vec_id", "embedding", m = 8, kCent = 32, k = 5,
+        iters = 3, roundTo = Some(6))
     }),
 
     "text_tokens" -> ((s, dir) =>
@@ -1286,6 +1293,90 @@ object SparkEntry {
        FROM cand QUALIFY rnk <= $k"""
   }
 
+  /** ann_pq oracle: the ENTIRE product-quantization pipeline replayed
+    * in SQL — codebook training included. The trainer is seeded
+    * deterministic Lloyd per subspace over the lowest-id sample with
+    * 6dp mean rounding at each iteration edge (the emb_kmeans
+    * determinism trade), so the oracle re-derives the identical
+    * codebook: init = sub-slices of the kCent lowest-id samples,
+    * assignment = struct-min over the EXACT left-folded Σ(diff²)
+    * chain the native PqEncode computes (explicit left-associated
+    * addition — both engines fold the same doubles in the same
+    * order), mean recompute = round(avg, 6) with empty clusters
+    * keeping their previous centroid (LEFT JOIN + coalesce). Encode,
+    * the per-query ADC table (list_inner_product sub-dots), the
+    * left-folded m-term ADC sum (list_reduce over list(tval ORDER BY
+    * m) — PqAdc's summation order), the rerank-shortlist and the
+    * exact-cosine top-k then mirror the plan 1:1. Gate params: the
+    * sample covers ≥ kCent vectors at both verify SFs (no init
+    * wrap-around), iters = 3. */
+  private def annPqOracle: String = {
+    val (m, kCent, subDim, trainSample, iters, rerank, k) = (8, 32, 8, 512, 3, 50, 5)
+    // the exact left-assoc Σ(s.sv[i]-ct.cv[i])² chain of PqEncode
+    val chain = (1 to subDim)
+      .map(i => s"(s.sv[$i] - ct.cv[$i]) * (s.sv[$i] - ct.cv[$i])")
+      .mkString(" + ")
+    def assign(n: Int, rel: String, idCol: String, outCol: String,
+        keepSv: Boolean): String = {
+      val sv = if (keepSv) ", s.sv" else ""
+      val grp = if (keepSv) s"s.$idCol, s.m, s.sv" else s"s.$idCol, s.m"
+      s"""(SELECT s.$idCol, s.m$sv,
+             (min(struct_pack(d := $chain, cid := ct.cid))).cid AS $outCol
+           FROM $rel s JOIN cent${n} ct ON s.m = ct.m
+           GROUP BY $grp)"""
+    }
+    val steps = (1 to iters).map { n =>
+      s"""a$n AS ${assign(n - 1, "sub", "sid", "cid", keepSv = true)},
+         x$n AS (SELECT m, cid, generate_subscripts(sv, 1) AS pos, unnest(sv) AS x FROM a$n),
+         m$n AS (SELECT m, cid, pos, round(avg(x), 6) AS mv FROM x$n GROUP BY m, cid, pos),
+         cent$n AS (SELECT prev.m, prev.cid, coalesce(nw.cv, prev.cv) AS cv
+                    FROM cent${n - 1} prev
+                    LEFT JOIN (SELECT m, cid, list(mv ORDER BY pos) AS cv
+                               FROM m$n GROUP BY m, cid) nw
+                      ON prev.m = nw.m AND prev.cid = nw.cid)"""
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       c AS (SELECT vec_id, v, list_inner_product(v, v) AS n2 FROM e WHERE vec_id >= 8),
+       q AS (SELECT vec_id, v, list_inner_product(v, v) AS n2 FROM e WHERE vec_id < 8),
+       samp AS (SELECT v, CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS sid
+                FROM c ORDER BY vec_id LIMIT $trainSample),
+       sub AS (SELECT sid, CAST(mr.range AS INTEGER) AS m,
+                      v[mr.range * $subDim + 1 : mr.range * $subDim + $subDim] AS sv
+               FROM samp, range($m) mr),
+       cent0 AS (SELECT m, sid AS cid, sv AS cv FROM sub WHERE sid < $kCent),
+       $steps,
+       csub AS (SELECT vec_id, CAST(mr.range AS INTEGER) AS m,
+                       v[mr.range * $subDim + 1 : mr.range * $subDim + $subDim] AS sv
+                FROM c, range($m) mr),
+       enc AS ${assign(iters, "csub", "vec_id", "code", keepSv = false)},
+       tq AS (SELECT q.vec_id AS query_id, ct.m, ct.cid,
+                     list_inner_product(q.v[ct.m * $subDim + 1 : ct.m * $subDim + $subDim],
+                                        ct.cv) AS tval
+              FROM q CROSS JOIN cent$iters ct),
+       scored AS (SELECT tq.query_id, enc.vec_id AS neighbor_id,
+                    list_reduce(list_prepend(0.0, list(tq.tval ORDER BY tq.m)),
+                                (acc, x) -> acc + x) AS adc
+                  FROM enc JOIN tq ON enc.m = tq.m AND enc.code = tq.cid
+                  GROUP BY tq.query_id, enc.vec_id),
+       short AS (SELECT query_id, neighbor_id FROM (
+                   SELECT sc.query_id, sc.neighbor_id,
+                          row_number() OVER (PARTITION BY sc.query_id
+                            ORDER BY sc.adc / sqrt(qq.n2 * cc.n2) DESC,
+                                     sc.neighbor_id) AS arnk
+                   FROM scored sc
+                   JOIN q qq ON sc.query_id = qq.vec_id
+                   JOIN c cc ON sc.neighbor_id = cc.vec_id) WHERE arnk <= $rerank)
+       SELECT short.query_id,
+              CAST(row_number() OVER (PARTITION BY short.query_id
+                ORDER BY list_cosine_similarity(qq.v, cc.v) DESC,
+                         short.neighbor_id) AS INTEGER) AS rnk,
+              short.neighbor_id
+       FROM short
+       JOIN q qq ON short.query_id = qq.vec_id
+       JOIN c cc ON short.neighbor_id = cc.vec_id
+       QUALIFY rnk <= $k"""
+  }
+
   /** approx_topk oracle: the ENTIRE Count-Min sketch reproduced in
     * HUGEINT mod-2^64 SQL — per-occurrence poly-31 token hashes, the
     * CmsHash per-row avalanche (same constants/stages as the bloom
@@ -1355,6 +1446,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "ann_lsh" -> annLshOracle,
     "ann_ivf" -> annIvfOracle,
+    "ann_pq" -> annPqOracle,
     "emb_kmeans" -> embKmeansOracle,
     "approx_topk" -> annCmsOracle,
     "dedup_minhash_inc" -> minhashIncOracleSql,

@@ -305,8 +305,20 @@ object Similarity {
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       m: Int, kCent: Int, k: Int,
-      trainSample: Int = 512, iters: Int = 8, rerank: Int = 50): DataFrame = {
+      trainSample: Int = 512, iters: Int = 8, rerank: Int = 50,
+      roundTo: Option[Int] = None): DataFrame = {
     require(rerank >= k, "pqTopK: rerank shortlist must be at least k")
+    // roundTo = Some(d): round each recomputed sub-centroid mean to d
+    // decimals at the iteration edge (HALF_UP — the decimal rule both
+    // Spark's round() and DuckDB's round() implement), the same
+    // gate-determinism trade as kmeansCentroids: the ~1e-d
+    // perturbation is far below subspace cluster geometry, and the
+    // whole training trajectory becomes reproducible in an
+    // independent engine, so the full encode+ADC pipeline hash-gates
+    def edge(x: Double): Double = roundTo match {
+      case Some(d) => BigDecimal(x).setScale(d, BigDecimal.RoundingMode.HALF_UP).toDouble
+      case None    => x
+    }
     import graft.functions.expr.NativeFunctions.{pq_adc, pq_encode}
     val sample: Array[Array[Double]] = corpus
       .select(col(vecCol).cast("array<double>"), col(idCol))
@@ -342,7 +354,7 @@ object Similarity {
           while (dd < subDim) { sums(best)(dd) += s(mm * subDim + dd); dd += 1 }
         }
         cents = Array.tabulate(kCent)(kk =>
-          if (counts(kk) > 0) sums(kk).map(_ / counts(kk)) else cents(kk))
+          if (counts(kk) > 0) sums(kk).map(x => edge(x / counts(kk))) else cents(kk))
         it += 1
       }
       var kk = 0

@@ -25,7 +25,7 @@ class EntrySpec extends SparkSpec {
     // edge-rounded centroids) and approx_topk (the full Count-Min
     // counter pipeline in HUGEINT SQL) — is hash-verified against a
     // full-pipeline SQL oracle.
-    assert(rowsOnly === Set("ann_pq", "approx_distinct", "approx_quantiles"),
+    assert(rowsOnly === Set("approx_distinct", "approx_quantiles"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 }

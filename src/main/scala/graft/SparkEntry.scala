@@ -28,6 +28,11 @@ object SparkEntry {
     * regime; production would use ~1e4 (same plan, fixed memory). */
   private val gateAccuracy = 1000000
 
+  /** Jelinek-Mercer mixture weight shared by the text_interp_lm plan
+    * and its oracle (both coefficients interpolated from these exact
+    * doubles). */
+  private val interpLambda = 0.9
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
@@ -626,6 +631,13 @@ object SparkEntry {
     "text_bigram_lm" -> ((s, dir) =>
       Curation.bigramLogProb(t(s, dir, "documents"), "doc_id",
         Text.tokens(col("text")))),
+
+    // interpolated (Jelinek-Mercer) bigram+unigram LM — the CCNet
+    // shape: rare-prefix MLE overconfidence cushioned by the unigram
+    // mixture; hash-keyed like bigramLogProb
+    "text_interp_lm" -> ((s, dir) =>
+      Curation.interpLogProb(t(s, dir, "documents"), "doc_id",
+        Text.tokens(col("text")), lambda = interpLambda)),
 
     // fixed-budget sequence packing per source shard (2048 tokens)
     "pack_sequences" -> ((s, dir) =>
@@ -2090,6 +2102,31 @@ object SparkEntry {
          SELECT doc_id, count(*) AS n_tokens,
                 round(avg(ln(cnt / CAST(total AS DOUBLE))), 4) AS avg_logprob
          FROM tk JOIN freq USING (token) CROSS JOIN tot
+         GROUP BY 1""",
+
+    // λ and 1−λ are interpolated from the SAME Scala doubles the plan
+    // uses (shortest-repr round trip), so both engines mix with
+    // bit-identical coefficients
+    "text_interp_lm" ->
+      s"""WITH t AS (SELECT doc_id,
+                    list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x <> '') AS tk
+             FROM documents),
+         u AS (SELECT unnest(tk) AS token FROM t),
+         uf AS (SELECT token, count(*) AS ucnt FROM u GROUP BY 1),
+         tot AS (SELECT count(*) AS total FROM u),
+         b AS (SELECT doc_id, tk[i] AS prefix, tk[i] || ' ' || tk[i+1] AS bigram,
+                      tk[i+1] AS token
+               FROM t, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+               WHERE len(tk) >= 2),
+         bf AS (SELECT bigram, count(*) AS bcnt FROM b GROUP BY 1),
+         pf AS (SELECT prefix, count(*) AS pcnt FROM b GROUP BY 1)
+         SELECT doc_id, count(*) AS n_bigrams,
+                round(avg(ln($interpLambda * (bcnt / CAST(pcnt AS DOUBLE))
+                  + ${1.0 - interpLambda} * (ucnt / CAST(total AS DOUBLE)))), 4)
+                  AS avg_logprob
+         FROM b JOIN bf USING (bigram) JOIN pf USING (prefix)
+                JOIN uf USING (token) CROSS JOIN tot
          GROUP BY 1""",
 
     "text_bigram_lm" ->

@@ -134,10 +134,13 @@ object Curation {
     *
     * Shapes: bigrams are built IN-ROW (zip of two slices — no
     * self-join); both frequency tables are one map-side-combining agg
-    * each; the score joins key on the bigram/prefix strings (at
-    * 100 TB swap the join keys for 8-byte shingle hashes — the
-    * minhash trick — to keep shuffle width fixed). Docs with < 2
-    * tokens drop out (no bigram evidence). */
+    * each; the score joins and both aggregates key on 8-BYTE HASHES
+    * of the prefix/bigram (xxhash64 — the minhash trick), never the
+    * strings: shuffle width is fixed regardless of token length, and
+    * a 100 TB corpus's shuffles carry (hash, count) pairs. Collisions
+    * (~|V|²/2^64) merge two counts — immaterial, and the hash gate
+    * would catch one at verify scale. Docs with < 2 tokens drop out
+    * (no bigram evidence). */
   def bigramLogProb(docs: DataFrame, idCol: String, tokens: Column): DataFrame = {
     val withB = docs.select(col(idCol).as("doc_id"), array_remove(tokens, "").as("__t"))
       .filter(size(col("__t")) >= 2)
@@ -145,15 +148,69 @@ object Curation {
           zip_with(
             slice(col("__t"), lit(1), size(col("__t")) - 1),
             slice(col("__t"), lit(2), size(col("__t")) - 1),
-            (a, b) => struct(a.as("prefix"), concat_ws(" ", a, b).as("bigram"))))
+            // hash at build time: the exploded rows, both frequency
+            // aggs and both joins never see a string key. seed lits
+            // decorrelate the two key spaces (a prefix hash must
+            // never accidentally equal a bigram hash)
+            (a, b) => struct(xxhash64(lit(1L), a).as("prefix_h"),
+              xxhash64(lit(2L), a, b).as("bigram_h"))))
         .as("p"))
-      .select(col("doc_id"), col("p.prefix").as("prefix"), col("p.bigram").as("bigram"))
-    val bfreq = withB.groupBy("bigram").agg(count("*").as("bcnt"))
-    val pfreq = withB.groupBy("prefix").agg(count("*").as("pcnt"))
-    withB.join(bfreq, "bigram").join(pfreq, "prefix")
+      .select(col("doc_id"), col("p.prefix_h").as("prefix_h"), col("p.bigram_h").as("bigram_h"))
+    val bfreq = withB.groupBy("bigram_h").agg(count("*").as("bcnt"))
+    val pfreq = withB.groupBy("prefix_h").agg(count("*").as("pcnt"))
+    withB.join(bfreq, "bigram_h").join(pfreq, "prefix_h")
       .groupBy("doc_id")
       .agg(count("*").as("n_bigrams"),
         round(avg(log(col("bcnt") / col("pcnt"))), 4).as("avg_logprob"))
+  }
+
+  /** Per-document average INTERPOLATED bigram⊕unigram log-likelihood
+    * — the CCNet/Jelinek-Mercer shape: ln(λ·P(w_i|w_{i−1}) +
+    * (1−λ)·P(w_i)). Pure-MLE bigram conditionals give rare prefixes
+    * overconfident probabilities (a once-seen prefix scores its one
+    * continuation P=1); the unigram mixture cushions them, which is
+    * what makes the score usable as a corpus-level quality filter.
+    * λ=1 degenerates to [[bigramLogProb]] exactly (spec-tested
+    * parity); λ→0 approaches the unigram signal.
+    *
+    * Same scale shape as [[bigramLogProb]]: in-row bigram build,
+    * 8-byte hash keys everywhere (fixed shuffle width), three
+    * map-side-combining freq aggs (bigram, prefix, unigram), corpus
+    * token total as a broadcast 1-row cross join (no driver count).
+    */
+  def interpLogProb(docs: DataFrame, idCol: String, tokens: Column,
+      lambda: Double): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    val toks = docs.select(col(idCol).as("doc_id"), array_remove(tokens, "").as("__t"))
+    // unigram table over ALL token occurrences (not just bigram
+    // positions): P(w) is a corpus property, independent of where the
+    // bigram windows fall
+    val uni = toks.select(explode(col("__t")).as("__tok"))
+      .select(xxhash64(lit(1L), col("__tok")).as("token_h"))
+      .groupBy("token_h").agg(count("*").as("ucnt"))
+    val total = toks.select(explode(col("__t")).as("__tok"))
+      .agg(count("*").as("total"))
+    val withB = toks
+      .filter(size(col("__t")) >= 2)
+      .select(col("doc_id"), explode(
+          zip_with(
+            slice(col("__t"), lit(1), size(col("__t")) - 1),
+            slice(col("__t"), lit(2), size(col("__t")) - 1),
+            (a, b) => struct(xxhash64(lit(1L), a).as("prefix_h"),
+              xxhash64(lit(2L), a, b).as("bigram_h"),
+              xxhash64(lit(1L), b).as("token_h"))))
+        .as("p"))
+      .select(col("doc_id"), col("p.prefix_h").as("prefix_h"),
+        col("p.bigram_h").as("bigram_h"), col("p.token_h").as("token_h"))
+    val bfreq = withB.groupBy("bigram_h").agg(count("*").as("bcnt"))
+    val pfreq = withB.groupBy("prefix_h").agg(count("*").as("pcnt"))
+    withB.join(bfreq, "bigram_h").join(pfreq, "prefix_h").join(uni, "token_h")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count("*").as("n_bigrams"),
+        round(avg(log(
+          lit(lambda) * (col("bcnt") / col("pcnt")) +
+            lit(1.0 - lambda) * (col("ucnt") / col("total")))), 4).as("avg_logprob"))
   }
 
   /** Greedy sequence packing: assign documents to fixed-budget packs

@@ -93,6 +93,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert(uni(100L) === uni(101L), "unigram signal is order-blind by construction")
   }
 
+  test("interpLogProb at lambda=1 degenerates to bigramLogProb exactly") {
+    val docs = Seq((1L, "a b c a b"), (2L, "a c b"), (3L, "b b a c"))
+      .toDF("doc_id", "text")
+    val toks = graft.functions.Text.tokens(col("text"))
+    val bi = Curation.bigramLogProb(docs, "doc_id", toks)
+      .as[(Long, Long, Double)].collect().toSet
+    val interp = Curation.interpLogProb(docs, "doc_id", toks, lambda = 1.0)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(interp === bi)
+  }
+
+  test("interpLogProb cushions the once-seen-prefix overconfidence") {
+    // 'rare' occurs once as a prefix: MLE gives its one continuation
+    // P=1 (ln P = 0 — overconfident). The unigram mixture pulls the
+    // mixed probability below 1, so the interpolated score is
+    // strictly lower for that bigram — while frequent, genuinely
+    // predictable bigrams keep scores close to the MLE value.
+    val docs = Seq((1L, "rare continuation"), (2L, "a b"), (3L, "a b"), (4L, "a b"))
+      .toDF("doc_id", "text")
+    val toks = graft.functions.Text.tokens(col("text"))
+    val mle = Curation.bigramLogProb(docs, "doc_id", toks)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val mixed = Curation.interpLogProb(docs, "doc_id", toks, lambda = 0.9)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(mle(1L) === 0.0, "MLE scores the once-seen prefix P=1")
+    assert(mixed(1L) < 0.0, "interpolation must cushion P=1 overconfidence")
+    // the frequent bigram 'a b' (P(b|a)=1 from 3 observations) also
+    // mixes down, but stays above the rare doc's score: P(b) > P(continuation)
+    assert(mixed(2L) > mixed(1L))
+  }
+
   // ---- kAnonymize ----
 
   test("kAnonymize suppresses rare quasi-identifier combinations, keeps crowds") {

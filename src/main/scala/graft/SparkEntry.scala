@@ -481,6 +481,24 @@ object SparkEntry {
         .select(col("node").as("suppkey"), round(col("rank"), 6).as("pagerank"))
     }),
 
+    // PageRank with dangling-mass redistribution, on the DIRECTED
+    // pair graph (a < b, no symmetrization — the max supplier of each
+    // order emits nothing: genuine danglers). Each iteration adds
+    // d·D/N so mass sums to 1 exactly (conservation spec); oracle
+    // unrolls the iterations with the dangling scalar per round
+    "graph_pagerank_dangling" -> ((s, dir) => {
+      import graft.functions.expr.NativeFunctions.sorted_pairs
+      val sets = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_suppkey"))).as("__ms"))
+      val edges = sets.select(explode(sorted_pairs(col("__ms"))).as("__p"))
+        .select(col("__p.a").as("src"), col("__p.b").as("dst"))
+        .distinct()
+      graft.operators.Graph.pagerank(edges, "src", "dst", iterations = 3,
+        truncateEvery = 3, danglingRedistribution = true)
+        .select(col("node").as("suppkey"), round(col("rank"), 6).as("pagerank"))
+    }),
+
     // URL canonicalization dedup, oracle-gated end-to-end by the
     // synthesize-parse round trip (the xml_roundtrip pattern): build a
     // messy URL per order (case-jittered host, default port, tracking
@@ -1794,6 +1812,37 @@ object SparkEntry {
                 GROUP BY 1),
          r3 AS (SELECT node, 0.15 / n + 0.85 * infl AS r FROM i3 CROSS JOIN nv)
          SELECT node AS suppkey, round(r, 6) AS pagerank FROM r3""",
+
+    // 3 unrolled iterations with the per-round dangling-mass scalar:
+    // r_{k+1} = (1-d)/N + d*(inflow + D_k/N), D_k = sum of ranks over
+    // nodes with no out-edges
+    "graph_pagerank_dangling" -> {
+      def iter(k: Int): String =
+        s"""d$k AS (SELECT coalesce(sum(r), 0.0) AS dm FROM r${k - 1}
+                    WHERE node NOT IN (SELECT src FROM deg)),
+           i$k AS (SELECT e.dst AS node, sum(rr.r / deg.outdeg) AS infl
+                   FROM e JOIN r${k - 1} rr ON e.src = rr.node
+                        JOIN deg ON e.src = deg.src
+                   GROUP BY 1),
+           r$k AS (SELECT nodes.node,
+                          0.15 / n + 0.85 * (coalesce(infl, 0.0) + dm / n) AS r
+                   FROM nodes LEFT JOIN i$k ON nodes.node = i$k.node
+                        CROSS JOIN d$k CROSS JOIN nv)"""
+      s"""WITH lo AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         pairs AS (SELECT a.l_suppkey AS pa, b.l_suppkey AS pb
+                   FROM lo a JOIN lo b
+                     ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+                   GROUP BY 1, 2),
+         e AS (SELECT pa AS src, pb AS dst FROM pairs),
+         deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         nv AS (SELECT count(*) AS n FROM nodes),
+         r0 AS (SELECT node, 1.0 / n AS r FROM nodes CROSS JOIN nv),
+         ${iter(1)},
+         ${iter(2)},
+         ${iter(3)}
+         SELECT node AS suppkey, round(r, 6) AS pagerank FROM r3"""
+    },
 
     "dedup_url" ->
       """WITH c AS (

@@ -27,19 +27,36 @@ object Graph {
     * materializes) — no other driver state.
     *
     * Dangling nodes (appearing only as dst) receive teleport + inflow
-    * but emit nothing — their mass is dropped, the behavior of the
-    * original formulation. Feed a symmetrized edge list (undirected
-    * graphs) or pre-prune danglers when strict mass conservation
-    * matters.
+    * but emit nothing. By default their mass is DROPPED (the original
+    * formulation's behavior — fine for symmetrized graphs, which have
+    * no danglers). With `danglingRedistribution = true` each
+    * iteration adds d·Dₖ/N to every node, where Dₖ = Σ ranks of
+    * dangling nodes — the standard correction that makes Σ rank = 1
+    * hold EXACTLY every iteration (spec-asserted). The mass scalar is
+    * a 1-row aggregate cross-joined back in (broadcast by
+    * construction — no per-iteration driver collect).
+    *
+    * Convergence: `iterations` is the cap. With `tolerance =
+    * Some(ε)` the loop ALSO stops once the L1 step delta
+    * Σ|rankₖ₊₁ − rankₖ| < ε — the per-iteration scalar read is
+    * fixpoint control, the same legitimate driver interaction as
+    * connectedComponents' changed-count (each iteration is
+    * materialized anyway when its delta is read, so the extra cost is
+    * one ∝|V| join). `onIteration` observes (iteration, delta) —
+    * production monitoring and spec hook.
     *
     * @return (node, rank) — one row per distinct node in `edges`.
     */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, damping: Double = 0.85,
-      truncateEvery: Int = 1): DataFrame = {
+      truncateEvery: Int = 1,
+      danglingRedistribution: Boolean = false,
+      tolerance: Option[Double] = None,
+      onIteration: (Int, Double) => Unit = (_, _) => ()): DataFrame = {
     require(iterations >= 1, s"iterations $iterations must be >= 1")
     require(damping > 0.0 && damping < 1.0, s"damping $damping outside (0, 1)")
     require(truncateEvery >= 1, s"truncateEvery $truncateEvery must be >= 1")
+    require(tolerance.forall(_ > 0.0), "tolerance must be positive")
     // reliable checkpoints when a dir is configured (executor loss
     // mid-iteration survives on a real cluster), executor-local
     // otherwise — the Clusters.connectedComponents contract; bounded
@@ -68,15 +85,45 @@ object Graph {
     // skipped truncation saves one full rank-frame job; ranks are
     // ∝ |V| rows so the recompute inside a window is cheap
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    for (i <- 1 to iterations) {
+    var i = 0
+    var converged = false
+    while (i < iterations && !converged) {
+      i += 1
       val inflow = ew.join(ranks, ew("src") === ranks("node"))
         .select(col("dst"), (col("rank") / col("__outdeg")).as("__c"))
         .groupBy("dst").agg(sum("__c").as("__in"))
-      val next = nodes.join(inflow, nodes("node") === inflow("dst"), "left")
-        .select(col("node"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
-      ranks = if (i % truncateEvery == 0 || i == iterations) truncate(next) else next
+      val next =
+        if (!danglingRedistribution)
+          nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+            .select(col("node"),
+              (lit((1.0 - damping) / n) +
+                lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
+        else {
+          // Dₖ = Σ rank over nodes with no out-edges — a 1-row agg,
+          // broadcast back (never a corpus shuffle)
+          val dm = ranks.join(deg, ranks("node") === deg("src"), "left_anti")
+            .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
+          nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+            .crossJoin(broadcast(dm))
+            .select(col("node"),
+              (lit((1.0 - damping) / n) +
+                lit(damping) * (coalesce(col("__in"), lit(0.0)) +
+                  col("__dm") / n)).as("rank"))
+        }
+      tolerance match {
+        case Some(eps) =>
+          // delta needs next materialized anyway — truncate every
+          // iteration in this mode (the barrier IS the delta read)
+          val mat = truncate(next)
+          val delta = mat
+            .join(ranks.select(col("node"), col("rank").as("__prev")), "node")
+            .agg(sum(abs(col("rank") - col("__prev")))).collect()(0).getDouble(0)
+          onIteration(i, delta)
+          ranks = mat
+          if (delta < eps) converged = true
+        case None =>
+          ranks = if (i % truncateEvery == 0 || i == iterations) truncate(next) else next
+      }
     }
     ranks
   }

@@ -54,6 +54,58 @@ class GraphUrlSpec extends SparkSpec {
     assert(math.abs(r(3L) - (t + 0.85 * (1.0 / 3 / 2 + 1.0 / 3))) < 1e-12)
   }
 
+  test("dangling redistribution conserves mass where the plain form leaks it") {
+    // directed chain with a dangler: 1 -> 2 -> 3 (node 3 emits nothing)
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    for (iters <- Seq(1, 3, 7)) {
+      val plain = Graph.pagerank(edges, "src", "dst", iters)
+        .as[(Long, Double)].collect().map(_._2).sum
+      val conserved = Graph.pagerank(edges, "src", "dst", iters,
+          danglingRedistribution = true)
+        .as[(Long, Double)].collect().map(_._2).sum
+      assert(plain < 1.0 - 1e-6, s"iters=$iters: dangler must leak mass, got $plain")
+      assert(math.abs(conserved - 1.0) < 1e-9,
+        s"iters=$iters: redistribution must conserve mass, got $conserved")
+    }
+    // redistributed ranks match an independent driver-side power
+    // iteration with the D/N correction term
+    val r = Graph.pagerank(edges, "src", "dst", 5, danglingRedistribution = true)
+      .as[(Long, Double)].collect().toMap
+    var exp = Map(1L -> 1.0 / 3, 2L -> 1.0 / 3, 3L -> 1.0 / 3)
+    for (_ <- 1 to 5) {
+      val dm = exp(3L)
+      exp = Map(
+        1L -> (0.15 / 3 + 0.85 * (dm / 3)),
+        2L -> (0.15 / 3 + 0.85 * (exp(1L) + dm / 3)),
+        3L -> (0.15 / 3 + 0.85 * (exp(2L) + dm / 3)))
+    }
+    exp.foreach { case (k, v) => assert(math.abs(r(k) - v) < 1e-12, s"node $k") }
+  }
+
+  test("L1-delta tolerance stops the loop early at the fixpoint") {
+    val pairs = (1L to 5L).map(l => (0L, l))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    // power iteration contracts at ~damping per step, so 1e-3 from an
+    // O(0.1) start needs ~40 rounds — well under the 100 cap
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    val r = Graph.pagerank(edges, "src", "dst", iterations = 100,
+        tolerance = Some(1e-3), onIteration = (i, d) => deltas += ((i, d)))
+      .as[(Long, Double)].collect().toMap
+    assert(deltas.size < 100, s"should converge well before the cap, ran ${deltas.size}")
+    assert(deltas.last._2 < 1e-3)
+    // deltas contract geometrically (|| step || <= damping * previous)
+    deltas.map(_._2).sliding(2).foreach { w =>
+      assert(w(1) <= w(0) * 0.85 + 1e-15,
+        s"delta did not contract: ${w(0)} -> ${w(1)}")
+    }
+    // the early-stopped result sits within delta*d/(1-d) of the
+    // (numerically converged) long fixed-iteration run
+    val full = Graph.pagerank(edges, "src", "dst", iterations = 100,
+      truncateEvery = 10)
+      .as[(Long, Double)].collect().toMap
+    r.foreach { case (k, v) => assert(math.abs(v - full(k)) < 0.01, s"node $k") }
+  }
+
   test("pagerank validates arguments") {
     val edges = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException](Graph.pagerank(edges, "src", "dst", 0))

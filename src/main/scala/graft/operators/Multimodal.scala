@@ -4,6 +4,7 @@ import java.awt.RenderingHints
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -18,9 +19,12 @@ import org.apache.spark.sql.functions._
   * The IMAGE path is real: PNG/JPEG payloads are decoded, resized,
   * and feature-extracted with `javax.imageio` + Java2D (pure JVM, no
   * native deps), inside `mapPartitions` so codec setup amortizes per
-  * partition. Audio/video kernels remain deterministic STUBS (clearly
-  * marked — their codecs need native libraries absent from this
-  * environment); the distributed plumbing around them is identical.
+  * partition. The AUDIO path is real for WAV/PCM: payloads decode via
+  * `javax.sound.sampled` (pure JVM) to normalized mono samples and
+  * feature-extract as per-strip RMS energy. VIDEO (and compressed
+  * audio) kernels remain deterministic STUBS (clearly marked — their
+  * codecs need native libraries absent from this environment); the
+  * distributed plumbing around them is identical.
   */
 object Multimodal {
 
@@ -120,13 +124,102 @@ object Multimodal {
       }
       out
     }
+
+    // ----------------------------------------------------------------
+    // Real audio codec (javax.sound.sampled — pure JVM, WAV/PCM and
+    // whatever the JDK's SPI chain can convert to signed 16-bit).
+    // ----------------------------------------------------------------
+
+    /** Decode a WAV payload to channel-averaged mono samples in
+      * [−1, 1]. Any source encoding the JDK can read is first
+      * converted to PCM_SIGNED 16-bit little-endian at the source
+      * rate/channel count — one deterministic sample pipeline. */
+    def decodeWav(payload: Array[Byte]): Array[Double] = {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      try {
+        val src = in.getFormat
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels,
+          src.getChannels * 2, src.getSampleRate, false)
+        val conv = AudioSystem.getAudioInputStream(target, in)
+        val bytes = conv.readAllBytes()
+        val ch = target.getChannels
+        val nFrames = bytes.length / (2 * ch)
+        require(nFrames > 0, "empty PCM stream")
+        val out = new Array[Double](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var sum = 0.0
+          var c = 0
+          while (c < ch) {
+            val i = (f * ch + c) * 2
+            val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort
+            sum += s / 32768.0
+            c += 1
+          }
+          out(f) = sum / ch
+          f += 1
+        }
+        out
+      } finally in.close()
+    }
+
+    /** `dim` RMS-energy features over `dim` time strips — the audio
+      * analog of [[stripLuminance]]: a real decoded-sample statistic
+      * (stands where an audio-embedding forward pass would run).
+      * Values in [0, 1] for normalized PCM. */
+    def stripRms(samples: Array[Double], dim: Int): Array[Float] = {
+      val n = samples.length
+      val out = new Array[Float](dim)
+      var s = 0
+      while (s < dim) {
+        val i0 = (s.toLong * n / dim).toInt
+        val i1 = math.max(i0 + 1, ((s + 1).toLong * n / dim).toInt)
+        var acc = 0.0
+        var i = i0
+        while (i < i1) { acc += samples(i) * samples(i); i += 1 }
+        out(s) = math.sqrt(acc / (i1 - i0)).toFloat
+        s += 1
+      }
+      out
+    }
+
+    /** Synthesize a mono 16-bit PCM WAV from samples in [−1, 1] —
+      * tests/demos (the WAV twin of encodePng). */
+    def encodeWavPcm16(samples: Array[Double], sampleRate: Float): Array[Byte] = {
+      val bytes = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        val v = math.max(-1.0, math.min(1.0, samples(i)))
+        val s = math.round(v * 32767).toShort
+        bytes(2 * i) = (s & 0xff).toByte
+        bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+      val bos = new ByteArrayOutputStream(44 + bytes.length)
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
   }
 
   /** PNG-encode helper exposed for tests/synthesis. */
   private[graft] def encodePng(img: BufferedImage): Array[Byte] = Codec.encodePng(img)
   private[graft] def decodeImage(payload: Array[Byte]): BufferedImage = Codec.decode(payload)
+  private[graft] def encodeWavPcm16(samples: Array[Double], rate: Float): Array[Byte] =
+    Codec.encodeWavPcm16(samples, rate)
+  private[graft] def decodeWav(payload: Array[Byte]): Array[Double] =
+    Codec.decodeWav(payload)
 
   private def isImage(meta: MediaMeta): Boolean = meta.mediaType.startsWith("image/")
+
+  /** WAV containers the pure-JVM decoder handles; compressed audio
+    * (mp3/aac/ogg) needs native codecs → stub path. */
+  private def isWav(meta: MediaMeta): Boolean =
+    meta.mediaType == "audio/wav" || meta.mediaType == "audio/x-wav" ||
+      meta.mediaType == "audio/wave"
 
   // ------------------------------------------------------------------
   // STUB: the non-image decode kernel. Audio/video codecs need native
@@ -173,7 +266,8 @@ object Multimodal {
         try {
           val feats =
             if (isImage(r.meta)) Codec.stripLuminance(Codec.decode(r.payload), dim)
-            else decodeStub(h, dim) // STUB: no native audio/video codecs
+            else if (isWav(r.meta)) Codec.stripRms(Codec.decodeWav(r.payload), dim)
+            else decodeStub(h, dim) // STUB: video + compressed-audio codecs are native-only
           MediaFeatures(r.media_id, r.payload.length.toLong, h, feats)
         } catch { case e: Exception =>
           MediaFeatures(r.media_id, r.payload.length.toLong, h,
@@ -241,22 +335,25 @@ object Multimodal {
           // STUB (non-image): unclamped resynthesis — an upscale
           // legitimately GROWS the payload; size and metadata track
           // together in both directions. Dimensionless media (audio:
-          // 0×0) passes through at scale 1.
+          // 0×0) genuinely passes through UNCHANGED — a spatial
+          // resize has no meaning for it, and regenerating bytes
+          // would corrupt a decodable payload (real WAVs since r4).
           val srcArea = r.meta.width.toLong * r.meta.height
-          val scale =
-            if (srcArea <= 0) 1.0
-            else (width.toLong * height).toDouble / srcArea
-          val n = math.max(1, (r.payload.length * scale).toInt)
-          val out = new Array[Byte](n)
-          var h = payloadHash(r.payload)
-          var i = 0
-          while (i < n) {
-            h = h * 6364136223846793005L + 1442695040888963407L
-            out(i) = (h >>> 56).toByte
-            i += 1
+          if (srcArea <= 0) r
+          else {
+            val scale = (width.toLong * height).toDouble / srcArea
+            val n = math.max(1, (r.payload.length * scale).toInt)
+            val out = new Array[Byte](n)
+            var h = payloadHash(r.payload)
+            var i = 0
+            while (i < n) {
+              h = h * 6364136223846793005L + 1442695040888963407L
+              out(i) = (h >>> 56).toByte
+              i += 1
+            }
+            MediaRow(r.media_id, out,
+              r.meta.copy(width = width, height = height))
           }
-          MediaRow(r.media_id, out,
-            r.meta.copy(width = width, height = height))
         }
       }
     }
@@ -318,8 +415,9 @@ object Multimodal {
 
   /** Deterministic synthetic media table for tests/demos. Even ids
     * are REAL PNG images (id-seeded LCG pixels, varying dimensions —
-    * decodable by any compliant reader); odd ids are fake audio bytes
-    * for the stub path. */
+    * decodable by any compliant reader); odd ids are REAL mono PCM
+    * WAVs (id-seeded LCG samples — decodable by any compliant
+    * reader). */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n.toLong).map { id =>
@@ -341,9 +439,15 @@ object Multimodal {
         MediaRow(id, Codec.encodePng(img),
           MediaMeta("image/png", w, h, 0L, "png"))
       } else {
-        val bytes = Array.tabulate[Byte](4096 + (id % 64).toInt * 64)(
-          i => ((id * 31 + i) % 127).toByte)
-        MediaRow(id, bytes, MediaMeta("audio/wav", 0, 0, id * 10, "fake"))
+        val rate = 8000f
+        val nSamples = 2048 + (id % 64).toInt * 32
+        var seed = id * 6364136223846793005L + 1442695040888963407L
+        val samples = Array.fill(nSamples) {
+          seed = seed * 6364136223846793005L + 1442695040888963407L
+          ((seed >>> 40).toInt % 1000) / 1000.0 * 0.8
+        }
+        MediaRow(id, Codec.encodeWavPcm16(samples, rate),
+          MediaMeta("audio/wav", 0, 0, (nSamples * 1000L) / rate.toLong, "pcm_s16le"))
       }
     }
   }

@@ -60,6 +60,42 @@ class MultimodalSpec extends SparkSpec {
     assert(f(1).features.forall(v => v === 1.0f))
   }
 
+  test("extractFeatures reads REAL audio samples: silence/amplitude strips") {
+    implicit val s = spark
+    // first half silent, second half constant amplitude 0.8: with
+    // dim=2 the strip RMS features must be ~[0, 0.8] — provably
+    // derived from decoded PCM, not payload-byte hashing
+    val samples = Array.tabulate(8000)(i => if (i < 4000) 0.0 else 0.8)
+    val wav = Multimodal.MediaRow(1L,
+      Multimodal.encodeWavPcm16(samples, 8000f),
+      Multimodal.MediaMeta("audio/wav", 0, 0, 1000L, "pcm_s16le"))
+    val f = Multimodal.extractFeatures(Seq(wav).toDS(), dim = 2).collect().head
+    assert(f.ok)
+    assert(math.abs(f.features(0)) < 1e-6, s"silent strip: ${f.features(0)}")
+    // 0.8 survives 16-bit quantization to ~4 decimals
+    assert(math.abs(f.features(1) - 0.8) < 1e-3, s"loud strip: ${f.features(1)}")
+    // full WAV round trip: encode -> decode returns the samples
+    val decoded = Multimodal.decodeWav(wav.payload)
+    assert(decoded.length === 8000)
+    assert(math.abs(decoded(6000) - 0.8) < 1e-4)
+    assert(decoded(100) === 0.0)
+  }
+
+  test("audio resize passes dimensionless payloads through undamaged") {
+    implicit val s = spark
+    val media = Multimodal.syntheticMedia(spark, 4)
+    val before = media.collect().filter(_.media_id % 2 == 1)
+    val after = Multimodal.resize(media, 32, 32).collect()
+      .filter(_.media_id % 2 == 1)
+    assert(before.map(_.media_id).toSet === after.map(_.media_id).toSet)
+    after.foreach { r =>
+      val orig = before.find(_.media_id == r.media_id).get
+      assert(r.payload.toSeq === orig.payload.toSeq, s"payload changed: ${r.media_id}")
+      // still a decodable WAV after the pipeline
+      assert(Multimodal.decodeWav(r.payload).nonEmpty)
+    }
+  }
+
   test("decode failure is data: corrupt image rows flag, don't kill the job") {
     implicit val s = spark
     val corrupt = Multimodal.MediaRow(7L, Array[Byte](1, 2, 3, 4),

@@ -210,6 +210,55 @@ object Dedup {
     materialized
   }
 
+  /** A STANDING MinHash-LSH index: persisted signatures + band table,
+    * built once at corpus-land time and probed by any number of later
+    * batches ([[minhashProbe]]) without ever recomputing or shuffling
+    * the corpus side — the index [[minhashLshIncremental]] describes,
+    * materialized. Callers own the lifecycle: `release()` when done.
+    */
+  final case class MinhashIndex(sigs: DataFrame, banded: DataFrame,
+      k: Int, perms: Int, bands: Int) {
+    def release(): Unit = {
+      banded.unpersist(blocking = false)
+      sigs.unpersist(blocking = false)
+    }
+  }
+
+  /** Build (and materialize) the standing index for a corpus. */
+  def minhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+      k: Int, perms: Int, bands: Int): MinhashIndex = {
+    require(perms % bands == 0, "bands must divide perms")
+    val sigs = minhashSigsOf(corpus, idCol, textCol, k, perms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = bandedOf(sigs, perms, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    banded.count() // materialize both (banded pulls sigs through)
+    MinhashIndex(sigs, banded, k, perms, bands)
+  }
+
+  /** Probe one batch against a standing index: near-dup pairs
+    * (doc_a = corpus id, doc_b = batch id, est_jaccard) — identical
+    * semantics to [[minhashLshIncremental]] for that batch, but the
+    * corpus work is amortized across probes: only the batch is
+    * shingled/signed per call, and its bands broadcast into the index
+    * join. This is the continuous-ingestion hot path (the streaming
+    * twin drives it per micro-batch). */
+  def minhashProbe(index: MinhashIndex, batch: DataFrame,
+      idCol: String, textCol: String, tau: Double): DataFrame = {
+    val sigsB = minhashSigsOf(batch, idCol, textCol, index.k, index.perms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = index.banded.as("a")
+      .join(broadcast(bandedOf(sigsB, index.perms, index.bands)).as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val out = verifyPairs(candIds, index.sigs, sigsB, index.perms, tau)
+    val materialized = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    materialized.count()
+    sigsB.unpersist(blocking = false)
+    materialized
+  }
+
   /** Incremental exact dedup: for each batch doc, the lowest-id
     * corpus doc with identical content (null = genuinely new). The
     * batch hash set is BROADCAST against the corpus scan — the corpus

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+import graft.operators.Dedup
+
+/** Streaming incremental dedup — the continuous twins of
+  * [[graft.operators.Dedup.exactIncremental]] (exact hash probe) and
+  * [[graft.operators.Dedup.minhashLshIncremental]] (near-dup index
+  * probe): documents arrive in micro-batches and are deduplicated
+  * against a STANDING corpus, exactly the continuous-ingestion shape
+  * where re-running self-dedup per batch would cost O(corpus) per
+  * run.
+  */
+object DedupStream {
+
+  case class Doc(doc_id: Long, text: String)
+  /** Internal join row (public: Catalyst's generated deserializer
+    * must construct it). */
+  case class Probed(doc_id: Long, h: String, corpus_dup: Option[Long])
+  case class ProbeResult(doc_id: Long, dup_of: Option[Long])
+
+  /** Standing exact index of a corpus: content hash → lowest doc id.
+    * Built once; the stream-static join re-reads it per micro-batch
+    * (refresh it by swapping the underlying table — the engine never
+    * holds it as streaming state). */
+  def exactIndex(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    corpus.select(md5(col(textCol)).as("h"), col(idCol).as("__cid"))
+      .groupBy("h").agg(min("__cid").as("corpus_dup"))
+
+  /** Continuous exact-dedup probe with CROSS-BATCH memory.
+    *
+    * Each document's `dup_of` is the STANDING REPRESENTATIVE of its
+    * content hash at arrival: the lowest matching corpus id, or the
+    * lowest-id stream document with identical content seen earlier
+    * (earlier batch, or same batch with a lower id); null = first
+    * sighting. This is what the batch probe cannot do: a duplicate
+    * arriving two batches after its original (neither in the corpus)
+    * is caught here, while `exactIncremental` against the static
+    * corpus would pass both as new.
+    *
+    * Mechanics: md5 per row (stateless) → stream-static LEFT join
+    * against the broadcast corpus index → one `GroupState[Long]` per
+    * DISTINCT CONTENT HASH holding the representative id (8 bytes per
+    * distinct document — the same asymptotic state the standing index
+    * itself costs; bound it with a state-store TTL or periodic index
+    * compaction when the stream is unbounded). Within a batch, a
+    * hash's rows fold in doc_id order — deterministic under shuffle
+    * reordering. The representative tightens to the minimum id seen,
+    * so with ids arriving in order the emitted dup_of equals the
+    * batch reference exactly (parity spec).
+    */
+  def exactProbe(stream: Dataset[Doc], corpusIndex: DataFrame): Dataset[ProbeResult] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    def fold(key: String, rows: Iterator[Probed],
+        state: GroupState[Long]): Iterator[ProbeResult] = {
+      val rs = rows.toSeq.sortBy(_.doc_id)
+      var keeper: Option[Long] = state.getOption.orElse(rs.head.corpus_dup)
+      val out = rs.map { r =>
+        val dup = keeper
+        keeper = Some(keeper.fold(r.doc_id)(math.min(_, r.doc_id)))
+        ProbeResult(r.doc_id, dup)
+      }
+      state.update(keeper.get)
+      out.iterator
+    }
+    stream.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(broadcast(corpusIndex), Seq("h"), "left")
+      .select(col("doc_id"), col("h"), col("corpus_dup"))
+      .as[Probed]
+      .groupByKey(_.h)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fold)
+  }
+
+  /** Continuous NEAR-dup probe: each micro-batch is probed against a
+    * standing [[Dedup.MinhashIndex]] (persisted signatures + band
+    * table, built ONCE at corpus-land time). Per batch this is
+    * exactly [[Dedup.minhashProbe]] — only the batch is shingled and
+    * signed, its bands broadcast into the index join, the corpus
+    * never recomputed or shuffled — driven through `foreachBatch`
+    * (the landing pattern: near-dup pair output feeds an idempotent
+    * sink, here a caller callback). Per-batch results over a batch
+    * sequence ≡ the one-shot batch operator over their union,
+    * because corpus×batch pairs partition by batch (parity spec).
+    */
+  def minhashProbeQuery(stream: Dataset[Doc], index: Dedup.MinhashIndex,
+      tau: Double)(onBatch: DataFrame => Unit): StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[Doc], _: Long) =>
+        onBatch(Dedup.minhashProbe(index, batch.toDF(), "doc_id", "text", tau))
+      }
+      .start()
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.sources.Tables
+import graft.streaming.DedupStream
+import graft.streaming.DedupStream.{Doc, ProbeResult}
+
+/** Streaming incremental-dedup probes: the continuous twins of
+  * Dedup.exactIncremental / Dedup.minhashLshIncremental. Parity is
+  * against the batch operators on the same data, plus the
+  * cross-batch catch the batch probe cannot make. */
+class DedupStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  implicit private def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def runExact(corpus: DataFrame,
+      batches: Seq[Seq[Doc]], name: String): Map[Long, Option[Long]] = {
+    val idx = DedupStream.exactIndex(corpus, "doc_id", "text")
+    val mem = MemoryStream[Doc]
+    val q = DedupStream.exactProbe(mem.toDS(), idx)
+      .writeStream.outputMode("update").format("memory").queryName(name).start()
+    try batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    spark.table(name).as[ProbeResult].collect()
+      .map(r => r.doc_id -> r.dup_of).toMap
+  }
+
+  test("exact probe ≡ the standing-representative batch reference, split-invariant") {
+    val corpus = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      .toDF("doc_id", "text")
+    val streamDocs = Seq(
+      Doc(10L, "alpha"),  // corpus dup → 1 (lowest corpus id)
+      Doc(11L, "fresh one"),
+      Doc(12L, "fresh one"), // same-batch dup of 11 when batched together
+      Doc(13L, "gamma"),
+      Doc(14L, "beta"),   // corpus dup → 2
+      Doc(15L, "gamma"))  // cross-batch dup of 13
+    // reference: dup_of(d) = min id among (corpus ∪ earlier-stream)
+    // docs with identical content — ids arrive ascending, so the
+    // standing representative IS that minimum
+    val all = corpus.as[(Long, String)].collect().map(r => (r._1, r._2, true)) ++
+      streamDocs.map(d => (d.doc_id, d.text, false))
+    val expected = streamDocs.map { d =>
+      val earlier = all.filter { case (id, t, isCorpus) =>
+        t == d.text && (isCorpus || id < d.doc_id) }
+      d.doc_id -> (if (earlier.isEmpty) None else Some(earlier.map(_._1).min))
+    }.toMap
+
+    val oneBatch = runExact(corpus, Seq(streamDocs), "t_exact_1")
+    val threeBatches = runExact(corpus,
+      Seq(streamDocs.take(2), streamDocs.slice(2, 4), streamDocs.drop(4)), "t_exact_3")
+    assert(oneBatch === expected)
+    assert(threeBatches === expected, "batching must not change the output")
+  }
+
+  test("cross-batch duplicate is caught where the static batch probe passes it as new") {
+    val corpus = Seq((1L, "alpha")).toDF("doc_id", "text")
+    val b1 = Seq(Doc(10L, "new content"))
+    val b2 = Seq(Doc(20L, "new content")) // dup of 10 — NOT in the corpus
+    val out = runExact(corpus, Seq(b1, b2), "t_cross")
+    assert(out(10L) === None)
+    assert(out(20L) === Some(10L), "stream state must remember batch 1")
+    // the batch probe against the static corpus alone misses it
+    val staticOnly = Dedup.exactIncremental(corpus,
+        (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(staticOnly(20L) === None, "static probe cannot see earlier batches")
+  }
+
+  test("streamed minhash probes over batches ≡ the one-shot batch operator") {
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+    val batchDocs = docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+      .select(col("doc_id"), col("text")).as[Doc].collect().sortBy(_.doc_id).toSeq
+    val (k, perms, bands, tau) = (3, 64, 16, 0.5)
+
+    val expected = Dedup.minhashLshIncremental(corpus,
+        batchDocs.toDF(), "doc_id", "text", k, perms, bands, tau)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(expected.nonEmpty, "gate corpus should contain cross near-dups")
+
+    val index = Dedup.minhashIndex(corpus, "doc_id", "text", k, perms, bands)
+    val got = scala.collection.mutable.Set.empty[(Long, Long)]
+    val mem = MemoryStream[Doc]
+    val q = DedupStream.minhashProbeQuery(mem.toDS(), index, tau) { pairs =>
+      got ++= pairs.select("doc_a", "doc_b").as[(Long, Long)].collect()
+    }
+    try {
+      val size = math.max(1, batchDocs.size / 3)
+      batchDocs.grouped(size).foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally { q.stop(); index.release() }
+    assert(got.toSet === expected)
+  }
+}

@@ -418,9 +418,12 @@ object SparkEntry {
     // lenBucket = maxDist: edit distance bounds the length gap by
     // maxDist, so every within-threshold pair lands in the same or
     // adjacent bucket and the adjacent-bucket probe guarantees recall
+    // maxBlock stays the explicit gate constant the oracle mirrors
+    // (bs <= 1000); production callers omit it and get the
+    // stats-derived autoCap default
     "dedup_edit" -> ((s, dir) =>
       Dedup.editDistancePairs(t(s, dir, "documents"), "doc_id", "text",
-        maxDist = 64, lenBucket = 64)),
+        maxDist = 64, lenBucket = 64, maxBlock = Some(1000))),
 
     // pairwise near-dup output → dedup decisions: connected components
     // by min-label propagation; cluster_id = min doc id of the cluster

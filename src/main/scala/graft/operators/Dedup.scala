@@ -16,6 +16,23 @@ import graft.functions.{Text, Vectors}
   */
 object Dedup {
 
+  /** Stats-derived hot-key cap — the cbo_stats wiring for the dedup
+    * family: `max(50, ceil(sqrt(N)))` where N is the corpus row
+    * count. Rationale: a bucket (shingle posting list, blocking
+    * block) of b members costs b² candidate-pair work, so capping
+    * b at √N bounds ANY single bucket's quadratic blowup by one
+    * linear corpus pass — the work budget a scan already pays. The
+    * floor keeps toy corpora from over-pruning. N comes from catalog
+    * stats when the frame is an ANALYZEd table (cbo_stats — free at
+    * plan time); otherwise one metadata-cheap count. The cap
+    * auto-scales with the corpus (spec: grows sf0.01 → sf0.1) while
+    * staying far above real document frequencies at gate scale, so
+    * gate outputs are identical with or without it. */
+  def autoCap(docs: DataFrame): Int = {
+    val n = docs.queryExecution.optimizedPlan.stats.rowCount
+      .map(_.toLong).getOrElse(docs.count())
+    math.max(50, math.ceil(math.sqrt(n.toDouble)).toInt)
+  }
 
   /** Exact content dedup: hash → (survivor id, multiplicity).
     * groupBy(md5) has map-side partial aggregation; the only shuffle
@@ -30,10 +47,13 @@ object Dedup {
     * on shingle (one shuffle, co-partitioned), count shared shingles
     * per pair, then Jaccard from per-doc shingle counts. `maxDf` drops
     * shingles appearing in more documents (they cannot discriminate
-    * and they generate the quadratic bucket blowup).
+    * and they generate the quadratic bucket blowup). Default = the
+    * stats-derived [[autoCap]] (√N rule); pass `Some(Int.MaxValue)`
+    * to disable pruning outright.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, tau: Double, maxDf: Option[Int] = None): DataFrame = {
+    val dfCap = maxDf.getOrElse(autoCap(docs))
     // carry 8-byte shingle hashes through the join, not strings: the
     // native single-pass ShingleHashes expression replaces an
     // interpreted HOF pipeline (~30× on the shingling stage), the
@@ -47,12 +67,12 @@ object Dedup {
         explode(graft.functions.expr.NativeFunctions
           .shingle_hashes(col(textCol), k)).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val shPruned = maxDf match {
-      case Some(cap) =>
-        val hot = sh.groupBy("s").agg(count("*").as("df")).filter(col("df") > cap).select("s")
+    val shPruned =
+      if (dfCap == Int.MaxValue) sh
+      else {
+        val hot = sh.groupBy("s").agg(count("*").as("df")).filter(col("df") > dfCap).select("s")
         sh.join(broadcast(hot), Seq("s"), "left_anti")
-      case None => sh
-    }
+      }
     // sizes from the PRUNED universe: shared counts and set sizes must
     // describe the same shingle space or Jaccard is biased low and
     // true near-dup pairs get silently dropped
@@ -489,16 +509,20 @@ object Dedup {
     * block — boilerplate headers — would go quadratic inside it.
     * `maxBlock` drops such blocks (the df-cap / maxSetSize pattern):
     * a giant block is boilerplate, not near-duplication, and its
-    * pairs would dominate the job without meaning anything.
+    * pairs would dominate the job without meaning anything. Default =
+    * the stats-derived [[autoCap]] (√N rule — no block may cost more
+    * pair work than a corpus scan); pass `Some(Int.MaxValue)` to
+    * disable the guard.
     */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int, lenBucket: Int = 32, prefixLen: Int = 4,
-      maxBlock: Int = 1000): DataFrame = {
+      maxBlock: Option[Int] = None): DataFrame = {
+    val blockCap = maxBlock.getOrElse(autoCap(docs))
     val raw = docs.select(col(idCol).as("id"), col(textCol).as("t"))
       .withColumn("__lb", floor(length(col("t")) / lenBucket))
       .withColumn("__p", substring(col("t"), 1, prefixLen))
     val sizes = raw.groupBy("__lb", "__p").agg(count("*").as("__bs"))
-    val d = raw.join(sizes.filter(col("__bs") <= maxBlock), Seq("__lb", "__p"))
+    val d = raw.join(sizes.filter(col("__bs") <= blockCap), Seq("__lb", "__p"))
       .drop("__bs")
     val a = d.select(col("id").as("doc_a"), col("t").as("__ta"), col("__lb"), col("__p"))
     val b = d.select(col("id").as("doc_b"), col("t").as("__tb"), col("__lb"), col("__p"))

@@ -39,6 +39,24 @@ class DedupSpec extends SparkSpec {
     assert(pruned.nonEmpty)
   }
 
+  test("autoCap derives from corpus stats: scales sf0.01 -> sf0.1, inert at gate") {
+    val small = Tables.documents(spark, "/root/testdata/sf0.01")
+    val big = Tables.documents(spark, "/root/testdata/sf0.1")
+    val capSmall = Dedup.autoCap(small)
+    val capBig = Dedup.autoCap(big)
+    // the sqrt(N) rule: the cap grows with the corpus...
+    assert(capBig > capSmall, s"cap must auto-scale: $capSmall -> $capBig")
+    assert(capSmall === math.max(50, math.ceil(math.sqrt(small.count().toDouble)).toInt))
+    // ...while staying above every real document frequency at gate
+    // scale: derived-cap output is IDENTICAL to the uncapped run
+    val uncapped = Dedup.ngramJaccardPairs(small, "doc_id", "text", k = 3, tau = 0.6,
+        maxDf = Some(Int.MaxValue))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val derived = Dedup.ngramJaccardPairs(small, "doc_id", "text", k = 3, tau = 0.6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(derived === uncapped, "derived cap must be inert on the gate corpus")
+  }
+
   test("minhash LSH recovers the high-jaccard pairs exact jaccard finds") {
     val docs = Tables.documents(spark, sfDir)
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, tau = 0.7)

@@ -1418,14 +1418,14 @@ object SparkEntry {
     * hash-sample candidates, (est desc, token) top-k. Integer
     * end-to-end: even collision over-counts must match exactly.
     *
-    * Known domain bound shared by EVERY hash oracle in this file
+    * Domain note shared by EVERY hash oracle in this file
     * (minhash/simhash/bloom/rolling_fp too): the SQL folds ord(c)
-    * codepoints while the JVM folds signed UTF-8 bytes — identical
-    * for ASCII (the entire driver-generated gate corpus), divergent
-    * for multi-byte characters. A Unicode corpus would need the hash
-    * family switched to codepoint folds on the Spark side (operator
-    * semantics unchanged — any 64-bit hash is valid; only oracle
-    * parity is at stake). */
+    * codepoints, and since r4 the native JVM hashes ALSO fold
+    * Unicode codepoints (in-place UTF-8 decode in RollingHash /
+    * TokenHashing) — identical to the old byte fold on ASCII (gate
+    * hashes unchanged) and now oracle-parity-correct on the full
+    * Unicode plane (TextSpec proves é/日/𝄞 fold as single
+    * codepoints). */
   private def annCmsOracle: String = {
     val (depth, width, sampleBuckets, takeBuckets, k) = (4, 2048, 10, 2, 20)
     val T = BigInt(1) << 64

@@ -35,10 +35,18 @@ case class HammingDistance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** 64-bit polynomial rolling hash of a string's UTF-8 bytes
-  * (h = h * 31 + byte, seeded) — an order-sensitive content
-  * fingerprint cheaper than md5 (no allocation, no digest object),
-  * used for shard-local duplicate pre-screens. */
+/** 64-bit polynomial rolling hash of a string's UNICODE CODEPOINTS
+  * (h = h * 31 + codepoint, seeded) — an order-sensitive content
+  * fingerprint cheaper than md5 (no digest object, in-place UTF-8
+  * decode, no String allocation), used for shard-local duplicate
+  * pre-screens.
+  *
+  * Codepoints, not UTF-8 bytes, since r4: the oracle engine's only
+  * portable character fold is `ord(c)` over per-character splits, so
+  * a byte fold agreed with it on ASCII only. The codepoint fold is
+  * identical on ASCII (byte == codepoint there — every committed
+  * gate hash is unchanged) and agrees on the full Unicode plane,
+  * closing the documented non-ASCII oracle-parity gap. */
 case class RollingHash(child: Expression, seed: Long)
     extends UnaryExpression {
 
@@ -49,7 +57,21 @@ case class RollingHash(child: Expression, seed: Long)
     val bytes = input.asInstanceOf[UTF8String].getBytes
     var h = seed
     var i = 0
-    while (i < bytes.length) { h = h * 31L + bytes(i); i += 1 }
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      var cp = 0
+      var len = 1
+      if (b < 0x80) cp = b
+      else if ((b & 0xe0) == 0xc0) { cp = b & 0x1f; len = 2 }
+      else if ((b & 0xf0) == 0xe0) { cp = b & 0x0f; len = 3 }
+      else { cp = b & 0x07; len = 4 }
+      var k = 1
+      while (k < len && i + k < bytes.length) {
+        cp = (cp << 6) | (bytes(i + k) & 0x3f); k += 1
+      }
+      h = h * 31L + cp
+      i += len
+    }
     h
   }
 
@@ -58,8 +80,19 @@ case class RollingHash(child: Expression, seed: Long)
       s"""
          |byte[] ${ev.value}_b = $c.getBytes();
          |long ${ev.value}_h = ${seed}L;
-         |for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_b.length; ${ev.value}_i++) {
-         |  ${ev.value}_h = ${ev.value}_h * 31L + ${ev.value}_b[${ev.value}_i];
+         |for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_b.length; ) {
+         |  int ${ev.value}_x = ${ev.value}_b[${ev.value}_i] & 0xff;
+         |  int ${ev.value}_cp; int ${ev.value}_l;
+         |  if (${ev.value}_x < 0x80) { ${ev.value}_cp = ${ev.value}_x; ${ev.value}_l = 1; }
+         |  else if ((${ev.value}_x & 0xE0) == 0xC0) { ${ev.value}_cp = ${ev.value}_x & 0x1F; ${ev.value}_l = 2; }
+         |  else if ((${ev.value}_x & 0xF0) == 0xE0) { ${ev.value}_cp = ${ev.value}_x & 0x0F; ${ev.value}_l = 3; }
+         |  else { ${ev.value}_cp = ${ev.value}_x & 0x07; ${ev.value}_l = 4; }
+         |  for (int ${ev.value}_k = 1; ${ev.value}_k < ${ev.value}_l
+         |       && ${ev.value}_i + ${ev.value}_k < ${ev.value}_b.length; ${ev.value}_k++) {
+         |    ${ev.value}_cp = (${ev.value}_cp << 6) | (${ev.value}_b[${ev.value}_i + ${ev.value}_k] & 0x3F);
+         |  }
+         |  ${ev.value}_h = ${ev.value}_h * 31L + ${ev.value}_cp;
+         |  ${ev.value}_i += ${ev.value}_l;
          |}
          |${ev.value} = ${ev.value}_h;
        """.stripMargin)
@@ -107,10 +140,56 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Shared tokenizer for the shingle expressions: whitespace-split
+  * token poly-31 hashes over UNICODE CODEPOINTS (in-place UTF-8
+  * decode — identical to the old byte fold on ASCII, and since r4
+  * identical to the oracle's `ord(c)` fold on all of Unicode). */
+private[expr] object TokenHashing {
+  // full Java \s class: space, tab, LF, VT, FF, CR — Text.tokens and
+  // the DuckDB oracles split on \s+, so a narrower set here would
+  // shingle \f- or \x0B-bearing documents differently than the oracle
+  @inline private def isSpace(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r' || cp == 0x0b || cp == 0x0c
+
+  /** (codepoint, utf8len) packed as (cp << 3) | len. */
+  @inline private def decode(bytes: Array[Byte], i: Int): Int = {
+    val b = bytes(i) & 0xff
+    var cp = 0
+    var len = 1
+    if (b < 0x80) cp = b
+    else if ((b & 0xe0) == 0xc0) { cp = b & 0x1f; len = 2 }
+    else if ((b & 0xf0) == 0xe0) { cp = b & 0x0f; len = 3 }
+    else { cp = b & 0x07; len = 4 }
+    var k = 1
+    while (k < len && i + k < bytes.length) {
+      cp = (cp << 6) | (bytes(i + k) & 0x3f); k += 1
+    }
+    (cp << 3) | len
+  }
+
+  def tokenPolyHashes(bytes: Array[Byte]): java.util.ArrayList[Long] = {
+    val tokHashes = new java.util.ArrayList[Long]()
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      var d = 0
+      while (i < n && { d = decode(bytes, i); isSpace(d >>> 3) }) i += (d & 7)
+      if (i < n) {
+        var h = 17L
+        while (i < n && { d = decode(bytes, i); !isSpace(d >>> 3) }) {
+          h = h * 31L + (d >>> 3); i += (d & 7)
+        }
+        tokHashes.add(h)
+      }
+    }
+    tokHashes
+  }
+}
+
 /** Distinct word-k-gram hashes of a string in one pass: tokenize on
-  * ASCII whitespace runs, hash each token (poly-31 over UTF-8 bytes),
-  * combine each window of k consecutive token hashes into one 64-bit
-  * shingle hash, dedupe.
+  * ASCII whitespace runs, hash each token (poly-31 over Unicode
+  * codepoints), combine each window of k consecutive token hashes
+  * into one 64-bit shingle hash, dedupe.
   *
   * This replaces a `transform(sequence)∘slice∘concat_ws∘array_distinct`
   * higher-order pipeline that evaluated interpreted per shingle and
@@ -128,19 +207,7 @@ case class ShingleHashes(child: Expression, k: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
-    // token poly hashes (whitespace = ASCII space/tab/CR/LF; multi-byte
-    // UTF-8 units have the high bit set and can't collide with these)
-    val tokHashes = new java.util.ArrayList[Long]()
-    var i = 0
-    val n = bytes.length
-    while (i < n) {
-      while (i < n && isSpace(bytes(i))) i += 1
-      if (i < n) {
-        var h = 17L
-        while (i < n && !isSpace(bytes(i))) { h = h * 31L + bytes(i); i += 1 }
-        tokHashes.add(h)
-      }
-    }
+    val tokHashes = TokenHashing.tokenPolyHashes(bytes)
     val m = tokHashes.size - k + 1
     if (m <= 0) new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
     else {
@@ -160,12 +227,6 @@ case class ShingleHashes(child: Expression, k: Int)
       new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
     }
   }
-
-  // full Java \s class: space, tab, LF, VT, FF, CR — Text.tokens and
-  // the DuckDB oracles split on \s+, so a narrower set here would
-  // shingle \f- or \x0B-bearing documents differently than the oracle
-  @inline private def isSpace(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == 0x0b || b == 0x0c
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -188,17 +249,7 @@ case class ShingleHashesAll(child: Expression, k: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
-    val tokHashes = new java.util.ArrayList[Long]()
-    var i = 0
-    val n = bytes.length
-    while (i < n) {
-      while (i < n && isSpace(bytes(i))) i += 1
-      if (i < n) {
-        var h = 17L
-        while (i < n && !isSpace(bytes(i))) { h = h * 31L + bytes(i); i += 1 }
-        tokHashes.add(h)
-      }
-    }
+    val tokHashes = TokenHashing.tokenPolyHashes(bytes)
     val m = tokHashes.size - k + 1
     if (m <= 0) new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
     else {
@@ -214,9 +265,6 @@ case class ShingleHashesAll(child: Expression, k: Int)
       new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
     }
   }
-
-  @inline private def isSpace(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == 0x0b || b == 0x0c
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -478,11 +478,20 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
-    cand
+    val out = cand
       .join(e.select(col("id").as("vec_a"), col("v").as("va"), col("n2").as("na")), "vec_a")
       .join(e.select(col("id").as("vec_b"), col("v").as("vb"), col("n2").as("nb")), "vec_b")
       .filter(Vectors.cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")) >= tau)
       .select(col("vec_a"), col("vec_b"))
+    // eager result persist (the ngramJaccardPairs caching contract):
+    // the ids-only result is tiny, while the plan above signs the
+    // corpus into tables×bits buckets and verifies candidates —
+    // consumers that branch the result (connected components unions
+    // both edge directions) must not run that twice. Callers
+    // unpersist in long-lived sessions.
+    val materialized = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    materialized.count()
+    materialized
   }
 
   /** Fuzzy near-dup pairs by EDIT DISTANCE with deterministic
@@ -522,8 +531,12 @@ object Dedup {
       .withColumn("__lb", floor(length(col("t")) / lenBucket))
       .withColumn("__p", substring(col("t"), 1, prefixLen))
     val sizes = raw.groupBy("__lb", "__p").agg(count("*").as("__bs"))
+    // persisted: the filtered block table feeds BOTH sides of BOTH
+    // candidate joins (same-bucket + adjacent-bucket) — without it the
+    // scan + block-size join runs four times
     val d = raw.join(sizes.filter(col("__bs") <= blockCap), Seq("__lb", "__p"))
       .drop("__bs")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = d.select(col("id").as("doc_a"), col("t").as("__ta"), col("__lb"), col("__p"))
     val b = d.select(col("id").as("doc_b"), col("t").as("__tb"), col("__lb"), col("__p"))
     // same-bucket candidates (id-ordered: each pair once) ∪
@@ -540,12 +553,18 @@ object Dedup {
         greatest(col("x.doc_a"), col("y.doc_b")).as("doc_b"),
         when(col("x.doc_a") < col("y.doc_b"), col("x.__ta")).otherwise(col("y.__tb")).as("__ta"),
         when(col("x.doc_a") < col("y.doc_b"), col("y.__tb")).otherwise(col("x.__ta")).as("__tb"))
-    same.union(adj)
+    val out = same.union(adj)
       // thresholded levenshtein: banded DP, O(len·maxDist) per pair
       // instead of the full O(len²) matrix; returns -1 above the
       // threshold, exact distance at-or-below — kept rows identical
       .withColumn("lev", levenshtein(col("__ta"), col("__tb"), maxDist))
       .filter(col("lev") >= 0 && col("lev") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("lev").cast("int").as("lev"))
+    // eager result persist + block-table release (the
+    // ngramJaccardPairs caching contract)
+    val materialized = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    materialized.count()
+    d.unpersist(blocking = false)
+    materialized
   }
 }

@@ -59,4 +59,31 @@ class TextSpec extends SparkSpec {
     assert(r.getLong(0) === r.getLong(1))
     assert(r.getLong(0) !== r.getLong(2))
   }
+
+  test("native hashes fold Unicode CODEPOINTS — the oracle's ord(c) rule") {
+    // the r4 fix for the one documented oracle-parity domain bound:
+    // byte folds agreed with the SQL ord(c) fold on ASCII only; the
+    // codepoint fold agrees on the full plane (é U+00E9 is 2 UTF-8
+    // bytes, 日 U+65E5 is 3, 𝄞 U+1D11E is 4 — all must fold as ONE
+    // codepoint each)
+    def ordFold(s: String, seed: Long): Long =
+      s.codePoints().toArray.foldLeft(seed)((h, cp) => h * 31L + cp)
+    val texts = Seq("héllo", "日本語 text", "mixed 𝄞 clef", "plain ascii")
+    val got = texts.toDF("t")
+      .select(rolling_hash(col("t"), 17L).as("h")).as[Long].collect()
+    assert(got.toSeq === texts.map(ordFold(_, 17L)))
+
+    // shingle token hashes build on the same codepoint fold: a
+    // non-ASCII 2-token doc's 2-gram hash must equal the reference
+    // combine of the two ord-fold token hashes
+    val doc = "héllo wörld"
+    val tokA = ordFold("héllo", 17L)
+    val tokB = ordFold("wörld", 17L)
+    val expected = (1125899906842597L * -7046029254386353131L + tokA) *
+      -7046029254386353131L + tokB
+    val sh = Seq(doc).toDF("t")
+      .select(graft.functions.expr.NativeFunctions.shingle_hashes(col("t"), 2).as("s"))
+      .as[Seq[Long]].collect().head
+    assert(sh === Seq(expected))
+  }
 }

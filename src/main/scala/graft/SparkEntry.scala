@@ -1232,6 +1232,33 @@ object SparkEntry {
        FROM scored QUALIFY rnk <= 5"""
   }
 
+  /** Shared CTE prefix for the n-gram Jaccard oracle family
+    * (dedup_ngram_jaccard, dedup_clusters, dedup_keep): tokens →
+    * distinct 3-gram shingles → the stats-derived hot-shingle cap the
+    * registered plans apply by default (Dedup.autoCap: max(50,
+    * ceil(sqrt(N)))), reproduced STRUCTURALLY in SQL so oracle parity
+    * holds at any scale instead of resting on the cap being inert at
+    * one particular SF. Yields `sh` (pruned shingles), `sz` (per-doc
+    * sizes from the pruned universe — the operator's correct-bias
+    * rule) and `shared` (pair co-counts). */
+  private def jaccardCtes: String =
+    s"""toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+         sh0 AS (
+           SELECT DISTINCT doc_id,
+                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+           FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+         cap AS (SELECT greatest(50, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS c
+                 FROM documents),
+         hot AS (SELECT s FROM sh0 CROSS JOIN cap
+                 GROUP BY s, c HAVING count(*) > c),
+         sh AS (SELECT doc_id, s FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         shared AS (
+           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)"""
+
   /** Shared CTE text for the LSH-blocked embedding-dedup oracles:
     * replays signature → (table, bucket) band → distinct candidate
     * pair → exact-cosine verify with the identical seeded ±1
@@ -2012,17 +2039,7 @@ object SparkEntry {
          FROM ts LEFT JOIN sh ON ts.doc_id = sh.doc_id""",
 
     "dedup_ngram_jaccard" ->
-      """WITH toks AS (
-           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-         sh AS (
-           SELECT DISTINCT doc_id,
-                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-           FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)),
-         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         shared AS (
-           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
-           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
+      s"""WITH $jaccardCtes
          SELECT da AS doc_a, db AS doc_b,
                 round(c / (za.n + zb.n - c), 4) AS jaccard
          FROM shared
@@ -2060,17 +2077,7 @@ object SparkEntry {
     // connected components over the SAME pair set as dedup_ngram_jaccard:
     // min reachable id per node via a recursive min-label CTE
     "dedup_clusters" ->
-      """WITH RECURSIVE toks AS (
-           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-         sh AS (
-           SELECT DISTINCT doc_id,
-                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-           FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)),
-         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         shared AS (
-           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
-           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
+      s"""WITH RECURSIVE $jaccardCtes,
          pairs AS (
            SELECT da, db
            FROM shared JOIN sz za ON da = za.doc_id JOIN sz zb ON db = zb.doc_id
@@ -2085,17 +2092,7 @@ object SparkEntry {
          SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1""",
 
     "dedup_keep" ->
-      """WITH RECURSIVE toks AS (
-           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-         sh AS (
-           SELECT DISTINCT doc_id,
-                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-           FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)),
-         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         shared AS (
-           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
-           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
+      s"""WITH RECURSIVE $jaccardCtes,
          pairs AS (
            SELECT da, db
            FROM shared JOIN sz za ON da = za.doc_id JOIN sz zb ON db = zb.doc_id

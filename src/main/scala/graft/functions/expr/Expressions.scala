@@ -58,23 +58,18 @@ case class RollingHash(child: Expression, seed: Long)
     var h = seed
     var i = 0
     while (i < bytes.length) {
-      val b = bytes(i) & 0xff
-      var cp = 0
-      var len = 1
-      if (b < 0x80) cp = b
-      else if ((b & 0xe0) == 0xc0) { cp = b & 0x1f; len = 2 }
-      else if ((b & 0xf0) == 0xe0) { cp = b & 0x0f; len = 3 }
-      else { cp = b & 0x07; len = 4 }
-      var k = 1
-      while (k < len && i + k < bytes.length) {
-        cp = (cp << 6) | (bytes(i + k) & 0x3f); k += 1
-      }
-      h = h * 31L + cp
-      i += len
+      val d = TokenHashing.decode(bytes, i)
+      h = h * 31L + (d >>> 3)
+      i += (d & 7)
     }
     h
   }
 
+  // same decode rule as TokenHashing.decode: valid multi-byte
+  // sequences fold as one codepoint; a malformed lead or truncated/
+  // invalid continuation folds that SINGLE byte (unsigned) and
+  // advances one — deterministic, and never swallows valid
+  // characters after a corrupt byte
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"""
@@ -84,12 +79,19 @@ case class RollingHash(child: Expression, seed: Long)
          |  int ${ev.value}_x = ${ev.value}_b[${ev.value}_i] & 0xff;
          |  int ${ev.value}_cp; int ${ev.value}_l;
          |  if (${ev.value}_x < 0x80) { ${ev.value}_cp = ${ev.value}_x; ${ev.value}_l = 1; }
-         |  else if ((${ev.value}_x & 0xE0) == 0xC0) { ${ev.value}_cp = ${ev.value}_x & 0x1F; ${ev.value}_l = 2; }
-         |  else if ((${ev.value}_x & 0xF0) == 0xE0) { ${ev.value}_cp = ${ev.value}_x & 0x0F; ${ev.value}_l = 3; }
-         |  else { ${ev.value}_cp = ${ev.value}_x & 0x07; ${ev.value}_l = 4; }
-         |  for (int ${ev.value}_k = 1; ${ev.value}_k < ${ev.value}_l
-         |       && ${ev.value}_i + ${ev.value}_k < ${ev.value}_b.length; ${ev.value}_k++) {
-         |    ${ev.value}_cp = (${ev.value}_cp << 6) | (${ev.value}_b[${ev.value}_i + ${ev.value}_k] & 0x3F);
+         |  else if (${ev.value}_x >= 0xC2 && ${ev.value}_x <= 0xDF) { ${ev.value}_cp = ${ev.value}_x & 0x1F; ${ev.value}_l = 2; }
+         |  else if (${ev.value}_x >= 0xE0 && ${ev.value}_x <= 0xEF) { ${ev.value}_cp = ${ev.value}_x & 0x0F; ${ev.value}_l = 3; }
+         |  else if (${ev.value}_x >= 0xF0 && ${ev.value}_x <= 0xF4) { ${ev.value}_cp = ${ev.value}_x & 0x07; ${ev.value}_l = 4; }
+         |  else { ${ev.value}_cp = ${ev.value}_x; ${ev.value}_l = 1; }
+         |  if (${ev.value}_l > 1) {
+         |    if (${ev.value}_i + ${ev.value}_l > ${ev.value}_b.length) { ${ev.value}_cp = ${ev.value}_x; ${ev.value}_l = 1; }
+         |    else {
+         |      for (int ${ev.value}_k = 1; ${ev.value}_k < ${ev.value}_l; ${ev.value}_k++) {
+         |        int ${ev.value}_cb = ${ev.value}_b[${ev.value}_i + ${ev.value}_k] & 0xff;
+         |        if ((${ev.value}_cb & 0xC0) != 0x80) { ${ev.value}_cp = ${ev.value}_x; ${ev.value}_l = 1; break; }
+         |        if (${ev.value}_l > 1) ${ev.value}_cp = (${ev.value}_cp << 6) | (${ev.value}_cb & 0x3F);
+         |      }
+         |    }
          |  }
          |  ${ev.value}_h = ${ev.value}_h * 31L + ${ev.value}_cp;
          |  ${ev.value}_i += ${ev.value}_l;
@@ -151,18 +153,33 @@ private[expr] object TokenHashing {
   @inline private def isSpace(cp: Int): Boolean =
     cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r' || cp == 0x0b || cp == 0x0c
 
-  /** (codepoint, utf8len) packed as (cp << 3) | len. */
-  @inline private def decode(bytes: Array[Byte], i: Int): Int = {
+  /** (codepoint, utf8len) packed as (cp << 3) | len. Valid multi-byte
+    * sequences (lead C2-DF/E0-EF/F0-F4 + 80-BF continuations, fully
+    * inside the buffer) decode as one codepoint; anything malformed —
+    * stray continuation byte, overlong/invalid lead, truncated tail —
+    * folds that SINGLE byte (unsigned) and advances one, so corrupt
+    * bytes never swallow the valid characters after them and the fold
+    * stays deterministic on arbitrary binary-cast input. */
+  @inline private[expr] def decode(bytes: Array[Byte], i: Int): Int = {
     val b = bytes(i) & 0xff
-    var cp = 0
+    var cp = b
     var len = 1
-    if (b < 0x80) cp = b
-    else if ((b & 0xe0) == 0xc0) { cp = b & 0x1f; len = 2 }
-    else if ((b & 0xf0) == 0xe0) { cp = b & 0x0f; len = 3 }
-    else { cp = b & 0x07; len = 4 }
-    var k = 1
-    while (k < len && i + k < bytes.length) {
-      cp = (cp << 6) | (bytes(i + k) & 0x3f); k += 1
+    if (b >= 0xc2 && b <= 0xdf) { cp = b & 0x1f; len = 2 }
+    else if (b >= 0xe0 && b <= 0xef) { cp = b & 0x0f; len = 3 }
+    else if (b >= 0xf0 && b <= 0xf4) { cp = b & 0x07; len = 4 }
+    if (len > 1) {
+      if (i + len > bytes.length) { cp = b; len = 1 }
+      else {
+        var k = 1
+        var ok = true
+        var acc = cp
+        while (ok && k < len) {
+          val cb = bytes(i + k) & 0xff
+          if ((cb & 0xc0) != 0x80) ok = false
+          else { acc = (acc << 6) | (cb & 0x3f); k += 1 }
+        }
+        if (ok) cp = acc else { cp = b; len = 1 }
+      }
     }
     (cp << 3) | len
   }

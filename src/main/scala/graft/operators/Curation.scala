@@ -188,8 +188,10 @@ object Curation {
     val uni = toks.select(explode(col("__t")).as("__tok"))
       .select(xxhash64(lit(1L), col("__tok")).as("token_h"))
       .groupBy("token_h").agg(count("*").as("ucnt"))
-    val total = toks.select(explode(col("__t")).as("__tok"))
-      .agg(count("*").as("total"))
+    // total token count folds out of the unigram table (Σ ucnt) —
+    // deriving it from the raw explode would tokenize the whole
+    // corpus a second time for one scalar
+    val total = uni.agg(sum(col("ucnt")).as("total"))
     val withB = toks
       .filter(size(col("__t")) >= 2)
       .select(col("doc_id"), explode(

@@ -23,11 +23,14 @@ object Dedup {
     * b at √N bounds ANY single bucket's quadratic blowup by one
     * linear corpus pass — the work budget a scan already pays. The
     * floor keeps toy corpora from over-pruning. N comes from catalog
-    * stats when the frame is an ANALYZEd table (cbo_stats — free at
-    * plan time); otherwise one metadata-cheap count. The cap
-    * auto-scales with the corpus (spec: grows sf0.01 → sf0.1) while
-    * staying far above real document frequencies at gate scale, so
-    * gate outputs are identical with or without it. */
+    * stats when available (requires an ANALYZEd table AND CBO
+    * enabled — sources.Stats.analyze/enableCbo); otherwise this
+    * falls back to ONE count() job over the frame at operator-build
+    * time — cheap next to the dedup job itself, but a real extra
+    * scan: land + ANALYZE the corpus to make it free. The cap
+    * auto-scales with the corpus (spec: grows sf0.01 → sf0.1), and
+    * the oracle mirrors the √N rule structurally, so parity holds at
+    * any scale. */
   def autoCap(docs: DataFrame): Int = {
     val n = docs.queryExecution.optimizedPlan.stats.rowCount
       .map(_.toLong).getOrElse(docs.count())
@@ -524,11 +527,20 @@ object Dedup {
     * disable the guard.
     */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
-      maxDist: Int, lenBucket: Int = 32, prefixLen: Int = 4,
+      maxDist: Int, lenBucket: Int = 0, prefixLen: Int = 4,
       maxBlock: Option[Int] = None): DataFrame = {
+    // lenBucket defaults to maxDist (the tightest bucketing the
+    // recall guarantee permits) and is REQUIRED >= maxDist when
+    // explicit: edit distance bounds the length gap by maxDist, so
+    // only then does every within-threshold pair land in the same or
+    // adjacent bucket — a smaller bucket silently reopens the
+    // bucket-edge recall hole the adjacent probe closed
+    val bucket = if (lenBucket <= 0) math.max(1, maxDist) else lenBucket
+    require(bucket >= maxDist,
+      s"lenBucket $bucket < maxDist $maxDist breaks the adjacent-bucket recall guarantee")
     val blockCap = maxBlock.getOrElse(autoCap(docs))
     val raw = docs.select(col(idCol).as("id"), col(textCol).as("t"))
-      .withColumn("__lb", floor(length(col("t")) / lenBucket))
+      .withColumn("__lb", floor(length(col("t")) / bucket))
       .withColumn("__p", substring(col("t"), 1, prefixLen))
     val sizes = raw.groupBy("__lb", "__p").agg(count("*").as("__bs"))
     // persisted: the filtered block table feeds BOTH sides of BOTH

@@ -67,8 +67,14 @@ object DedupStream {
       state.update(keeper.get)
       out.iterator
     }
+    // NO broadcast hint on the index: it is corpus-sized (one row per
+    // distinct corpus doc) — the opposite of exactIncremental, where
+    // the SMALL batch side broadcasts. Catalyst picks broadcast
+    // itself when stats say the index is small; at scale the
+    // stream-static join shuffles the micro-batch (tiny) into the
+    // index's partitioning instead of shipping the index to every task
     stream.select(col("doc_id"), md5(col("text")).as("h"))
-      .join(broadcast(corpusIndex), Seq("h"), "left")
+      .join(corpusIndex, Seq("h"), "left")
       .select(col("doc_id"), col("h"), col("corpus_dup"))
       .as[Probed]
       .groupByKey(_.h)
@@ -90,7 +96,11 @@ object DedupStream {
       tau: Double)(onBatch: DataFrame => Unit): StreamingQuery =
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[Doc], _: Long) =>
-        onBatch(Dedup.minhashProbe(index, batch.toDF(), "doc_id", "text", tau))
+        // the probe's eager result persist is released once the
+        // consumer returns — a long-lived stream must not accrete one
+        // cached frame per micro-batch
+        val pairs = Dedup.minhashProbe(index, batch.toDF(), "doc_id", "text", tau)
+        try onBatch(pairs) finally pairs.unpersist(blocking = false)
       }
       .start()
 }

@@ -302,6 +302,99 @@ object ScaleProbe {
         Similarity.kmeans(embN, "vec_id", "embedding", 8, 2).count()
       }
     }
+    // LSH-bucketed embedding dedup. Copies get a per-copy RANDOM SIGN
+    // pattern per dimension: within a copy both pair members flip the
+    // same dims so cosine structure is preserved, across copies the
+    // signs decorrelate — the true near-dup answer scales ~linearly.
+    // Occupancy rule: 2^bits grows with N (bits 4 → 4 + log2(mult)),
+    // holding expected bucket size constant — THE index tunable that
+    // keeps the bucket join linear; fixed bits at growing N would
+    // grow occupancy ∝ N and candidate pairs ∝ N².
+    locally {
+      val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      (0 until mult).map { k =>
+        emb1.select((col("vec_id") + lit(k.toLong * 10000000L)).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x * when(pmod(xxhash64(lit(k), i), lit(2)) === 0, lit(1.0f))
+              .otherwise(lit(-1.0f))).as("embedding"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$tmp/embeddings_lsh")
+      val embDN = spark.read.parquet(s"$tmp/embeddings_lsh")
+      val bitsN = 4 + (math.log(mult.toDouble) / math.log(2.0)).round.toInt
+      probe("embedding_lsh") {
+        Dedup.embeddingPairsLsh(emb1, "vec_id", "embedding", 64, 4, 8, 42L, 0.4).count()
+      } {
+        Dedup.embeddingPairsLsh(embDN, "vec_id", "embedding", 64, bitsN, 8, 42L, 0.4).count()
+      }
+    }
+    // conservation-corrected pagerank on the DIRECTED pair graph
+    // (per-copy supplier offsets → disjoint components, linear truth)
+    locally {
+      def dirEdges(pc: DataFrame): DataFrame =
+        pc.select(col("member_a").as("src"), col("member_b").as("dst")).distinct()
+      val liG = (0 until mult).map { k =>
+        li1.select(
+          (col("l_orderkey") + lit(k.toLong * 1000000000L)).as("l_orderkey"),
+          (col("l_suppkey") + lit(k.toLong * 10000000L)).as("l_suppkey"))
+      }.reduce(_ unionByName _)
+      probe("pagerank_dangling") {
+        graft.operators.Graph.pagerank(
+          dirEdges(Pipeline.pairCounts(li1, "l_orderkey", "l_suppkey", or1, "o_orderkey")),
+          "src", "dst", 3, danglingRedistribution = true).count()
+      } {
+        graft.operators.Graph.pagerank(
+          dirEdges(Pipeline.pairCounts(liG, "l_orderkey", "l_suppkey", orN, "o_orderkey")),
+          "src", "dst", 3, danglingRedistribution = true).count()
+      }
+    }
+    // hash-keyed LM scores: shuffles carry (8-byte hash, count) pairs
+    probe("bigram_lm") {
+      Curation.bigramLogProb(docs1, "doc_id", Text.tokens(col("text"))).count()
+    } {
+      Curation.bigramLogProb(docsN, "doc_id", Text.tokens(col("text"))).count()
+    }
+    probe("interp_lm") {
+      Curation.interpLogProb(docs1, "doc_id", Text.tokens(col("text")), 0.9).count()
+    } {
+      Curation.interpLogProb(docsN, "doc_id", Text.tokens(col("text")), 0.9).count()
+    }
+    // standing-index probe: index build sits OUTSIDE the timer (it is
+    // the amortized land-time cost); two claims measured — (a) a
+    // FIXED batch against an N× corpus stays ~flat (the corpus is
+    // never recomputed for a probe), (b) an N× batch against the N×
+    // corpus scales ~linearly in the batch. probe() is not reused
+    // here because its clearCache() would evict the standing index.
+    if (onlyNames.forall(_.contains("minhash_probe"))) {
+      val corpus1 = docs1.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+      val batch1 = docs1.filter(pmod(col("doc_id"), lit(10)) === 3)
+      val corpusN = docsN.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+      val batchN = docsN.filter(pmod(col("doc_id"), lit(10)) === 3)
+      val idx1 = Dedup.minhashIndex(corpus1, "doc_id", "text", 3, 64, 16)
+      val idxN = Dedup.minhashIndex(corpusN, "doc_id", "text", 3, 64, 16)
+      def runProbe(idx: Dedup.MinhashIndex, b: DataFrame): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val r = Dedup.minhashProbe(idx, b, "doc_id", "text", 0.5)
+        val n = r.count()
+        val t = (System.nanoTime() - t0) / 1e9
+        r.unpersist(blocking = false)
+        (t, n)
+      }
+      // the fixed batch is the N× batch's copy-0 slice: same size as
+      // batch1 AND in the perturbed token space, so it finds its real
+      // near-dups in the big index (an out-of-space batch would do
+      // the same probe work but verify nothing)
+      val batchFix = batchN.filter(col("doc_id") < 10000000L)
+      runProbe(idx1, batch1) // warm codegen
+      val (t1, n1) = runProbe(idx1, batch1)
+      val (tFix, nFix) = runProbe(idxN, batchFix)
+      val (tN, nN) = runProbe(idxN, batchN)
+      println(f"[scaleprobe] minhash_probe          1x: $t1%6.2f s ($n1%8d rows)  " +
+        f"fixed-batch@${mult}x-corpus: $tFix%6.2f s ($nFix%8d rows)  ratio: ${tFix / t1}%5.1f (flat=1)")
+      println(f"[scaleprobe] minhash_probe          1x: $t1%6.2f s ($n1%8d rows)  " +
+        f"${mult}x-batch@${mult}x-corpus: $tN%6.2f s ($nN%8d rows)  ratio: ${tN / t1}%5.1f (linear=$mult)")
+      idx1.release(); idxN.release()
+    }
     spark.stop()
   }
 }

@@ -398,6 +398,14 @@ object SparkEntry {
       Dedup.embeddingPairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, bits = 4, tables = 8, seed = 42L, tau = 0.4)),
 
+    // multi-probe variant: 3 tables + Hamming-1 probing buys the
+    // recall of ~8 exact-probe tables with 2.7x less signature
+    // storage (the FALCONN trade); oracle expands the same probe list
+    "dedup_embedding_mp" -> ((s, dir) =>
+      Dedup.embeddingPairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, bits = 4, tables = 3, seed = 42L, tau = 0.4,
+        probeRadius = 1)),
+
     // SemDeDup-style semantic dedup end-to-end: embedding-cosine
     // pairs -> connected components -> keep min-id per cluster (the
     // composition of dedup_embedding + dedup_clusters + dedup_keep
@@ -1264,8 +1272,13 @@ object SparkEntry {
     * pair → exact-cosine verify with the identical seeded ±1
     * hyperplanes inlined as literals (the annLshOracle pattern).
     * Yields CTEs `e` (vec_id, v) and `pairs` (vec_a, vec_b). */
-  private def embLshPairsCtes: String = {
-    val (dim, bits, tables, seed, tau) = (64, 4, 8, 42L, 0.4)
+  private def embLshPairsCtes: String = embLshCtes(tables = 8, probeRadius = 0)
+
+  /** Parameterized LSH-pair CTE generator: `probeRadius = 1` expands
+    * the probe side to the bits+1 buckets within Hamming distance 1
+    * of each signature — exactly the plan's multi-probe explode. */
+  private def embLshCtes(tables: Int, probeRadius: Int): String = {
+    val (dim, bits, seed, tau) = (64, 4, 42L, 0.4)
     def sigExpr(v: String, tableSeed: Long): String = {
       val w = graft.functions.Vectors.hyperplaneWeights(dim, bits, tableSeed)
       (0 until bits).map { b =>
@@ -1276,12 +1289,20 @@ object SparkEntry {
     }
     val sigList = (0 until tables).map(ti => sigExpr("v", seed + ti))
       .mkString("[", ", ", "]")
+    val probeRel =
+      if (probeRadius == 0) "bande"
+      else {
+        val masks = (0 until bits).map(b => s"xor(bucket, ${1L << b})")
+        s"""(SELECT vec_id, tbl,
+               unnest(${("bucket" +: masks).mkString("[", ", ", "]")}) AS bucket
+             FROM bande)"""
+      }
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        sigged AS (SELECT vec_id, v, $sigList AS sigs FROM e),
        bande AS (SELECT vec_id, t.range AS tbl, sigs[t.range + 1] AS bucket
                  FROM sigged, range($tables) t),
        cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-                FROM bande a JOIN bande b
+                FROM $probeRel a JOIN bande b
                   ON a.tbl = b.tbl AND a.bucket = b.bucket
                  AND a.vec_id < b.vec_id),
        pairs AS (SELECT vec_a, vec_b
@@ -2226,6 +2247,10 @@ object SparkEntry {
 
     "dedup_embedding" ->
       s"""WITH $embLshPairsCtes
+         SELECT vec_a, vec_b FROM pairs""",
+
+    "dedup_embedding_mp" ->
+      s"""WITH ${embLshCtes(tables = 3, probeRadius = 1)}
          SELECT vec_a, vec_b FROM pairs""",
 
     "ann_topk" ->

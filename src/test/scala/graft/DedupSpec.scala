@@ -207,6 +207,35 @@ class DedupSpec extends SparkSpec {
       s"LSH recall $lshRecall below label-block recall $labelRecall")
   }
 
+  test("multi-probe LSH: radius-1 recall beats exact-probe at equal tables, no FPs") {
+    val e = Tables.embeddings(spark, sfDir)
+    def run(tables: Int, radius: Int): Set[(Long, Long)] =
+      Dedup.embeddingPairsLsh(e, "vec_id", "embedding",
+          dim = 64, bits = 4, tables = tables, seed = 42L, tau = 0.4,
+          probeRadius = radius)
+        .as[(Long, Long)].collect().toSet
+    val exact3 = run(3, 0)
+    val multi3 = run(3, 1)
+    // Hamming-1 probing only ADDS candidate pairs: strictly more of
+    // the (cosine-verified) truth survives at the same table count
+    assert(exact3.subsetOf(multi3))
+    assert(multi3.size > exact3.size,
+      s"multi-probe found nothing extra (${multi3.size} vs ${exact3.size})")
+    // and every emitted pair passed the exact-cosine verify
+    val vecs = e.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / math.sqrt(na * nb)
+    }
+    multi3.foreach { case (a, b) =>
+      assert(cos(vecs(a), vecs(b)) >= 0.4, s"false positive ($a,$b)")
+    }
+  }
+
   test("registered dedup_embedding plan has no label-keyed self-join") {
     // the round-3 scale-killer: blocking on a low-cardinality data
     // column makes within-block all-pairs quadratic; the registered

@@ -74,26 +74,38 @@ object Similarity {
         .zipWithIndex.map { case (r: Row, i) => (i, r.getSeq[Double](1).toArray) }
     }
 
-    def centArr(c: Array[Double]) = array(c.map(lit).toIndexedSeq: _*)
-    // rank lists by L2: |v - c|^2 = |v|^2 - 2 v.c + |c|^2; |v|^2 is
-    // constant per row, so order by (|c|^2 - 2 v.c)
-    def listRanks(v: Column) = array(cents.map { case (cid, c) =>
-      val c2 = c.map(x => x * x).sum
-      struct((lit(c2) - lit(2.0) * Vectors.dot(v, centArr(c))).as("d"),
-        lit(cid).as("cid"))
-    }.toIndexedSeq: _*)
-
     // norms once per row before the join, not once per candidate pair
     // (same pattern as bruteForceTopK/embeddingPairs)
     val cOut = corpus.select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn2", Vectors.normSq(col("cv")))
-      .withColumn("cid", array_min(listRanks(col("cv"))).getField("cid"))
+      .withColumn("cid", array_min(listRanks(cents, col("cv"))).getField("cid"))
+    probeLists(cOut, queries, idCol, vecCol, cents, nprobe, k)
+  }
+
+  /** rank lists by L2: |v − c|² = |v|² − 2 v·c + |c|²; |v|² is
+    * constant per row, so order by (|c|² − 2 v·c). */
+  private def listRanks(cents: Array[(Int, Array[Double])], v: Column): Column =
+    array(cents.map { case (cid, c) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * Vectors.dot(v,
+        array(c.map(lit).toIndexedSeq: _*))).as("d"),
+        lit(cid).as("cid"))
+    }.toIndexedSeq: _*)
+
+  /** The IVF probe path over an ALREADY-ASSIGNED corpus frame
+    * `(neighbor_id, cv, cn2, cid)`: queries rank lists, probe their
+    * nprobe nearest, candidates rerank exactly. Shared by [[ivfTopK]]
+    * (assignment inline) and [[ivfProbeIndex]] (assignment read from
+    * a persisted index table). */
+  private def probeLists(cOut: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      cents: Array[(Int, Array[Double])], nprobe: Int, k: Int): DataFrame = {
     val qOut = queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn2", Vectors.normSq(col("qv")))
       .withColumn("probe",
-        explode(slice(array_sort(listRanks(col("qv"))), 1, nprobe)))
+        explode(slice(array_sort(listRanks(cents, col("qv"))), 1, nprobe)))
       .select(col("query_id"), col("qv"), col("qn2"), col("probe.cid").as("cid"))
 
     val cand = cOut.join(broadcast(qOut), Seq("cid"))
@@ -105,6 +117,34 @@ object Similarity {
     cand.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk").cast("int").as("rnk"), col("neighbor_id"))
+  }
+
+  /** Land an IVF index as a BUCKETED table clustered on the
+    * inverted-list id: the corpus-wide assignment pass runs ONCE at
+    * build time (the minhashIndex land-time pattern), and every later
+    * query batch probes the stored `(neighbor_id, cv, cn2, cid)` rows
+    * — no per-batch assignment recompute, and the cid bucketing means
+    * a probe's list join needs no corpus shuffle ever. */
+  def ivfIndexWrite(corpus: DataFrame, idCol: String, vecCol: String,
+      quantizer: Array[Array[Double]], table: String, buckets: Int = 16): Unit = {
+    val cents = quantizer.zipWithIndex.map { case (c, i) => (i, c) }
+    corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn2", Vectors.normSq(col("cv")))
+      .withColumn("cid", array_min(listRanks(cents, col("cv"))).getField("cid"))
+      .write.format("parquet").mode("overwrite")
+      .bucketBy(buckets, "cid").sortBy("cid")
+      .saveAsTable(table)
+  }
+
+  /** Probe a persisted IVF index ([[ivfIndexWrite]]) — result-
+    * identical to [[ivfTopK]] with the same quantizer (spec-proven),
+    * minus the assignment pass. */
+  def ivfProbeIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      quantizer: Array[Array[Double]], nprobe: Int, k: Int): DataFrame = {
+    val cents = quantizer.zipWithIndex.map { case (c, i) => (i, c) }
+    probeLists(spark.table(table), queries, idCol, vecCol, cents, nprobe, k)
   }
 
   /** Distributed Lloyd k-means over the embedding column — the

@@ -178,6 +178,33 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === brute)
   }
 
+  test("persisted IVF index: probe equals the inline operator, assignment precomputed") {
+    val e = Tables.embeddings(spark, sfDir)
+    val corpus = e.filter(col("vec_id") >= 8)
+    val queries = e.filter(col("vec_id") < 8)
+    val q = corpus.select(col("embedding").cast("array<double>"), col("vec_id"))
+      .orderBy("vec_id").limit(16).collect()
+      .map(_.getSeq[Double](0).toArray)
+    spark.sql("DROP TABLE IF EXISTS ivf_idx_spec")
+    Similarity.ivfIndexWrite(corpus, "vec_id", "embedding", q, "ivf_idx_spec")
+    try {
+      // the stored index carries the list assignment — probes never
+      // recompute it (the minhashIndex land-time pattern)
+      val stored = spark.table("ivf_idx_spec")
+      assert(stored.columns.toSet === Set("neighbor_id", "cv", "cn2", "cid"))
+      assert(stored.count() === corpus.count())
+      for (nprobe <- Seq(4, 16)) {
+        val fromIndex = Similarity.ivfProbeIndex(spark, "ivf_idx_spec", queries,
+            "vec_id", "embedding", q, nprobe = nprobe, k = 5)
+          .as[(Long, Int, Long)].collect().toSet
+        val inline = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding",
+            nCentroids = 16, nprobe = nprobe, k = 5, quantizer = Some(q))
+          .as[(Long, Int, Long)].collect().toSet
+        assert(fromIndex === inline, s"nprobe=$nprobe")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_idx_spec")
+  }
+
   test("trained quantizer balances inverted lists better than lowest-id centroids") {
     val e = Tables.embeddings(spark, sfDir)
     val corpus = e.filter(col("vec_id") >= 8)

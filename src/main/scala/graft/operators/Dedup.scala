@@ -585,6 +585,11 @@ object Dedup {
         when(col("x.doc_a") < col("y.doc_b"), col("x.__ta")).otherwise(col("y.__tb")).as("__ta"),
         when(col("x.doc_a") < col("y.doc_b"), col("y.__tb")).otherwise(col("x.__ta")).as("__tb"))
     val out = same.union(adj)
+      // levenshtein >= |len difference|, so adjacent-bucket pairs with
+      // a length gap beyond maxDist (possible up to 2·lenBucket) can
+      // never verify — an integer compare prunes them before the
+      // O(len·maxDist) DP pays for the proof
+      .filter(abs(length(col("__ta")) - length(col("__tb"))) <= maxDist)
       // thresholded levenshtein: banded DP, O(len·maxDist) per pair
       // instead of the full O(len²) matrix; returns -1 above the
       // threshold, exact distance at-or-below — kept rows identical

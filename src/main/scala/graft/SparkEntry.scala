@@ -425,13 +425,16 @@ object SparkEntry {
     // join, never n²), exact levenshtein verify on block-local pairs.
     // lenBucket = maxDist: edit distance bounds the length gap by
     // maxDist, so every within-threshold pair lands in the same or
-    // adjacent bucket and the adjacent-bucket probe guarantees recall
-    // maxBlock stays the explicit gate constant the oracle mirrors
-    // (bs <= 1000); production callers omit it and get the
-    // stats-derived autoCap default
+    // adjacent bucket and the adjacent-bucket probe guarantees
+    // recall. maxDist 32 (r4, was 64): bucket = maxDist means the
+    // threshold ALSO sets block width — 64 doubled occupancy (pair
+    // work ∝ |block|²) and the per-pair banded-DP cost for a looser
+    // bound than ~1 KB near-dups need. maxBlock stays the explicit
+    // gate constant the oracle mirrors (bs <= 1000); production
+    // callers omit it and get the stats-derived autoCap default
     "dedup_edit" -> ((s, dir) =>
       Dedup.editDistancePairs(t(s, dir, "documents"), "doc_id", "text",
-        maxDist = 64, lenBucket = 64, maxBlock = Some(1000))),
+        maxDist = 32, lenBucket = 32, maxBlock = Some(1000))),
 
     // pairwise near-dup output → dedup decisions: connected components
     // by min-label propagation; cluster_id = min doc id of the cluster
@@ -2676,7 +2679,7 @@ object SparkEntry {
     "dedup_edit" ->
       """WITH d AS (
            SELECT doc_id, text,
-                  CAST(floor(length(text) / 64.0) AS BIGINT) AS lb,
+                  CAST(floor(length(text) / 32.0) AS BIGINT) AS lb,
                   substr(text, 1, 4) AS p
            FROM documents),
          sized AS (
@@ -2696,7 +2699,7 @@ object SparkEntry {
              ON a.lb + 1 = b.lb AND a.p = b.p)
          SELECT doc_a, doc_b, CAST(levenshtein(ta, tb) AS INTEGER) AS lev
          FROM cand
-         WHERE levenshtein(ta, tb) <= 64""",
+         WHERE levenshtein(ta, tb) <= 32""",
 
     "q42_histogram" ->
       """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin,

@@ -2082,9 +2082,12 @@ object SparkEntry {
            SELECT doc_id, CAST(i AS INTEGER) AS pos,
                   array_to_string(t[i:i+19], ' ') AS s
            FROM toks, unnest(generate_series(1, len(t) - 19)) AS u(i)),
+         cap AS (SELECT greatest(50, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS c
+                 FROM documents),
          d AS (
            SELECT s, count(DISTINCT doc_id) AS n_docs
-           FROM w GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+           FROM w CROSS JOIN cap GROUP BY s, c
+           HAVING count(DISTINCT doc_id) >= 2 AND count(DISTINCT doc_id) <= c),
          hits AS (
            SELECT w.doc_id, w.pos, d.n_docs FROM w JOIN d USING (s)),
          g AS (

@@ -398,20 +398,21 @@ object Dedup {
     * co-partitioned shuffle, map-side combine; 8-byte hashes, never
     * strings); the island merge is one window per doc over hit
     * positions only. `maxDf` caps pathological boilerplate hashes the
-    * same way ngramJaccardPairs caps hot shingles.
+    * same way ngramJaccardPairs caps hot shingles — default = the
+    * stats-derived [[autoCap]] (√N rule); `Some(Int.MaxValue)`
+    * disables.
     */
   def substringDupSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int, maxDf: Option[Int] = None): DataFrame = {
+    val dfCap = maxDf.getOrElse(autoCap(docs))
     val w = docs.select(col(idCol).as("doc_id"),
         posexplode(graft.functions.expr.NativeFunctions
           .shingle_hashes_all(col(textCol), k)).as(Seq("p0", "h")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
     val dup = w.groupBy("h").agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= 2)
-    val pruned = maxDf match {
-      case Some(cap) => dup.filter(col("n_docs") <= cap)
-      case None => dup
-    }
+    val pruned =
+      if (dfCap == Int.MaxValue) dup else dup.filter(col("n_docs") <= dfCap)
     val hits = w.join(pruned, "h")
     val island = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))

@@ -89,7 +89,7 @@ case class RollingHash(child: Expression, seed: Long)
          |      for (int ${ev.value}_k = 1; ${ev.value}_k < ${ev.value}_l; ${ev.value}_k++) {
          |        int ${ev.value}_cb = ${ev.value}_b[${ev.value}_i + ${ev.value}_k] & 0xff;
          |        if ((${ev.value}_cb & 0xC0) != 0x80) { ${ev.value}_cp = ${ev.value}_x; ${ev.value}_l = 1; break; }
-         |        if (${ev.value}_l > 1) ${ev.value}_cp = (${ev.value}_cp << 6) | (${ev.value}_cb & 0x3F);
+         |        ${ev.value}_cp = (${ev.value}_cp << 6) | (${ev.value}_cb & 0x3F);
          |      }
          |    }
          |  }

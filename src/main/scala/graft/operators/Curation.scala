@@ -181,18 +181,32 @@ object Curation {
   def interpLogProb(docs: DataFrame, idCol: String, tokens: Column,
       lambda: Double): DataFrame = {
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
-    val toks = docs.select(col(idCol).as("doc_id"), array_remove(tokens, "").as("__t"))
-    // unigram table over ALL token occurrences (not just bigram
-    // positions): P(w) is a corpus property, independent of where the
-    // bigram windows fall
-    val uni = toks.select(explode(col("__t")).as("__tok"))
-      .select(xxhash64(lit(1L), col("__tok")).as("token_h"))
-      .groupBy("token_h").agg(count("*").as("ucnt"))
+    val uni = unigramHashCounts(docs, tokens)
     // total token count folds out of the unigram table (Σ ucnt) —
     // deriving it from the raw explode would tokenize the whole
     // corpus a second time for one scalar
     val total = uni.agg(sum(col("ucnt")).as("total"))
-    val withB = toks
+    val withB = bigramHashRows(docs, idCol, tokens)
+    val bfreq = withB.groupBy("bigram_h").agg(count("*").as("bcnt"))
+    val pfreq = withB.groupBy("prefix_h").agg(count("*").as("pcnt"))
+    withB.join(bfreq, "bigram_h").join(pfreq, "prefix_h").join(uni, "token_h")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count("*").as("n_bigrams"),
+        round(avg(log(
+          lit(lambda) * (col("bcnt") / col("pcnt")) +
+            lit(1.0 - lambda) * (col("ucnt") / col("total")))), 4).as("avg_logprob"))
+  }
+
+  /** THE bigram-row convention shared by [[interpLogProb]] and the
+    * frozen-LM stream scorer ([[graft.streaming.LmStream]]): one
+    * definition of tokenization (empty tokens removed, < 2-token docs
+    * dropped), hash family and seed literals (1L for prefix/token,
+    * 2L for bigrams), so the streaming scorer can never silently
+    * diverge from the batch operator. */
+  private[graft] def bigramHashRows(docs: DataFrame, idCol: String,
+      tokens: Column): DataFrame =
+    docs.select(col(idCol).as("doc_id"), array_remove(tokens, "").as("__t"))
       .filter(size(col("__t")) >= 2)
       .select(col("doc_id"), explode(
           zip_with(
@@ -204,16 +218,15 @@ object Curation {
         .as("p"))
       .select(col("doc_id"), col("p.prefix_h").as("prefix_h"),
         col("p.bigram_h").as("bigram_h"), col("p.token_h").as("token_h"))
-    val bfreq = withB.groupBy("bigram_h").agg(count("*").as("bcnt"))
-    val pfreq = withB.groupBy("prefix_h").agg(count("*").as("pcnt"))
-    withB.join(bfreq, "bigram_h").join(pfreq, "prefix_h").join(uni, "token_h")
-      .crossJoin(broadcast(total))
-      .groupBy("doc_id")
-      .agg(count("*").as("n_bigrams"),
-        round(avg(log(
-          lit(lambda) * (col("bcnt") / col("pcnt")) +
-            lit(1.0 - lambda) * (col("ucnt") / col("total")))), 4).as("avg_logprob"))
-  }
+
+  /** Unigram table over ALL token occurrences (not just bigram
+    * positions — P(w) is a corpus property, independent of where the
+    * bigram windows fall), keyed by the shared seed-1L token hash. */
+  private[graft] def unigramHashCounts(docs: DataFrame, tokens: Column): DataFrame =
+    docs.select(array_remove(tokens, "").as("__t"))
+      .select(explode(col("__t")).as("__tok"))
+      .select(xxhash64(lit(1L), col("__tok")).as("token_h"))
+      .groupBy("token_h").agg(count("*").as("ucnt"))
 
   /** Greedy sequence packing: assign documents to fixed-budget packs
     * (the training-data step that concatenates documents into

@@ -30,7 +30,13 @@ object Dedup {
     * scan: land + ANALYZE the corpus to make it free. The cap
     * auto-scales with the corpus (spec: grows sf0.01 → sf0.1), and
     * the oracle mirrors the √N rule structurally, so parity holds at
-    * any scale. */
+    * any scale. STALENESS CONTRACT for the stats path: catalog stats
+    * describe the table as last ANALYZEd — re-landing or appending
+    * data without re-running ANALYZE shifts the derived cap away from
+    * ceil(sqrt(actual N)) (and away from an exact-count oracle
+    * replay); the cbo_stats layer's own rule — ANALYZE after every
+    * land — keeps the two identical. The driver's oracle gate reads
+    * bare parquet frames, where N is always the exact count. */
   def autoCap(docs: DataFrame): Int = {
     val n = docs.queryExecution.optimizedPlan.stats.rowCount
       .map(_.toLong).getOrElse(docs.count())

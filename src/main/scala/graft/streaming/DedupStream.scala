@@ -22,13 +22,21 @@ object DedupStream {
   case class Probed(doc_id: Long, h: String, corpus_dup: Option[Long])
   case class ProbeResult(doc_id: Long, dup_of: Option[Long])
 
-  /** Standing exact index of a corpus: content hash → lowest doc id.
-    * Built once; the stream-static join re-reads it per micro-batch
-    * (refresh it by swapping the underlying table — the engine never
-    * holds it as streaming state). */
-  def exactIndex(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
-    corpus.select(md5(col(textCol)).as("h"), col(idCol).as("__cid"))
+  /** Standing exact index of a corpus: content hash → lowest doc id,
+    * PERSISTED AND MATERIALIZED here (the minhashIndex land-time
+    * pattern) — without it the stream-static join would re-scan the
+    * corpus and re-run the groupBy on every micro-batch, which is
+    * exactly the O(corpus)-per-batch cost this module exists to
+    * avoid. Refresh by building a new index and swapping; callers own
+    * the lifecycle (`unpersist()` when done — same contract as the
+    * batch pair operators). */
+  def exactIndex(corpus: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val idx = corpus.select(md5(col(textCol)).as("h"), col(idCol).as("__cid"))
       .groupBy("h").agg(min("__cid").as("corpus_dup"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    idx.count()
+    idx
+  }
 
   /** Continuous exact-dedup probe with CROSS-BATCH memory.
     *
@@ -42,7 +50,7 @@ object DedupStream {
     * corpus would pass both as new.
     *
     * Mechanics: md5 per row (stateless) → stream-static LEFT join
-    * against the broadcast corpus index → one `GroupState[Long]` per
+    * against the persisted corpus index → one `GroupState[Long]` per
     * DISTINCT CONTENT HASH holding the representative id (8 bytes per
     * distinct document — the same asymptotic state the standing index
     * itself costs; bound it with a state-store TTL or periodic index
@@ -70,9 +78,9 @@ object DedupStream {
     // NO broadcast hint on the index: it is corpus-sized (one row per
     // distinct corpus doc) — the opposite of exactIncremental, where
     // the SMALL batch side broadcasts. Catalyst picks broadcast
-    // itself when stats say the index is small; at scale the
-    // stream-static join shuffles the micro-batch (tiny) into the
-    // index's partitioning instead of shipping the index to every task
+    // itself when the persisted index is small; at scale the join
+    // shuffles the micro-batch (tiny) against the cached index blocks
+    // instead of shipping the index to every task per batch
     stream.select(col("doc_id"), md5(col("text")).as("h"))
       .join(corpusIndex, Seq("h"), "left")
       .select(col("doc_id"), col("h"), col("corpus_dup"))

@@ -34,19 +34,12 @@ object LmStream {
     }
   }
 
+  // bigram/unigram builders are SHARED with the batch operator
+  // (Curation.bigramHashRows / unigramHashCounts) — one definition of
+  // the tokenization + hash-seed convention, so frozen-LM scores can
+  // never silently diverge from Curation.interpLogProb
   private def bigramRows(docs: DataFrame, idCol: String, tokens: Column): DataFrame =
-    docs.select(col(idCol).as("doc_id"), array_remove(tokens, "").as("__t"))
-      .filter(size(col("__t")) >= 2)
-      .select(col("doc_id"), explode(
-          zip_with(
-            slice(col("__t"), lit(1), size(col("__t")) - 1),
-            slice(col("__t"), lit(2), size(col("__t")) - 1),
-            (a, b) => struct(xxhash64(lit(1L), a).as("prefix_h"),
-              xxhash64(lit(2L), a, b).as("bigram_h"),
-              xxhash64(lit(1L), b).as("token_h"))))
-        .as("p"))
-      .select(col("doc_id"), col("p.prefix_h").as("prefix_h"),
-        col("p.bigram_h").as("bigram_h"), col("p.token_h").as("token_h"))
+    graft.operators.Curation.bigramHashRows(docs, idCol, tokens)
 
   /** Train (and materialize) the frozen LM: three map-side-combining
     * frequency aggregates over the corpus, 8-byte hash keys
@@ -55,10 +48,7 @@ object LmStream {
     * bigram pass) and never again. */
   def trainLm(corpus: DataFrame, idCol: String, tokens: Column): LmModel = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val toks = corpus.select(array_remove(tokens, "").as("__t"))
-    val uni = toks.select(explode(col("__t")).as("__tok"))
-      .select(xxhash64(lit(1L), col("__tok")).as("token_h"))
-      .groupBy("token_h").agg(count("*").as("ucnt"))
+    val uni = graft.operators.Curation.unigramHashCounts(corpus, tokens)
       .persist(lvl)
     val withB = bigramRows(corpus, idCol, tokens)
     val bf = withB.groupBy("bigram_h").agg(count("*").as("bcnt")).persist(lvl)

@@ -25,7 +25,7 @@ class DedupStreamSpec extends SparkSpec {
     val q = DedupStream.exactProbe(mem.toDS(), idx)
       .writeStream.outputMode("update").format("memory").queryName(name).start()
     try batches.foreach { b => mem.addData(b); q.processAllAvailable() }
-    finally q.stop()
+    finally { q.stop(); idx.unpersist(blocking = false) }
     spark.table(name).as[ProbeResult].collect()
       .map(r => r.doc_id -> r.dup_of).toMap
   }

@@ -207,6 +207,48 @@ class DedupSpec extends SparkSpec {
       s"LSH recall $lshRecall below label-block recall $labelRecall")
   }
 
+  test("durable MinHash index: load+probe ≡ in-memory, self-dedup has no Exchange") {
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 3)
+    val batch = docs.filter(col("doc_id") % 10 === 3)
+    val (k, perms, bands, tau) = (3, 64, 16, 0.5)
+    spark.sql("DROP TABLE IF EXISTS mh_sigs_spec")
+    spark.sql("DROP TABLE IF EXISTS mh_bands_spec")
+    Dedup.minhashIndexWrite(corpus, "doc_id", "text", k, perms, bands,
+      "mh_sigs_spec", "mh_bands_spec")
+    try {
+      val loaded = Dedup.minhashIndexLoad(spark, "mh_sigs_spec", "mh_bands_spec",
+        k, perms, bands)
+      // cross-session probe parity: loaded index ≡ recomputed pipeline
+      val fromDisk = Dedup.minhashProbe(loaded, batch, "doc_id", "text", tau)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val inline = Dedup.minhashLshIncremental(corpus, batch, "doc_id", "text",
+          k, perms, bands, tau)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(fromDisk === inline)
+      // full self-dedup from the landed tables ≡ the from-scratch
+      // operator, and its candidate self-join is bucketed: the plan
+      // re-sorts within buckets but never exchanges the index
+      val pairsFromIndex = Dedup.minhashPairsFromIndex(loaded, tau)
+      val selfDisk = pairsFromIndex
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val selfScratch = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+          k, perms, bands, tau)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(selfDisk === selfScratch)
+      val candPlan = loaded.banded.as("a")
+        .join(loaded.banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .queryExecution.executedPlan.toString
+      assert(!candPlan.contains("Exchange hashpartitioning"),
+        s"bucketed index self-join must not shuffle:\n$candPlan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS mh_sigs_spec")
+      spark.sql("DROP TABLE IF EXISTS mh_bands_spec")
+    }
+  }
+
   test("multi-probe LSH: radius-1 recall beats exact-probe at equal tables, no FPs") {
     val e = Tables.embeddings(spark, sfDir)
     def run(tables: Int, radius: Int): Set[(Long, Long)] =

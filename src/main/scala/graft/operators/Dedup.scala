@@ -151,13 +151,7 @@ object Dedup {
     // persisted: feeds both band-join sides and the final verify.
     val sigs = minhashSigsOf(docs, idCol, textCol, k, perms)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = bandedOf(sigs, perms, bands)
-    val candIds = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    val candIds = selfCandidates(bandedOf(sigs, perms, bands))
     val out = verifyPairs(candIds, sigs, sigs, perms, tau)
     // eager result persist + index release: same caching contract as
     // ngramJaccardPairs — no signature-table-sized persist survives
@@ -285,13 +279,38 @@ object Dedup {
     bandedOf(spark.table(sigsTable), perms, bands)
       .write.format("parquet").mode("overwrite")
       .bucketBy(buckets, "band", "bh").saveAsTable(bandTable)
+    // the build parameters travel WITH the tables: a later session
+    // loading with different (k, perms, bands) must hard-fail, not
+    // silently produce zero candidates / skewed jaccard estimates
+    Seq(sigsTable, bandTable).foreach { t =>
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES (" +
+        s"'graft.minhash.k'='$k', 'graft.minhash.perms'='$perms', " +
+        s"'graft.minhash.bands'='$bands')")
+    }
   }
 
-  /** Reattach a durable index written by [[minhashIndexWrite]]. */
+  /** Reattach a durable index written by [[minhashIndexWrite]].
+    * The requested parameters are validated against the properties
+    * stamped at write time — a mismatch (or a table not written by
+    * minhashIndexWrite) throws instead of silently probing with the
+    * wrong hash family. */
   def minhashIndexLoad(spark: org.apache.spark.sql.SparkSession,
       sigsTable: String, bandTable: String,
-      k: Int, perms: Int, bands: Int): MinhashIndex =
+      k: Int, perms: Int, bands: Int): MinhashIndex = {
+    Seq(sigsTable, bandTable).foreach { t =>
+      val props = spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      Seq("k" -> k, "perms" -> perms, "bands" -> bands).foreach { case (name, v) =>
+        props.get(s"graft.minhash.$name") match {
+          case Some(s) => require(s == v.toString,
+            s"index table $t was built with $name=$s, load requested $v")
+          case None => throw new IllegalArgumentException(
+            s"table $t lacks graft.minhash.$name — not a minhashIndexWrite table")
+        }
+      }
+    }
     MinhashIndex(spark.table(sigsTable), spark.table(bandTable), k, perms, bands)
+  }
 
   /** Full self-dedup FROM a standing index — [[minhashLshPairs]]
     * semantics without re-shingling or re-signing anything: the
@@ -300,15 +319,22 @@ object Dedup {
     * [[minhashIndexWrite]] tables), and the verify reads stored
     * signatures. The re-dedup-after-policy-change shape: τ changes,
     * the corpus doesn't, the index is already on disk. */
-  def minhashPairsFromIndex(index: MinhashIndex, tau: Double): DataFrame = {
-    val candIds = index.banded.as("a")
-      .join(index.banded.as("b"),
+  def minhashPairsFromIndex(index: MinhashIndex, tau: Double): DataFrame =
+    verifyPairs(selfCandidates(index.banded), index.sigs, index.sigs,
+      index.perms, tau)
+
+  /** THE band-table self-join candidate block, shared by
+    * [[minhashLshPairs]], [[minhashPairsFromIndex]] and the
+    * plan-shape spec (one definition: the zero-Exchange assertion on
+    * bucketed index tables tests the code the operators actually
+    * run). */
+  private[graft] def selfCandidates(banded: DataFrame): DataFrame =
+    banded.as("a")
+      .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    verifyPairs(candIds, index.sigs, index.sigs, index.perms, tau)
-  }
 
   /** Probe one batch against a standing index: near-dup pairs
     * (doc_a = corpus id, doc_b = batch id, est_jaccard) — identical

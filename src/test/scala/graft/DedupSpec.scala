@@ -236,13 +236,27 @@ class DedupSpec extends SparkSpec {
           k, perms, bands, tau)
         .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
       assert(selfDisk === selfScratch)
-      val candPlan = loaded.banded.as("a")
-        .join(loaded.banded.as("b"),
-          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .queryExecution.executedPlan.toString
-      assert(!candPlan.contains("Exchange hashpartitioning"),
-        s"bucketed index self-join must not shuffle:\n$candPlan")
+      // asserted on the OPERATOR's own candidate block (shared
+      // selfCandidates), not a local reconstruction. Broadcast is
+      // disabled so the join MUST sort-merge — the bucketed layout
+      // has to satisfy the clustering itself; the only permitted
+      // exchange is the ids-only dropDuplicates aggregate, never one
+      // on the band keys (that would mean the index was re-shuffled)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val candPlan = Dedup.selfCandidates(loaded.banded)
+          .queryExecution.executedPlan.toString
+        assert(candPlan.contains("SortMergeJoin"), s"expected SMJ:\n$candPlan")
+        assert(!candPlan.contains("Exchange hashpartitioning(band"),
+          s"bucketed index self-join must not shuffle the band table:\n$candPlan")
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+      // parameter-mismatch loads hard-fail instead of silently
+      // probing with the wrong hash family
+      intercept[IllegalArgumentException] {
+        Dedup.minhashIndexLoad(spark, "mh_sigs_spec", "mh_bands_spec",
+          k, perms = 128, bands = 32)
+      }
     } finally {
       spark.sql("DROP TABLE IF EXISTS mh_sigs_spec")
       spark.sql("DROP TABLE IF EXISTS mh_bands_spec")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Clusters, Curation, Dedup, Events, Pipeline, Relational, Similarity}
+import graft.operators.{Clusters, Curation, Dedup, Events, Pipeline, Profile, Relational, Similarity}
 import graft.functions.Text
 import graft.sources.Tables
 
@@ -936,15 +936,17 @@ object SparkEntry {
       Events.runningDistinct(Tables.events(s, dir), "user_id", "ts")),
 
     // HLL-sketch distinct users per event type: the 100 TB shape for
-    // cardinality (fixed-size sketch, mergeable map-side — exact
-    // distinct would shuffle every (type, user) pair). Rows-gated:
-    // sketch estimates are engine-specific; accuracy vs exact is
-    // spec-tested instead
+    // cardinality (fixed 2^p registers, partial-max merge map-side —
+    // exact distinct would shuffle every (type, user) pair). The
+    // repo's own deterministic HLL (avalanche64 item hash, exact
+    // integer harmonic sum) — unlike approx_count_distinct, the
+    // entire register array replays in the oracle's HUGEINT SQL, so
+    // this sketch is hash-gated like approx_topk; accuracy vs exact
+    // is additionally spec-gated (≤5%)
     "approx_distinct" -> ((s, dir) =>
-      Tables.events(s, dir)
-        .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          count("*").as("n_events"))),
+      Profile.hllDistinct(Tables.events(s, dir), "user_id", "event_type")
+        .select(col("event_type"), col("est_distinct").as("approx_users"),
+          col("n_items").as("n_events"))),
 
     // interval containment via bucketed equi-join: purchases within
     // one hour after each signup, zero-counts kept
@@ -1527,7 +1529,67 @@ object SparkEntry {
        |ORDER BY est_count DESC, token LIMIT $k""".stripMargin
   }
 
+  /** approx_distinct oracle: the ENTIRE deterministic-HLL register
+    * pipeline replayed in HUGEINT mod-2^64 SQL — avalanche64 item
+    * hash (same three xor-shift/multiply stages as every sketch
+    * oracle here), register = low p bits, rho = trailing zeros of the
+    * remaining word + 1 via `bit_count((w & -w) - 1)` (the word fits
+    * BIGINT after the unsigned shift), per-register max, EXACT scaled
+    * harmonic sum in HUGEINT, then the identical estimator constant
+    * (one shared double literal from [[Profile.hllEstimatorConstant]])
+    * divided by the exact integer — the one float op either engine
+    * performs before the shared linear-counting branch. HLL registers
+    * are order-independent (max), so unlike GK quantiles there is no
+    * merge-order freedom to hide. */
+  private def hllOracleSql: String = {
+    val p = 10
+    val m = 1 << p
+    val rhoCap = 64 - p + 1
+    val T = BigInt(1) << 64
+    def u(l: Long): BigInt = BigInt(l) & (T - 1)
+    val mu1 = u(-49064778989728563L)
+    val mu2 = u(-4265267296055464877L)
+    def mm(x: String, mc: BigInt): String =
+      s"((($x) % 4294967296) * $mc::HUGEINT + " +
+        s"(((($x) >> 32) * $mc::HUGEINT) % 4294967296) * 4294967296) % $T::HUGEINT"
+    val c = Profile.hllEstimatorConstant(p)
+    val scale = BigInt(1) << rhoCap
+    s"""WITH h0 AS (
+       |  SELECT event_type,
+       |         (user_id::HUGEINT +
+       |          CASE WHEN user_id < 0 THEN $T::HUGEINT ELSE 0 END) AS x
+       |  FROM events WHERE user_id IS NOT NULL),
+       |a1 AS (SELECT event_type, xor(x, x >> 33) AS x FROM h0),
+       |a2 AS (SELECT event_type, ${mm("x", mu1)} AS x FROM a1),
+       |a3 AS (SELECT event_type, xor(x, x >> 33) AS x FROM a2),
+       |a4 AS (SELECT event_type, ${mm("x", mu2)} AS x FROM a3),
+       |a5 AS (SELECT event_type, xor(x, x >> 33) AS x FROM a4),
+       |rw AS (SELECT event_type, (x % $m)::BIGINT AS b,
+       |              (x >> $p)::BIGINT AS w FROM a5),
+       |rho AS (SELECT event_type, b,
+       |        CASE WHEN w = 0 THEN $rhoCap
+       |             ELSE bit_count((w & (-w)) - 1) + 1 END AS rho FROM rw),
+       |regs AS (SELECT event_type, b, max(rho) AS mr, count(*) AS c
+       |         FROM rho GROUP BY 1, 2),
+       |agg AS (SELECT event_type, count(*) AS nb,
+       |               sum((1::BIGINT << ($rhoCap - mr))::HUGEINT) AS s,
+       |               sum(c) AS n_events
+       |        FROM regs GROUP BY 1),
+       |est AS (SELECT event_type, $m - nb AS v,
+       |               (s + ($m - nb)::HUGEINT * $scale::HUGEINT) AS num,
+       |               n_events
+       |        FROM agg),
+       |e AS (SELECT event_type, n_events,
+       |             CASE WHEN ($c / num::DOUBLE) <= ${2.5 * m}
+       |                    AND v > 0
+       |                  THEN $m::DOUBLE * ln($m::DOUBLE / v)
+       |                  ELSE $c / num::DOUBLE END AS est
+       |      FROM est)
+       |SELECT event_type, round(est, 2) AS approx_users, n_events FROM e""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "approx_distinct" -> hllOracleSql,
     "ann_lsh" -> annLshOracle,
     "ann_ivf" -> annIvfOracle,
     "ann_pq" -> annPqOracle,

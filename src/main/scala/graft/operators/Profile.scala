@@ -2,6 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.expr.NativeFunctions
 
 /** Table profiling — the stats-collection pass (ANALYZE) that feeds
   * cost-based planning, data-quality checks, and layout decisions.
@@ -42,6 +45,78 @@ object Profile {
         col(s"__max_$c").as("max_value"))
     }
     row.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
+
+  /** Bias-correction constant for an m-register HyperLogLog, times
+    * m² and the harmonic-sum scale 2^(64−p+1) — the whole numerator
+    * of the raw estimate as ONE double literal, so the oracle can
+    * inline the identical bits (shortest round-trip repr parses back
+    * exactly) and the only cross-engine float op left is a single
+    * division by an exact integer. */
+  def hllEstimatorConstant(p: Int): Double = {
+    val m = 1 << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    alpha * m.toDouble * m.toDouble * java.lang.Math.pow(2.0, (64 - p + 1).toDouble)
+  }
+
+  /** Deterministic HyperLogLog distinct count per group — the
+    * 100 TB cardinality shape (fixed 2^p registers per group,
+    * partial-max merge map-side: each task ships ≤ groups×2^p rows
+    * regardless of input size, where exact COUNT(DISTINCT) shuffles
+    * every (group, key) pair).
+    *
+    * Unlike `approx_count_distinct` (whose xxhash64-based HLL++ is
+    * engine-private), every stage here is reproducible arithmetic:
+    * item hash = avalanche64 of the key's 64 bits (murmur-style
+    * finalizer, replayable in HUGEINT mod-2^64 SQL), register index =
+    * low p bits, rho = trailing zeros of the remaining word + 1
+    * (uniform bits make that distribution identical to the canonical
+    * leading-zeros form, and `bit_count((w & -w) - 1)` computes it in
+    * both engines with pure integer ops). The harmonic sum Σ 2^(−M_j)
+    * is kept EXACT: scaled by 2^(64−p+1) it is an integer ≤ 2^65,
+    * summed in DECIMAL(38,0) here and HUGEINT in the oracle — no
+    * float accumulation order anywhere. The estimator then does one
+    * double division (constant literal / exact integer) plus the
+    * standard linear-counting branch (E ≤ 2.5m with empty registers →
+    * m·ln(m/V)), both branch condition and inputs exact.
+    *
+    * Returns (groupCol, est_distinct, n_items) — n_items counts
+    * non-null keys, riding the register aggregation (no second scan).
+    */
+  def hllDistinct(df: DataFrame, keyCol: String, groupCol: String,
+      p: Int = 10): DataFrame = {
+    require(p >= 4 && p <= 16, s"p $p out of range [4, 16]")
+    val m = 1 << p
+    val rhoCap = 64 - p + 1 // rho when the whole remaining word is 0
+    val h = NativeFunctions.avalanche64(col(keyCol).cast("long"))
+    val hashed = df.filter(col(keyCol).isNotNull)
+      .select(col(groupCol), h.as("__h"))
+    val w = shiftrightunsigned(col("__h"), p)
+    val rho = when(w === 0L, lit(rhoCap))
+      .otherwise(bit_count(w.bitwiseAND(-w) - 1) + 1)
+    val regs = hashed
+      .select(col(groupCol),
+        col("__h").bitwiseAND(lit((m - 1).toLong)).as("__b"), rho.as("__rho"))
+      .groupBy(col(groupCol), col("__b"))
+      .agg(max(col("__rho")).as("__mr"), count(lit(1)).as("__c"))
+    // scaled harmonic term 2^(rhoCap − rho) ≤ 2^(64−p) fits a long;
+    // the group total (incl. 2^rhoCap per empty register) needs 65
+    // bits → DECIMAL(38,0)
+    val term = expr(s"shiftleft(CAST(1 AS BIGINT), $rhoCap - __mr)")
+      .cast(DecimalType(38, 0))
+    val agg = regs.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("__nb"),
+      sum(term).as("__s"),
+      sum(col("__c")).as("n_items"))
+    val vEmpty = lit(m.toLong) - col("__nb")
+    val num = (col("__s") +
+      vEmpty.cast(DecimalType(38, 0)) * lit(BigDecimal(BigInt(1) << rhoCap)))
+      .cast("double")
+    val eRaw = lit(hllEstimatorConstant(p)) / num
+    val est = when(eRaw <= lit(2.5 * m) && vEmpty > 0,
+        lit(m.toDouble) * log(lit(m.toDouble) / vEmpty.cast("double")))
+      .otherwise(eRaw)
+    agg.select(col(groupCol), round(est, 2).as("est_distinct"), col("n_items"))
   }
 
   /** Equi-depth histogram: `nBuckets` buckets holding ~equal row

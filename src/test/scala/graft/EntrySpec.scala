@@ -14,25 +14,23 @@ class EntrySpec extends SparkSpec {
 
   test("oracle coverage stays high (rows-only checks are weaker)") {
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
-    // the only rows-gated queries are the genuinely engine-specific
-    // sketches: HLL cardinality and the GK quantile sketch in its
-    // genuinely-approximate regime (both accuracy-tested vs exact in
-    // EventsSpec / SketchSpec; the exact-regime twins q21a/q47a/q48a
-    // ARE hash-gated). Everything else — including ann_lsh (seeded
-    // ±1 hyperplanes as literals), ann_ivf (struct-min probe
-    // replay), emb_kmeans (unrolled Lloyd with edge-rounded
-    // centroids), approx_topk (the full Count-Min counter pipeline
-    // in HUGEINT SQL) and, since r4, ann_pq (codebook re-derived in
-    // SQL via unrolled per-subspace Lloyd) — is hash-verified
-    // against a full-pipeline SQL oracle.
-    assert(rowsOnly === Set("approx_distinct", "approx_quantiles"),
+    // the only rows-gated query left is the GK quantile sketch in its
+    // genuinely-approximate regime (merge-order-dependent, so no SQL
+    // replay exists; accuracy-tested vs exact in SketchSpec — the
+    // exact-regime twins q21a/q47a/q48a ARE hash-gated). Every other
+    // sketch is hash-verified against a full-pipeline SQL oracle:
+    // approx_topk (Count-Min counters in HUGEINT), ann_pq (codebook
+    // re-derived via unrolled Lloyd) and, since r5, approx_distinct
+    // (the deterministic-HLL register array — order-independent
+    // max-of-rho — replayed end to end, estimator included).
+    assert(rowsOnly === Set("approx_quantiles"),
       s"unexpected rows-only queries: $rowsOnly")
     // coverage floor: a refactor that silently drops registered
     // queries (or their oracles) must fail loudly here, not at the
     // driver's gate
     assert(SparkEntry.queries.size >= 110,
       s"query count regressed: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size >= 108,
+    assert(SparkEntry.oracleSql.size >= 109,
       s"oracle count regressed: ${SparkEntry.oracleSql.size}")
   }
 }

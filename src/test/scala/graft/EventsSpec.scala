@@ -11,16 +11,40 @@ class EventsSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
-  test("approx_count_distinct lands within 5% of exact per group") {
+  test("hllDistinct lands within 5% of exact per group") {
     val ev = graft.sources.Tables.events(spark, sfDir)
-    val approx = ev.groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id")).as("a")).as[(String, Long)].collect().toMap
+    val approx = graft.operators.Profile.hllDistinct(ev, "user_id", "event_type")
+      .select(col("event_type"), col("est_distinct"))
+      .as[(String, Double)].collect().toMap
     val exact = ev.groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("e")).as[(String, Long)].collect().toMap
+    assert(approx.keySet === exact.keySet)
     exact.foreach { case (k, e) =>
       val a = approx(k)
-      assert(math.abs(a - e).toDouble / e <= 0.05, s"$k: approx $a vs exact $e")
+      assert(math.abs(a - e) / e <= 0.05, s"$k: approx $a vs exact $e")
     }
+  }
+
+  test("hllDistinct is insensitive to partitioning (register merge is a max)") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val one = graft.operators.Profile.hllDistinct(
+      ev.coalesce(1), "user_id", "event_type")
+      .as[(String, Double, Long)].collect().toSet
+    val many = graft.operators.Profile.hllDistinct(
+      ev.repartition(17), "user_id", "event_type")
+      .as[(String, Double, Long)].collect().toSet
+    assert(one === many)
+  }
+
+  test("hllDistinct leaves linear counting at high cardinality (raw-estimator branch)") {
+    // 200k distinct keys against 2^10 registers: every register
+    // occupied, V = 0 → the raw-estimator branch must carry, and
+    // within the HLL error bound (1.04/√1024 ≈ 3.3%; allow 3σ)
+    val n = 200000
+    val df = spark.range(n.toLong).select(lit("g").as("g"), col("id"))
+    val est = graft.operators.Profile.hllDistinct(df, "id", "g")
+      .select("est_distinct").as[Double].head()
+    assert(math.abs(est - n) / n <= 0.10, s"raw HLL estimate $est vs $n")
   }
 
   test("rangeJoinCount counts window hits across bucket boundaries, keeps zeros") {

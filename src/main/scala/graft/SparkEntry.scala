@@ -733,6 +733,21 @@ object SparkEntry {
         iters = 3, roundTo = Some(6))
     }),
 
+    // IVF-PQ composite (the FAISS-shape 100 TB index): coarse lists
+    // prune the scan to nprobe/nCentroids of the corpus, PQ codes
+    // shrink what IS scanned to 16 bytes/vector, exact rerank only
+    // the shortlist. HASH-GATED by composing the ann_ivf and ann_pq
+    // oracles: both the coarse centroid set and the PQ codebook are
+    // re-derived in SQL, and ADC scoring is replayed restricted to
+    // the probed lists
+    "ann_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(
+        e.filter(col("vec_id") >= 8), e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", nCentroids = 16, nprobe = 8,
+        m = 8, kCent = 32, k = 5, iters = 3, roundTo = Some(6))
+    }),
+
     "text_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -1396,8 +1411,11 @@ object SparkEntry {
     * exact-cosine top-k then mirror the plan 1:1. Gate params: the
     * sample covers ≥ kCent vectors at both verify SFs (no init
     * wrap-around), iters = 3. */
-  private def annPqOracle: String = {
-    val (m, kCent, subDim, trainSample, iters, rerank, k) = (8, 32, 8, 512, 3, 50, 5)
+  /** The PQ training/encode/ADC-table CTE block shared by the ann_pq
+    * and ann_ivfpq oracles — assumes CTEs `c`/`q` with
+    * (vec_id, v, n2) are already in scope; emits samp … enc, tq. */
+  private def pqOracleCtes(m: Int, kCent: Int, subDim: Int,
+      trainSample: Int, iters: Int): String = {
     // the exact left-assoc Σ(s.sv[i]-ct.cv[i])² chain of PqEncode
     val chain = (1 to subDim)
       .map(i => s"(s.sv[$i] - ct.cv[$i]) * (s.sv[$i] - ct.cv[$i])")
@@ -1421,10 +1439,7 @@ object SparkEntry {
                                FROM m$n GROUP BY m, cid) nw
                       ON prev.m = nw.m AND prev.cid = nw.cid)"""
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       c AS (SELECT vec_id, v, list_inner_product(v, v) AS n2 FROM e WHERE vec_id >= 8),
-       q AS (SELECT vec_id, v, list_inner_product(v, v) AS n2 FROM e WHERE vec_id < 8),
-       samp AS (SELECT v, CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS sid
+    s"""samp AS (SELECT v, CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS sid
                 FROM c ORDER BY vec_id LIMIT $trainSample),
        sub AS (SELECT sid, CAST(mr.range AS INTEGER) AS m,
                       v[mr.range * $subDim + 1 : mr.range * $subDim + $subDim] AS sv
@@ -1438,13 +1453,14 @@ object SparkEntry {
        tq AS (SELECT q.vec_id AS query_id, ct.m, ct.cid,
                      list_inner_product(q.v[ct.m * $subDim + 1 : ct.m * $subDim + $subDim],
                                         ct.cv) AS tval
-              FROM q CROSS JOIN cent$iters ct),
-       scored AS (SELECT tq.query_id, enc.vec_id AS neighbor_id,
-                    list_reduce(list_prepend(0.0, list(tq.tval ORDER BY tq.m)),
-                                (acc, x) -> acc + x) AS adc
-                  FROM enc JOIN tq ON enc.m = tq.m AND enc.code = tq.cid
-                  GROUP BY tq.query_id, enc.vec_id),
-       short AS (SELECT query_id, neighbor_id FROM (
+              FROM q CROSS JOIN cent$iters ct)"""
+  }
+
+  /** Shortlist + exact-rerank tail shared by the PQ-family oracles:
+    * rank `scoredRel` (query_id, neighbor_id, adc) by normalized ADC,
+    * keep `rerank`, exact-cosine top-k. */
+  private def pqOracleTail(rerank: Int, k: Int): String =
+    s"""short AS (SELECT query_id, neighbor_id FROM (
                    SELECT sc.query_id, sc.neighbor_id,
                           row_number() OVER (PARTITION BY sc.query_id
                             ORDER BY sc.adc / sqrt(qq.n2 * cc.n2) DESC,
@@ -1461,6 +1477,61 @@ object SparkEntry {
        JOIN q qq ON short.query_id = qq.vec_id
        JOIN c cc ON short.neighbor_id = cc.vec_id
        QUALIFY rnk <= $k"""
+
+  private def annPqOracle: String = {
+    val (m, kCent, subDim, trainSample, iters, rerank, k) = (8, 32, 8, 512, 3, 50, 5)
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       c AS (SELECT vec_id, v, list_inner_product(v, v) AS n2 FROM e WHERE vec_id >= 8),
+       q AS (SELECT vec_id, v, list_inner_product(v, v) AS n2 FROM e WHERE vec_id < 8),
+       ${pqOracleCtes(m, kCent, subDim, trainSample, iters)},
+       scored AS (SELECT tq.query_id, enc.vec_id AS neighbor_id,
+                    list_reduce(list_prepend(0.0, list(tq.tval ORDER BY tq.m)),
+                                (acc, x) -> acc + x) AS adc
+                  FROM enc JOIN tq ON enc.m = tq.m AND enc.code = tq.cid
+                  GROUP BY tq.query_id, enc.vec_id),
+       ${pqOracleTail(rerank, k)}"""
+  }
+
+  /** ann_ivfpq oracle: the ann_ivf and ann_pq gates COMPOSED — the
+    * coarse quantizer (lowest-id centroid set, struct-min list
+    * assignment, ordered nprobe ranking) re-derived exactly as in
+    * [[annIvfOracle]], the PQ codebook re-derived by the unrolled
+    * edge-rounded Lloyd of [[annPqOracle]], and the ADC scoring
+    * restricted to (query, neighbor) pairs whose list ids meet in the
+    * query's probe set — then the shared shortlist/exact-rerank tail.
+    * Coarse list ids are named `lid` to keep them distinct from the
+    * PQ sub-centroid `cid`s. */
+  private def annIvfPqOracle: String = {
+    val (nCentroids, nprobe) = (16, 8)
+    val (m, kCent, subDim, trainSample, iters, rerank, k) = (8, 32, 8, 512, 3, 50, 5)
+    def d(v: String) =
+      s"list_inner_product(cc2.cv, cc2.cv) - 2 * list_inner_product($v, cc2.cv)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       c AS (SELECT vec_id, v, list_inner_product(v, v) AS n2 FROM e WHERE vec_id >= 8),
+       q AS (SELECT vec_id, v, list_inner_product(v, v) AS n2 FROM e WHERE vec_id < 8),
+       ccent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS lid,
+                        v AS cv
+                 FROM c ORDER BY vec_id LIMIT $nCentroids),
+       cass AS (SELECT c.vec_id AS neighbor_id,
+                       (min(struct_pack(d := ${d("c.v")}, lid := cc2.lid))).lid AS lid
+                FROM c CROSS JOIN ccent cc2 GROUP BY c.vec_id),
+       qprobe AS (SELECT vec_id AS query_id, lid FROM (
+                    SELECT q.vec_id, cc2.lid,
+                           row_number() OVER (PARTITION BY q.vec_id
+                             ORDER BY ${d("q.v")}, cc2.lid) AS pr
+                    FROM q CROSS JOIN ccent cc2) WHERE pr <= $nprobe),
+       pairs AS (SELECT qp.query_id, ca.neighbor_id
+                 FROM qprobe qp JOIN cass ca USING (lid)),
+       ${pqOracleCtes(m, kCent, subDim, trainSample, iters)},
+       scored AS (SELECT p.query_id, p.neighbor_id,
+                    list_reduce(list_prepend(0.0, list(tq.tval ORDER BY tq.m)),
+                                (acc, x) -> acc + x) AS adc
+                  FROM pairs p
+                  JOIN enc ON enc.vec_id = p.neighbor_id
+                  JOIN tq ON tq.query_id = p.query_id
+                         AND tq.m = enc.m AND tq.cid = enc.code
+                  GROUP BY p.query_id, p.neighbor_id),
+       ${pqOracleTail(rerank, k)}"""
   }
 
   /** approx_topk oracle: the ENTIRE Count-Min sketch reproduced in
@@ -1593,6 +1664,7 @@ object SparkEntry {
     "ann_lsh" -> annLshOracle,
     "ann_ivf" -> annIvfOracle,
     "ann_pq" -> annPqOracle,
+    "ann_ivfpq" -> annIvfPqOracle,
     "emb_kmeans" -> embKmeansOracle,
     "approx_topk" -> annCmsOracle,
     "dedup_minhash_inc" -> minhashIncOracleSql,

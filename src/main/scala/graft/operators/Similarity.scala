@@ -59,20 +59,7 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, nprobe: Int, k: Int,
       quantizer: Option[Array[Array[Double]]] = None): DataFrame = {
-    import org.apache.spark.sql.Row
-    // coarse quantizer: a TRAINED centroid set when provided (the
-    // real index build: kmeansCentroids with kmeansPlusPlusInit —
-    // balanced lists, tighter probes), else the deterministic
-    // nCentroids lowest-id vectors (the zero-training fallback)
-    val cents: Array[(Int, Array[Double])] = quantizer match {
-      case Some(q) =>
-        require(q.length == nCentroids, s"quantizer has ${q.length}, want $nCentroids")
-        q.zipWithIndex.map { case (c, i) => (i, c) }
-      case None => corpus
-        .select(col(idCol), col(vecCol).cast("array<double>"))
-        .orderBy(col(idCol)).limit(nCentroids).collect()
-        .zipWithIndex.map { case (r: Row, i) => (i, r.getSeq[Double](1).toArray) }
-    }
+    val cents = coarseCents(corpus, idCol, vecCol, nCentroids, quantizer)
 
     // norms once per row before the join, not once per candidate pair
     // (same pattern as bruteForceTopK/embeddingPairs)
@@ -81,6 +68,39 @@ object Similarity {
       .withColumn("cn2", Vectors.normSq(col("cv")))
       .withColumn("cid", array_min(listRanks(cents, col("cv"))).getField("cid"))
     probeLists(cOut, queries, idCol, vecCol, cents, nprobe, k)
+  }
+
+  /** Coarse quantizer resolution shared by every IVF-family entry
+    * point: a TRAINED centroid set when provided (the real index
+    * build: kmeansCentroids with kmeansPlusPlusInit — balanced lists,
+    * tighter probes), else the deterministic nCentroids lowest-id
+    * vectors (the zero-training fallback). */
+  private def coarseCents(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int,
+      quantizer: Option[Array[Array[Double]]]): Array[(Int, Array[Double])] =
+    quantizer match {
+      case Some(q) =>
+        require(q.length == nCentroids, s"quantizer has ${q.length}, want $nCentroids")
+        q.zipWithIndex.map { case (c, i) => (i, c) }
+      case None => corpus
+        .select(col(idCol), col(vecCol).cast("array<double>"))
+        .orderBy(col(idCol)).limit(nCentroids).collect()
+        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+    }
+
+  /** Stable content fingerprint of quantizer/codebook doubles plus
+    * their shape ints — stamped into index-table properties at write
+    * time and REQUIRED to match at probe time, so probing a persisted
+    * index with different model state than it was built with fails
+    * loudly instead of silently returning wrong neighbors (stored
+    * assignments from one model, query-side ranking from another). */
+  private[graft] def modelFingerprint(shape: Seq[Int],
+      doubles: Iterator[Double]): String = {
+    var h = 1125899906842597L
+    shape.foreach(d => h = h * 31 + d)
+    doubles.foreach(x =>
+      h = h * -7046029254386353131L + java.lang.Double.doubleToLongBits(x))
+    java.lang.Long.toHexString(h)
   }
 
   /** rank lists by L2: |v − c|² = |v|² − 2 v·c + |c|²; |v|² is
@@ -135,16 +155,51 @@ object Similarity {
       .write.format("parquet").mode("overwrite")
       .bucketBy(buckets, "cid").sortBy("cid")
       .saveAsTable(table)
+    // the quantizer travels with the table as a fingerprint (the
+    // minhashIndexWrite param-stamping contract): stored cids are
+    // meaningless under any other centroid set
+    stampProps(corpus.sparkSession, table, "ivf", Map(
+      "nlist" -> quantizer.length.toString,
+      "dim" -> quantizer.headOption.map(_.length).getOrElse(0).toString,
+      "qfp" -> modelFingerprint(
+        Seq(quantizer.length), quantizer.iterator.flatten)))
   }
 
   /** Probe a persisted IVF index ([[ivfIndexWrite]]) — result-
     * identical to [[ivfTopK]] with the same quantizer (spec-proven),
-    * minus the assignment pass. */
+    * minus the assignment pass. The caller's quantizer is validated
+    * against the fingerprint stamped at write time; a mismatch (or a
+    * table not written by [[ivfIndexWrite]]) throws. */
   def ivfProbeIndex(spark: org.apache.spark.sql.SparkSession, table: String,
       queries: DataFrame, idCol: String, vecCol: String,
       quantizer: Array[Array[Double]], nprobe: Int, k: Int): DataFrame = {
+    requireProps(spark, table, "ivf", Map(
+      "nlist" -> quantizer.length.toString,
+      "dim" -> quantizer.headOption.map(_.length).getOrElse(0).toString,
+      "qfp" -> modelFingerprint(
+        Seq(quantizer.length), quantizer.iterator.flatten)))
     val cents = quantizer.zipWithIndex.map { case (c, i) => (i, c) }
     probeLists(spark.table(table), queries, idCol, vecCol, cents, nprobe, k)
+  }
+
+  private def stampProps(spark: org.apache.spark.sql.SparkSession,
+      table: String, family: String, props: Map[String, String]): Unit = {
+    val kv = props.map { case (n, v) => s"'graft.$family.$n'='$v'" }.mkString(", ")
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ($kv)")
+  }
+
+  private def requireProps(spark: org.apache.spark.sql.SparkSession,
+      table: String, family: String, expected: Map[String, String]): Unit = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    expected.foreach { case (n, v) =>
+      props.get(s"graft.$family.$n") match {
+        case Some(got) => require(got == v,
+          s"index table $table was built with $n=$got, probe supplied $v")
+        case None => throw new IllegalArgumentException(
+          s"table $table lacks graft.$family.$n — not a ${family}IndexWrite table")
+      }
+    }
   }
 
   /** Distributed Lloyd k-means over the embedding column — the
@@ -348,25 +403,59 @@ object Similarity {
       trainSample: Int = 512, iters: Int = 8, rerank: Int = 50,
       roundTo: Option[Int] = None): DataFrame = {
     require(rerank >= k, "pqTopK: rerank shortlist must be at least k")
-    // roundTo = Some(d): round each recomputed sub-centroid mean to d
-    // decimals at the iteration edge (HALF_UP — the decimal rule both
-    // Spark's round() and DuckDB's round() implement), the same
-    // gate-determinism trade as kmeansCentroids: the ~1e-d
-    // perturbation is far below subspace cluster geometry, and the
-    // whole training trajectory becomes reproducible in an
-    // independent engine, so the full encode+ADC pipeline hash-gates
+    import graft.functions.expr.NativeFunctions.{pq_adc, pq_encode}
+    val (cb, subDim) =
+      pqTrain(corpus, idCol, vecCol, m, kCent, trainSample, iters, roundTo)
+
+    val codes = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+      .select(col("neighbor_id"),
+        pq_encode(col("cv"), cb, m, kCent).as("code"),
+        Vectors.normSq(col("cv")).as("cn2"))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn2", Vectors.normSq(col("qv")))
+      .withColumn("tbl", adcTable(cb, m, kCent, subDim, col("qv")))
+      .select("query_id", "qn2", "tbl")
+
+    val scored = codes.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        (pq_adc(col("code"), col("tbl"), m, kCent) /
+          sqrt(col("qn2") * col("cn2"))).as("cos_approx"))
+    // ADC shortlist → exact rerank of only `rerank` candidates per
+    // query (the FAISS refine pattern): the full-vector fetch happens
+    // for queries × rerank rows, never the corpus — at scale this is
+    // the point: the exhaustive pass reads 16-byte codes, the exact
+    // pass reads `rerank` full vectors per query
+    val fullVecs = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn2", Vectors.normSq(col("cv")))
+    exactRerank(adcShortlist(scored, rerank), fullVecs, queries, idCol, vecCol, k)
+  }
+
+  /** The driver-side per-subspace Lloyd trainer shared by [[pqTopK]]
+    * and the IVF-PQ composite: codebook over the `trainSample`
+    * lowest-id vectors (bounded "small model state", the same pattern
+    * as the IVF coarse-quantizer collect). roundTo = Some(d) rounds
+    * each recomputed sub-centroid mean to d decimals at the iteration
+    * edge (HALF_UP — the decimal rule both Spark's round() and
+    * DuckDB's round() implement), the kmeansCentroids determinism
+    * trade that lets an independent engine re-derive the identical
+    * codebook. Returns (flat codebook, subDim). */
+  private[graft] def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, kCent: Int, trainSample: Int, iters: Int,
+      roundTo: Option[Int]): (IndexedSeq[Double], Int) = {
     def edge(x: Double): Double = roundTo match {
       case Some(d) => BigDecimal(x).setScale(d, BigDecimal.RoundingMode.HALF_UP).toDouble
       case None    => x
     }
-    import graft.functions.expr.NativeFunctions.{pq_adc, pq_encode}
     val sample: Array[Array[Double]] = corpus
       .select(col(vecCol).cast("array<double>"), col(idCol))
       .orderBy(col(idCol)).limit(trainSample).collect()
       .map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, "pqTopK: empty training sample")
+    require(sample.nonEmpty, "pqTrain: empty training sample")
     val dim = sample.head.length
-    require(dim % m == 0, s"pqTopK: dim $dim not divisible by m=$m")
+    require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
     val subDim = dim / m
 
     val codebook = new Array[Double](m * kCent * subDim)
@@ -404,48 +493,43 @@ object Similarity {
       }
       mm += 1
     }
-    val cb = codebook.toIndexedSeq
+    (codebook.toIndexedSeq, subDim)
+  }
 
-    val codes = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
-      .select(col("neighbor_id"),
-        pq_encode(col("cv"), cb, m, kCent).as("code"),
-        Vectors.normSq(col("cv")).as("cn2"))
-    val tableEntries = (0 until m).flatMap { mi =>
+  /** Per-query ADC lookup table: sub-dot-products of the query's
+    * subvectors against every sub-centroid — O(m·kCent·subDim) on the
+    * tiny broadcast side, m array lookups per candidate after. */
+  private def adcTable(cb: IndexedSeq[Double], m: Int, kCent: Int, subDim: Int,
+      qv: Column): Column =
+    array((0 until m).flatMap { mi =>
       (0 until kCent).map { kk =>
         Vectors.dot(
-          slice(col("qv"), mi * subDim + 1, subDim),
+          slice(qv, mi * subDim + 1, subDim),
           array((0 until subDim).map(dd =>
-            lit(codebook((mi * kCent + kk) * subDim + dd))): _*))
+            lit(cb((mi * kCent + kk) * subDim + dd))): _*))
       }
-    }
-    val q = queries
-      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("qn2", Vectors.normSq(col("qv")))
-      .withColumn("tbl", array(tableEntries: _*))
-      .select("query_id", "qn2", "tbl")
+    }: _*)
 
-    val scored = codes.crossJoin(broadcast(q))
-      .select(col("query_id"), col("neighbor_id"),
-        (pq_adc(col("code"), col("tbl"), m, kCent) /
-          sqrt(col("qn2") * col("cn2"))).as("cos_approx"))
-    // ADC shortlist → exact rerank of only `rerank` candidates per
-    // query (the FAISS refine pattern): the full-vector fetch happens
-    // for queries × rerank rows, never the corpus — at scale this is
-    // the point: the exhaustive pass reads 16-byte codes, the exact
-    // pass reads `rerank` full vectors per query
+  /** Top-`rerank` candidates per query by approximate cosine. */
+  private def adcShortlist(scored: DataFrame, rerank: Int): DataFrame = {
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_approx").desc, col("neighbor_id"))
-    val shortlist = scored.withColumn("arnk", row_number().over(wApprox))
+    scored.withColumn("arnk", row_number().over(wApprox))
       .filter(col("arnk") <= rerank)
       .select("query_id", "neighbor_id")
-    val cv = corpus.select(col(idCol).as("neighbor_id"),
-        col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("cn2", Vectors.normSq(col("cv")))
+  }
+
+  /** Exact-cosine top-k over a (query_id, neighbor_id) shortlist,
+    * fetching full vectors only for shortlisted candidates.
+    * `fullVecs` must carry (neighbor_id, cv, cn2). */
+  private def exactRerank(shortlist: DataFrame, fullVecs: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val qv = queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("qv2"))
       .withColumn("qn22", Vectors.normSq(col("qv2")))
-    val exact = shortlist.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
+    val exact = shortlist
+      .join(fullVecs.select("neighbor_id", "cv", "cn2"), "neighbor_id")
+      .join(broadcast(qv), "query_id")
       .select(col("query_id"), col("neighbor_id"),
         Vectors.cosineWithNorms(col("qv2"), col("cv"),
           col("qn22"), col("cn2")).as("cos"))
@@ -454,5 +538,125 @@ object Similarity {
     exact.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk").cast("int").as("rnk"), col("neighbor_id"))
+  }
+
+  /** IVF-PQ composite top-k — the FAISS-shape 100 TB ANN index. The
+    * coarse quantizer partitions the corpus into inverted lists; each
+    * corpus vector is stored as its list id + ONE packed long of PQ
+    * codes + its exact norm. A query ranks the (tiny, literal)
+    * centroid set, probes its `nprobe` nearest lists, ADC-scores ONLY
+    * those lists' codes (m table lookups per candidate — no vector
+    * math in the corpus hot loop), shortlists `rerank` candidates,
+    * and exact-reranks just those. Relative to [[pqTopK]] the probe
+    * skips (nCentroids − nprobe)/nCentroids of the corpus scan;
+    * relative to [[ivfTopK]] the probed lists read 16-byte codes
+    * instead of full vectors — compounding to the memory/IO shape
+    * that makes exhaustive ANN viable at corpus scale.
+    *
+    * PQ codes encode the RAW vector (FAISS's by_residual=false
+    * variant): encode/ADC stay one-codebook affairs, keeping the
+    * whole pipeline — coarse assignment, codebook training
+    * ([[pqTrain]] with edge-rounding), encode, ADC, rerank —
+    * replayable in an independent engine for the hash gate.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, nprobe: Int, m: Int, kCent: Int, k: Int,
+      trainSample: Int = 512, iters: Int = 8, rerank: Int = 50,
+      quantizer: Option[Array[Array[Double]]] = None,
+      roundTo: Option[Int] = None): DataFrame = {
+    require(rerank >= k, "ivfPqTopK: rerank shortlist must be at least k")
+    import graft.functions.expr.NativeFunctions.pq_encode
+    val cents = coarseCents(corpus, idCol, vecCol, nCentroids, quantizer)
+    val (cb, subDim) =
+      pqTrain(corpus, idCol, vecCol, m, kCent, trainSample, iters, roundTo)
+    val codes = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+      .select(col("neighbor_id"),
+        array_min(listRanks(cents, col("cv"))).getField("cid").as("cid"),
+        pq_encode(col("cv"), cb, m, kCent).as("code"),
+        Vectors.normSq(col("cv")).as("cn2"))
+    val fullVecs = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn2", Vectors.normSq(col("cv")))
+    probePqLists(codes, fullVecs, queries, idCol, vecCol,
+      cents, cb, m, kCent, subDim, nprobe, k, rerank)
+  }
+
+  /** The IVF-PQ probe path over already-encoded `codes`
+    * (neighbor_id, cid, code, cn2): queries rank lists, ADC-score the
+    * probed lists' codes, shortlist, exact-rerank from `fullVecs`.
+    * Shared by [[ivfPqTopK]] (encode inline) and [[ivfPqProbeIndex]]
+    * (encode read from the persisted index). */
+  private def probePqLists(codes: DataFrame, fullVecs: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Int, Array[Double])], cb: IndexedSeq[Double],
+      m: Int, kCent: Int, subDim: Int, nprobe: Int, k: Int,
+      rerank: Int): DataFrame = {
+    import graft.functions.expr.NativeFunctions.pq_adc
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn2", Vectors.normSq(col("qv")))
+      .withColumn("tbl", adcTable(cb, m, kCent, subDim, col("qv")))
+      .withColumn("probe",
+        explode(slice(array_sort(listRanks(cents, col("qv"))), 1, nprobe)))
+      .select(col("query_id"), col("qn2"), col("tbl"), col("probe.cid").as("cid"))
+    val scored = codes.join(broadcast(q), Seq("cid"))
+      .select(col("query_id"), col("neighbor_id"),
+        (pq_adc(col("code"), col("tbl"), m, kCent) /
+          sqrt(col("qn2") * col("cn2"))).as("cos_approx"))
+    exactRerank(adcShortlist(scored, rerank), fullVecs, queries, idCol, vecCol, k)
+  }
+
+  /** Land an IVF-PQ index as a cid-bucketed table: full vectors (the
+    * rerank store), exact norms, coarse list ids, and packed PQ codes
+    * — assignment and encode run ONCE at corpus-land time, and the
+    * cid bucketing means a probe's list join needs no corpus shuffle.
+    * Quantizer AND codebook fingerprints (plus shape params) are
+    * stamped as table properties; [[ivfPqProbeIndex]] hard-fails on
+    * any mismatch — stored cids/codes are meaningless under other
+    * model state. */
+  def ivfPqIndexWrite(corpus: DataFrame, idCol: String, vecCol: String,
+      quantizer: Array[Array[Double]], codebook: IndexedSeq[Double],
+      m: Int, kCent: Int, table: String, buckets: Int = 16): Unit = {
+    import graft.functions.expr.NativeFunctions.pq_encode
+    val cents = quantizer.zipWithIndex.map { case (c, i) => (i, c) }
+    corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+      .select(col("neighbor_id"), col("cv"),
+        Vectors.normSq(col("cv")).as("cn2"),
+        array_min(listRanks(cents, col("cv"))).getField("cid").as("cid"),
+        pq_encode(col("cv"), codebook, m, kCent).as("code"))
+      .write.format("parquet").mode("overwrite")
+      .bucketBy(buckets, "cid").sortBy("cid")
+      .saveAsTable(table)
+    stampProps(corpus.sparkSession, table, "ivfpq", ivfPqProps(quantizer, codebook, m, kCent))
+  }
+
+  private def ivfPqProps(quantizer: Array[Array[Double]],
+      codebook: IndexedSeq[Double], m: Int, kCent: Int): Map[String, String] = Map(
+    "nlist" -> quantizer.length.toString,
+    "dim" -> quantizer.headOption.map(_.length).getOrElse(0).toString,
+    "m" -> m.toString,
+    "kcent" -> kCent.toString,
+    "qfp" -> modelFingerprint(Seq(quantizer.length), quantizer.iterator.flatten),
+    "cbfp" -> modelFingerprint(Seq(m, kCent, codebook.length), codebook.iterator))
+
+  /** Probe a persisted IVF-PQ index ([[ivfPqIndexWrite]]) — result-
+    * identical to [[ivfPqTopK]] with the same model state
+    * (spec-proven), minus assignment and encode. Caller-supplied
+    * quantizer and codebook are validated against the stamped
+    * fingerprints. */
+  def ivfPqProbeIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      quantizer: Array[Array[Double]], codebook: IndexedSeq[Double],
+      m: Int, kCent: Int, nprobe: Int, k: Int, rerank: Int = 50): DataFrame = {
+    requireProps(spark, table, "ivfpq", ivfPqProps(quantizer, codebook, m, kCent))
+    val cents = quantizer.zipWithIndex.map { case (c, i) => (i, c) }
+    val dim = quantizer.headOption.map(_.length).getOrElse(0)
+    require(m > 0 && dim % m == 0, s"ivfPqProbeIndex: dim $dim not divisible by m=$m")
+    val idx = spark.table(table)
+    probePqLists(idx.select("neighbor_id", "cid", "code", "cn2"),
+      idx.select("neighbor_id", "cv", "cn2"), queries, idCol, vecCol,
+      cents, codebook, m, kCent, dim / m, nprobe, k, rerank)
   }
 }

@@ -205,6 +205,99 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ivf_idx_spec")
   }
 
+  test("ivfPqTopK with all lists probed equals pqTopK exactly") {
+    // nprobe = nCentroids makes the coarse stage a no-op filter, so
+    // the composite must reduce to pure PQ: same codebook, same ADC
+    // shortlist, same rerank
+    val e = Tables.embeddings(spark, sfDir)
+    val corpus = e.filter(col("vec_id") >= 8)
+    val queries = e.filter(col("vec_id") < 8)
+    val composite = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+        nCentroids = 16, nprobe = 16, m = 8, kCent = 32, k = 5,
+        iters = 3, roundTo = Some(6))
+      .as[(Long, Int, Long)].collect().toSet
+    val pq = Similarity.pqTopK(corpus, queries, "vec_id", "embedding",
+        m = 8, kCent = 32, k = 5, iters = 3, roundTo = Some(6))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(composite === pq)
+  }
+
+  test("ivfPqTopK recall@5 against brute force on real embeddings") {
+    val e = Tables.embeddings(spark, sfDir)
+    val corpus = e.filter(col("vec_id") >= 8)
+    val queries = e.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+      .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
+    val approx = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+        nCentroids = 16, nprobe = 8, m = 8, kCent = 32, k = 5,
+        iters = 3, roundTo = Some(6))
+      .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ivfpq recall@5 $recall")
+  }
+
+  test("persisted IVF-PQ index: probe equals inline, fingerprints guard the model") {
+    val e = Tables.embeddings(spark, sfDir)
+    val corpus = e.filter(col("vec_id") >= 8)
+    val queries = e.filter(col("vec_id") < 8)
+    val q = corpus.select(col("embedding").cast("array<double>"), col("vec_id"))
+      .orderBy("vec_id").limit(16).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val (cb, _) = Similarity.pqTrain(corpus, "vec_id", "embedding",
+      m = 8, kCent = 32, trainSample = 512, iters = 3, roundTo = Some(6))
+    spark.sql("DROP TABLE IF EXISTS ivfpq_idx_spec")
+    Similarity.ivfPqIndexWrite(corpus, "vec_id", "embedding", q, cb,
+      m = 8, kCent = 32, table = "ivfpq_idx_spec")
+    try {
+      val stored = spark.table("ivfpq_idx_spec")
+      assert(stored.columns.toSet === Set("neighbor_id", "cv", "cn2", "cid", "code"))
+      assert(stored.count() === corpus.count())
+      for (nprobe <- Seq(4, 16)) {
+        val fromIndex = Similarity.ivfPqProbeIndex(spark, "ivfpq_idx_spec",
+            queries, "vec_id", "embedding", q, cb, m = 8, kCent = 32,
+            nprobe = nprobe, k = 5)
+          .as[(Long, Int, Long)].collect().toSet
+        val inline = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+            nCentroids = 16, nprobe = nprobe, m = 8, kCent = 32, k = 5,
+            iters = 3, roundTo = Some(6), quantizer = Some(q))
+          .as[(Long, Int, Long)].collect().toSet
+        assert(fromIndex === inline, s"nprobe=$nprobe")
+      }
+      // probing with model state the index was NOT built with must
+      // throw, not silently return wrong neighbors
+      val cbTampered = cb.updated(0, cb(0) + 1.0)
+      intercept[IllegalArgumentException] {
+        Similarity.ivfPqProbeIndex(spark, "ivfpq_idx_spec", queries,
+          "vec_id", "embedding", q, cbTampered, m = 8, kCent = 32,
+          nprobe = 4, k = 5)
+      }
+      val qTampered = q.map(_.clone()); qTampered(0)(0) += 1.0
+      intercept[IllegalArgumentException] {
+        Similarity.ivfPqProbeIndex(spark, "ivfpq_idx_spec", queries,
+          "vec_id", "embedding", qTampered, cb, m = 8, kCent = 32,
+          nprobe = 4, k = 5)
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS ivfpq_idx_spec")
+  }
+
+  test("ivfProbeIndex rejects a quantizer the index was not built with") {
+    val e = Tables.embeddings(spark, sfDir)
+    val corpus = e.filter(col("vec_id") >= 8)
+    val queries = e.filter(col("vec_id") < 8)
+    val q = corpus.select(col("embedding").cast("array<double>"), col("vec_id"))
+      .orderBy("vec_id").limit(16).collect()
+      .map(_.getSeq[Double](0).toArray)
+    spark.sql("DROP TABLE IF EXISTS ivf_fp_spec")
+    Similarity.ivfIndexWrite(corpus, "vec_id", "embedding", q, "ivf_fp_spec")
+    try {
+      val tampered = q.map(_.clone()); tampered(3)(7) += 0.5
+      intercept[IllegalArgumentException] {
+        Similarity.ivfProbeIndex(spark, "ivf_fp_spec", queries,
+          "vec_id", "embedding", tampered, nprobe = 4, k = 5)
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_fp_spec")
+  }
+
   test("trained quantizer balances inverted lists better than lowest-id centroids") {
     val e = Tables.embeddings(spark, sfDir)
     val corpus = e.filter(col("vec_id") >= 8)

@@ -562,17 +562,8 @@ object Dedup {
     val e = embeddings.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("n2", Vectors.normSq(col("v"))) // norm once per row, not per pair
-    val banded = e.select(col("id"),
-      explode(array((0 until tables).map { t =>
-        struct(lit(t).as("tbl"),
-          Vectors.hyperplaneSig(col("v"), dim, bits, seed + t).as("bucket"))
-      }: _*)).as("tb"))
-      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val probeSide =
-      if (probeRadius == 0) banded
-      else banded.select(col("id"), col("tbl"),
-        explode(array(col("bucket") +: (0 until bits).map(b =>
-          col("bucket").bitwiseXOR(lit(1L << b))): _*)).as("bucket"))
+    val banded = vecBands(e, dim, bits, tables, seed)
+    val probeSide = expandProbes(banded, bits, probeRadius)
     val cand = probeSide.as("a").join(banded.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
@@ -591,6 +582,145 @@ object Dedup {
     // unpersist in long-lived sessions.
     val materialized = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     materialized.count()
+    materialized
+  }
+
+  /** LSH banding of an (id, v) vector frame: one row per (id, table,
+    * bucket) under `tables` independently-seeded hyperplane tables —
+    * the signature block shared by [[embeddingPairsLsh]] and the
+    * standing embedding index. */
+  private def vecBands(e: DataFrame, dim: Int, bits: Int, tables: Int,
+      seed: Long): DataFrame =
+    e.select(col("id"),
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("tbl"),
+          Vectors.hyperplaneSig(col("v"), dim, bits, seed + t).as("bucket"))
+      }: _*)).as("tb"))
+      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+
+  /** Hamming-1 multi-probe expansion of a band table (bits+1 probe
+    * keys per row) — each pair still meets at most once per table:
+    * exactly one probe key (the bit mask of the signature difference)
+    * can hit. */
+  private def expandProbes(banded: DataFrame, bits: Int,
+      probeRadius: Int): DataFrame =
+    if (probeRadius == 0) banded
+    else banded.select(col("id"), col("tbl"),
+      explode(array(col("bucket") +: (0 until bits).map(b =>
+        col("bucket").bitwiseXOR(lit(1L << b))): _*)).as("bucket"))
+
+  /** A STANDING embedding-LSH index: persisted normalized vectors +
+    * banded signature table, built once at corpus-land time and
+    * probed by any number of later batches ([[embeddingProbe]]) —
+    * the [[MinhashIndex]] twin for the vector space, i.e. the index
+    * continuous SemDeDup ingest probes. Callers own the lifecycle:
+    * `release()` when done. */
+  final case class EmbeddingLshIndex(vecs: DataFrame, banded: DataFrame,
+      dim: Int, bits: Int, tables: Int, seed: Long) {
+    def release(): Unit = {
+      banded.unpersist(blocking = false)
+      vecs.unpersist(blocking = false)
+    }
+  }
+
+  /** Build (and materialize) the standing embedding index. */
+  def embeddingIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, bits: Int, tables: Int, seed: Long): EmbeddingLshIndex = {
+    val vecs = corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n2", Vectors.normSq(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = vecBands(vecs, dim, bits, tables, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    banded.count() // materialize both (banded pulls vecs through)
+    EmbeddingLshIndex(vecs, banded, dim, bits, tables, seed)
+  }
+
+  /** Land the standing embedding index DURABLY as saved tables (the
+    * [[minhashIndexWrite]] contract for vectors): vectors bucketed on
+    * id (the verify-join key), the band table bucketed on
+    * (tbl, bucket) so index-side joins on the probe key read
+    * pre-clustered buckets. LSH parameters are stamped as table
+    * properties and validated on load — stored buckets are
+    * meaningless under any other hyperplane family. */
+  def embeddingIndexWrite(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, bits: Int, tables: Int, seed: Long,
+      vecsTable: String, bandTable: String, buckets: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n2", Vectors.normSq(col("v")))
+      .write.format("parquet").mode("overwrite")
+      .bucketBy(buckets, "id").sortBy("id").saveAsTable(vecsTable)
+    // bands derive from the LANDED vectors (one clean scan)
+    vecBands(spark.table(vecsTable), dim, bits, tables, seed)
+      .write.format("parquet").mode("overwrite")
+      .bucketBy(buckets, "tbl", "bucket").saveAsTable(bandTable)
+    Seq(vecsTable, bandTable).foreach { t =>
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES (" +
+        s"'graft.emblsh.dim'='$dim', 'graft.emblsh.bits'='$bits', " +
+        s"'graft.emblsh.tables'='$tables', 'graft.emblsh.seed'='$seed')")
+    }
+  }
+
+  /** Reattach a durable embedding index written by
+    * [[embeddingIndexWrite]]; mismatched LSH parameters (or a table
+    * not written by embeddingIndexWrite) throw. */
+  def embeddingIndexLoad(spark: org.apache.spark.sql.SparkSession,
+      vecsTable: String, bandTable: String,
+      dim: Int, bits: Int, tables: Int, seed: Long): EmbeddingLshIndex = {
+    Seq(vecsTable, bandTable).foreach { t =>
+      val props = spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      Seq("dim" -> dim.toString, "bits" -> bits.toString,
+          "tables" -> tables.toString, "seed" -> seed.toString).foreach {
+        case (name, v) =>
+          props.get(s"graft.emblsh.$name") match {
+            case Some(got) => require(got == v,
+              s"index table $t was built with $name=$got, load requested $v")
+            case None => throw new IllegalArgumentException(
+              s"table $t lacks graft.emblsh.$name — not an embeddingIndexWrite table")
+          }
+      }
+    }
+    EmbeddingLshIndex(spark.table(vecsTable), spark.table(bandTable),
+      dim, bits, tables, seed)
+  }
+
+  /** Probe one batch of vectors against a standing embedding index:
+    * near-dup pairs (vec_a = corpus id, vec_b = batch id) with
+    * cosine ≥ tau — [[embeddingPairsLsh]] semantics restricted to
+    * corpus×batch. Only the batch is signed per call; its (optionally
+    * Hamming-1-expanded) probe keys broadcast into the index join, so
+    * the corpus is never re-signed or shuffled — the continuous
+    * SemDeDup ingest hot path (the streaming twin drives it per
+    * micro-batch). */
+  def embeddingProbe(index: EmbeddingLshIndex, batch: DataFrame,
+      idCol: String, vecCol: String, tau: Double,
+      probeRadius: Int = 0): DataFrame = {
+    require(probeRadius == 0 || probeRadius == 1,
+      s"probeRadius must be 0 or 1, got $probeRadius")
+    val b = batch.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n2", Vectors.normSq(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bBands = expandProbes(
+      vecBands(b, index.dim, index.bits, index.tables, index.seed),
+      index.bits, probeRadius)
+    val cand = index.banded.as("a").join(broadcast(bBands).as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+    val out = cand
+      .join(index.vecs.select(col("id").as("vec_a"),
+        col("v").as("va"), col("n2").as("na")), "vec_a")
+      .join(broadcast(b.select(col("id").as("vec_b"),
+        col("v").as("vb"), col("n2").as("nb"))), "vec_b")
+      .filter(Vectors.cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")) >= tau)
+      .select(col("vec_a"), col("vec_b"))
+    val materialized = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    materialized.count()
+    b.unpersist(blocking = false)
     materialized
   }
 

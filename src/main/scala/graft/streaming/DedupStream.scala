@@ -111,4 +111,28 @@ object DedupStream {
         try onBatch(pairs) finally pairs.unpersist(blocking = false)
       }
       .start()
+
+  case class EmbDoc(vec_id: Long, embedding: Array[Double])
+
+  /** Continuous EMBEDDING near-dup probe — the SemDeDup ingest shape:
+    * each micro-batch of vectors is probed against a standing
+    * [[Dedup.EmbeddingLshIndex]] (persisted vectors + banded
+    * hyperplane signatures, built once at corpus-land time, or
+    * [[Dedup.embeddingIndexLoad]]ed from durable tables). Per batch
+    * this is exactly [[Dedup.embeddingProbe]] — only the batch is
+    * signed, its probe keys broadcast into the index join, the corpus
+    * never re-signed or shuffled. Per-batch results over a batch
+    * sequence ≡ the one-shot probe over their union, because
+    * corpus×batch pairs partition by batch (parity spec). Completes
+    * the streaming dedup family exact → MinHash → embedding. */
+  def embeddingProbeQuery(stream: Dataset[EmbDoc], index: Dedup.EmbeddingLshIndex,
+      tau: Double, probeRadius: Int = 0)
+      (onBatch: DataFrame => Unit): StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[EmbDoc], _: Long) =>
+        val pairs = Dedup.embeddingProbe(index, batch.toDF(),
+          "vec_id", "embedding", tau, probeRadius)
+        try onBatch(pairs) finally pairs.unpersist(blocking = false)
+      }
+      .start()
 }

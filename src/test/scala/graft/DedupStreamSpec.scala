@@ -96,4 +96,70 @@ class DedupStreamSpec extends SparkSpec {
     } finally { q.stop(); index.release() }
     assert(got.toSet === expected)
   }
+
+  test("streamed embedding probes over batches ≡ the one-shot standing-index probe") {
+    import graft.streaming.DedupStream.EmbDoc
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpus = emb.filter(pmod(col("vec_id"), lit(10)) =!= 3)
+    val batchDocs = emb.filter(pmod(col("vec_id"), lit(10)) === 3)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[EmbDoc].collect().sortBy(_.vec_id).toSeq
+    val (dim, bits, tables, seed, tau) = (64, 4, 8, 42L, 0.4)
+
+    val index = Dedup.embeddingIndex(corpus, "vec_id", "embedding",
+      dim, bits, tables, seed)
+    // one-shot reference: the whole stream as a single probe batch —
+    // corpus×batch pairs partition by batch, so the per-batch union
+    // must reproduce it exactly
+    val oneShot = Dedup.embeddingProbe(index,
+      batchDocs.toDF("vec_id", "embedding"), "vec_id", "embedding", tau)
+    val expected = oneShot.as[(Long, Long)].collect().toSet
+    oneShot.unpersist(blocking = false)
+    assert(expected.nonEmpty, "gate corpus should contain cross near-dups")
+
+    val got = scala.collection.mutable.Set.empty[(Long, Long)]
+    val mem = MemoryStream[EmbDoc]
+    val q = DedupStream.embeddingProbeQuery(mem.toDS(), index, tau) { pairs =>
+      got ++= pairs.as[(Long, Long)].collect()
+    }
+    try {
+      val size = math.max(1, batchDocs.size / 3)
+      batchDocs.grouped(size).foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally { q.stop(); index.release() }
+    assert(got.toSet === expected)
+  }
+
+  test("durable embedding index: load-probe ≡ in-session probe, params guarded") {
+    import graft.streaming.DedupStream.EmbDoc
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpus = emb.filter(pmod(col("vec_id"), lit(10)) =!= 3)
+    val batch = emb.filter(pmod(col("vec_id"), lit(10)) === 3)
+      .select(col("vec_id"), col("embedding"))
+    val (dim, bits, tables, seed, tau) = (64, 4, 8, 42L, 0.4)
+    spark.sql("DROP TABLE IF EXISTS emb_vecs_spec")
+    spark.sql("DROP TABLE IF EXISTS emb_band_spec")
+    Dedup.embeddingIndexWrite(corpus, "vec_id", "embedding",
+      dim, bits, tables, seed, "emb_vecs_spec", "emb_band_spec")
+    try {
+      val inMem = Dedup.embeddingIndex(corpus, "vec_id", "embedding",
+        dim, bits, tables, seed)
+      val loaded = Dedup.embeddingIndexLoad(spark,
+        "emb_vecs_spec", "emb_band_spec", dim, bits, tables, seed)
+      val a = Dedup.embeddingProbe(inMem, batch, "vec_id", "embedding", tau)
+      val b = Dedup.embeddingProbe(loaded, batch, "vec_id", "embedding", tau)
+      assert(a.as[(Long, Long)].collect().toSet ===
+        b.as[(Long, Long)].collect().toSet)
+      a.unpersist(blocking = false); b.unpersist(blocking = false)
+      inMem.release()
+      // a different hyperplane family must hard-fail at load, not
+      // silently probe dead buckets
+      intercept[IllegalArgumentException] {
+        Dedup.embeddingIndexLoad(spark, "emb_vecs_spec", "emb_band_spec",
+          dim, bits, tables, seed + 1)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS emb_vecs_spec")
+      spark.sql("DROP TABLE IF EXISTS emb_band_spec")
+    }
+  }
 }

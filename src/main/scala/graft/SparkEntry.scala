@@ -444,6 +444,25 @@ object SparkEntry {
           "doc_a", "doc_b")
         .select(col("node").as("doc_id"), col("cluster_id"))),
 
+    // INCREMENTAL connected components: the standing cluster state a
+    // continuous-ingestion dedup keeps. Old labeling = CC over the
+    // standing corpus's pairs; new edges (any pair touching a new
+    // doc) merge through the frontier-sized QUOTIENT graph (labels as
+    // nodes) and a single remap join — never a full recompute. The
+    // oracle replays BOTH pair computations and runs the recursive CC
+    // over their union, so the gate proves incremental ≡ from-scratch
+    "dedup_clusters_inc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldDocs = docs.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+      val oldPairs = Dedup.ngramJaccardPairs(oldDocs, "doc_id", "text", k = 3, tau = 0.6)
+      val labels = Clusters.connectedComponents(oldPairs, "doc_a", "doc_b")
+      val newPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, tau = 0.6)
+        .filter(pmod(col("doc_a"), lit(10)) === 3 ||
+          pmod(col("doc_b"), lit(10)) === 3)
+      Clusters.incrementalComponents(labels, newPairs, "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("cluster_id"))
+    }),
+
     // substring-level dedup: maximal duplicated 20-token spans across
     // docs (passage granularity whole-doc near-dup can't see)
     "dedup_substring" -> ((s, dir) =>
@@ -1269,22 +1288,30 @@ object SparkEntry {
     * one particular SF. Yields `sh` (pruned shingles), `sz` (per-doc
     * sizes from the pruned universe — the operator's correct-bias
     * rule) and `shared` (pair co-counts). */
-  private def jaccardCtes: String =
-    s"""toks AS (
-           SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
-         sh0 AS (
+  private def jaccardCtes: String = jaccardCtesFor("documents", "")
+
+  /** The same CTE block over an arbitrary source relation with a
+    * name prefix — lets one statement carry TWO independent pair
+    * computations (the incremental-components oracle needs the
+    * old-corpus pairs AND the full-corpus pairs, each with its own
+    * structurally-mirrored sqrt(N) cap). */
+  private def jaccardCtesFor(rel: String, p: String): String =
+    s"""${p}toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM $rel),
+         ${p}sh0 AS (
            SELECT DISTINCT doc_id,
                   t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-           FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)),
-         cap AS (SELECT greatest(50, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS c
-                 FROM documents),
-         hot AS (SELECT s FROM sh0 CROSS JOIN cap
+           FROM ${p}toks, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+         ${p}cap AS (SELECT greatest(50, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS c
+                 FROM $rel),
+         ${p}hot AS (SELECT s FROM ${p}sh0 CROSS JOIN ${p}cap
                  GROUP BY s, c HAVING count(*) > c),
-         sh AS (SELECT doc_id, s FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
-         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         shared AS (
+         ${p}sh AS (SELECT doc_id, s FROM ${p}sh0
+                    WHERE s NOT IN (SELECT s FROM ${p}hot)),
+         ${p}sz AS (SELECT doc_id, count(*) AS n FROM ${p}sh GROUP BY 1),
+         ${p}shared AS (
            SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
-           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           FROM ${p}sh a JOIN ${p}sh b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2)"""
 
   /** Shared CTE text for the LSH-blocked embedding-dedup oracles:
@@ -2243,6 +2270,34 @@ object SparkEntry {
            SELECT da, db
            FROM shared JOIN sz za ON da = za.doc_id JOIN sz zb ON db = zb.doc_id
            WHERE round(c / (za.n + zb.n - c), 4) >= 0.6),
+         edges AS (
+           SELECT da AS src, db AS dst FROM pairs
+           UNION ALL SELECT db, da FROM pairs),
+         reach(node, lbl) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node)
+         SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1""",
+
+    // incremental CC vs the from-scratch recursive CC over the UNION
+    // of the old-corpus pair set and the full-corpus pairs touching a
+    // new doc — each pair family re-derived with its own sqrt(N) cap
+    "dedup_clusters_inc" ->
+      s"""WITH RECURSIVE
+         old_docs AS (SELECT * FROM documents WHERE doc_id % 10 <> 3),
+         ${jaccardCtesFor("old_docs", "o_")},
+         ${jaccardCtesFor("documents", "")},
+         o_pairs AS (
+           SELECT da, db
+           FROM o_shared JOIN o_sz za ON da = za.doc_id
+                         JOIN o_sz zb ON db = zb.doc_id
+           WHERE round(c / (za.n + zb.n - c), 4) >= 0.6),
+         n_pairs AS (
+           SELECT da, db
+           FROM shared JOIN sz za ON da = za.doc_id JOIN sz zb ON db = zb.doc_id
+           WHERE round(c / (za.n + zb.n - c), 4) >= 0.6
+             AND (da % 10 = 3 OR db % 10 = 3)),
+         pairs AS (SELECT da, db FROM o_pairs UNION SELECT da, db FROM n_pairs),
          edges AS (
            SELECT da AS src, db AS dst FROM pairs
            UNION ALL SELECT db, da FROM pairs),

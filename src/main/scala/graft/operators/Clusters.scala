@@ -106,4 +106,62 @@ object Clusters {
         s"$maxIter covers components beyond practical corpus sizes)")
     labels
   }
+
+  /** Incremental connected components: fold NEW edges into an
+    * existing (node, cluster_id) labeling WITHOUT recomputing
+    * components from scratch — the standing cluster state the
+    * streaming dedup probes feed, where a full
+    * [[connectedComponents]] per batch would cost O(corpus) per
+    * batch.
+    *
+    * The old labeling is a certificate of the old edge set: every
+    * component is collapsed to its min-id representative. New edges
+    * therefore only need to propagate through the QUOTIENT graph —
+    * each new edge (a, b) becomes (label(a), label(b)) (a node unseen
+    * by the labeling is its own label), and components of that
+    * frontier-sized cluster graph are exactly the groups of old
+    * clusters the new edges merge. The merged mapping (old label →
+    * new min label) then rewrites the full labeling with one
+    * hash join; untouched clusters pass through unchanged. Min labels
+    * compose (min of merged clusters = min over member reps = min
+    * over member nodes), so the result is IDENTICAL to a full
+    * recompute over (old edges ∪ new edges) — oracle-gated.
+    *
+    * Cost shape at 100 TB: the cluster-graph CC runs on edges ∝ the
+    * new batch (its rounds bound by log of MERGED-GROUP size, not
+    * corpus component size); the corpus-sized work is one scan of
+    * `labels` for the remap join (the merged mapping is
+    * frontier-sized — AQE broadcasts it when small).
+    *
+    * @param labels   (node, cluster_id) from a previous run —
+    *                 cluster_id must be the component's min node id
+    *                 (the [[connectedComponents]] contract)
+    * @param newPairs new undirected edges (aCol, bCol)
+    * @return updated (node, cluster_id) covering labels ∪ new-edge
+    *         endpoints
+    */
+  def incrementalComponents(labels: DataFrame, newPairs: DataFrame,
+      aCol: String, bCol: String, maxIter: Int = 50): DataFrame = {
+    val lab = labels.select(col("node"), col("cluster_id"))
+    val edges = newPairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val endpoints = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    // resolve endpoints to their current representative (self for
+    // nodes the labeling has never seen)
+    val resolved = endpoints.join(lab, Seq("node"), "left")
+      .select(col("node"), coalesce(col("cluster_id"), col("node")).as("lbl"))
+    val clusterEdges = edges
+      .join(resolved.select(col("node").as("src"), col("lbl").as("la")), "src")
+      .join(resolved.select(col("node").as("dst"), col("lbl").as("lb")), "dst")
+      .filter(col("la") =!= col("lb"))
+      .select(col("la"), col("lb"))
+    val merged = connectedComponents(clusterEdges, "la", "lb", maxIter)
+      .select(col("node").as("old_lbl"), col("cluster_id").as("new_lbl"))
+    val newSelf = endpoints.join(lab.select("node"), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("cluster_id"))
+    lab.union(newSelf)
+      .join(merged, col("cluster_id") === col("old_lbl"), "left")
+      .select(col("node"),
+        coalesce(col("new_lbl"), col("cluster_id")).as("cluster_id"))
+  }
 }

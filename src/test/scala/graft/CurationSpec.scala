@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Clusters, Curation}
+import graft.operators.{Clusters, Curation, Dedup}
+import graft.sources.Tables
 
 class CurationSpec extends SparkSpec {
   import spark.implicits._
@@ -68,6 +69,47 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(out === Array((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
       (10L, 10L), (11L, 10L)))
+  }
+
+  test("incrementalComponents ≡ full recompute across merge shapes") {
+    // old graph: {1,2,3} (rep 1), {10,11} (rep 10), {20,21} (rep 20)
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val labels = Clusters.connectedComponents(oldPairs, "doc_a", "doc_b")
+    // new edges exercise every shape at once: a bridge MERGING two
+    // old clusters through a brand-new node (3–50, 50–11), a
+    // new-only chain (60–61, 61–62), and an edge landing inside an
+    // already-converged cluster (1–3: must be a no-op)
+    val newPairs = Seq((3L, 50L), (50L, 11L), (60L, 61L), (61L, 62L), (1L, 3L))
+      .toDF("doc_a", "doc_b")
+    val inc = Clusters.incrementalComponents(labels, newPairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    val full = Clusters.connectedComponents(
+        oldPairs.union(newPairs), "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(inc === full)
+    assert(inc(50L) === 1L, "bridge node joins the merged min-1 cluster")
+    assert(inc(11L) === 1L, "old cluster {10,11} merged into 1")
+    assert(inc(60L) === 60L && inc(62L) === 60L, "new-only chain labels to its min")
+    assert(inc(20L) === 20L && inc(21L) === 20L, "untouched cluster unchanged")
+  }
+
+  test("incrementalComponents ≡ full recompute on the corpus pair split") {
+    val docs = Tables.documents(spark, sfDir)
+    val oldDocs = docs.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+    val oldPairs = Dedup.ngramJaccardPairs(oldDocs, "doc_id", "text", k = 3, tau = 0.6)
+    val allPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, tau = 0.6)
+    val newPairs = allPairs.filter(pmod(col("doc_a"), lit(10)) === 3 ||
+      pmod(col("doc_b"), lit(10)) === 3)
+    val labels = Clusters.connectedComponents(oldPairs, "doc_a", "doc_b")
+    val inc = Clusters.incrementalComponents(labels, newPairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    val full = Clusters.connectedComponents(oldPairs.union(newPairs),
+        "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(inc === full)
+    oldPairs.unpersist(blocking = false)
+    allPairs.unpersist(blocking = false)
   }
 
   test("connectedComponents resolves a long chain in O(log n) rounds") {

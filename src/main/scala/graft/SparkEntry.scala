@@ -434,7 +434,7 @@ object SparkEntry {
     // callers omit it and get the stats-derived autoCap default
     "dedup_edit" -> ((s, dir) =>
       Dedup.editDistancePairs(t(s, dir, "documents"), "doc_id", "text",
-        maxDist = 32, lenBucket = 32, maxBlock = Some(1000))),
+        maxDist = 32, lenBucket = 32, maxBlock = Dedup.CapPolicy.Fixed(1000))),
 
     // pairwise near-dup output → dedup decisions: connected components
     // by min-label propagation; cluster_id = min doc id of the cluster

@@ -38,9 +38,41 @@ object Dedup {
     * land — keeps the two identical. The driver's oracle gate reads
     * bare parquet frames, where N is always the exact count. */
   def autoCap(docs: DataFrame): Int = {
-    val n = docs.queryExecution.optimizedPlan.stats.rowCount
-      .map(_.toLong).getOrElse(docs.count())
+    val plan = docs.queryExecution.optimizedPlan
+    // trust catalog stats only when the frame IS the analyzed
+    // relation: any operator above a leaf makes rowCount a Catalyst
+    // ESTIMATE (filter selectivity guesses), which would silently
+    // shift the cap away from ceil(sqrt(actual N)) — and away from
+    // the oracle's exact-count replay
+    val n = plan match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode =>
+        plan.stats.rowCount.map(_.toLong).getOrElse(docs.count())
+      case _ => docs.count()
+    }
     math.max(50, math.ceil(math.sqrt(n.toDouble)).toInt)
+  }
+
+  /** Hot-bucket cap policy for the pair operators ([[ngramJaccardPairs]]
+    * maxDf, [[substringDupSpans]] maxDf, [[editDistancePairs]]
+    * maxBlock): [[CapPolicy.Auto]] = the stats-derived [[autoCap]]
+    * (costs one count() job at operator-build time when no exact
+    * stats exist), [[CapPolicy.Off]] = no pruning AND no stats/count
+    * job, [[CapPolicy.Fixed]] = an explicit cap. A dedicated
+    * three-state knob rather than Option so "disable pruning" stays
+    * expressible without the Some(Int.MaxValue) idiom. */
+  sealed trait CapPolicy
+  object CapPolicy {
+    case object Auto extends CapPolicy
+    case object Off extends CapPolicy
+    final case class Fixed(n: Int) extends CapPolicy {
+      require(n > 0, s"cap must be positive, got $n")
+    }
+  }
+
+  private def resolveCap(docs: DataFrame, cap: CapPolicy): Int = cap match {
+    case CapPolicy.Auto     => autoCap(docs)
+    case CapPolicy.Off      => Int.MaxValue
+    case CapPolicy.Fixed(n) => n
   }
 
   /** Exact content dedup: hash → (survivor id, multiplicity).
@@ -57,12 +89,12 @@ object Dedup {
     * per pair, then Jaccard from per-doc shingle counts. `maxDf` drops
     * shingles appearing in more documents (they cannot discriminate
     * and they generate the quadratic bucket blowup). Default = the
-    * stats-derived [[autoCap]] (√N rule); pass `Some(Int.MaxValue)`
-    * to disable pruning outright.
+    * stats-derived [[autoCap]] (√N rule, [[CapPolicy.Auto]]); pass
+    * [[CapPolicy.Off]] to disable pruning outright (no count job).
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, tau: Double, maxDf: Option[Int] = None): DataFrame = {
-    val dfCap = maxDf.getOrElse(autoCap(docs))
+      k: Int, tau: Double, maxDf: CapPolicy = CapPolicy.Auto): DataFrame = {
+    val dfCap = resolveCap(docs, maxDf)
     // carry 8-byte shingle hashes through the join, not strings: the
     // native single-pass ShingleHashes expression replaces an
     // interpreted HOF pipeline (~30× on the shingling stage), the
@@ -281,13 +313,26 @@ object Dedup {
       .bucketBy(buckets, "band", "bh").saveAsTable(bandTable)
     // the build parameters travel WITH the tables: a later session
     // loading with different (k, perms, bands) must hard-fail, not
-    // silently produce zero candidates / skewed jaccard estimates
+    // silently produce zero candidates / skewed jaccard estimates.
+    // hashVersion pins the HASH FAMILY itself: (k, perms, bands) can
+    // all match while the underlying shingle/permutation hashes have
+    // evolved (v1 byte fold → v2 codepoint fold did exactly that) —
+    // without the stamp, a landed index would silently stop matching
+    // freshly-signed probes (zero candidates on non-ASCII)
     Seq(sigsTable, bandTable).foreach { t =>
       spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES (" +
         s"'graft.minhash.k'='$k', 'graft.minhash.perms'='$perms', " +
-        s"'graft.minhash.bands'='$bands')")
+        s"'graft.minhash.bands'='$bands', " +
+        s"'graft.minhash.hashVersion'='$minhashHashVersion')")
     }
   }
+
+  /** Version of the MinHash hash family (shingle fold + permutation
+    * mix). Bump whenever RollingHash/ShingleHashes/MinHashAgg change
+    * their arithmetic: v2 = Unicode-codepoint fold (r4; v1 was the
+    * byte fold). Stamped into durable index tables and validated on
+    * load. */
+  private[graft] val minhashHashVersion = 2
 
   /** Reattach a durable index written by [[minhashIndexWrite]].
     * The requested parameters are validated against the properties
@@ -300,7 +345,8 @@ object Dedup {
     Seq(sigsTable, bandTable).foreach { t =>
       val props = spark.sql(s"SHOW TBLPROPERTIES $t").collect()
         .map(r => r.getString(0) -> r.getString(1)).toMap
-      Seq("k" -> k, "perms" -> perms, "bands" -> bands).foreach { case (name, v) =>
+      Seq("k" -> k, "perms" -> perms, "bands" -> bands,
+          "hashVersion" -> minhashHashVersion).foreach { case (name, v) =>
         props.get(s"graft.minhash.$name") match {
           case Some(s) => require(s == v.toString,
             s"index table $t was built with $name=$s, load requested $v")
@@ -480,8 +526,8 @@ object Dedup {
     * disables.
     */
   def substringDupSpans(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, maxDf: Option[Int] = None): DataFrame = {
-    val dfCap = maxDf.getOrElse(autoCap(docs))
+      k: Int, maxDf: CapPolicy = CapPolicy.Auto): DataFrame = {
+    val dfCap = resolveCap(docs, maxDf)
     val w = docs.select(col(idCol).as("doc_id"),
         posexplode(graft.functions.expr.NativeFunctions
           .shingle_hashes_all(col(textCol), k)).as(Seq("p0", "h")))
@@ -750,12 +796,12 @@ object Dedup {
     * a giant block is boilerplate, not near-duplication, and its
     * pairs would dominate the job without meaning anything. Default =
     * the stats-derived [[autoCap]] (√N rule — no block may cost more
-    * pair work than a corpus scan); pass `Some(Int.MaxValue)` to
-    * disable the guard.
+    * pair work than a corpus scan, [[CapPolicy.Auto]]); pass
+    * [[CapPolicy.Off]] to disable the guard (no count job).
     */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int, lenBucket: Int = 0, prefixLen: Int = 4,
-      maxBlock: Option[Int] = None): DataFrame = {
+      maxBlock: CapPolicy = CapPolicy.Auto): DataFrame = {
     // lenBucket defaults to maxDist (the tightest bucketing the
     // recall guarantee permits) and is REQUIRED >= maxDist when
     // explicit: edit distance bounds the length gap by maxDist, so
@@ -765,7 +811,7 @@ object Dedup {
     val bucket = if (lenBucket <= 0) math.max(1, maxDist) else lenBucket
     require(bucket >= maxDist,
       s"lenBucket $bucket < maxDist $maxDist breaks the adjacent-bucket recall guarantee")
-    val blockCap = maxBlock.getOrElse(autoCap(docs))
+    val blockCap = resolveCap(docs, maxBlock)
     val raw = docs.select(col(idCol).as("id"), col(textCol).as("t"))
       .withColumn("__lb", floor(length(col("t")) / bucket))
       .withColumn("__p", substring(col("t"), 1, prefixLen))

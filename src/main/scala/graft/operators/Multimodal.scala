@@ -136,12 +136,13 @@ object Multimodal {
       * rate/channel count — one deterministic sample pipeline. */
     def decodeWav(payload: Array[Byte]): Array[Double] = {
       val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      var conv: AudioInputStream = null
       try {
         val src = in.getFormat
         val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
           src.getSampleRate, 16, src.getChannels,
           src.getChannels * 2, src.getSampleRate, false)
-        val conv = AudioSystem.getAudioInputStream(target, in)
+        conv = AudioSystem.getAudioInputStream(target, in)
         val bytes = conv.readAllBytes()
         val ch = target.getChannels
         val nFrames = bytes.length / (2 * ch)
@@ -161,7 +162,11 @@ object Multimodal {
           f += 1
         }
         out
-      } finally in.close()
+      } finally {
+        // closing the converter closes the wrapped source too; if
+        // conversion setup itself threw, fall back to the source
+        if (conv != null) conv.close() else in.close()
+      }
     }
 
     /** `dim` RMS-energy features over `dim` time strips — the audio

@@ -53,18 +53,30 @@ object DedupStream {
     * against the persisted corpus index → one `GroupState[Long]` per
     * DISTINCT CONTENT HASH holding the representative id (8 bytes per
     * distinct document — the same asymptotic state the standing index
-    * itself costs; bound it with a state-store TTL or periodic index
-    * compaction when the stream is unbounded). Within a batch, a
+    * itself costs). On an UNBOUNDED stream pass `stateTtl`: each
+    * hash's entry expires `stateTtl` after its last sighting
+    * (ProcessingTimeTimeout), bounding state to the hashes active
+    * within one TTL window at the documented cost that expired
+    * content re-admits. Within a batch, a
     * hash's rows fold in doc_id order — deterministic under shuffle
     * reordering. The representative tightens to the minimum id seen,
     * so with ids arriving in order the emitted dup_of equals the
     * batch reference exactly (parity spec).
     */
-  def exactProbe(stream: Dataset[Doc], corpusIndex: DataFrame): Dataset[ProbeResult] = {
+  def exactProbe(stream: Dataset[Doc], corpusIndex: DataFrame,
+      stateTtl: Option[java.time.Duration] = None): Dataset[ProbeResult] = {
     val spark = stream.sparkSession
     import spark.implicits._
     def fold(key: String, rows: Iterator[Probed],
         state: GroupState[Long]): Iterator[ProbeResult] = {
+      // TTL expiry callback: drop the representative. An expired
+      // hash RE-ADMITS — a later duplicate of expired stream content
+      // is treated as a first sighting (corpus matches are unaffected:
+      // the standing index rebuilds corpus_dup on every probe). That
+      // recall trade is exactly what bounds state on an unbounded
+      // stream; size the TTL to the dedup horizon the deployment
+      // actually needs.
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
       val rs = rows.toSeq.sortBy(_.doc_id)
       var keeper: Option[Long] = state.getOption.orElse(rs.head.corpus_dup)
       val out = rs.map { r =>
@@ -73,8 +85,12 @@ object DedupStream {
         ProbeResult(r.doc_id, dup)
       }
       state.update(keeper.get)
+      stateTtl.foreach(ttl => state.setTimeoutDuration(ttl.toMillis))
       out.iterator
     }
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     // NO broadcast hint on the index: it is corpus-sized (one row per
     // distinct corpus doc) — the opposite of exactIncremental, where
     // the SMALL batch side broadcasts. Catalyst picks broadcast
@@ -86,7 +102,7 @@ object DedupStream {
       .select(col("doc_id"), col("h"), col("corpus_dup"))
       .as[Probed]
       .groupByKey(_.h)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fold)
+      .flatMapGroupsWithState(OutputMode.Update, timeoutConf)(fold)
   }
 
   /** Continuous NEAR-dup probe: each micro-batch is probed against a

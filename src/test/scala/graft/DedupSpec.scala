@@ -33,7 +33,7 @@ class DedupSpec extends SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     // a generous cap keeps discriminative shingles: high-sim pairs survive
     val pruned = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, tau = 0.7,
-      maxDf = Some(100))
+      maxDf = Dedup.CapPolicy.Fixed(100))
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pruned.subsetOf(unpruned))
     assert(pruned.nonEmpty)
@@ -50,11 +50,32 @@ class DedupSpec extends SparkSpec {
     // ...while staying above every real document frequency at gate
     // scale: derived-cap output is IDENTICAL to the uncapped run
     val uncapped = Dedup.ngramJaccardPairs(small, "doc_id", "text", k = 3, tau = 0.6,
-        maxDf = Some(Int.MaxValue))
+        maxDf = Dedup.CapPolicy.Off)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     val derived = Dedup.ngramJaccardPairs(small, "doc_id", "text", k = 3, tau = 0.6)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(derived === uncapped, "derived cap must be inert on the gate corpus")
+  }
+
+  test("autoCap on a non-leaf frame uses the exact count, never a Catalyst estimate") {
+    // ANALYZE gives the TABLE exact stats; a filter on top would make
+    // rowCount a selectivity GUESS — autoCap must fall back to the
+    // exact count() there, or the cap (and oracle parity) silently
+    // drifts with estimator behavior
+    val docs = Tables.documents(spark, sfDir)
+    spark.sql("DROP TABLE IF EXISTS autocap_docs_spec")
+    docs.write.saveAsTable("autocap_docs_spec")
+    try {
+      spark.sql("ANALYZE TABLE autocap_docs_spec COMPUTE STATISTICS")
+      val t = spark.table("autocap_docs_spec")
+      val filtered = t.filter(col("doc_id") % 10 === 3)
+      val exactN = filtered.count()
+      assert(Dedup.autoCap(filtered) ===
+        math.max(50, math.ceil(math.sqrt(exactN.toDouble)).toInt))
+      // the leaf path still reads the catalog stat
+      assert(Dedup.autoCap(t) ===
+        math.max(50, math.ceil(math.sqrt(t.count().toDouble)).toInt))
+    } finally spark.sql("DROP TABLE IF EXISTS autocap_docs_spec")
   }
 
   test("minhash LSH recovers the high-jaccard pairs exact jaccard finds") {
@@ -256,6 +277,15 @@ class DedupSpec extends SparkSpec {
       intercept[IllegalArgumentException] {
         Dedup.minhashIndexLoad(spark, "mh_sigs_spec", "mh_bands_spec",
           k, perms = 128, bands = 32)
+      }
+      // a hash-FAMILY evolution (v1 byte fold → v2 codepoint fold)
+      // invalidates landed tables even with matching (k, perms,
+      // bands): simulate an old-family table by downgrading the stamp
+      spark.sql("ALTER TABLE mh_sigs_spec SET TBLPROPERTIES " +
+        "('graft.minhash.hashVersion'='1')")
+      intercept[IllegalArgumentException] {
+        Dedup.minhashIndexLoad(spark, "mh_sigs_spec", "mh_bands_spec",
+          k, perms, bands)
       }
     } finally {
       spark.sql("DROP TABLE IF EXISTS mh_sigs_spec")

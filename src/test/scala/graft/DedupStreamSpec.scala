@@ -72,6 +72,44 @@ class DedupStreamSpec extends SparkSpec {
     assert(staticOnly(20L) === None, "static probe cannot see earlier batches")
   }
 
+  test("exact probe TTL: expired stream hashes re-admit, corpus matches unaffected") {
+    val corpus = Seq((1L, "alpha")).toDF("doc_id", "text")
+    val idx = DedupStream.exactIndex(corpus, "doc_id", "text")
+    val mem = MemoryStream[Doc]
+    val q = DedupStream.exactProbe(mem.toDS(), idx,
+        stateTtl = Some(java.time.Duration.ofMillis(500)))
+      .writeStream.outputMode("update").format("memory").queryName("t_ttl").start()
+    try {
+      // NOTE: with ProcessingTimeTimeout the engine self-triggers
+      // no-data batches to fire expirations, so processAllAvailable
+      // never settles — poll the sink instead
+      def awaitRows(n: Long): Unit = {
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (spark.table("t_ttl").count() < n) {
+          assert(System.nanoTime() < deadline, s"timed out waiting for $n sink rows")
+          Thread.sleep(100)
+        }
+      }
+      mem.addData(Seq(Doc(10L, "ephemeral"), Doc(11L, "alpha")))
+      awaitRows(2)
+      // let the 500 ms TTL lapse; the intermediate batch fires the
+      // expirations (timeouts fire for keys WITHOUT data in a batch)
+      Thread.sleep(2000)
+      mem.addData(Seq(Doc(20L, "unrelated")))
+      awaitRows(3)
+      mem.addData(Seq(Doc(30L, "ephemeral"), Doc(31L, "alpha")))
+      awaitRows(5)
+      val out = spark.table("t_ttl").as[ProbeResult].collect()
+        .map(r => r.doc_id -> r.dup_of).toMap
+      assert(out(10L) === None)
+      assert(out(30L) === None,
+        "state for 'ephemeral' must have expired — re-admitted as first sighting")
+      assert(out(11L) === Some(1L))
+      assert(out(31L) === Some(1L),
+        "corpus matches rebuild from the standing index regardless of TTL")
+    } finally { q.stop(); idx.unpersist(blocking = false) }
+  }
+
   test("streamed minhash probes over batches ≡ the one-shot batch operator") {
     val docs = Tables.documents(spark, sfDir)
     val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 3)

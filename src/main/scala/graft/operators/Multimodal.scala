@@ -189,6 +189,81 @@ object Multimodal {
       out
     }
 
+    /** Decode up to `maxFrames` frames of a (possibly animated) GIF —
+      * the one real multi-frame container a pure JVM can read. Raw
+      * frames composite progressively onto a canvas at their declared
+      * ImageDescriptor offsets (the no-disposal rule: each frame
+      * draws over the previous composite — the common case for
+      * synthetic and screen-capture GIFs; restore-to-background
+      * disposal is not modeled). The canvas takes the first frame's
+      * size (standard GIFs open with a full frame). */
+    def decodeGifFrames(payload: Array[Byte], maxFrames: Int): IndexedSeq[BufferedImage] = {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        require(readers.hasNext, s"no reader for payload (${payload.length} bytes)")
+        val reader = readers.next()
+        reader.setInput(iis)
+        try {
+          val n = reader.getNumImages(true)
+          require(n > 0, "container holds no frames")
+          val take = math.min(n, maxFrames)
+          val out = new scala.collection.mutable.ArrayBuffer[BufferedImage](take)
+          var canvas: BufferedImage = null
+          var i = 0
+          while (i < take) {
+            val raw = reader.read(i)
+            if (canvas == null)
+              canvas = new BufferedImage(raw.getWidth, raw.getHeight,
+                BufferedImage.TYPE_INT_RGB)
+            val (x, y) = gifFrameOffset(reader, i)
+            val g = canvas.createGraphics()
+            try g.drawImage(raw, x, y, null) finally g.dispose()
+            val copy = new BufferedImage(canvas.getWidth, canvas.getHeight,
+              BufferedImage.TYPE_INT_RGB)
+            val g2 = copy.createGraphics()
+            try g2.drawImage(canvas, 0, 0, null) finally g2.dispose()
+            out += copy
+            i += 1
+          }
+          out.toIndexedSeq
+        } finally reader.dispose()
+      } finally iis.close()
+    }
+
+    private def gifFrameOffset(reader: javax.imageio.ImageReader,
+        i: Int): (Int, Int) =
+      try {
+        val tree = reader.getImageMetadata(i)
+          .getAsTree("javax_imageio_gif_image_1.0")
+          .asInstanceOf[org.w3c.dom.Element]
+        val desc = tree.getElementsByTagName("ImageDescriptor")
+        if (desc.getLength == 0) (0, 0)
+        else {
+          val e = desc.item(0).asInstanceOf[org.w3c.dom.Element]
+          (e.getAttribute("imageLeftPosition").toInt,
+            e.getAttribute("imageTopPosition").toInt)
+        }
+      } catch { case _: Exception => (0, 0) }
+
+    /** Synthesize an animated GIF from frames — tests/demos (the
+      * multi-frame twin of encodePng). GIF quantizes to a 256-color
+      * palette per frame; feed low-color frames for exact pixels. */
+    def encodeGifAnimated(frames: Seq[BufferedImage]): Array[Byte] = {
+      require(frames.nonEmpty, "need at least one frame")
+      val bos = new ByteArrayOutputStream(4096)
+      val ios = ImageIO.createImageOutputStream(bos)
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        frames.foreach(f =>
+          writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+
     /** Synthesize a mono 16-bit PCM WAV from samples in [−1, 1] —
       * tests/demos (the WAV twin of encodePng). */
     def encodeWavPcm16(samples: Array[Double], sampleRate: Float): Array[Byte] = {
@@ -285,7 +360,9 @@ object Multimodal {
 
   /** Frame sampling STUB: byte-range slices standing in for keyframe
     * extraction — the partitioning/explode shape is the real one
-    * (media row → many frame rows, each small enough to shuffle). */
+    * (media row → many frame rows, each small enough to shuffle).
+    * [[sampleFrameFeatures]] is the typed path with a REAL decode for
+    * GIF containers. */
   def sampleFrames(df: DataFrame, payloadCol: String, nFrames: Int): DataFrame = {
     df.withColumn("frame",
         explode(sequence(lit(0), lit(nFrames - 1))))
@@ -294,6 +371,62 @@ object Multimodal {
           s"length($payloadCol) / $nFrames)"))
       .drop(payloadCol)
   }
+
+  /** Per-frame features with a REAL multi-frame container path. */
+  case class FrameFeatures(media_id: Long, frame: Int, features: Array[Float],
+      ok: Boolean = true, error: String = "")
+
+  /** Media-row → frame-rows with REAL per-frame pixels for GIF
+    * containers: every stored frame decodes (progressive composite —
+    * GIF frames are deltas, so sampling still reads the whole
+    * container, exactly like video keyframe extraction without an
+    * index), `nFrames` are sampled evenly across the timeline, and
+    * each emits strip-luminance features over its DECODED pixels.
+    * mp4/webm rows keep the clearly-marked deterministic stub (their
+    * codecs are native-only); an undecodable GIF emits one flagged
+    * row (frame = −1, ok = false) instead of failing the task — the
+    * [[MediaFeatures]] accounting stance. The explode happens inside
+    * mapPartitions: frame rows (dim floats each) are what shuffles,
+    * never the container payload. */
+  def sampleFrameFeatures(ds: Dataset[MediaRow], nFrames: Int, dim: Int,
+      maxFrames: Int = 1024)(
+      implicit spark: SparkSession): Dataset[FrameFeatures] = {
+    import spark.implicits._
+    require(nFrames > 0, s"nFrames $nFrames must be positive")
+    ds.mapPartitions { rows =>
+      // codec init amortizes here, once per partition
+      rows.flatMap { r =>
+        if (isGif(r.meta)) {
+          try {
+            val frames = Codec.decodeGifFrames(r.payload, maxFrames)
+            val n = frames.length
+            val k = math.min(nFrames, n)
+            (0 until k).map { j =>
+              val fi = (j.toLong * n / k).toInt // even temporal sample
+              FrameFeatures(r.media_id, j,
+                Codec.stripLuminance(frames(fi), dim))
+            }
+          } catch { case e: Exception =>
+            Seq(FrameFeatures(r.media_id, -1, Array.empty[Float], ok = false,
+              error = s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+          }
+        } else {
+          // STUB: mp4/webm/compressed-audio frame decode needs native
+          // codecs absent from this environment
+          (0 until nFrames).map(j =>
+            FrameFeatures(r.media_id, j,
+              decodeStub(payloadHash(r.payload) * 31L + j, dim)))
+        }
+      }
+    }
+  }
+
+  private def isGif(meta: MediaMeta): Boolean = meta.mediaType == "image/gif"
+
+  /** Test/demo handle for the GIF synth pair (the encodeWavPcm16
+    * stance: specs feed the operator REAL containers, not mocks). */
+  private[graft] def encodeGifAnimated(frames: Seq[BufferedImage]): Array[Byte] =
+    Codec.encodeGifAnimated(frames)
 
   /** Resize. Image rows: REAL decode → Java2D bilinear rescale →
     * PNG re-encode, with the metadata dims updated in the same row

@@ -119,6 +119,67 @@ class MultimodalSpec extends SparkSpec {
     assert(kept.head.meta.width === 10)
   }
 
+  private def solidFrame(w: Int, h: Int, gray: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    img
+  }
+
+  test("sampleFrameFeatures decodes REAL per-frame pixels from an animated GIF") {
+    implicit val s = spark
+    // four solid-gray frames with distinct levels: after the GIF
+    // round trip, each sampled frame's strip luminance must equal ITS
+    // OWN frame's gray level — byte-slice stubs or single-frame
+    // decodes cannot produce this
+    val grays = Seq(16, 80, 160, 240)
+    val gif = Multimodal.encodeGifAnimated(grays.map(g => solidFrame(32, 24, g)))
+    val ds = Seq(MediaRow(1L, gif,
+      MediaMeta("image/gif", 32, 24, 400L, "gif"))).toDS()
+    val out = Multimodal.sampleFrameFeatures(ds, nFrames = 4, dim = 3)
+      .collect().sortBy(_.frame)
+    assert(out.length === 4)
+    out.foreach { f =>
+      assert(f.ok)
+      assert(f.features.length === 3)
+      val expected = grays(f.frame) / 255.0f
+      f.features.foreach(v =>
+        assert(math.abs(v - expected) <= 0.02f,
+          s"frame ${f.frame}: luminance $v, expected ~$expected"))
+    }
+  }
+
+  test("sampleFrameFeatures samples evenly when the container outruns nFrames") {
+    implicit val s = spark
+    val grays = (0 until 8).map(i => 15 + i * 30)
+    val gif = Multimodal.encodeGifAnimated(grays.map(g => solidFrame(16, 16, g)))
+    val ds = Seq(MediaRow(2L, gif,
+      MediaMeta("image/gif", 16, 16, 800L, "gif"))).toDS()
+    val out = Multimodal.sampleFrameFeatures(ds, nFrames = 4, dim = 1)
+      .collect().sortBy(_.frame)
+    // even sample over 8 frames at k=4 picks source frames 0, 2, 4, 6
+    val picked = Seq(0, 2, 4, 6).map(i => grays(i) / 255.0f)
+    assert(out.length === 4)
+    out.zip(picked).foreach { case (f, exp) =>
+      assert(math.abs(f.features(0) - exp) <= 0.02f,
+        s"frame ${f.frame}: ${f.features(0)}, expected ~$exp")
+    }
+  }
+
+  test("sampleFrameFeatures flags an undecodable GIF row instead of failing") {
+    implicit val s = spark
+    val ds = Seq(MediaRow(3L, Array[Byte](1, 2, 3, 4),
+      MediaMeta("image/gif", 8, 8, 0L, "gif"))).toDS()
+    val out = Multimodal.sampleFrameFeatures(ds, nFrames = 2, dim = 2).collect()
+    assert(out.length === 1)
+    assert(!out(0).ok && out(0).frame === -1 && out(0).features.isEmpty)
+  }
+
   test("sampleFrames explodes each media row into n frame rows") {
     val media = Multimodal.syntheticMedia(spark, 5).toDF()
     val frames = Multimodal.sampleFrames(media, "payload", nFrames = 4)

@@ -54,4 +54,34 @@ class RunManifestSpec extends SparkSpec {
     assert(RunManifest.incrementalRun(spark, path, "r2", 100L) {
       (_, _) => fail("empty interval must not run") } === None)
   }
+
+  test("commit race on one run_id: exactly one winner, the loser throws loudly") {
+    val path = tmp()
+    // the race window is 'both committers passed the replay probe
+    // before either committed' — reproduce the second committer's
+    // state by driving the commit step directly for the same run_id
+    RunManifest.commit(spark, path, "r1", 0L, 100L)
+    val e = intercept[IllegalStateException] {
+      RunManifest.commit(spark, path, "r1", 0L, 100L)
+    }
+    assert(e.getMessage.contains("lost the commit race"))
+    // the ledger holds ONE row for r1 — never a silent duplicate —
+    // and no staging debris survives the lost race
+    assert(RunManifest.runs(spark, path).count() === 1)
+    assert(RunManifest.lastWatermark(spark, path) === Some(100L))
+    val leftovers = new java.io.File(path).listFiles()
+      .map(_.getName).filter(_.startsWith(".staging"))
+    assert(leftovers.isEmpty, s"staging debris: ${leftovers.toSeq}")
+    // a racing committer for a DIFFERENT run_id is unaffected
+    RunManifest.commit(spark, path, "r2", 100L, 200L)
+    assert(RunManifest.lastWatermark(spark, path) === Some(200L))
+  }
+
+  test("run_id is constrained to partition-safe characters") {
+    val path = tmp()
+    intercept[IllegalArgumentException] {
+      RunManifest.incrementalRun(spark, path, "bad/id with:stuff", 10L, 0L) {
+        (_, _) => () }
+    }
+  }
 }

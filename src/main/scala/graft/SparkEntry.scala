@@ -767,6 +767,19 @@ object SparkEntry {
         m = 8, kCent = 32, k = 5, iters = 3, roundTo = Some(6))
     }),
 
+    // BPE subword training, hash-gated end to end: 3 unrolled merge
+    // rounds (the emb_kmeans gate pattern — production raises
+    // nMerges; identical loop, longer trajectory). Each round = one
+    // adjacent-pair aggregation over the word-frequency vocab with
+    // deterministic (count desc, lhs, rhs) ties; the oracle re-runs
+    // every round in SQL, replaying the shared fold-merge as a
+    // recursive CTE, so the learned rules must match exactly
+    "text_bpe" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Bpe.train(t(s, dir, "documents"), "text", nMerges = 3)
+        .merges.toDF()
+    }),
+
     "text_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -1686,7 +1699,49 @@ object SparkEntry {
        |SELECT event_type, round(est, 2) AS approx_users, n_events FROM e""".stripMargin
   }
 
+  /** text_bpe oracle: the whole BPE training loop replayed in SQL —
+    * word-frequency vocab, then per round (unrolled ×3) the
+    * adjacent-pair aggregation with (count desc, lhs, rhs) argmax and
+    * the merge application as a RECURSIVE-CTE FOLD: symbols are
+    * consumed one at a time, merging when the accumulator's tail is
+    * lhs and the incoming symbol is rhs — exactly the fold the native
+    * BpeOps.mergeOnce computes (and provably the classic left-to-
+    * right scan, see BpeOps). Integer counts and binary string
+    * ordering end to end — nothing float anywhere. */
+  private def bpeOracleSql: String = {
+    val iters = 3
+    def round(n: Int): String =
+      s"""pc$n AS (SELECT syms[i] AS lhs, syms[i+1] AS rhs, sum(freq) AS cnt
+           FROM v${n - 1}, unnest(generate_series(1, len(syms) - 1)) AS u(i)
+           GROUP BY 1, 2),
+         r$n AS (SELECT lhs, rhs, CAST(cnt AS BIGINT) AS cnt FROM pc$n
+                 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         f$n AS (
+           SELECT wid, 1 AS i, [syms[1]] AS acc, syms, freq FROM v${n - 1}
+           UNION ALL
+           SELECT f.wid, f.i + 1,
+             CASE WHEN f.acc[-1] = r.lhs AND f.syms[f.i + 1] = r.rhs
+                  THEN list_append(f.acc[1:len(f.acc) - 1], r.lhs || r.rhs)
+                  ELSE list_append(f.acc, f.syms[f.i + 1]) END,
+             f.syms, f.freq
+           FROM f$n f CROSS JOIN r$n r WHERE f.i < len(f.syms)),
+         v$n AS (SELECT wid, acc AS syms, freq FROM f$n WHERE i = len(syms))"""
+    s"""WITH RECURSIVE
+       w0 AS (
+         SELECT w, count(*) AS freq FROM (
+           SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+           FROM documents)
+         WHERE w <> '' GROUP BY w),
+       v0 AS (SELECT row_number() OVER (ORDER BY w) AS wid,
+                     string_split(w, '') AS syms, freq FROM w0),
+       ${(1 to iters).map(round).mkString(",\n")}
+       ${(1 to iters).map(n =>
+        s"SELECT $n AS merge_idx, lhs, rhs, cnt AS pair_count FROM r$n")
+        .mkString("\n UNION ALL ")}"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "text_bpe" -> bpeOracleSql,
     "approx_distinct" -> hllOracleSql,
     "ann_lsh" -> annLshOracle,
     "ann_ivf" -> annIvfOracle,

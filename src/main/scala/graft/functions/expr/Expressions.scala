@@ -469,6 +469,94 @@ case class PqAdc(left: Expression, right: Expression, m: Int, kCent: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Byte-pair-encoding primitives. The merge semantics shared by
+  * training and encoding (and replayed by the oracle's recursive-CTE
+  * fold): one LEFT-TO-RIGHT pass per rule, expressed as a fold —
+  * merge when the accumulator's last symbol is `lhs` and the incoming
+  * symbol is `rhs`. The fold equals the classic skip-two scan because
+  * a merged cell's text (lhs+rhs) can never equal lhs (rhs is
+  * non-empty), and one pass per rule is a fixpoint (a merge cannot
+  * create a new (lhs, rhs) adjacency for the same rule). */
+object BpeOps {
+  def mergeOnce(syms: Array[String], lhs: String, rhs: String,
+      merged: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var j = 0
+    while (j < syms.length) {
+      val s = syms(j)
+      if (out.nonEmpty && out(out.length - 1) == lhs && s == rhs)
+        out(out.length - 1) = merged
+      else out += s
+      j += 1
+    }
+    out.toArray
+  }
+
+  /** Split a word into per-codepoint symbols (ASCII = per char;
+    * matches the oracle's string_split(w, '') on non-combining
+    * text). */
+  def codepointSyms(word: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](word.length)
+    var i = 0
+    while (i < word.length) {
+      val cc = Character.charCount(word.codePointAt(i))
+      out += word.substring(i, i + cc)
+      i += cc
+    }
+    out.toArray
+  }
+}
+
+/** Encode one word as BPE subwords: codepoint symbols, then every
+  * merge rule applied in training order (one fold pass each — see
+  * [[BpeOps]]). The rule list rides in the expression (broadcast
+  * model state as literals, the PqEncode codebook pattern). */
+case class BpeEncode(child: Expression, rules: Seq[(String, String)])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    var syms = BpeOps.codepointSyms(input.asInstanceOf[UTF8String].toString)
+    rules.foreach { case (a, b) => syms = BpeOps.mergeOnce(syms, a, b, a + b) }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      syms.map(UTF8String.fromString(_)): Array[UTF8String])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** One BPE merge round over an already-symbolized array — the
+  * training-loop step ([[BpeEncode]] composes these from raw text).
+  */
+case class BpeMergeStep(child: Expression, lhs: String, rhs: String)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "bpe_merge_step"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val syms = new Array[String](arr.numElements())
+    var i = 0
+    while (i < syms.length) { syms(i) = arr.getUTF8String(i).toString; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      BpeOps.mergeOnce(syms, lhs, rhs, lhs + rhs)
+        .map(UTF8String.fromString(_)): Array[UTF8String])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object NativeFunctions {
   /** Column API for HammingDistance. */
   def hamming_distance(a: Column, b: Column): Column =
@@ -499,6 +587,14 @@ object NativeFunctions {
   /** Column API for Avalanche64 (murmur-style 64-bit finalizer). */
   def avalanche64(c: Column): Column =
     ColumnBridge.toColumn(Avalanche64(ColumnBridge.toExpr(c)))
+
+  /** Column API for BpeEncode (word string → subword array). */
+  def bpe_encode(word: Column, rules: Seq[(String, String)]): Column =
+    ColumnBridge.toColumn(BpeEncode(ColumnBridge.toExpr(word), rules))
+
+  /** Column API for BpeMergeStep (symbol array → symbol array). */
+  def bpe_merge_step(syms: Column, lhs: String, rhs: String): Column =
+    ColumnBridge.toColumn(BpeMergeStep(ColumnBridge.toExpr(syms), lhs, rhs))
 
   /** Column API for PqEncode (array<double> → packed code long). */
   def pq_encode(vec: Column, codebook: IndexedSeq[Double], m: Int, kCent: Int): Column =

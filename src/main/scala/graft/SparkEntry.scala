@@ -1684,7 +1684,7 @@ object SparkEntry {
        |         FROM rho GROUP BY 1, 2),
        |agg AS (SELECT event_type, count(*) AS nb,
        |               sum((1::BIGINT << ($rhoCap - mr))::HUGEINT) AS s,
-       |               sum(c) AS n_events
+       |               CAST(sum(c) AS BIGINT) AS n_events
        |        FROM regs GROUP BY 1),
        |est AS (SELECT event_type, $m - nb AS v,
        |               (s + ($m - nb)::HUGEINT * $scale::HUGEINT) AS num,

@@ -107,6 +107,57 @@ object Clusters {
     labels
   }
 
+  /** Format version of the durable cluster-state tables. Bump if the
+    * labeling contract itself changes (e.g. representative choice);
+    * stamped at write, validated on load. */
+  private[graft] val clustersFormatVersion = 1
+
+  /** Land a (node, cluster_id) labeling DURABLY as a saved table —
+    * the cross-session standing state [[incrementalComponents]]
+    * consumes (the minhashIndexWrite contract applied to cluster
+    * state): bucketed on `node` so the remap join and any
+    * label-keyed lookup read pre-clustered buckets, with the
+    * SOURCE PARAMETERS of the pair family that produced the labeling
+    * (shingle k, τ, LSH shape, …) stamped as table properties.
+    * A later session merging new pairs from a DIFFERENT pair family
+    * into this labeling would silently mix similarity regimes —
+    * [[clustersLoad]] hard-fails on any mismatch instead.
+    *
+    * @param sourceParams caller-chosen description of the pair
+    *        family (e.g. "pairs" -> "ngram_jaccard", "k" -> "3",
+    *        "tau" -> "0.6"); validated key-by-key on load */
+  def clustersWrite(labels: DataFrame, table: String,
+      sourceParams: Map[String, String], buckets: Int = 16): Unit = {
+    val spark = labels.sparkSession
+    labels.select(col("node"), col("cluster_id"))
+      .write.format("parquet").mode("overwrite")
+      .bucketBy(buckets, "node").sortBy("node").saveAsTable(table)
+    val props = (sourceParams + ("format" -> clustersFormatVersion.toString))
+      .map { case (k, v) => s"'graft.clusters.$k'='$v'" }.mkString(", ")
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ($props)")
+  }
+
+  /** Reattach a durable labeling written by [[clustersWrite]]. Every
+    * requested source parameter (plus the format stamp) must match
+    * what was stamped at write time — a mismatch, or a table not
+    * written by clustersWrite, throws instead of silently merging
+    * incompatible pair families into one cluster state. */
+  def clustersLoad(spark: org.apache.spark.sql.SparkSession, table: String,
+      sourceParams: Map[String, String]): DataFrame = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    (sourceParams + ("format" -> clustersFormatVersion.toString)).foreach {
+      case (k, v) =>
+        props.get(s"graft.clusters.$k") match {
+          case Some(got) => require(got == v,
+            s"cluster table $table was built with $k=$got, load requested $v")
+          case None => throw new IllegalArgumentException(
+            s"table $table lacks graft.clusters.$k — not a clustersWrite table")
+        }
+    }
+    spark.table(table)
+  }
+
   /** Incremental connected components: fold NEW edges into an
     * existing (node, cluster_id) labeling WITHOUT recomputing
     * components from scratch — the standing cluster state the

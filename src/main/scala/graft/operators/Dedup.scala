@@ -733,6 +733,69 @@ object Dedup {
       dim, bits, tables, seed)
   }
 
+  /** Full self-dedup FROM a standing embedding index — the
+    * [[minhashPairsFromIndex]] twin for the vector space:
+    * [[embeddingPairsLsh]] semantics without re-signing anything.
+    * The candidate self-join runs over the stored band table and the
+    * verify reads stored vectors; with a durable index loaded from
+    * [[embeddingIndexLoad]] tables both sides come bucketed on their
+    * join keys. Result is eagerly persisted (the pair-operator
+    * caching contract) — callers unpersist. */
+  def embeddingPairsFromIndex(index: EmbeddingLshIndex, tau: Double,
+      probeRadius: Int = 0): DataFrame = {
+    require(probeRadius == 0 || probeRadius == 1,
+      s"probeRadius must be 0 or 1, got $probeRadius")
+    val probeSide = expandProbes(index.banded, index.bits, probeRadius)
+    val cand = probeSide.as("a").join(index.banded.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+    val out = cand
+      .join(index.vecs.select(col("id").as("vec_a"),
+        col("v").as("va"), col("n2").as("na")), "vec_a")
+      .join(index.vecs.select(col("id").as("vec_b"),
+        col("v").as("vb"), col("n2").as("nb")), "vec_b")
+      .filter(Vectors.cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")) >= tau)
+      .select(col("vec_a"), col("vec_b"))
+    val materialized = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    materialized.count()
+    materialized
+  }
+
+  /** GENERATION SWAP: extend a standing embedding index with a newly
+    * arrived batch — the refresh story for the continuous-ingest
+    * probes (index staleness is the unbounded-state analogue of the
+    * GroupState TTL: a probe-only index never sees post-build
+    * arrivals, so batch_i × batch_j near-dups would be silently
+    * missed without this).
+    *
+    * The new generation (old rows ∪ signed batch rows) is
+    * MATERIALIZED LINEAGE-FREE (`localCheckpoint`) BEFORE the old
+    * generation is released — mandatory under `foreachBatch`, where
+    * the batch frame is not replayable after the micro-batch ends, so
+    * a lazy union referencing it would blow up on the next probe.
+    * On a real cluster the durable twin is [[embeddingIndexWrite]]
+    * mode-overwrite (rebuild-and-swap of the saved tables, params
+    * re-stamped) with [[embeddingIndexLoad]] picking up the new
+    * generation; localCheckpoint here is the in-session form
+    * (executor-loss → job retry, same trade the CC rounds make).
+    * Old and new generation briefly coexist (peak memory = old +
+    * batch); callers own the returned index's lifecycle. */
+  def embeddingIndexAppend(index: EmbeddingLshIndex, batch: DataFrame,
+      idCol: String, vecCol: String): EmbeddingLshIndex = {
+    val b = batch.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n2", Vectors.normSq(col("v")))
+    val vecs2 = index.vecs.union(b).localCheckpoint(true)
+    val banded2 = index.banded
+      .union(vecBands(b, index.dim, index.bits, index.tables, index.seed))
+      .localCheckpoint(true)
+    index.release()
+    EmbeddingLshIndex(vecs2, banded2,
+      index.dim, index.bits, index.tables, index.seed)
+  }
+
   /** Probe one batch of vectors against a standing embedding index:
     * near-dup pairs (vec_a = corpus id, vec_b = batch id) with
     * cosine ≥ tau — [[embeddingPairsLsh]] semantics restricted to

@@ -56,23 +56,38 @@ object Bench {
         } else runs.min
       name -> best
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // failures are flagged, never summed: a failed query must not make
-    // the headline total smaller
-    val failed = results.count(_._2 < 0)
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // The stdout line is tail-captured by the driver and has been
-    // truncated when the query map grew past the capture buffer (the
-    // alphabetically-early ann_*/dedup_* timings were the ones cut
-    // off). The file is the durable, always-complete artifact.
+    def jsonLine(entries: Seq[(String, Double)], extra: String): String = {
+      val qs = entries.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      // failures are flagged, never summed: a failed query must not
+      // make the headline total smaller
+      val failed = results.count(_._2 < 0)
+      val total = results.map(_._2).filter(_ >= 0).sum
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,$extra"queries":$qs,"sf":"$sfDir"}"""
+    }
+    // The driver tail-captures only the LAST 2000 bytes of stdout; a
+    // full 100+-query map is ~3 KB and gets truncated mid-string
+    // (BENCH_r05/r06 `parsed: null`). So stdout carries a COMPACT line
+    // guaranteed to parse — every failed query, then the slowest
+    // queries at ms precision until a ~1500-byte budget is spent —
+    // while the complete full-precision map goes to bench_full.json
+    // (committed, and named in this line's `queries_full`).
+    val ms = results.map { case (k, v) =>
+      k -> (if (v < 0) v else math.rint(v * 1000) / 1000) }
+    val (fails, oks) = ms.partition(_._2 < 0)
+    val compact = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    compact ++= fails
+    var budget = 1500 - compact.map(_._1.length + 12).sum
+    oks.sortBy(-_._2).foreach { case (k, v) =>
+      val cost = k.length + 12
+      if (budget >= cost) { compact += (k -> v); budget -= cost }
+    }
+    println(jsonLine(compact.toSeq.sortBy(_._1),
+      s""""n_queries":${results.size},"queries_full":"bench_full.json","queries_shown":${compact.size},"""))
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try {
       val w = new java.io.PrintWriter(new java.io.File(outPath), "UTF-8")
-      try w.println(json) finally w.close()
+      try w.println(jsonLine(results, "")) finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()

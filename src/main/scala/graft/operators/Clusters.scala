@@ -125,36 +125,60 @@ object Clusters {
     *
     * @param sourceParams caller-chosen description of the pair
     *        family (e.g. "pairs" -> "ngram_jaccard", "k" -> "3",
-    *        "tau" -> "0.6"); validated key-by-key on load */
+    *        "tau" -> "0.6"); validated key-for-key on load. Keys must
+    *        be word-charset identifiers (they become property-name
+    *        suffixes); values are SQL-escaped, so any string is
+    *        safe. */
   def clustersWrite(labels: DataFrame, table: String,
       sourceParams: Map[String, String], buckets: Int = 16): Unit = {
     val spark = labels.sparkSession
+    sourceParams.keys.foreach { k =>
+      require(k.matches("[A-Za-z0-9_.-]+"),
+        s"sourceParams key '$k' must match [A-Za-z0-9_.-]+ " +
+          "(it becomes a table-property name)")
+    }
     labels.select(col("node"), col("cluster_id"))
       .write.format("parquet").mode("overwrite")
       .bucketBy(buckets, "node").sortBy("node").saveAsTable(table)
+    // values are interpolated into SQL string literals — escape the
+    // literal metacharacters (quote, backslash) so a value like
+    // "it's" can't break the statement or smuggle SQL in
+    def lit(v: String) = "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
     val props = (sourceParams + ("format" -> clustersFormatVersion.toString))
-      .map { case (k, v) => s"'graft.clusters.$k'='$v'" }.mkString(", ")
+      .map { case (k, v) => s"'graft.clusters.$k'=${lit(v)}" }.mkString(", ")
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ($props)")
   }
 
-  /** Reattach a durable labeling written by [[clustersWrite]]. Every
-    * requested source parameter (plus the format stamp) must match
-    * what was stamped at write time — a mismatch, or a table not
-    * written by clustersWrite, throws instead of silently merging
-    * incompatible pair families into one cluster state. */
+  /** Reattach a durable labeling written by [[clustersWrite]]. The
+    * requested source parameters (plus the format stamp) must match
+    * the stamped set EXACTLY — in BOTH directions: a mismatched
+    * value, a requested-but-unstamped key, a table not written by
+    * clustersWrite, or a STAMPED-but-unrequested key all throw. The
+    * last case matters: a caller naming only a subset of the stamped
+    * params would otherwise silently accept a labeling whose
+    * unstated params (a different τ, a different LSH shape) encode a
+    * different similarity regime. */
   def clustersLoad(spark: org.apache.spark.sql.SparkSession, table: String,
       sourceParams: Map[String, String]): DataFrame = {
     val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
-    (sourceParams + ("format" -> clustersFormatVersion.toString)).foreach {
-      case (k, v) =>
-        props.get(s"graft.clusters.$k") match {
-          case Some(got) => require(got == v,
-            s"cluster table $table was built with $k=$got, load requested $v")
-          case None => throw new IllegalArgumentException(
-            s"table $table lacks graft.clusters.$k — not a clustersWrite table")
-        }
+    val wanted = sourceParams + ("format" -> clustersFormatVersion.toString)
+    wanted.foreach { case (k, v) =>
+      props.get(s"graft.clusters.$k") match {
+        case Some(got) => require(got == v,
+          s"cluster table $table was built with $k=$got, load requested $v")
+        case None => throw new IllegalArgumentException(
+          s"table $table lacks graft.clusters.$k — not a clustersWrite table")
+      }
     }
+    val stamped = props.keys.collect {
+      case k if k.startsWith("graft.clusters.") => k.stripPrefix("graft.clusters.")
+    }.toSet
+    val unrequested = stamped -- wanted.keySet
+    require(unrequested.isEmpty,
+      s"cluster table $table stamps params the load did not request: " +
+        s"${unrequested.toSeq.sorted.mkString(", ")} — name every " +
+        "source parameter (or the labeling's similarity regime is unverified)")
     spark.table(table)
   }
 

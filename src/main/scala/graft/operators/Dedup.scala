@@ -603,12 +603,27 @@ object Dedup {
   def embeddingPairsLsh(embeddings: DataFrame, idCol: String, vecCol: String,
       dim: Int, bits: Int, tables: Int, seed: Long, tau: Double,
       probeRadius: Int = 0): DataFrame = {
-    require(probeRadius == 0 || probeRadius == 1,
-      s"probeRadius must be 0 or 1, got $probeRadius")
     val e = embeddings.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("n2", Vectors.normSq(col("v"))) // norm once per row, not per pair
-    val banded = vecBands(e, dim, bits, tables, seed)
+    selfPairsFromBands(e, vecBands(e, dim, bits, tables, seed),
+      bits, tau, probeRadius)
+  }
+
+  /** The shared self-dedup tail of [[embeddingPairsLsh]] and
+    * [[embeddingPairsFromIndex]]: (optionally Hamming-1-expanded)
+    * candidate self-join over a band table, pair dedup, the two
+    * vector joins, the cosine verify, and the eager result persist
+    * (the ngramJaccardPairs caching contract: the ids-only result is
+    * tiny, while the plan signs/scans the corpus into tables×bits
+    * buckets and verifies candidates — consumers that branch the
+    * result, e.g. connected components unioning both edge directions,
+    * must not run that twice; callers unpersist in long-lived
+    * sessions). */
+  private def selfPairsFromBands(vecs: DataFrame, banded: DataFrame,
+      bits: Int, tau: Double, probeRadius: Int): DataFrame = {
+    require(probeRadius == 0 || probeRadius == 1,
+      s"probeRadius must be 0 or 1, got $probeRadius")
     val probeSide = expandProbes(banded, bits, probeRadius)
     val cand = probeSide.as("a").join(banded.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
@@ -616,16 +631,10 @@ object Dedup {
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
     val out = cand
-      .join(e.select(col("id").as("vec_a"), col("v").as("va"), col("n2").as("na")), "vec_a")
-      .join(e.select(col("id").as("vec_b"), col("v").as("vb"), col("n2").as("nb")), "vec_b")
+      .join(vecs.select(col("id").as("vec_a"), col("v").as("va"), col("n2").as("na")), "vec_a")
+      .join(vecs.select(col("id").as("vec_b"), col("v").as("vb"), col("n2").as("nb")), "vec_b")
       .filter(Vectors.cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")) >= tau)
       .select(col("vec_a"), col("vec_b"))
-    // eager result persist (the ngramJaccardPairs caching contract):
-    // the ids-only result is tiny, while the plan above signs the
-    // corpus into tables×bits buckets and verifies candidates —
-    // consumers that branch the result (connected components unions
-    // both edge directions) must not run that twice. Callers
-    // unpersist in long-lived sessions.
     val materialized = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     materialized.count()
     materialized
@@ -742,26 +751,8 @@ object Dedup {
     * join keys. Result is eagerly persisted (the pair-operator
     * caching contract) — callers unpersist. */
   def embeddingPairsFromIndex(index: EmbeddingLshIndex, tau: Double,
-      probeRadius: Int = 0): DataFrame = {
-    require(probeRadius == 0 || probeRadius == 1,
-      s"probeRadius must be 0 or 1, got $probeRadius")
-    val probeSide = expandProbes(index.banded, index.bits, probeRadius)
-    val cand = probeSide.as("a").join(index.banded.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"))
-      .dropDuplicates("vec_a", "vec_b")
-    val out = cand
-      .join(index.vecs.select(col("id").as("vec_a"),
-        col("v").as("va"), col("n2").as("na")), "vec_a")
-      .join(index.vecs.select(col("id").as("vec_b"),
-        col("v").as("vb"), col("n2").as("nb")), "vec_b")
-      .filter(Vectors.cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")) >= tau)
-      .select(col("vec_a"), col("vec_b"))
-    val materialized = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    materialized.count()
-    materialized
-  }
+      probeRadius: Int = 0): DataFrame =
+    selfPairsFromBands(index.vecs, index.banded, index.bits, tau, probeRadius)
 
   /** GENERATION SWAP: extend a standing embedding index with a newly
     * arrived batch — the refresh story for the continuous-ingest
@@ -781,12 +772,25 @@ object Dedup {
     * generation; localCheckpoint here is the in-session form
     * (executor-loss → job retry, same trade the CC rounds make).
     * Old and new generation briefly coexist (peak memory = old +
-    * batch); callers own the returned index's lifecycle. */
+    * batch); callers own the returned index's lifecycle.
+    *
+    * IDEMPOTENT under the at-least-once foreachBatch delivery the
+    * probes run under: the batch is deduped on id and anti-joined
+    * against the ids already indexed, so a re-delivered micro-batch
+    * (or an id re-sent in a later batch) is a no-op instead of a
+    * duplicate index row — duplicate rows would make every pair
+    * operator over the index emit duplicated pairs and grow index
+    * memory per replay. The anti-join is one pass over the (id-only
+    * projection of the) standing vec table per append — the same
+    * cost class as the union itself. First-write-wins: an id already
+    * indexed keeps its original vector. */
   def embeddingIndexAppend(index: EmbeddingLshIndex, batch: DataFrame,
       idCol: String, vecCol: String): EmbeddingLshIndex = {
     val b = batch.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("n2", Vectors.normSq(col("v")))
+      .dropDuplicates("id")
+      .join(index.vecs.select("id"), Seq("id"), "left_anti")
     val vecs2 = index.vecs.union(b).localCheckpoint(true)
     val banded2 = index.banded
       .union(vecBands(b, index.dim, index.bits, index.tables, index.seed))

@@ -30,18 +30,37 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
-  /** The events table carries nanosecond parquet timestamps, which
-    * Spark 4's reader rejects. With
-    * spark.sql.legacy.parquet.nanosAsLong=true they read as Long
-    * nanos; convert to microsecond TimestampType here (truncating,
-    * matching a ns→µs cast in other engines). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  /** The events table's `ts` column has shipped in three physical
+    * forms across driver testdata generations; normalize all of them
+    * to microsecond TimestampType (an instant) so every downstream
+    * operator sees ONE type:
+    *
+    *   - int64 nanoseconds (Spark 4 rejects ns timestamps; with
+    *     spark.sql.legacy.parquet.nanosAsLong=true they read as Long
+    *     nanos) → truncate to µs, tag as instant;
+    *   - timestamp[us] WITHOUT timezone (pandas-written parquet reads
+    *     as TIMESTAMP_NTZ, which Spark refuses to cast to numeric and
+    *     unix_micros rejects) → re-tag as an instant. The graft
+    *     session timezone is UTC ([[graft.Sessions]]), so the
+    *     NTZ→TIMESTAMP cast is value-preserving: the same wall-clock
+    *     reading, now meaning that instant in UTC — exactly how the
+    *     DuckDB oracle's epoch_us(naive ts) interprets it;
+    *   - TimestampType already → untouched. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventsTs(table(spark, dir, "events"))
+
+  /** The per-generation `ts` normalization alone, schema-dispatched —
+    * works on batch AND streaming frames (a `readStream` over an
+    * events drop-directory needs the identical rewrite; the dispatch
+    * reads only the schema, never the data). */
+  def normalizeEventsTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
-    val raw = table(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.{Clusters, Dedup}
+import graft.sources.Tables
+import graft.streaming.{ClusterStream, DedupStream}
+
+/** The continuous SemDeDup loop: standing (node, cluster_id) state
+  * folded per micro-batch, keep/drop deltas, replay idempotency,
+  * durable checkpoint/resume. */
+class ClusterStreamSpec extends SparkSpec {
+  import spark.implicits._
+  import DedupStream.EmbDoc
+
+  private val (dim, bits, tables, seed, tau) = (64, 4, 8, 42L, 0.4)
+
+  /** One-shot batch reference: full self-dedup → CC → singletons. */
+  private def batchReference(corpus: org.apache.spark.sql.DataFrame) = {
+    val pairs = Dedup.embeddingPairsLsh(corpus, "vec_id", "embedding",
+      dim, bits, tables, seed, tau)
+    val cc = Clusters.connectedComponents(pairs, "vec_a", "vec_b")
+    val singles = corpus.select(col("vec_id").as("node"))
+      .join(cc.select("node"), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("cluster_id"))
+    val labels = cc.union(singles)
+    val out = labels.as[(Long, Long)].collect().toSet
+    pairs.unpersist(blocking = false)
+    out
+  }
+
+  test("streamed cluster state converges to the one-shot batch pipeline") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val docs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[EmbDoc].collect().sortBy(_.vec_id).toSeq
+    val expected = batchReference(emb)
+    assert(expected.map(_._1) === docs.map(_.vec_id).toSet)
+    assert(expected.exists(p => p._1 != p._2), "corpus should contain dups")
+
+    val loop = ClusterStream.empty(spark, "vec_id", "embedding",
+      dim, bits, tables, seed, tau)
+    // decision log: node -> (cluster_id, keep), last write wins
+    val log = scala.collection.mutable.Map.empty[Long, (Long, Boolean)]
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EmbDoc]
+    val q = ClusterStream.semdedupQuery(mem.toDS(), loop) { delta =>
+      delta.select("node", "cluster_id", "keep")
+        .as[(Long, Long, Boolean)].collect()
+        .foreach { case (n, c, k) => log(n) = (c, k) }
+    }
+    try {
+      val size = math.max(1, docs.size / 4)
+      docs.grouped(size).foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+
+    // the standing state IS the batch answer
+    val standing = loop.labels.as[(Long, Long)].collect().toSet
+    assert(standing === expected)
+    // and the delta log REPLAYS to it: last-write-wins upsert of the
+    // per-batch deltas reconstructs the final labeling + keep flags
+    assert(log.map { case (n, (c, _)) => (n, c) }.toSet === expected)
+    log.foreach { case (n, (c, k)) => assert(k === (n == c)) }
+    loop.release()
+  }
+
+  test("replayed batch emits an EMPTY delta (at-least-once safe)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val docs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[EmbDoc].collect().sortBy(_.vec_id).toSeq
+    val (first, second) = docs.splitAt(docs.size / 2)
+    val loop = ClusterStream.empty(spark, "vec_id", "embedding",
+      dim, bits, tables, seed, tau)
+    Seq(first, second).foreach { b =>
+      val d = loop.ingest(b.toDF("vec_id", "embedding"))
+      assert(d.count() > 0); d.unpersist(blocking = false)
+    }
+    val before = loop.labels.as[(Long, Long)].collect().toSet
+    val replay = loop.ingest(second.toDF("vec_id", "embedding"))
+    assert(replay.count() === 0L)
+    replay.unpersist(blocking = false)
+    assert(loop.labels.as[(Long, Long)].collect().toSet === before)
+    loop.release()
+  }
+
+  test("a bridging batch flips the absorbed cluster's old representative to drop") {
+    // two standing near-identical pairs in separate clusters, then a
+    // batch doc near-identical to both bridges them: the union keeps
+    // ONE representative and the delta must say so for the OLD keeper
+    def vec(x: Double, y: Double) = Array.fill(62)(0.0) ++ Array(x, y)
+    val a = Seq(
+      EmbDoc(10L, vec(1.0, 0.0)), EmbDoc(11L, vec(0.999, 0.001)),
+      EmbDoc(20L, vec(0.0, 1.0)), EmbDoc(21L, vec(0.001, 0.999)))
+    // cos(bridge, axis) = 0.7071 — above τ=0.7 for both standing
+    // clusters, while cross-cluster cosines stay ≈ 0
+    val bridge = Seq(EmbDoc(30L, vec(0.7, 0.7)))
+    val loop = ClusterStream.empty(spark, "vec_id", "embedding",
+      dim, bits, tables, seed, tau = 0.7, probeRadius = 1)
+    val d1 = loop.ingest(a.toDF("vec_id", "embedding"))
+    val s1 = loop.labels.as[(Long, Long)].collect().toSet
+    assert(s1 === Set((10L, 10L), (11L, 10L), (20L, 20L), (21L, 20L)))
+    d1.unpersist(blocking = false)
+    val d2 = loop.ingest(bridge.toDF("vec_id", "embedding"))
+    val changes = d2.select("node", "cluster_id", "keep")
+      .as[(Long, Long, Boolean)].collect().toSet
+    d2.unpersist(blocking = false)
+    // cluster 20 is absorbed into 10: its members re-label, the old
+    // representative 20 flips to keep=false; bridge doc is a dup too
+    assert(changes === Set(
+      (20L, 10L, false), (21L, 10L, false), (30L, 10L, false)))
+    assert(loop.labels.as[(Long, Long)].collect().toSet ===
+      Set((10L, 10L), (11L, 10L), (20L, 10L), (21L, 10L), (30L, 10L)))
+    loop.release()
+  }
+
+  test("checkpoint + resume roundtrip preserves the loop state") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val docs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[EmbDoc].collect().sortBy(_.vec_id).toSeq
+    val (first, second) = docs.splitAt(docs.size / 2)
+    val params = Map("pairs" -> "embedding_lsh", "tau" -> tau.toString,
+      "bits" -> bits.toString, "tables" -> tables.toString,
+      "seed" -> seed.toString)
+    Seq("cs_vecs", "cs_band", "cs_labels")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      val loop = ClusterStream.empty(spark, "vec_id", "embedding",
+        dim, bits, tables, seed, tau)
+      val d1 = loop.ingest(first.toDF("vec_id", "embedding"))
+      d1.unpersist(blocking = false)
+      // land both halves of the standing state durably
+      Dedup.embeddingIndexWrite(
+        loop.standingIndex.vecs.select(col("id").as("vec_id"), col("v").as("embedding")),
+        "vec_id", "embedding", dim, bits, tables, seed, "cs_vecs", "cs_band")
+      loop.checkpointTo("cs_labels", params)
+      // continue the ORIGINAL loop as the reference
+      val d2 = loop.ingest(second.toDF("vec_id", "embedding"))
+      d2.unpersist(blocking = false)
+      val expected = loop.labels.as[(Long, Long)].collect().toSet
+      loop.release()
+      // resume from disk in a "new session" and ingest the same tail
+      val resumed = ClusterStream.resume(spark, "cs_vecs", "cs_band",
+        "cs_labels", params, "vec_id", "embedding",
+        dim, bits, tables, seed, tau)
+      val d3 = resumed.ingest(second.toDF("vec_id", "embedding"))
+      d3.unpersist(blocking = false)
+      assert(resumed.labels.as[(Long, Long)].collect().toSet === expected)
+      resumed.release()
+    } finally Seq("cs_vecs", "cs_band", "cs_labels")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+}

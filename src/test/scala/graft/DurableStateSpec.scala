@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Clusters, Dedup}
+import graft.sources.Tables
+
+/** Durable standing-state contracts added in round 6 and hardened in
+  * round 7: the cluster-state table (clustersWrite/clustersLoad), the
+  * index-side self-dedup, and idempotent index append. */
+class DurableStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val (dim, bits, tables, seed, tau) = (64, 4, 8, 42L, 0.4)
+
+  test("embeddingPairsFromIndex ≡ embeddingPairsLsh on the same corpus") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val direct = Dedup.embeddingPairsLsh(emb, "vec_id", "embedding",
+      dim, bits, tables, seed, tau)
+    val index = Dedup.embeddingIndex(emb, "vec_id", "embedding",
+      dim, bits, tables, seed)
+    val viaIndex = Dedup.embeddingPairsFromIndex(index, tau)
+    val a = direct.as[(Long, Long)].collect().toSet
+    val b = viaIndex.as[(Long, Long)].collect().toSet
+    assert(a.nonEmpty, "gate corpus should contain near-dups")
+    assert(a === b)
+    direct.unpersist(blocking = false)
+    viaIndex.unpersist(blocking = false)
+    index.release()
+  }
+
+  test("embeddingIndexAppend is idempotent under batch replay") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpus = emb.filter(pmod(col("vec_id"), lit(10)) =!= 3)
+    val batch = emb.filter(pmod(col("vec_id"), lit(10)) === 3)
+
+    // reference: one append over a fresh index
+    val ref = Dedup.embeddingIndexAppend(
+      Dedup.embeddingIndex(corpus, "vec_id", "embedding", dim, bits, tables, seed),
+      batch, "vec_id", "embedding")
+    val refPairs = Dedup.embeddingPairsFromIndex(ref, tau)
+    val expected = refPairs.as[(Long, Long)].collect().toSet
+    val (refVecs, refBands) = (ref.vecs.count(), ref.banded.count())
+    refPairs.unpersist(blocking = false)
+    ref.release()
+
+    // at-least-once delivery: the same batch re-delivered → no
+    // duplicate index rows, no duplicate pairs
+    val replayed = Dedup.embeddingIndexAppend(
+      Dedup.embeddingIndexAppend(
+        Dedup.embeddingIndex(corpus, "vec_id", "embedding", dim, bits, tables, seed),
+        batch, "vec_id", "embedding"),
+      batch, "vec_id", "embedding")
+    assert(replayed.vecs.count() === refVecs)
+    assert(replayed.banded.count() === refBands)
+    val replayedPairs = Dedup.embeddingPairsFromIndex(replayed, tau)
+    assert(replayedPairs.as[(Long, Long)].collect().toSet === expected)
+    replayedPairs.unpersist(blocking = false)
+    replayed.release()
+
+    // and the appended index ≡ an index built over the union outright
+    val full = Dedup.embeddingIndex(emb, "vec_id", "embedding",
+      dim, bits, tables, seed)
+    val fullPairs = Dedup.embeddingPairsFromIndex(full, tau)
+    assert(fullPairs.as[(Long, Long)].collect().toSet === expected)
+    fullPairs.unpersist(blocking = false)
+    full.release()
+  }
+
+  test("clustersWrite/clustersLoad roundtrip, param guards both directions") {
+    val params = Map("pairs" -> "ngram_jaccard", "k" -> "3", "tau" -> "0.6")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("node", "cluster_id")
+    spark.sql("DROP TABLE IF EXISTS clusters_spec")
+    try {
+      Clusters.clustersWrite(labels, "clusters_spec", params)
+      val back = Clusters.clustersLoad(spark, "clusters_spec", params)
+      assert(back.select("node", "cluster_id").as[(Long, Long)]
+        .collect().toSet === Set((1L, 1L), (2L, 1L), (3L, 3L)))
+      // wrong value → throw
+      intercept[IllegalArgumentException] {
+        Clusters.clustersLoad(spark, "clusters_spec", params + ("tau" -> "0.9"))
+      }
+      // requested-but-unstamped key → throw
+      intercept[IllegalArgumentException] {
+        Clusters.clustersLoad(spark, "clusters_spec", params + ("perms" -> "128"))
+      }
+      // stamped-but-unrequested key (subset load) → throw: unstated
+      // params could encode a different similarity regime
+      intercept[IllegalArgumentException] {
+        Clusters.clustersLoad(spark, "clusters_spec", params - "k")
+      }
+      // not a clustersWrite table → throw
+      spark.sql("DROP TABLE IF EXISTS clusters_alien")
+      Seq((1L, 1L)).toDF("node", "cluster_id")
+        .write.mode("overwrite").saveAsTable("clusters_alien")
+      intercept[IllegalArgumentException] {
+        Clusters.clustersLoad(spark, "clusters_alien", Map.empty)
+      }
+      spark.sql("DROP TABLE IF EXISTS clusters_alien")
+    } finally spark.sql("DROP TABLE IF EXISTS clusters_spec")
+  }
+
+  test("clustersWrite survives quote/backslash metacharacters in values") {
+    val params = Map("note" -> """it's a 'quoted' \ value""")
+    val labels = Seq((7L, 7L)).toDF("node", "cluster_id")
+    spark.sql("DROP TABLE IF EXISTS clusters_quote_spec")
+    try {
+      Clusters.clustersWrite(labels, "clusters_quote_spec", params)
+      val back = Clusters.clustersLoad(spark, "clusters_quote_spec", params)
+      assert(back.count() === 1L)
+      // a key that could escape the property-name literal is rejected
+      intercept[IllegalArgumentException] {
+        Clusters.clustersWrite(labels, "clusters_quote_spec",
+          Map("bad'key" -> "v"))
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS clusters_quote_spec")
+  }
+}

@@ -41,10 +41,9 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       java.nio.file.Paths.get(dir.getAbsolutePath, "part-0.parquet"))
     val batch = Tables.events(spark, sfDir)
-    val raw = spark.readStream
-      .schema(spark.read.parquet(s"$sfDir/events.parquet").schema) // ts as Long ns
-      .parquet(dir.getAbsolutePath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = Tables.normalizeEventsTs(spark.readStream
+      .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+      .parquet(dir.getAbsolutePath))
     val q = EventStreams.windowedByType(raw, "1 hour", "10 minutes")
       .writeStream.outputMode("complete")
       .format("memory").queryName("file_win_out").start()

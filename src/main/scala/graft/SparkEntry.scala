@@ -780,6 +780,20 @@ object SparkEntry {
         .merges.toDF()
     }),
 
+    // the learned rules APPLIED (r5 verdict item 7): every
+    // (doc_id, word) occurrence encoded by the trained model — the
+    // train→apply path under ONE gate. The oracle joins occurrences
+    // to its fully-merged training vocab (which IS 3-rule encode of
+    // every vocab word); subwords '|'-joined for engine-comparable
+    // hashing
+    "text_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.operators.Bpe.train(docs, "text", nMerges = 3)
+      graft.operators.Bpe.encodeWords(docs, "doc_id", "text", model)
+        .select(col("doc_id"), col("word"),
+          concat_ws("|", col("subwords")).as("subwords"))
+    }),
+
     "text_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -1708,8 +1722,12 @@ object SparkEntry {
     * BpeOps.mergeOnce computes (and provably the classic left-to-
     * right scan, see BpeOps). Integer counts and binary string
     * ordering end to end — nothing float anywhere. */
-  private def bpeOracleSql: String = {
-    val iters = 3
+  /** Shared WITH-prefix of the two BPE oracles: vocab build + `iters`
+    * training rounds. The original word `w` rides through every fold
+    * round, so v$iters is BOTH the final training vocab and the
+    * encode table (training applies each learned merge to the vocab
+    * as it goes — exactly what encoding a vocab word replays). */
+  private def bpeWithPrefix(iters: Int): String = {
     def round(n: Int): String =
       s"""pc$n AS (SELECT syms[i] AS lhs, syms[i+1] AS rhs, sum(freq) AS cnt
            FROM v${n - 1}, unnest(generate_series(1, len(syms) - 1)) AS u(i)
@@ -1717,31 +1735,51 @@ object SparkEntry {
          r$n AS (SELECT lhs, rhs, CAST(cnt AS BIGINT) AS cnt FROM pc$n
                  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
          f$n AS (
-           SELECT wid, 1 AS i, [syms[1]] AS acc, syms, freq FROM v${n - 1}
+           SELECT wid, w, 1 AS i, [syms[1]] AS acc, syms, freq FROM v${n - 1}
            UNION ALL
-           SELECT f.wid, f.i + 1,
+           SELECT f.wid, f.w, f.i + 1,
              CASE WHEN f.acc[-1] = r.lhs AND f.syms[f.i + 1] = r.rhs
                   THEN list_append(f.acc[1:len(f.acc) - 1], r.lhs || r.rhs)
                   ELSE list_append(f.acc, f.syms[f.i + 1]) END,
              f.syms, f.freq
            FROM f$n f CROSS JOIN r$n r WHERE f.i < len(f.syms)),
-         v$n AS (SELECT wid, acc AS syms, freq FROM f$n WHERE i = len(syms))"""
+         v$n AS (SELECT wid, w, acc AS syms, freq FROM f$n WHERE i = len(syms))"""
     s"""WITH RECURSIVE
        w0 AS (
          SELECT w, count(*) AS freq FROM (
            SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
            FROM documents)
          WHERE w <> '' GROUP BY w),
-       v0 AS (SELECT row_number() OVER (ORDER BY w) AS wid,
+       v0 AS (SELECT row_number() OVER (ORDER BY w) AS wid, w,
                      string_split(w, '') AS syms, freq FROM w0),
-       ${(1 to iters).map(round).mkString(",\n")}
+       ${(1 to iters).map(round).mkString(",\n")}"""
+  }
+
+  private def bpeOracleSql: String = {
+    val iters = 3
+    s"""${bpeWithPrefix(iters)}
        ${(1 to iters).map(n =>
         s"SELECT $n AS merge_idx, lhs, rhs, cnt AS pair_count FROM r$n")
         .mkString("\n UNION ALL ")}"""
   }
 
+  /** text_bpe_encode oracle: the learned-rules APPLICATION gated —
+    * every (doc_id, word) occurrence joined to the fully-merged vocab
+    * entry (v3 IS encode-with-3-rules of each vocab word, see
+    * [[bpeWithPrefix]]); subwords joined with '|' for an
+    * engine-comparable string. */
+  private def bpeEncodeOracleSql: String =
+    s"""${bpeWithPrefix(3)},
+       dw AS (
+         SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+         FROM documents)
+       SELECT d.doc_id, d.word, array_to_string(v.syms, '|') AS subwords
+       FROM dw d JOIN v3 v ON d.word = v.w
+       WHERE d.word <> ''"""
+
   def oracleSql: Map[String, String] = Map(
     "text_bpe" -> bpeOracleSql,
+    "text_bpe_encode" -> bpeEncodeOracleSql,
     "approx_distinct" -> hllOracleSql,
     "ann_lsh" -> annLshOracle,
     "ann_ivf" -> annIvfOracle,

@@ -358,6 +358,33 @@ object Dedup {
     MinhashIndex(spark.table(sigsTable), spark.table(bandTable), k, perms, bands)
   }
 
+  /** GENERATION SWAP for the MinHash index — the
+    * [[embeddingIndexAppend]] refresh story applied to the text
+    * index: extend a standing [[MinhashIndex]] with a newly arrived
+    * batch (a probe-only index never sees post-build arrivals, so
+    * batch_i × batch_j near-dups would be silently missed without
+    * this). IDEMPOTENT under at-least-once foreachBatch delivery:
+    * the batch is deduped on id and anti-joined against the ids
+    * already indexed, so a re-delivered micro-batch (or a re-sent
+    * id) is a no-op instead of duplicate sig/band rows
+    * (first-write-wins). The new generation is materialized
+    * lineage-free (`localCheckpoint`) BEFORE the old one is
+    * released — mandatory under foreachBatch, where the batch frame
+    * is not replayable after the micro-batch ends. The durable twin
+    * is [[minhashIndexWrite]] mode-overwrite (rebuild-and-swap,
+    * params re-stamped) + [[minhashIndexLoad]]. */
+  def minhashIndexAppend(index: MinhashIndex, batch: DataFrame,
+      idCol: String, textCol: String): MinhashIndex = {
+    val fresh = batch.dropDuplicates(idCol)
+      .join(index.sigs.select(col("doc_id").as(idCol)), Seq(idCol), "left_anti")
+    val bSigs = minhashSigsOf(fresh, idCol, textCol, index.k, index.perms)
+    val sigs2 = index.sigs.union(bSigs).localCheckpoint(true)
+    val banded2 = index.banded
+      .union(bandedOf(bSigs, index.perms, index.bands)).localCheckpoint(true)
+    index.release()
+    MinhashIndex(sigs2, banded2, index.k, index.perms, index.bands)
+  }
+
   /** Full self-dedup FROM a standing index — [[minhashLshPairs]]
     * semantics without re-shingling or re-signing anything: the
     * candidate self-join runs over the stored band table (bucketed on

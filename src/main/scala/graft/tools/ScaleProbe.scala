@@ -473,6 +473,46 @@ object ScaleProbe {
         f"${mult}x-batch@${mult}x-corpus: $tN%6.2f s ($nN%8d rows)  ratio: ${tN / t1}%5.1f (linear=$mult)")
       idx1.release(); idxN.release()
     }
+    // continuous SemDeDup loop (r7): a FIXED batch ingested into a
+    // standing loop state built outside the timer at 1× and 10×.
+    // Ingest = idempotent append (id-projection anti-join) + probe
+    // (batch-signed, keys broadcast) + quotient CC (frontier-sized) +
+    // ONE remap join + the delta join — the corpus-sized work is the
+    // handful of label/index scans, so fixed-batch ingest should stay
+    // near-flat as the standing state grows 10×.
+    if (onlyNames.forall(_.contains("cluster_stream"))) {
+      val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val embDN = spark.read.parquet(s"$tmp/embeddings_lsh")
+      val bitsN = 4 + (math.log(mult.toDouble) / math.log(2.0)).round.toInt
+      def mkLoop(corpus: DataFrame, bits: Int): graft.streaming.ClusterStream = {
+        val idx = Dedup.embeddingIndex(corpus, "vec_id", "embedding",
+          64, bits, 8, 42L)
+        val pairs = Dedup.embeddingPairsFromIndex(idx, 0.4)
+        val labels = Clusters.connectedComponents(pairs, "vec_a", "vec_b")
+        pairs.unpersist(blocking = false)
+        graft.streaming.ClusterStream(idx, labels, "vec_id", "embedding", 0.4)
+      }
+      val corpus1 = emb1.filter(pmod(col("vec_id"), lit(10)) =!= 3)
+      val corpusN = embDN.filter(pmod(col("vec_id"), lit(10)) =!= 3)
+      val batchFix = embDN.filter(pmod(col("vec_id"), lit(10)) === 3 &&
+        col("vec_id") < 10000000L)
+      def ingestTime(loop: graft.streaming.ClusterStream): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val d = loop.ingest(batchFix)
+        val n = d.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        d.unpersist(blocking = false)
+        (dt, n)
+      }
+      val warm = mkLoop(corpus1, 4); ingestTime(warm); warm.release() // codegen warm
+      val loop1 = mkLoop(corpus1, 4)
+      val (t1, n1) = ingestTime(loop1); loop1.release()
+      val loopN = mkLoop(corpusN, bitsN)
+      val (tN, nN) = ingestTime(loopN); loopN.release()
+      println(f"[scaleprobe] cluster_stream         1x: $t1%6.2f s ($n1%8d rows)  " +
+        f"fixed-batch@${mult}x-state: $tN%6.2f s ($nN%8d rows)  ratio: ${tN / t1}%5.1f (flat=1)")
+    }
     // composite IVF-PQ (r5 verdict): fixed 64-query batch, corpus 1×
     // vs N×. With nlists FIXED the ADC scan within probed lists is ∝
     // corpus → expect ≈ linear (the 100 TB win is the 16-byte-code

@@ -66,6 +66,46 @@ class DurableStateSpec extends SparkSpec {
     full.release()
   }
 
+  test("minhashIndexAppend is idempotent and ≡ build-over-union") {
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+    val (k, perms, bands, mtau) = (3, 64, 16, 0.5)
+
+    val ref = Dedup.minhashIndexAppend(
+      Dedup.minhashIndex(corpus, "doc_id", "text", k, perms, bands),
+      batch, "doc_id", "text")
+    val refPairs = Dedup.minhashPairsFromIndex(ref, mtau)
+    val expected = refPairs.select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    val (refSigs, refBands) = (ref.sigs.count(), ref.banded.count())
+    assert(expected.nonEmpty, "gate corpus should contain near-dups")
+    refPairs.unpersist(blocking = false)
+    ref.release()
+
+    // re-delivered batch → no duplicate sig/band rows, same pairs
+    val replayed = Dedup.minhashIndexAppend(
+      Dedup.minhashIndexAppend(
+        Dedup.minhashIndex(corpus, "doc_id", "text", k, perms, bands),
+        batch, "doc_id", "text"),
+      batch, "doc_id", "text")
+    assert(replayed.sigs.count() === refSigs)
+    assert(replayed.banded.count() === refBands)
+    val replayedPairs = Dedup.minhashPairsFromIndex(replayed, mtau)
+    assert(replayedPairs.select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet === expected)
+    replayedPairs.unpersist(blocking = false)
+    replayed.release()
+
+    // appended ≡ an index built over the union outright
+    val full = Dedup.minhashIndex(docs, "doc_id", "text", k, perms, bands)
+    val fullPairs = Dedup.minhashPairsFromIndex(full, mtau)
+    assert(fullPairs.select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet === expected)
+    fullPairs.unpersist(blocking = false)
+    full.release()
+  }
+
   test("clustersWrite/clustersLoad roundtrip, param guards both directions") {
     val params = Map("pairs" -> "ngram_jaccard", "k" -> "3", "tau" -> "0.6")
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("node", "cluster_id")

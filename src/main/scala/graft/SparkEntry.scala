@@ -468,6 +468,12 @@ object SparkEntry {
     "dedup_substring" -> ((s, dir) =>
       Dedup.substringDupSpans(t(s, dir, "documents"), "doc_id", "text", k = 20)),
 
+    // the REMOVAL transform over the same spans: duplicated passages
+    // dropped everywhere but their first-occurrence (min doc_id)
+    // document — one surviving copy per passage corpus-wide
+    "dedup_substring_remove" -> ((s, dir) =>
+      Dedup.substringDupRemove(t(s, dir, "documents"), "doc_id", "text", k = 20)),
+
     // the dedup pipeline's end product: the corpus with every
     // non-representative cluster member removed (keep the min-id doc
     // per near-dup cluster, keep all singletons)
@@ -2354,6 +2360,49 @@ object SparkEntry {
                 count(*) AS n_windows,
                 CAST(max(n_docs) AS BIGINT) AS max_n_docs
          FROM g GROUP BY doc_id, grp""",
+
+    // the removal twin: same window/cap derivation as dedup_substring,
+    // plus the representative (min doc per window string), victim
+    // token positions exploded per covered window, and the per-doc
+    // rebuild as an ordered string_agg over surviving positions
+    "dedup_substring_remove" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+         tok AS (
+           SELECT doc_id, CAST(i AS INTEGER) AS pos, t[i] AS tokn
+           FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+           WHERE t[i] <> ''),
+         w AS (
+           SELECT doc_id, CAST(i AS INTEGER) AS pos,
+                  array_to_string(t[i:i+19], ' ') AS s
+           FROM toks, unnest(generate_series(1, len(t) - 19)) AS u(i)),
+         cap AS (SELECT greatest(50, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS c
+                 FROM documents),
+         d AS (
+           SELECT s, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS rep_doc
+           FROM w CROSS JOIN cap GROUP BY s, c
+           HAVING count(DISTINCT doc_id) >= 2 AND count(DISTINCT doc_id) <= c),
+         victims AS (
+           SELECT DISTINCT w.doc_id, CAST(tp.p AS INTEGER) AS pos
+           FROM w JOIN d USING (s),
+                unnest(generate_series(w.pos, w.pos + 19)) AS tp(p)
+           WHERE w.doc_id <> d.rep_doc),
+         kept AS (
+           SELECT t.doc_id, t.pos, t.tokn
+           FROM tok t LEFT JOIN victims v ON t.doc_id = v.doc_id AND t.pos = v.pos
+           WHERE v.pos IS NULL),
+         agg AS (
+           SELECT doc_id, string_agg(tokn, ' ' ORDER BY pos) AS clean_text,
+                  count(*) AS n_kept
+           FROM kept GROUP BY doc_id),
+         cnt AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id)
+         SELECT b.doc_id,
+                coalesce(a.clean_text, '') AS clean_text,
+                CAST(coalesce(c.n_tok, 0) - coalesce(a.n_kept, 0) AS BIGINT)
+                  AS n_removed
+         FROM documents b
+         LEFT JOIN cnt c USING (doc_id)
+         LEFT JOIN agg a USING (doc_id)""",
 
     // connected components over the SAME pair set as dedup_ngram_jaccard:
     // min reachable id per node via a recursive min-label CTE

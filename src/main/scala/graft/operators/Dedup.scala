@@ -385,6 +385,26 @@ object Dedup {
     MinhashIndex(sigs2, banded2, index.k, index.perms, index.bands)
   }
 
+  /** RETRACTION — the delete path completing the standing-index
+    * lifecycle (build → append → REMOVE → probe): drop the given ids
+    * from a [[MinhashIndex]] so deleted/redacted corpus docs (a
+    * takedown, a quality recall — the q4_delete_detect feed) stop
+    * matching probes. Anti-joins on the id against both stored
+    * tables; unknown ids are a no-op, and a later
+    * [[minhashIndexAppend]] of a removed id RE-ADMITS it (the
+    * anti-join there checks current membership only). Same
+    * generation-swap materialization contract as append. */
+  def minhashIndexRemove(index: MinhashIndex, ids: DataFrame,
+      idCol: String): MinhashIndex = {
+    val del = ids.select(col(idCol).as("doc_id")).distinct()
+    val sigs2 = index.sigs.join(del, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val banded2 = index.banded.join(del, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    index.release()
+    MinhashIndex(sigs2, banded2, index.k, index.perms, index.bands)
+  }
+
   /** Full self-dedup FROM a standing index — [[minhashLshPairs]]
     * semantics without re-shingling or re-signing anything: the
     * candidate self-join runs over the stored band table (bucketed on
@@ -573,6 +593,60 @@ object Dedup {
         count("*").as("n_windows"),
         max(col("n_docs")).as("max_n_docs"))
       .drop("grp")
+  }
+
+  /** Substring-level dedup REMOVAL — the transform
+    * [[substringDupSpans]] only detects (Lee et al. '22 apply this to
+    * the corpus; the spans are an audit artifact): every token
+    * covered by a cross-doc-duplicated k-token window is dropped from
+    * the text, EXCEPT in the window's representative document (the
+    * min doc_id containing that window — first-occurrence-wins, so
+    * exactly one copy of each duplicated passage survives the
+    * corpus). Within-representative repeats survive (the policy is
+    * cross-doc; [[substringDupSpans]] flags within-doc structure).
+    * Output: every document, whitespace-canonicalized
+    * (`clean_text` = kept tokens single-space-joined) with
+    * `n_removed` dropped-token count — unaffected docs pass through
+    * with n_removed = 0.
+    *
+    * Scale shape: the only shuffles carry (8-byte window hash) and
+    * (doc_id, token-position INT) rows — never text. Removal
+    * positions fold to one int-set row per AFFECTED doc
+    * (`collect_set`, bounded by doc length), join back to the corpus
+    * on doc_id, and the rebuild is one in-row positional filter over
+    * the token array — the corpus itself is scanned twice (windows,
+    * rebuild) and shuffled never. `maxDf` caps pathological
+    * boilerplate hashes exactly as [[substringDupSpans]] does
+    * (√N [[autoCap]] default) — an over-cap window is boilerplate,
+    * not duplication, and is KEPT (same policy as the spans
+    * operator). */
+  def substringDupRemove(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, maxDf: CapPolicy = CapPolicy.Auto): DataFrame = {
+    val dfCap = resolveCap(docs, maxDf)
+    val w = docs.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.expr.NativeFunctions
+          .shingle_hashes_all(col(textCol), k)).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+    val dup = w.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("rep_doc"))
+      .filter(col("n_docs") >= 2)
+    val pruned =
+      if (dfCap == Int.MaxValue) dup else dup.filter(col("n_docs") <= dfCap)
+    val victims = w.join(pruned, "h")
+      .filter(col("doc_id") =!= col("rep_doc"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("tp"))
+      .groupBy("doc_id").agg(collect_set(col("tp")).as("removed"))
+    val noRemovals = array().cast("array<int>")
+    docs.select(col(idCol).as("doc_id"),
+        filter(split(trim(col(textCol)), "\\s+"), t => t =!= "").as("__ts"))
+      .join(victims, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(filter(col("__ts"), (t, i) =>
+          !array_contains(coalesce(col("removed"), noRemovals), i + 1)), " ")
+          .as("clean_text"),
+        size(coalesce(col("removed"), noRemovals)).cast("long").as("n_removed"))
   }
 
   /** Embedding near-dup pairs: cosine >= tau within blocks keyed on
@@ -821,6 +895,22 @@ object Dedup {
     val vecs2 = index.vecs.union(b).localCheckpoint(true)
     val banded2 = index.banded
       .union(vecBands(b, index.dim, index.bits, index.tables, index.seed))
+      .localCheckpoint(true)
+    index.release()
+    EmbeddingLshIndex(vecs2, banded2,
+      index.dim, index.bits, index.tables, index.seed)
+  }
+
+  /** RETRACTION for the embedding index — [[minhashIndexRemove]]'s
+    * vector-space twin, same contract (unknown ids no-op, removed ids
+    * re-admittable by a later append, generation-swap
+    * materialization). */
+  def embeddingIndexRemove(index: EmbeddingLshIndex, ids: DataFrame,
+      idCol: String): EmbeddingLshIndex = {
+    val del = ids.select(col(idCol).as("id")).distinct()
+    val vecs2 = index.vecs.join(del, Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    val banded2 = index.banded.join(del, Seq("id"), "left_anti")
       .localCheckpoint(true)
     index.release()
     EmbeddingLshIndex(vecs2, banded2,

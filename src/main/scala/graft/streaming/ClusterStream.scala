@@ -103,6 +103,75 @@ final class ClusterStream private (
     delta
   }
 
+  /** RETRACT documents from the standing state — the takedown path
+    * (deleted/redacted corpus docs must stop matching probes AND
+    * leave the clustering as if they never arrived). Removal from a
+    * labeling is not a row delete: dropping a BRIDGE doc must SPLIT
+    * its cluster, and dropping a representative renames the cluster
+    * to its new min member. Both fall out of a LOCALIZED recompute:
+    *
+    *   1. the index retracts the ids ([[Dedup.embeddingIndexRemove]]);
+    *   2. only the TOUCHED clusters (those containing a retracted
+    *      node) are re-clustered: their remaining members' pairs are
+    *      re-derived from the retracted index restricted to exactly
+    *      those ids ([[Dedup.embeddingPairsFromIndex]] over a
+    *      filtered view — work ∝ touched-cluster membership, not
+    *      corpus), and CC re-runs on that subgraph;
+    *   3. untouched clusters pass through without recompute — the
+    *      corpus-sized work is the two labeling anti-joins/scans.
+    *
+    * Returns the decision delta: retracted nodes as tombstones
+    * (`cluster_id` NULL, `keep` false), plus every surviving node
+    * whose mapping changed (splits, representative renames) with the
+    * usual `keep = (node = cluster_id)`. Retracting unknown ids is a
+    * no-op. Eagerly persisted — callers unpersist. */
+  def retract(ids: DataFrame): DataFrame = {
+    val prev = labelsState
+    val prevIndex = index
+    val del = ids.select(col(ids.columns.head).cast("long").as("node")).distinct()
+
+    val extended = Dedup.embeddingIndexRemove(prevIndex, del.select(col("node").as("id")), "id")
+    val touched = prev.join(del, Seq("node"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val members = prev.join(touched, Seq("cluster_id"))
+    val remaining = members.join(del, Seq("node"), "left_anti")
+    // pairs among the remaining members of touched clusters, from the
+    // already-retracted index restricted to those ids — candidate
+    // join + cosine verify scoped to the touched membership
+    val remIds = remaining.select(col("node").as("id"))
+    val sub = Dedup.EmbeddingLshIndex(
+      extended.vecs.join(remIds, Seq("id"), "left_semi"),
+      extended.banded.join(remIds, Seq("id"), "left_semi"),
+      extended.dim, extended.bits, extended.tables, extended.seed)
+    val pairs = Dedup.embeddingPairsFromIndex(sub, tau, probeRadius)
+    val cc = Clusters.connectedComponents(pairs, "vec_a", "vec_b")
+    val singles = remaining.select("node")
+      .join(cc.select("node"), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("cluster_id"))
+    val untouched = prev.join(touched, Seq("cluster_id"), "left_anti")
+      .select(col("node"), col("cluster_id"))
+    val next = untouched.union(cc.select(col("node"), col("cluster_id")))
+      .union(singles).localCheckpoint(true)
+
+    val changed = next.as("n")
+      .join(prev.select(col("node"), col("cluster_id").as("old_cid")).as("p"),
+        Seq("node"), "left")
+      .filter(col("old_cid").isNull || col("old_cid") =!= col("cluster_id"))
+      .select(col("node"), col("cluster_id"),
+        (col("node") === col("cluster_id")).as("keep"))
+    val tombstones = del.join(prev, Seq("node"), "left_semi")
+      .select(col("node"), lit(null).cast("long").as("cluster_id"),
+        lit(false).as("keep"))
+    val delta = changed.union(tombstones)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    delta.count() // materialize while prev is still alive
+    pairs.unpersist(blocking = false)
+    prev.unpersist(blocking = false)
+    index = extended
+    labelsState = next
+    delta
+  }
+
   /** Land the standing labeling durably ([[Clusters.clustersWrite]]
     * contract — node-bucketed, similarity-regime params stamped). */
   def checkpointTo(table: String, sourceParams: Map[String, String],

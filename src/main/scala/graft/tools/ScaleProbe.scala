@@ -114,6 +114,13 @@ object ScaleProbe {
     } {
       Dedup.substringDupSpans(docsN, "doc_id", "text", 20).count()
     }
+    // the removal twin adds the victim-position fold + in-row rebuild
+    // on top of the spans derivation — still hash/int-only shuffles
+    probe("substring_remove") {
+      Dedup.substringDupRemove(docs1, "doc_id", "text", 20).count()
+    } {
+      Dedup.substringDupRemove(docsN, "doc_id", "text", 20).count()
+    }
     // fixed benchmark (copy-0 5%), growing corpus — the real
     // decontamination shape (the broadcast side must stay constant)
     locally {

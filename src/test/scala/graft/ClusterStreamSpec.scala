@@ -112,6 +112,59 @@ class ClusterStreamSpec extends SparkSpec {
     loop.release()
   }
 
+  test("retract splits a bridged cluster and renames representatives") {
+    def vec(x: Double, y: Double) = Array.fill(62)(0.0) ++ Array(x, y)
+    val a = Seq(
+      EmbDoc(10L, vec(1.0, 0.0)), EmbDoc(11L, vec(0.999, 0.001)),
+      EmbDoc(20L, vec(0.0, 1.0)), EmbDoc(21L, vec(0.001, 0.999)),
+      EmbDoc(30L, vec(0.7, 0.7)))
+    val loop = ClusterStream.empty(spark, "vec_id", "embedding",
+      dim, bits, tables, seed, tau = 0.7, probeRadius = 1)
+    loop.ingest(a.toDF("vec_id", "embedding")).unpersist(blocking = false)
+    assert(loop.labels.as[(Long, Long)].collect().toSet ===
+      Set((10L, 10L), (11L, 10L), (20L, 10L), (21L, 10L), (30L, 10L)))
+    // retract the bridge: the cluster must SPLIT back in two, with
+    // 20 re-crowned as the second cluster's representative
+    val d = loop.retract(Seq(30L).toDF("vec_id"))
+    val rows = d.select("node", "cluster_id", "keep")
+      .as[(Long, Option[Long], Boolean)].collect().toSet
+    d.unpersist(blocking = false)
+    assert(rows === Set(
+      (30L, None, false),          // tombstone
+      (20L, Some(20L), true),      // split + representative rename
+      (21L, Some(20L), false)))
+    assert(loop.labels.as[(Long, Long)].collect().toSet ===
+      Set((10L, 10L), (11L, 10L), (20L, 20L), (21L, 20L)))
+    // unknown ids are a no-op
+    val d2 = loop.retract(Seq(999L).toDF("vec_id"))
+    assert(d2.count() === 0L)
+    d2.unpersist(blocking = false)
+    loop.release()
+  }
+
+  test("retract ≡ a loop that never saw the retracted docs") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val docs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[EmbDoc].collect().sortBy(_.vec_id).toSeq
+    val victims = docs.filter(_.vec_id % 10 == 7).map(_.vec_id)
+    assert(victims.nonEmpty)
+
+    val loop = ClusterStream.empty(spark, "vec_id", "embedding",
+      dim, bits, tables, seed, tau)
+    loop.ingest(docs.toDF("vec_id", "embedding")).unpersist(blocking = false)
+    loop.retract(victims.toDF("vec_id")).unpersist(blocking = false)
+    val got = loop.labels.as[(Long, Long)].collect().toSet
+    loop.release()
+
+    val ref = ClusterStream.empty(spark, "vec_id", "embedding",
+      dim, bits, tables, seed, tau)
+    ref.ingest(docs.filter(d => d.vec_id % 10 != 7).toDF("vec_id", "embedding"))
+      .unpersist(blocking = false)
+    val expected = ref.labels.as[(Long, Long)].collect().toSet
+    ref.release()
+    assert(got === expected)
+  }
+
   test("checkpoint + resume roundtrip preserves the loop state") {
     val emb = Tables.embeddings(spark, sfDir)
     val docs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))

@@ -164,6 +164,29 @@ class DedupSpec extends SparkSpec {
     assert(out === Array((1L, 4, 28, 6L, 2L), (2L, 2, 26, 6L, 2L)))
   }
 
+  test("substringDupRemove keeps one corpus-wide copy, cleaned corpus has no cross-doc spans") {
+    val shared = (1 to 25).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $shared z1 z2"),
+      (2L, s"b1 $shared y1 y2 y3 y4"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12 u13 u14 u15 u16 u17 u18 u19 u20 u21"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDupRemove(docs, "doc_id", "text", k = 20)
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    // doc 1 is the representative (min doc_id containing the shared
+    // windows): untouched. doc 2 drops the covered tokens 2..26 (the
+    // 25 shared tokens — windows 2..7 cover exactly them). doc 3
+    // untouched.
+    assert(out(0) === ((1L, s"a1 a2 a3 $shared z1 z2", 0L)))
+    assert(out(1) === ((2L, "b1 y1 y2 y3 y4", 25L)))
+    assert(out(2)._3 === 0L)
+    // the cleaned corpus is span-free: one pass removed every
+    // cross-doc duplicated passage
+    val cleaned = Dedup.substringDupRemove(docs, "doc_id", "text", k = 20)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    assert(Dedup.substringDupSpans(cleaned, "doc_id", "text", k = 20).count() === 0L)
+  }
+
   test("substringDupSpans ignores repetition WITHIN a single doc") {
     val run = (1 to 20).map(i => s"t$i").mkString(" ")
     val docs = Seq((1L, s"$run filler $run"), (2L, "completely different tokens here"))

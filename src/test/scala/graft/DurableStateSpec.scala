@@ -106,6 +106,56 @@ class DurableStateSpec extends SparkSpec {
     full.release()
   }
 
+  test("index removal: retract ≡ build-without, unknown ids no-op, re-admit works") {
+    val docs = Tables.documents(spark, sfDir)
+    val victims = docs.filter(pmod(col("doc_id"), lit(10)) === 7)
+    val survivors = docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+    val (k, perms, bands, mtau) = (3, 64, 16, 0.5)
+
+    // minhash: remove ≡ build over the survivors
+    val removed = Dedup.minhashIndexRemove(
+      Dedup.minhashIndex(docs, "doc_id", "text", k, perms, bands),
+      victims.select("doc_id"), "doc_id")
+    val direct = Dedup.minhashIndex(survivors, "doc_id", "text", k, perms, bands)
+    val pr = Dedup.minhashPairsFromIndex(removed, mtau)
+    val pd = Dedup.minhashPairsFromIndex(direct, mtau)
+    val got = pr.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got === pd.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet)
+    pr.unpersist(blocking = false); pd.unpersist(blocking = false)
+    direct.release()
+    // unknown ids: no-op
+    val again = Dedup.minhashIndexRemove(removed,
+      Seq(999999990L, 999999991L).toDF("doc_id"), "doc_id")
+    val pa = Dedup.minhashPairsFromIndex(again, mtau)
+    assert(pa.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet === got)
+    pa.unpersist(blocking = false)
+    // re-admit: append restores the removed docs
+    val readmitted = Dedup.minhashIndexAppend(again, victims, "doc_id", "text")
+    val full = Dedup.minhashIndex(docs, "doc_id", "text", k, perms, bands)
+    assert(readmitted.sigs.count() === full.sigs.count())
+    val prr = Dedup.minhashPairsFromIndex(readmitted, mtau)
+    val pf = Dedup.minhashPairsFromIndex(full, mtau)
+    assert(prr.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet ===
+      pf.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet)
+    prr.unpersist(blocking = false); pf.unpersist(blocking = false)
+    readmitted.release(); full.release()
+
+    // embedding twin: remove ≡ build over the survivors
+    val emb = Tables.embeddings(spark, sfDir)
+    val eRemoved = Dedup.embeddingIndexRemove(
+      Dedup.embeddingIndex(emb, "vec_id", "embedding", dim, bits, tables, seed),
+      emb.filter(pmod(col("vec_id"), lit(10)) === 7).select("vec_id"), "vec_id")
+    val eDirect = Dedup.embeddingIndex(
+      emb.filter(pmod(col("vec_id"), lit(10)) =!= 7),
+      "vec_id", "embedding", dim, bits, tables, seed)
+    val er = Dedup.embeddingPairsFromIndex(eRemoved, tau)
+    val ed = Dedup.embeddingPairsFromIndex(eDirect, tau)
+    assert(er.as[(Long, Long)].collect().toSet ===
+      ed.as[(Long, Long)].collect().toSet)
+    er.unpersist(blocking = false); ed.unpersist(blocking = false)
+    eRemoved.release(); eDirect.release()
+  }
+
   test("clustersWrite/clustersLoad roundtrip, param guards both directions") {
     val params = Map("pairs" -> "ngram_jaccard", "k" -> "3", "tau" -> "0.6")
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("node", "cluster_id")

@@ -595,6 +595,86 @@ object Dedup {
       .drop("grp")
   }
 
+  /** A STANDING substring index: the distinct duplicated-window
+    * universe of a corpus — (window hash, representative doc) — built
+    * once at land time and probed by later batches
+    * ([[substringProbe]]): the [[MinhashIndex]] pattern at PASSAGE
+    * granularity, completing the continuous-dedup index family
+    * exact → MinHash → embedding → substring. Unlike the pair
+    * indexes, n_docs ≥ 2 is NOT required: a batch doc repeating ANY
+    * corpus window is passage-duplication against the corpus.
+    * `maxDf` drops boilerplate hashes (√N [[autoCap]] policy).
+    * Callers own the lifecycle (`release()`). */
+  final case class SubstringIndex(hashes: DataFrame, k: Int) {
+    def release(): Unit = hashes.unpersist(blocking = false)
+  }
+
+  private def substringWindows(docs: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.expr.NativeFunctions
+          .shingle_hashes_all(col(textCol), k)).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+
+  def substringIndex(corpus: DataFrame, idCol: String, textCol: String,
+      k: Int, maxDf: CapPolicy = CapPolicy.Auto): SubstringIndex = {
+    val dfCap = resolveCap(corpus, maxDf)
+    val agg = substringWindows(corpus, idCol, textCol, k)
+      .groupBy("h").agg(countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("rep_doc"))
+    val pruned =
+      if (dfCap == Int.MaxValue) agg else agg.filter(col("n_docs") <= dfCap)
+    val hashes = pruned.select(col("h"), col("rep_doc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hashes.count()
+    SubstringIndex(hashes, k)
+  }
+
+  /** Extend the standing window universe with a landed batch — the
+    * generation-swap refresh ([[minhashIndexAppend]] contract).
+    * Merging is a re-aggregation of (hash → min rep), so replaying a
+    * batch is IDEMPOTENT by construction (min is idempotent). Note
+    * the df cap is not re-derived here (the stamp of the build-time
+    * corpus); rebuild via [[substringIndex]] to re-cap. */
+  def substringIndexAppend(index: SubstringIndex, batch: DataFrame,
+      idCol: String, textCol: String): SubstringIndex = {
+    val b = substringWindows(batch, idCol, textCol, index.k)
+      .groupBy("h").agg(min(col("doc_id")).as("rep_doc"))
+    val merged = index.hashes.union(b)
+      .groupBy("h").agg(min(col("rep_doc")).as("rep_doc"))
+      .localCheckpoint(true)
+    index.release()
+    SubstringIndex(merged, index.k)
+  }
+
+  /** Probe a batch against the standing window universe: maximal
+    * spans of each batch doc whose every window already exists in the
+    * corpus (same island-merge as [[substringDupSpans]]) — the
+    * ingest-time passage-dup screen. Only the batch is windowed; its
+    * (hash, pos) rows broadcast into the index join, the corpus never
+    * rescanned. Self-hits (the batch doc IS the window's corpus
+    * representative, after an append) are excluded. Eagerly
+    * persisted — callers unpersist. */
+  def substringProbe(index: SubstringIndex, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val wb = substringWindows(batch, idCol, textCol, index.k)
+    val hits = index.hashes.join(broadcast(wb), "h")
+      .filter(col("doc_id") =!= col("rep_doc"))
+    val island = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val out = hits
+      .select(col("doc_id"), col("pos")).dropDuplicates("doc_id", "pos")
+      .withColumn("grp", col("pos") - row_number().over(island))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + index.k - 1).as("span_end"),
+        count("*").as("n_windows"))
+      .drop("grp")
+    val materialized = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    materialized.count()
+    materialized
+  }
+
   /** Substring-level dedup REMOVAL — the transform
     * [[substringDupSpans]] only detects (Lee et al. '22 apply this to
     * the corpus; the spans are an audit artifact): every token

@@ -128,6 +128,23 @@ object DedupStream {
       }
       .start()
 
+  /** Continuous SUBSTRING-dup probe — passage granularity at ingest
+    * (the streaming [[Dedup.substringDupSpans]]): each micro-batch's
+    * docs are screened against the standing corpus window universe
+    * ([[Dedup.SubstringIndex]], built once at land time,
+    * [[Dedup.substringIndexAppend]]-refreshed). Per batch only the
+    * batch is windowed, its (hash, pos) rows broadcast into the index
+    * join — the corpus is never rescanned. Completes the streaming
+    * dedup family exact → MinHash → embedding → substring. */
+  def substringProbeQuery(stream: Dataset[Doc], index: Dedup.SubstringIndex)
+      (onBatch: DataFrame => Unit): StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[Doc], _: Long) =>
+        val spans = Dedup.substringProbe(index, batch.toDF(), "doc_id", "text")
+        try onBatch(spans) finally spans.unpersist(blocking = false)
+      }
+      .start()
+
   case class EmbDoc(vec_id: Long, embedding: Array[Double])
 
   /** Continuous EMBEDDING near-dup probe — the SemDeDup ingest shape:

@@ -402,6 +402,35 @@ object ScaleProbe {
         f"${mult}x-batch@${mult}x-corpus: $tN%6.2f s ($nN%8d rows)  ratio: ${tN / t1}%5.1f (linear=$mult)")
       idx1.release(); idxN.release()
     }
+    // standing substring index: fixed batch vs N× window universe —
+    // same claims as minhash_probe (batch-only windowing, broadcast
+    // probe keys; the corpus is never rescanned)
+    if (onlyNames.forall(_.contains("substring_probe"))) {
+      val corpus1 = docs1.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+      val batch1 = docs1.filter(pmod(col("doc_id"), lit(10)) === 3)
+      val corpusN = docsN.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+      val batchN = docsN.filter(pmod(col("doc_id"), lit(10)) === 3)
+      val idx1 = Dedup.substringIndex(corpus1, "doc_id", "text", 20)
+      val idxN = Dedup.substringIndex(corpusN, "doc_id", "text", 20)
+      def runProbe(idx: Dedup.SubstringIndex, b: DataFrame): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val r = Dedup.substringProbe(idx, b, "doc_id", "text")
+        val n = r.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        r.unpersist(blocking = false)
+        (dt, n)
+      }
+      val batchFix = batchN.filter(col("doc_id") < 10000000L)
+      runProbe(idx1, batch1) // warm codegen
+      val (t1, n1) = runProbe(idx1, batch1)
+      val (tFix, nFix) = runProbe(idxN, batchFix)
+      val (tN, nN) = runProbe(idxN, batchN)
+      println(f"[scaleprobe] substring_probe        1x: $t1%6.2f s ($n1%8d rows)  " +
+        f"fixed-batch@${mult}x-corpus: $tFix%6.2f s ($nFix%8d rows)  ratio: ${tFix / t1}%5.1f (flat=1)")
+      println(f"[scaleprobe] substring_probe        1x: $t1%6.2f s ($n1%8d rows)  " +
+        f"${mult}x-batch@${mult}x-corpus: $tN%6.2f s ($nN%8d rows)  ratio: ${tN / t1}%5.1f (linear=$mult)")
+      idx1.release(); idxN.release()
+    }
     // incremental CC (r5 verdict: "measure the frontier-sized
     // claim"). Standing labeling built OUTSIDE the timers (land-time
     // cost); a FIXED frontier of merge edges folds in. Claims: (a)

@@ -187,6 +187,36 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.substringDupSpans(cleaned, "doc_id", "text", k = 20).count() === 0L)
   }
 
+  test("substringProbe flags corpus passages in a batch, excludes self-reps, appends idempotently") {
+    val shared = (1 to 25).map(i => s"s$i").mkString(" ")
+    val corpus = Seq((1L, s"a1 a2 a3 $shared z1 z2"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, s"q1 $shared q2 q3"),
+      (101L, "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 v11 v12 v13 v14 v15 v16 v17 v18 v19 v20 v21"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.substringIndex(corpus, "doc_id", "text", k = 20)
+    val spans = Dedup.substringProbe(idx, batch, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Int, Int, Long)].collect()
+    // batch doc 100: the 25 shared tokens sit at positions 2..26 —
+    // corpus-known windows start at 2..7, span = tokens 2..26; doc
+    // 101 shares nothing
+    assert(spans === Array((100L, 2, 26, 6L)))
+
+    // append the batch, probe it again: passage windows still flag
+    // (their rep is corpus doc 1), batch-unique windows don't (the
+    // batch doc IS their representative)
+    val idx2 = Dedup.substringIndexAppend(idx, batch, "doc_id", "text")
+    val again = Dedup.substringProbe(idx2, batch, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Int, Int, Long)].collect()
+    assert(again === Array((100L, 2, 26, 6L)))
+    // and the append is idempotent (min-merge): same hash universe
+    val n2 = idx2.hashes.count()
+    val idx3 = Dedup.substringIndexAppend(idx2, batch, "doc_id", "text")
+    assert(idx3.hashes.count() === n2)
+    idx3.release()
+  }
+
   test("substringDupSpans ignores repetition WITHIN a single doc") {
     val run = (1 to 20).map(i => s"t$i").mkString(" ")
     val docs = Seq((1L, s"$run filler $run"), (2L, "completely different tokens here"))

@@ -110,6 +110,30 @@ class DedupStreamSpec extends SparkSpec {
     } finally { q.stop(); idx.unpersist(blocking = false) }
   }
 
+  test("streamed substring probes over batches ≡ the one-shot standing-index probe") {
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+    val batchDocs = docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+      .select(col("doc_id"), col("text")).as[Doc].collect().sortBy(_.doc_id).toSeq
+
+    val idx = Dedup.substringIndex(corpus, "doc_id", "text", k = 20)
+    val oneShot = Dedup.substringProbe(idx, batchDocs.toDF(), "doc_id", "text")
+    val expected = oneShot.as[(Long, Int, Int, Long)].collect().toSet
+    oneShot.unpersist(blocking = false)
+    assert(expected.nonEmpty, "gate corpus should contain cross passage dups")
+
+    val got = scala.collection.mutable.Set.empty[(Long, Int, Int, Long)]
+    val mem = MemoryStream[Doc]
+    val q = DedupStream.substringProbeQuery(mem.toDS(), idx) { spans =>
+      got ++= spans.as[(Long, Int, Int, Long)].collect()
+    }
+    try {
+      val size = math.max(1, batchDocs.size / 3)
+      batchDocs.grouped(size).foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally { q.stop(); idx.release() }
+    assert(got.toSet === expected)
+  }
+
   test("streamed minhash probes over batches ≡ the one-shot batch operator") {
     val docs = Tables.documents(spark, sfDir)
     val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 3)

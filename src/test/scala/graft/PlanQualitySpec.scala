@@ -145,6 +145,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"fact shuffled for a stats join:\n$p")
   }
 
+  test("standing-index probes broadcast the BATCH side, never the index") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+    val sIdx = Dedup.substringIndex(corpus, "doc_id", "text", 20)
+    try {
+      // the probe returns its result persisted; the executed plan
+      // still prints the cached join tree, so the broadcast assertion
+      // inspects the plan the probe actually ran
+      val probed = Dedup.substringProbe(sIdx, batch, "doc_id", "text")
+      val p = plan(probed)
+      probed.unpersist(blocking = false)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+        s"substring probe candidate join does not broadcast:\n$p")
+    } finally sIdx.release()
+  }
+
   test("external sink collapse prunes rank>1 below the shuffle (WindowGroupLimit)") {
     // the latest-version-per-key collapse must not move every delta
     // row through the exchange when only the per-key winner survives —

@@ -675,6 +675,37 @@ object Dedup {
     materialized
   }
 
+  /** The REMOVAL transform at INGEST TIME — [[substringDupRemove]]'s
+    * standing-index form: every batch token covered by a window
+    * already in the corpus universe is dropped (the corpus copy is
+    * the surviving one; self-representatives excluded, so an
+    * appended doc keeps its own first-occurrence passages). Same
+    * output contract as the batch transform — every batch doc,
+    * whitespace-canonicalized `clean_text`, `n_removed` — and the
+    * same scale shape: the probe join broadcasts batch (hash, pos)
+    * rows, victim positions fold to one int-set row per affected
+    * doc, the rebuild is one in-row positional filter. This is the
+    * Lee et al. transform run continuously: clean each arriving
+    * batch against everything already landed. */
+  def substringRemoveProbe(index: SubstringIndex, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val wb = substringWindows(batch, idCol, textCol, index.k)
+    val victims = index.hashes.join(broadcast(wb), "h")
+      .filter(col("doc_id") =!= col("rep_doc"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(index.k - 1))).as("tp"))
+      .groupBy("doc_id").agg(collect_set(col("tp")).as("removed"))
+    val noRemovals = array().cast("array<int>")
+    batch.select(col(idCol).as("doc_id"),
+        filter(split(trim(col(textCol)), "\\s+"), t => t =!= "").as("__ts"))
+      .join(victims, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(filter(col("__ts"), (t, i) =>
+          !array_contains(coalesce(col("removed"), noRemovals), i + 1)), " ")
+          .as("clean_text"),
+        size(coalesce(col("removed"), noRemovals)).cast("long").as("n_removed"))
+  }
+
   /** Substring-level dedup REMOVAL — the transform
     * [[substringDupSpans]] only detects (Lee et al. '22 apply this to
     * the corpus; the spans are an audit artifact): every token

@@ -217,6 +217,30 @@ class DedupSpec extends SparkSpec {
     idx3.release()
   }
 
+  test("substringRemoveProbe cleans a batch against the corpus universe") {
+    val shared = (1 to 25).map(i => s"s$i").mkString(" ")
+    val corpus = Seq((1L, s"a1 a2 a3 $shared z1 z2")).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, s"q1 $shared q2 q3"),
+      (101L, "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 v11 v12 v13 v14 v15 v16 v17 v18 v19 v20 v21"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.substringIndex(corpus, "doc_id", "text", k = 20)
+    try {
+      val out = Dedup.substringRemoveProbe(idx, batch, "doc_id", "text")
+        .orderBy("doc_id").as[(Long, String, Long)].collect()
+      assert(out(0) === ((100L, "q1 q2 q3", 25L)))
+      assert(out(1)._3 === 0L)
+      // after append, a re-probed batch doc keeps its OWN unique
+      // passages (self-rep) but still loses the corpus-known one
+      val idx2 = Dedup.substringIndexAppend(idx, batch, "doc_id", "text")
+      val again = Dedup.substringRemoveProbe(idx2, batch, "doc_id", "text")
+        .orderBy("doc_id").as[(Long, String, Long)].collect()
+      assert(again(0) === ((100L, "q1 q2 q3", 25L)))
+      assert(again(1)._3 === 0L)
+      idx2.release()
+    } finally idx.release()
+  }
+
   test("substringDupSpans ignores repetition WITHIN a single doc") {
     val run = (1 to 20).map(i => s"t$i").mkString(" ")
     val docs = Seq((1L, s"$run filler $run"), (2L, "completely different tokens here"))

@@ -549,6 +549,43 @@ object ScaleProbe {
       println(f"[scaleprobe] cluster_stream         1x: $t1%6.2f s ($n1%8d rows)  " +
         f"fixed-batch@${mult}x-state: $tN%6.2f s ($nN%8d rows)  ratio: ${tN / t1}%5.1f (flat=1)")
     }
+    // takedown retraction (r7): a FIXED victim set retracted from a
+    // standing loop at 1× and 10×. Retract re-clusters ONLY the
+    // touched clusters (pairs re-derived from the retracted index
+    // restricted to their remaining members), so fixed-victim cost
+    // should stay near-flat as the standing state grows.
+    if (onlyNames.forall(_.contains("cluster_retract"))) {
+      val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val embDN = spark.read.parquet(s"$tmp/embeddings_lsh")
+      val bitsN = 4 + (math.log(mult.toDouble) / math.log(2.0)).round.toInt
+      def mkLoop(corpus: DataFrame, bits: Int): graft.streaming.ClusterStream = {
+        val idx = Dedup.embeddingIndex(corpus, "vec_id", "embedding",
+          64, bits, 8, 42L)
+        val pairs = Dedup.embeddingPairsFromIndex(idx, 0.4)
+        val labels = Clusters.connectedComponents(pairs, "vec_a", "vec_b")
+        pairs.unpersist(blocking = false)
+        graft.streaming.ClusterStream(idx, labels, "vec_id", "embedding", 0.4)
+      }
+      // fixed victims: copy-0 ids, mod-7 slice (present at both scales)
+      val victims = emb1.filter(pmod(col("vec_id"), lit(7)) === 0)
+        .select("vec_id")
+      def retractTime(loop: graft.streaming.ClusterStream): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val d = loop.retract(victims)
+        val n = d.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        d.unpersist(blocking = false)
+        (dt, n)
+      }
+      val warm = mkLoop(emb1, 4); retractTime(warm); warm.release()
+      val loop1 = mkLoop(emb1, 4)
+      val (t1, n1) = retractTime(loop1); loop1.release()
+      val loopN = mkLoop(embDN, bitsN)
+      val (tN, nN) = retractTime(loopN); loopN.release()
+      println(f"[scaleprobe] cluster_retract        1x: $t1%6.2f s ($n1%8d rows)  " +
+        f"fixed-victims@${mult}x-state: $tN%6.2f s ($nN%8d rows)  ratio: ${tN / t1}%5.1f (flat=1)")
+    }
     // composite IVF-PQ (r5 verdict): fixed 64-query batch, corpus 1×
     // vs N×. With nlists FIXED the ADC scan within probed lists is ∝
     // corpus → expect ≈ linear (the 100 TB win is the 16-byte-code

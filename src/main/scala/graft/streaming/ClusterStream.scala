@@ -47,6 +47,74 @@ import graft.operators.{Clusters, Dedup}
   * [[checkpointTo]] / [[ClusterStream.resume]] on the
   * [[Clusters.clustersWrite]] bucketed table.
   */
+/** The labeling-fold core shared by the embedding loop
+  * ([[ClusterStream]]) and the text loop ([[TextClusterStream]]):
+  * given the previous labeling, the batch ids and the new
+  * (normalized, deduped) pairs, produce the next labeling
+  * (lineage-free) and the decision delta (persisted, materialized
+  * while the previous generation is still alive). */
+private[streaming] object ClusterFold {
+
+  /** @return (next labels, delta). Caller releases `prev` AFTER this
+    *         returns (the delta is already materialized). */
+  def ingestFold(prev: DataFrame, ids: DataFrame,
+      pairs: DataFrame): (DataFrame, DataFrame) = {
+    val merged = Clusters.incrementalComponents(prev, pairs, "vec_a", "vec_b")
+    val singletons = ids.join(merged.select("node"), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("cluster_id"))
+    val next = merged.union(singletons).localCheckpoint(true)
+    (next, changedDelta(next, prev))
+  }
+
+  /** Retraction fold: untouched clusters pass through, the touched
+    * clusters' remaining members re-cluster from `subPairs`, and the
+    * delta carries tombstones (cluster_id NULL) + changed mappings. */
+  def retractFold(prev: DataFrame, del: DataFrame, touched: DataFrame,
+      remaining: DataFrame, subPairs: DataFrame): (DataFrame, DataFrame) = {
+    val cc = Clusters.connectedComponents(subPairs, "vec_a", "vec_b")
+    val singles = remaining.select("node")
+      .join(cc.select("node"), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("cluster_id"))
+    val untouched = prev.join(touched, Seq("cluster_id"), "left_anti")
+      .select(col("node"), col("cluster_id"))
+    val next = untouched.union(cc.select(col("node"), col("cluster_id")))
+      .union(singles).localCheckpoint(true)
+    val tombstones = del.join(prev, Seq("node"), "left_semi")
+      .select(col("node"), lit(null).cast("long").as("cluster_id"),
+        lit(false).as("keep"))
+    val delta = changedDelta(next, prev, materialize = false)
+      .union(tombstones)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    delta.count() // materialize while prev is still alive
+    (next, delta)
+  }
+
+  private def changedDelta(next: DataFrame, prev: DataFrame,
+      materialize: Boolean = true): DataFrame = {
+    val changed = next.as("n")
+      .join(prev.select(col("node"), col("cluster_id").as("old_cid")).as("p"),
+        Seq("node"), "left")
+      .filter(col("old_cid").isNull || col("old_cid") =!= col("cluster_id"))
+      .select(col("node"), col("cluster_id"),
+        (col("node") === col("cluster_id")).as("keep"))
+    if (!materialize) changed
+    else {
+      val delta = changed
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      delta.count()
+      delta
+    }
+  }
+
+  /** Normalize a raw pair frame (possibly with self-hits and both
+    * orientations) to deduped unordered (vec_a < vec_b) pairs. */
+  def normalizePairs(raw: DataFrame, aCol: String, bCol: String): DataFrame =
+    raw.filter(col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("vec_a"),
+        greatest(col(aCol), col(bCol)).as("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+}
+
 final class ClusterStream private (
     @volatile private var index: Dedup.EmbeddingLshIndex,
     @volatile private var labelsState: DataFrame,
@@ -66,37 +134,19 @@ final class ClusterStream private (
     * caching contract) — callers unpersist when consumed. */
   def ingest(batch: DataFrame): DataFrame = {
     val prev = labelsState
-    val prevIndex = index
     val ids = batch.select(col(idCol).cast("long").as("node")).distinct()
-
-    val extended = Dedup.embeddingIndexAppend(prevIndex, batch, idCol, vecCol)
-    // probe AGAINST THE EXTENDED index: one pass yields corpus×batch
-    // and batch×batch pairs (a batch doc meets itself — filtered —
-    // and each batch-internal pair meets in both orientations —
-    // normalized + deduped)
-    val pairs = Dedup.embeddingProbe(extended, batch, idCol, vecCol, tau, probeRadius)
-      .filter(col("vec_a") =!= col("vec_b"))
-      .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
-        greatest(col("vec_a"), col("vec_b")).as("vec_b"))
-      .dropDuplicates("vec_a", "vec_b")
-
-    val merged = Clusters.incrementalComponents(prev, pairs, "vec_a", "vec_b")
-    val singletons = ids.join(merged.select("node"), Seq("node"), "left_anti")
-      .select(col("node"), col("node").as("cluster_id"))
-    // generation swap: materialize the new labeling lineage-free
-    // BEFORE releasing the old one (foreachBatch frames are not
-    // replayable after the micro-batch ends)
-    val next = merged.union(singletons).localCheckpoint(true)
-
-    val delta = next.as("n")
-      .join(prev.select(col("node"), col("cluster_id").as("old_cid")).as("p"),
-        Seq("node"), "left")
-      .filter(col("old_cid").isNull || col("old_cid") =!= col("cluster_id"))
-      .select(col("node"), col("cluster_id"),
-        (col("node") === col("cluster_id")).as("keep"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    delta.count() // materialize while prev is still alive
-    pairs.unpersist(blocking = false)
+    // append first, then probe AGAINST THE EXTENDED index: one pass
+    // yields corpus×batch and batch×batch pairs (a batch doc meets
+    // itself — filtered — and each batch-internal pair meets in both
+    // orientations — normalized + deduped)
+    val extended = Dedup.embeddingIndexAppend(index, batch, idCol, vecCol)
+    val raw = Dedup.embeddingProbe(extended, batch, idCol, vecCol, tau, probeRadius)
+    val pairs = ClusterFold.normalizePairs(raw, "vec_a", "vec_b")
+    // generation swap inside the fold: the new labeling materializes
+    // lineage-free BEFORE the old one is released (foreachBatch
+    // frames are not replayable after the micro-batch ends)
+    val (next, delta) = ClusterFold.ingestFold(prev, ids, pairs)
+    raw.unpersist(blocking = false)
     prev.unpersist(blocking = false)
     index = extended
     labelsState = next
@@ -127,14 +177,13 @@ final class ClusterStream private (
     * no-op. Eagerly persisted — callers unpersist. */
   def retract(ids: DataFrame): DataFrame = {
     val prev = labelsState
-    val prevIndex = index
     val del = ids.select(col(ids.columns.head).cast("long").as("node")).distinct()
 
-    val extended = Dedup.embeddingIndexRemove(prevIndex, del.select(col("node").as("id")), "id")
+    val extended = Dedup.embeddingIndexRemove(index, del.select(col("node").as("id")), "id")
     val touched = prev.join(del, Seq("node"), "left_semi")
       .select(col("cluster_id")).distinct()
-    val members = prev.join(touched, Seq("cluster_id"))
-    val remaining = members.join(del, Seq("node"), "left_anti")
+    val remaining = prev.join(touched, Seq("cluster_id"))
+      .join(del, Seq("node"), "left_anti")
     // pairs among the remaining members of touched clusters, from the
     // already-retracted index restricted to those ids — candidate
     // join + cosine verify scoped to the touched membership
@@ -144,27 +193,8 @@ final class ClusterStream private (
       extended.banded.join(remIds, Seq("id"), "left_semi"),
       extended.dim, extended.bits, extended.tables, extended.seed)
     val pairs = Dedup.embeddingPairsFromIndex(sub, tau, probeRadius)
-    val cc = Clusters.connectedComponents(pairs, "vec_a", "vec_b")
-    val singles = remaining.select("node")
-      .join(cc.select("node"), Seq("node"), "left_anti")
-      .select(col("node"), col("node").as("cluster_id"))
-    val untouched = prev.join(touched, Seq("cluster_id"), "left_anti")
-      .select(col("node"), col("cluster_id"))
-    val next = untouched.union(cc.select(col("node"), col("cluster_id")))
-      .union(singles).localCheckpoint(true)
-
-    val changed = next.as("n")
-      .join(prev.select(col("node"), col("cluster_id").as("old_cid")).as("p"),
-        Seq("node"), "left")
-      .filter(col("old_cid").isNull || col("old_cid") =!= col("cluster_id"))
-      .select(col("node"), col("cluster_id"),
-        (col("node") === col("cluster_id")).as("keep"))
-    val tombstones = del.join(prev, Seq("node"), "left_semi")
-      .select(col("node"), lit(null).cast("long").as("cluster_id"),
-        lit(false).as("keep"))
-    val delta = changed.union(tombstones)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    delta.count() // materialize while prev is still alive
+    val (next, delta) =
+      ClusterFold.retractFold(prev, del, touched, remaining, pairs)
     pairs.unpersist(blocking = false)
     prev.unpersist(blocking = false)
     index = extended
@@ -182,6 +212,111 @@ final class ClusterStream private (
     index.release()
     labelsState.unpersist(blocking = false)
   }
+}
+
+/** The TEXT-granularity twin of [[ClusterStream]]: continuous dedup
+  * DECISIONS over documents, with MinHash-LSH near-dup pairs feeding
+  * the same standing (node, cluster_id) labeling — the loop a text
+  * corpus runs when embeddings aren't available (or alongside the
+  * embedding loop at a different similarity regime). Identical
+  * contract: per-batch keep/drop deltas (empty on replay), takedown
+  * [[retract]] with localized re-clustering, durable checkpoint via
+  * [[Clusters.clustersWrite]] + [[Dedup.minhashIndexWrite]]. The
+  * fold core is shared ([[ClusterFold]]); only the index family and
+  * pair derivation differ. */
+final class TextClusterStream private (
+    @volatile private var index: Dedup.MinhashIndex,
+    @volatile private var labelsState: DataFrame,
+    idCol: String, textCol: String, tau: Double) {
+
+  def labels: DataFrame = labelsState
+  def standingIndex: Dedup.MinhashIndex = index
+
+  /** Fold one micro-batch of (id, text) docs into the standing state;
+    * returns the (node, cluster_id, keep) decision delta (persisted —
+    * callers unpersist). */
+  def ingest(batch: DataFrame): DataFrame = {
+    val prev = labelsState
+    val ids = batch.select(col(idCol).cast("long").as("node")).distinct()
+    val extended = Dedup.minhashIndexAppend(index, batch, idCol, textCol)
+    val raw = Dedup.minhashProbe(extended, batch, idCol, textCol, tau)
+    val pairs = ClusterFold.normalizePairs(raw, "doc_a", "doc_b")
+    val (next, delta) = ClusterFold.ingestFold(prev, ids, pairs)
+    raw.unpersist(blocking = false)
+    prev.unpersist(blocking = false)
+    index = extended
+    labelsState = next
+    delta
+  }
+
+  /** Takedown — [[ClusterStream.retract]] at text granularity: index
+    * retraction + localized re-cluster of the touched clusters from
+    * the retracted index restricted to their remaining members. */
+  def retract(ids: DataFrame): DataFrame = {
+    val prev = labelsState
+    val del = ids.select(col(ids.columns.head).cast("long").as("node")).distinct()
+    val extended = Dedup.minhashIndexRemove(index, del.select(col("node").as("doc_id")), "doc_id")
+    val touched = prev.join(del, Seq("node"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val remaining = prev.join(touched, Seq("cluster_id"))
+      .join(del, Seq("node"), "left_anti")
+    val remIds = remaining.select(col("node").as("doc_id"))
+    val sub = Dedup.MinhashIndex(
+      extended.sigs.join(remIds, Seq("doc_id"), "left_semi"),
+      extended.banded.join(remIds, Seq("doc_id"), "left_semi"),
+      extended.k, extended.perms, extended.bands)
+    val pairs = ClusterFold.normalizePairs(
+      Dedup.minhashPairsFromIndex(sub, tau), "doc_a", "doc_b")
+    val (next, delta) =
+      ClusterFold.retractFold(prev, del, touched, remaining, pairs)
+    prev.unpersist(blocking = false)
+    index = extended
+    labelsState = next
+    delta
+  }
+
+  def checkpointTo(table: String, sourceParams: Map[String, String],
+      buckets: Int = 16): Unit =
+    Clusters.clustersWrite(labelsState, table, sourceParams, buckets)
+
+  def release(): Unit = {
+    index.release()
+    labelsState.unpersist(blocking = false)
+  }
+}
+
+object TextClusterStream {
+
+  /** Start from an already-labeled corpus (index + labeling; the
+    * loop takes ownership of both). */
+  def apply(index: Dedup.MinhashIndex, labels: DataFrame,
+      idCol: String, textCol: String, tau: Double): TextClusterStream =
+    new TextClusterStream(index,
+      labels.select(col("node"), col("cluster_id")).localCheckpoint(true),
+      idCol, textCol, tau)
+
+  /** Cold start: the first batches build the corpus. */
+  def empty(spark: org.apache.spark.sql.SparkSession,
+      idCol: String, textCol: String,
+      k: Int, perms: Int, bands: Int, tau: Double): TextClusterStream = {
+    import spark.implicits._
+    val noSigs = Seq.empty[(Long, Seq[Long])].toDF("doc_id", "sig")
+    val noBands = Seq.empty[(Long, Int, Long)].toDF("doc_id", "band", "bh")
+    val noLabels = Seq.empty[(Long, Long)].toDF("node", "cluster_id")
+    new TextClusterStream(Dedup.MinhashIndex(noSigs, noBands, k, perms, bands),
+      noLabels, idCol, textCol, tau)
+  }
+
+  /** Drive from a stream: one ingest per micro-batch, delta handed to
+    * `onBatch` (idempotent upsert sink; replays emit empty deltas). */
+  def semdedupQuery(stream: Dataset[DedupStream.Doc], loop: TextClusterStream)
+      (onBatch: DataFrame => Unit): StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[DedupStream.Doc], _: Long) =>
+        val delta = loop.ingest(batch.toDF())
+        try onBatch(delta) finally delta.unpersist(blocking = false)
+      }
+      .start()
 }
 
 object ClusterStream {

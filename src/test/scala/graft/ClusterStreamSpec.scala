@@ -165,6 +165,67 @@ class ClusterStreamSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("text loop: streamed cluster state converges to the one-shot batch pipeline") {
+    import DedupStream.Doc
+    import graft.streaming.TextClusterStream
+    val (k, perms, bands, mtau) = (3, 64, 16, 0.5)
+    val docsDf = Tables.documents(spark, sfDir)
+    val docs = docsDf.select(col("doc_id"), col("text"))
+      .as[Doc].collect().sortBy(_.doc_id).toSeq
+
+    val pairs = Dedup.minhashLshPairs(docsDf, "doc_id", "text", k, perms, bands, mtau)
+    val cc = Clusters.connectedComponents(pairs, "doc_a", "doc_b")
+    val singles = docsDf.select(col("doc_id").as("node"))
+      .join(cc.select("node"), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("cluster_id"))
+    val expected = cc.union(singles).as[(Long, Long)].collect().toSet
+    pairs.unpersist(blocking = false)
+    assert(expected.exists(p => p._1 != p._2), "corpus should contain dups")
+
+    val loop = TextClusterStream.empty(spark, "doc_id", "text", k, perms, bands, mtau)
+    val log = scala.collection.mutable.Map.empty[Long, (Long, Boolean)]
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = TextClusterStream.semdedupQuery(mem.toDS(), loop) { delta =>
+      delta.select("node", "cluster_id", "keep")
+        .as[(Long, Long, Boolean)].collect()
+        .foreach { case (n, c, kp) => log(n) = (c, kp) }
+    }
+    try {
+      val size = math.max(1, docs.size / 4)
+      docs.grouped(size).foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    assert(loop.labels.as[(Long, Long)].collect().toSet === expected)
+    assert(log.map { case (n, (c, _)) => (n, c) }.toSet === expected)
+    // replay the last batch directly: empty delta
+    val replay = loop.ingest(docs.takeRight(docs.size / 4).toDF("doc_id", "text"))
+    assert(replay.count() === 0L)
+    replay.unpersist(blocking = false)
+    loop.release()
+  }
+
+  test("text loop: retract ≡ a loop that never saw the retracted docs") {
+    import graft.streaming.TextClusterStream
+    val (k, perms, bands, mtau) = (3, 64, 16, 0.5)
+    val docsDf = Tables.documents(spark, sfDir)
+    import DedupStream.Doc
+    val docs = docsDf.select(col("doc_id"), col("text"))
+      .as[Doc].collect().sortBy(_.doc_id).toSeq
+    val loop = TextClusterStream.empty(spark, "doc_id", "text", k, perms, bands, mtau)
+    loop.ingest(docs.toDF("doc_id", "text")).unpersist(blocking = false)
+    loop.retract(docs.filter(_.doc_id % 10 == 7).map(_.doc_id).toDF("doc_id"))
+      .unpersist(blocking = false)
+    val got = loop.labels.as[(Long, Long)].collect().toSet
+    loop.release()
+
+    val ref = TextClusterStream.empty(spark, "doc_id", "text", k, perms, bands, mtau)
+    ref.ingest(docs.filter(_.doc_id % 10 != 7).toDF("doc_id", "text"))
+      .unpersist(blocking = false)
+    val expected = ref.labels.as[(Long, Long)].collect().toSet
+    ref.release()
+    assert(got === expected)
+  }
+
   test("checkpoint + resume roundtrip preserves the loop state") {
     val emb = Tables.embeddings(spark, sfDir)
     val docs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))

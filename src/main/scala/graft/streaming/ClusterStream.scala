@@ -56,14 +56,20 @@ import graft.operators.{Clusters, Dedup}
 private[streaming] object ClusterFold {
 
   /** @return (next labels, delta). Caller releases `prev` AFTER this
-    *         returns (the delta is already materialized). */
+    *         returns (the delta is already materialized). The pair
+    *         frame is persisted for the duration of the fold: the CC
+    *         inside is ITERATIVE, and an unpersisted pair plan would
+    *         re-derive its candidate joins every round. */
   def ingestFold(prev: DataFrame, ids: DataFrame,
       pairs: DataFrame): (DataFrame, DataFrame) = {
-    val merged = Clusters.incrementalComponents(prev, pairs, "vec_a", "vec_b")
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merged = Clusters.incrementalComponents(prev, p, "vec_a", "vec_b")
     val singletons = ids.join(merged.select("node"), Seq("node"), "left_anti")
       .select(col("node"), col("node").as("cluster_id"))
     val next = merged.union(singletons).localCheckpoint(true)
-    (next, changedDelta(next, prev))
+    val delta = changedDelta(next, prev)
+    p.unpersist(blocking = false)
+    (next, delta)
   }
 
   /** Retraction fold: untouched clusters pass through, the touched
@@ -71,7 +77,8 @@ private[streaming] object ClusterFold {
     * delta carries tombstones (cluster_id NULL) + changed mappings. */
   def retractFold(prev: DataFrame, del: DataFrame, touched: DataFrame,
       remaining: DataFrame, subPairs: DataFrame): (DataFrame, DataFrame) = {
-    val cc = Clusters.connectedComponents(subPairs, "vec_a", "vec_b")
+    val p = subPairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cc = Clusters.connectedComponents(p, "vec_a", "vec_b")
     val singles = remaining.select("node")
       .join(cc.select("node"), Seq("node"), "left_anti")
       .select(col("node"), col("node").as("cluster_id"))
@@ -86,6 +93,7 @@ private[streaming] object ClusterFold {
       .union(tombstones)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     delta.count() // materialize while prev is still alive
+    p.unpersist(blocking = false)
     (next, delta)
   }
 

@@ -549,6 +549,36 @@ object ScaleProbe {
       println(f"[scaleprobe] cluster_stream         1x: $t1%6.2f s ($n1%8d rows)  " +
         f"fixed-batch@${mult}x-state: $tN%6.2f s ($nN%8d rows)  ratio: ${tN / t1}%5.1f (flat=1)")
     }
+    // text-granularity continuous-dedup loop (r7): fixed batch
+    // ingested into a standing MinHash-backed loop at 1× and 10×
+    // standing state — same near-flat claim as cluster_stream.
+    if (onlyNames.forall(_.contains("text_cluster_stream"))) {
+      def mkLoop(corpus: DataFrame): graft.streaming.TextClusterStream = {
+        val idx = Dedup.minhashIndex(corpus, "doc_id", "text", 3, 64, 16)
+        val pairs = Dedup.minhashPairsFromIndex(idx, 0.5)
+        val labels = Clusters.connectedComponents(pairs, "doc_a", "doc_b")
+        graft.streaming.TextClusterStream(idx, labels, "doc_id", "text", 0.5)
+      }
+      val corpus1 = docs1.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+      val corpusN = docsN.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+      val batchFix = docsN.filter(pmod(col("doc_id"), lit(10)) === 3 &&
+        col("doc_id") < 10000000L)
+      def ingestTime(loop: graft.streaming.TextClusterStream): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val d = loop.ingest(batchFix)
+        val n = d.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        d.unpersist(blocking = false)
+        (dt, n)
+      }
+      val warm = mkLoop(corpus1); ingestTime(warm); warm.release()
+      val loop1 = mkLoop(corpus1)
+      val (t1, n1) = ingestTime(loop1); loop1.release()
+      val loopN = mkLoop(corpusN)
+      val (tN, nN) = ingestTime(loopN); loopN.release()
+      println(f"[scaleprobe] text_cluster_stream    1x: $t1%6.2f s ($n1%8d rows)  " +
+        f"fixed-batch@${mult}x-state: $tN%6.2f s ($nN%8d rows)  ratio: ${tN / t1}%5.1f (flat=1)")
+    }
     // takedown retraction (r7): a FIXED victim set retracted from a
     // standing loop at 1× and 10×. Retract re-clusters ONLY the
     // touched clusters (pairs re-derived from the retracted index

@@ -800,6 +800,31 @@ object SparkEntry {
           concat_ws("|", col("subwords")).as("subwords"))
     }),
 
+    // quality-classifier TRAINING, hash-gated end to end: 3 unrolled
+    // gradient-descent iterations over exact/4dp-rounded text features
+    // with a deterministic label (lang = 'en'); the mean gradient is
+    // rounded 6dp at each iteration edge (the emb_kmeans trade), so
+    // the learned weights are exact sums of decimals the oracle
+    // re-derives bit-identically
+    "quality_classifier_train" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val feats = docs
+        .select(
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+          lit(1.0).as("x0"),
+          (least(Text.tokenCount(col("text")), lit(1000)) / lit(1000.0)).as("x1"),
+          round(Text.stopwordRatio(col("text")), 4).as("x2"),
+          round(Text.avgTokenLen(col("text")) / lit(10.0), 4).as("x3"),
+          Text.tokenCount(col("text")).as("__n"))
+        .filter(col("__n") >= 1)
+      val w = graft.operators.Curation.logisticTrain(
+        feats, "y", Seq("x0", "x1", "x2", "x3"), iters = 3)
+      w.toSeq.zipWithIndex.map { case (wi, i) => (s"x$i", wi) }
+        .toDF("feature", "weight")
+        .select(col("feature"), round(col("weight"), 6).as("weight"))
+    }),
+
     "text_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -1783,9 +1808,50 @@ object SparkEntry {
        FROM dw d JOIN v3 v ON d.word = v.w
        WHERE d.word <> ''"""
 
+  /** quality_classifier_train oracle: 3 unrolled GD iterations — the
+    * same feature derivation (exact rationals + 4dp rounds), σ from
+    * the previous round's accumulated weights, mean gradient rounded
+    * 6dp at each iteration edge, weights summed in the same
+    * association order as the Scala loop (bit-identical doubles). */
+  private def logregOracleSql: String = {
+    val xs = 0 to 3
+    def dot(w: String) =
+      xs.map(i => s"$w.w$i * f.x$i").mkString(" + ")
+    def gradCte(n: Int): String =
+      if (n == 1)
+        s"""g1 AS (SELECT ${xs.map(i =>
+          s"round(avg(x$i * (y - 0.5)), 6) AS g$i").mkString(", ")} FROM f),
+           w1 AS (SELECT ${xs.map(i => s"g$i AS w$i").mkString(", ")} FROM g1)"""
+      else
+        s"""g$n AS (SELECT ${xs.map(i =>
+          s"round(avg(f.x$i * (f.y - 1.0 / (1.0 + exp(-(${dot("w")}))))), 6) AS g$i")
+            .mkString(", ")}
+             FROM f CROSS JOIN w${n - 1} w),
+           w$n AS (SELECT ${xs.map(i => s"w.w$i + g.g$i AS w$i").mkString(", ")}
+                   FROM w${n - 1} w CROSS JOIN g$n g)"""
+    s"""WITH b AS (
+         SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                string_split_regex(trim(text), '\\s+') AS toks,
+                length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_nonspace
+         FROM documents),
+       f AS (
+         SELECT y, 1.0 AS x0,
+                least(len(toks), 1000) / 1000.0 AS x1,
+                round(len(list_filter(toks,
+                    tok -> tok IN ('the','a','of','and','in','to','is')))
+                  / CAST(len(toks) AS DOUBLE), 4) AS x2,
+                round(n_nonspace / CAST(len(toks) AS DOUBLE) / 10.0, 4) AS x3
+         FROM b WHERE len(toks) >= 1),
+       ${(1 to 3).map(gradCte).mkString(",\n")}
+       ${xs.map(i =>
+        s"SELECT 'x$i' AS feature, round(w$i, 6) AS weight FROM w3")
+        .mkString("\n UNION ALL ")}"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "text_bpe" -> bpeOracleSql,
     "text_bpe_encode" -> bpeEncodeOracleSql,
+    "quality_classifier_train" -> logregOracleSql,
     "approx_distinct" -> hllOracleSql,
     "ann_lsh" -> annLshOracle,
     "ann_ivf" -> annIvfOracle,

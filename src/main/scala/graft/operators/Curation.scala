@@ -548,6 +548,40 @@ object Curation {
     * — exact, no transcendental in the decision; the sigmoid score
     * is display-edge only (rounded).
     */
+  /** Distributed logistic-regression TRAINING — the fit step behind
+    * [[qualityClassifier]] (the fastText-style quality filter is
+    * TRAINED on labeled docs before its weights ship as literals).
+    * Plain gradient descent from w = 0: each iteration is ONE
+    * map-side-combining aggregation over the feature frame (the
+    * per-feature mean gradient avg(x·(y − σ(w·x)))), with σ(w·x)
+    * computed in-plan from the previous round's weights as literals —
+    * the kmeans/pagerank driver-loop shape, weights the only driver
+    * state (#features doubles). The corpus is scanned once per
+    * iteration and never shuffled (agg output = one row).
+    *
+    * Gate determinism: the mean gradient is rounded `roundTo` dp at
+    * each iteration edge (distributed double summation is
+    * order-dependent at the ulp — the kmeans centroid trade), and
+    * with `lr = 1.0` the weights are exact sums of rounded decimals,
+    * so an independent engine replaying the same unrolled iterations
+    * lands on bit-identical weights. */
+  def logisticTrain(feats: DataFrame, labelCol: String,
+      featureCols: Seq[String], iters: Int, lr: Double = 1.0,
+      roundTo: Int = 6): Array[Double] = {
+    require(iters > 0 && featureCols.nonEmpty)
+    var w = Array.fill(featureCols.length)(0.0)
+    for (_ <- 1 to iters) {
+      val z = featureCols.zip(w)
+        .map { case (c, wi) => col(c) * lit(wi) }.reduce(_ + _)
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val aggs = featureCols.zipWithIndex.map { case (c, i) =>
+        round(avg(col(c) * (col(labelCol) - p)), roundTo).as(s"g$i") }
+      val g = feats.agg(aggs.head, aggs.tail: _*).head()
+      w = w.indices.map(i => w(i) + lr * g.getDouble(i)).toArray
+    }
+    w
+  }
+
   def qualityClassifier(docs: DataFrame, idCol: String, textCol: String,
       bias: Double, wLogTokens: Double, wStopDev: Double,
       wTokenLen: Double, wPunct: Double): DataFrame = {

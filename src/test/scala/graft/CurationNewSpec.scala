@@ -185,4 +185,27 @@ class CurationNewSpec extends SparkSpec {
     assert(out.map(_._1.toString) === Array("2024-01-01", "2024-01-02", "2024-01-03"))
     assert(out.map(r => (r._2, r._3)) === Array((1L, 0L), (1L, 1L), (0L, 1L)))
   }
+
+  test("logisticTrain learns a separable rule and is deterministic") {
+    // y = 1 iff x1 > 0.5 — perfectly separable on one feature
+    val rows = (0 until 200).map { i =>
+      val x1 = (i % 100) / 100.0
+      (if (x1 > 0.5) 1.0 else 0.0, 1.0, x1)
+    }
+    val feats = rows.toDF("y", "x0", "x1")
+    val w = Curation.logisticTrain(feats, "y", Seq("x0", "x1"), iters = 50,
+      lr = 5.0)
+    // prediction = σ(w·x) > 0.5 ⇔ w·x > 0; check training accuracy
+    val correct = rows.count { case (y, x0, x1) =>
+      val z = w(0) * x0 + w(1) * x1
+      (if (z > 0) 1.0 else 0.0) == y
+    }
+    assert(correct >= 190, s"trained model got $correct/200 on separable data (w=${w.toSeq})")
+    assert(w(1) > 0, "the separating feature's weight must be positive")
+    // same data, same iterations → bit-identical weights (the gate
+    // relies on the rounded-gradient trajectory being reproducible)
+    val w2 = Curation.logisticTrain(feats, "y", Seq("x0", "x1"), iters = 50,
+      lr = 5.0)
+    assert(w.toSeq === w2.toSeq)
+  }
 }

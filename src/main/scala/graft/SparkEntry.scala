@@ -808,21 +808,46 @@ object SparkEntry {
     // re-derives bit-identically
     "quality_classifier_train" -> ((s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents")
-      val feats = docs
-        .select(
-          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
-          lit(1.0).as("x0"),
-          (least(Text.tokenCount(col("text")), lit(1000)) / lit(1000.0)).as("x1"),
-          round(Text.stopwordRatio(col("text")), 4).as("x2"),
-          round(Text.avgTokenLen(col("text")) / lit(10.0), 4).as("x3"),
-          Text.tokenCount(col("text")).as("__n"))
-        .filter(col("__n") >= 1)
       val w = graft.operators.Curation.logisticTrain(
-        feats, "y", Seq("x0", "x1", "x2", "x3"), iters = 3)
+        logregFeatures(t(s, dir, "documents")),
+        "y", Seq("x0", "x1", "x2", "x3"), iters = 3)
       w.toSeq.zipWithIndex.map { case (wi, i) => (s"x$i", wi) }
         .toDF("feature", "weight")
         .select(col("feature"), round(col("weight"), 6).as("weight"))
+    }),
+
+    // the trained model EVALUATED on a deterministic held-out split
+    // (md5 buckets ≥ 80): integer confusion matrix + accuracy —
+    // train → apply → evaluate under one hash gate. 3 iterations is
+    // the GATE trajectory (the emb_kmeans/text_bpe convention:
+    // production raises iters — the spec proves the trainer separates
+    // at 50); the gate proves the distributed fit + scoring pipeline
+    // is engine-reproducible, not that 3 steps converge
+    "quality_classifier_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bucket = graft.operators.Curation.hashBucket(col("text"), 100)
+      val w = graft.operators.Curation.logisticTrain(
+        logregFeatures(docs.filter(bucket < 80)),
+        "y", Seq("x0", "x1", "x2", "x3"), iters = 3)
+      val z = Seq("x0", "x1", "x2", "x3").zip(w)
+        .map { case (c, wi) => col(c) * lit(wi) }.reduce(_ + _)
+      val scored = logregFeatures(docs.filter(bucket >= 80))
+        .select(col("y"), when(z > 0, 1.0).otherwise(0.0).as("yhat"))
+      scored.agg(
+          sum(when(col("yhat") === 1.0 && col("y") === 1.0, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("yhat") === 1.0 && col("y") === 0.0, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("yhat") === 0.0 && col("y") === 0.0, 1L).otherwise(0L)).as("tn"),
+          sum(when(col("yhat") === 0.0 && col("y") === 1.0, 1L).otherwise(0L)).as("fn"),
+          count(lit(1)).as("n"))
+        .select(explode(array(
+          struct(lit("tp").as("metric"), col("tp").cast("double").as("value")),
+          struct(lit("fp").as("metric"), col("fp").cast("double").as("value")),
+          struct(lit("tn").as("metric"), col("tn").cast("double").as("value")),
+          struct(lit("fn").as("metric"), col("fn").cast("double").as("value")),
+          struct(lit("accuracy").as("metric"),
+            round((col("tp") + col("tn")) / col("n").cast("double"), 4).as("value"))))
+          .as("m"))
+        .select(col("m.metric").as("metric"), col("m.value").as("value"))
     }),
 
     "text_tokens" -> ((s, dir) =>
@@ -1813,45 +1838,100 @@ object SparkEntry {
     * the previous round's accumulated weights, mean gradient rounded
     * 6dp at each iteration edge, weights summed in the same
     * association order as the Scala loop (bit-identical doubles). */
-  private def logregOracleSql: String = {
-    val xs = 0 to 3
-    def dot(w: String) =
-      xs.map(i => s"$w.w$i * f.x$i").mkString(" + ")
+  /** The logreg gate's labeled feature frame: exact-rational / 4dp
+    * text features + the deterministic lang='en' label (shared by the
+    * train and eval queries; mirrored column-for-column in
+    * [[logregCtes]]). */
+  private def logregFeatures(docs: DataFrame): DataFrame =
+    docs.select(
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        lit(1.0).as("x0"),
+        (least(Text.tokenCount(col("text")), lit(1000)) / lit(1000.0)).as("x1"),
+        round(Text.stopwordRatio(col("text")), 4).as("x2"),
+        round(Text.avgTokenLen(col("text")) / lit(10.0), 4).as("x3"),
+        Text.tokenCount(col("text")).as("__n"))
+      .filter(col("__n") >= 1)
+
+  private val logregXs = 0 to 3
+  private def logregDot(w: String, f: String) =
+    logregXs.map(i => s"$w.w$i * $f.x$i").mkString(" + ")
+
+  /** Shared CTE prefix of the logreg oracles: labeled features with a
+    * hash-split bucket, plus 3 unrolled GD iterations over the rows
+    * matching `trainWhere` (empty = train on everything). */
+  private def logregCtes(trainWhere: String): String = {
+    val featCols =
+      s"""y, 1.0 AS x0,
+         least(len(toks), 1000) / 1000.0 AS x1,
+         round(len(list_filter(toks,
+             tok -> tok IN ('the','a','of','and','in','to','is')))
+           / CAST(len(toks) AS DOUBLE), 4) AS x2,
+         round(n_nonspace / CAST(len(toks) AS DOUBLE) / 10.0, 4) AS x3"""
     def gradCte(n: Int): String =
       if (n == 1)
-        s"""g1 AS (SELECT ${xs.map(i =>
+        s"""g1 AS (SELECT ${logregXs.map(i =>
           s"round(avg(x$i * (y - 0.5)), 6) AS g$i").mkString(", ")} FROM f),
-           w1 AS (SELECT ${xs.map(i => s"g$i AS w$i").mkString(", ")} FROM g1)"""
+           w1 AS (SELECT ${logregXs.map(i => s"g$i AS w$i").mkString(", ")} FROM g1)"""
       else
-        s"""g$n AS (SELECT ${xs.map(i =>
-          s"round(avg(f.x$i * (f.y - 1.0 / (1.0 + exp(-(${dot("w")}))))), 6) AS g$i")
+        s"""g$n AS (SELECT ${logregXs.map(i =>
+          s"round(avg(f.x$i * (f.y - 1.0 / (1.0 + exp(-(${logregDot("w", "f")}))))), 6) AS g$i")
             .mkString(", ")}
              FROM f CROSS JOIN w${n - 1} w),
-           w$n AS (SELECT ${xs.map(i => s"w.w$i + g.g$i AS w$i").mkString(", ")}
+           w$n AS (SELECT ${logregXs.map(i => s"w.w$i + g.g$i AS w$i").mkString(", ")}
                    FROM w${n - 1} w CROSS JOIN g$n g)"""
     s"""WITH b AS (
          SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
                 string_split_regex(trim(text), '\\s+') AS toks,
-                length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_nonspace
+                length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_nonspace,
+                CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS bucket
          FROM documents),
        f AS (
+         SELECT $featCols
+         FROM b WHERE len(toks) >= 1 $trainWhere),
+       ${(1 to 3).map(gradCte).mkString(",\n")}"""
+  }
+
+  private def logregOracleSql: String =
+    s"""${logregCtes("")}
+       ${logregXs.map(i =>
+        s"SELECT 'x$i' AS feature, round(w$i, 6) AS weight FROM w3")
+        .mkString("\n UNION ALL ")}"""
+
+  /** quality_classifier_eval oracle: train on the md5-bucket < 80
+    * split, score the held-out rows with the learned weights (same
+    * left-folded dot), and emit the INTEGER confusion matrix +
+    * rounded accuracy. */
+  private def logregEvalOracleSql: String =
+    s"""${logregCtes("AND bucket < 80")},
+       feval AS (
          SELECT y, 1.0 AS x0,
                 least(len(toks), 1000) / 1000.0 AS x1,
                 round(len(list_filter(toks,
                     tok -> tok IN ('the','a','of','and','in','to','is')))
                   / CAST(len(toks) AS DOUBLE), 4) AS x2,
                 round(n_nonspace / CAST(len(toks) AS DOUBLE) / 10.0, 4) AS x3
-         FROM b WHERE len(toks) >= 1),
-       ${(1 to 3).map(gradCte).mkString(",\n")}
-       ${xs.map(i =>
-        s"SELECT 'x$i' AS feature, round(w$i, 6) AS weight FROM w3")
-        .mkString("\n UNION ALL ")}"""
-  }
+         FROM b WHERE len(toks) >= 1 AND bucket >= 80),
+       p AS (SELECT f.y,
+                    CASE WHEN (${logregDot("w", "f")}) > 0 THEN 1.0 ELSE 0.0 END AS yhat
+             FROM feval f CROSS JOIN w3 w),
+       c AS (SELECT
+               sum(CASE WHEN yhat = 1 AND y = 1 THEN 1 ELSE 0 END) AS tp,
+               sum(CASE WHEN yhat = 1 AND y = 0 THEN 1 ELSE 0 END) AS fp,
+               sum(CASE WHEN yhat = 0 AND y = 0 THEN 1 ELSE 0 END) AS tn,
+               sum(CASE WHEN yhat = 0 AND y = 1 THEN 1 ELSE 0 END) AS fn,
+               count(*) AS n
+             FROM p)
+       SELECT 'tp' AS metric, CAST(tp AS DOUBLE) AS value FROM c
+       UNION ALL SELECT 'fp', CAST(fp AS DOUBLE) FROM c
+       UNION ALL SELECT 'tn', CAST(tn AS DOUBLE) FROM c
+       UNION ALL SELECT 'fn', CAST(fn AS DOUBLE) FROM c
+       UNION ALL SELECT 'accuracy', round((tp + tn) / CAST(n AS DOUBLE), 4) FROM c"""
 
   def oracleSql: Map[String, String] = Map(
     "text_bpe" -> bpeOracleSql,
     "text_bpe_encode" -> bpeEncodeOracleSql,
     "quality_classifier_train" -> logregOracleSql,
+    "quality_classifier_eval" -> logregEvalOracleSql,
     "approx_distinct" -> hllOracleSql,
     "ann_lsh" -> annLshOracle,
     "ann_ivf" -> annIvfOracle,

@@ -315,6 +315,18 @@ object TextClusterStream {
       noLabels, idCol, textCol, tau)
   }
 
+  /** Resume from the durable pair — a [[Dedup.minhashIndexLoad]]ed
+    * index and a [[Clusters.clustersLoad]]ed labeling (params
+    * validated by those loaders; a hash-family or similarity-regime
+    * mismatch throws there) — the [[ClusterStream.resume]] twin. */
+  def resume(spark: org.apache.spark.sql.SparkSession,
+      sigsTable: String, bandTable: String, clustersTable: String,
+      clusterParams: Map[String, String], idCol: String, textCol: String,
+      k: Int, perms: Int, bands: Int, tau: Double): TextClusterStream =
+    apply(Dedup.minhashIndexLoad(spark, sigsTable, bandTable, k, perms, bands),
+      Clusters.clustersLoad(spark, clustersTable, clusterParams),
+      idCol, textCol, tau)
+
   /** Drive from a stream: one ingest per micro-batch, delta handed to
     * `onBatch` (idempotent upsert sink; replays emit empty deltas). */
   def semdedupQuery(stream: Dataset[DedupStream.Doc], loop: TextClusterStream)

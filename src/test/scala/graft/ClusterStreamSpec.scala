@@ -226,6 +226,43 @@ class ClusterStreamSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("text loop: checkpoint + resume roundtrip preserves the loop state") {
+    import graft.streaming.TextClusterStream
+    import DedupStream.Doc
+    val (k, perms, bands, mtau) = (3, 64, 16, 0.5)
+    val docsDf = Tables.documents(spark, sfDir)
+    val docs = docsDf.select(col("doc_id"), col("text"))
+      .as[Doc].collect().sortBy(_.doc_id).toSeq
+    val (first, second) = docs.splitAt(docs.size / 2)
+    val params = Map("pairs" -> "minhash_lsh", "k" -> k.toString,
+      "perms" -> perms.toString, "bands" -> bands.toString,
+      "tau" -> mtau.toString)
+    Seq("tcs_sigs", "tcs_band", "tcs_labels")
+      .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
+    try {
+      val loop = TextClusterStream.empty(spark, "doc_id", "text",
+        k, perms, bands, mtau)
+      loop.ingest(first.toDF("doc_id", "text")).unpersist(blocking = false)
+      // land both halves of the standing state durably: the docs
+      // whose ids are indexed so far, re-signed into bucketed tables
+      val landed = docsDf.join(
+        loop.standingIndex.sigs.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      Dedup.minhashIndexWrite(landed, "doc_id", "text", k, perms, bands,
+        "tcs_sigs", "tcs_band")
+      loop.checkpointTo("tcs_labels", params)
+      // continue the ORIGINAL loop as the reference
+      loop.ingest(second.toDF("doc_id", "text")).unpersist(blocking = false)
+      val expected = loop.labels.as[(Long, Long)].collect().toSet
+      loop.release()
+      val resumed = TextClusterStream.resume(spark, "tcs_sigs", "tcs_band",
+        "tcs_labels", params, "doc_id", "text", k, perms, bands, mtau)
+      resumed.ingest(second.toDF("doc_id", "text")).unpersist(blocking = false)
+      assert(resumed.labels.as[(Long, Long)].collect().toSet === expected)
+      resumed.release()
+    } finally Seq("tcs_sigs", "tcs_band", "tcs_labels")
+      .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
+  }
+
   test("checkpoint + resume roundtrip preserves the loop state") {
     val emb = Tables.embeddings(spark, sfDir)
     val docs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))

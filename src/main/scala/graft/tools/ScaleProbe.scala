@@ -355,6 +355,24 @@ object ScaleProbe {
           "src", "dst", 3, danglingRedistribution = true).count()
       }
     }
+    // logistic-regression training: one corpus scan + one-row agg per
+    // iteration, weights the only driver state — expect ≈ linear
+    locally {
+      import graft.functions.Text
+      def feats(d: DataFrame): DataFrame = d.select(
+          when(length(col("text")) % 2 === 0, 1.0).otherwise(0.0).as("y"),
+          lit(1.0).as("x0"),
+          (least(Text.tokenCount(col("text")), lit(1000)) / lit(1000.0)).as("x1"),
+          round(Text.stopwordRatio(col("text")), 4).as("x2"))
+        .filter(Text.tokenCount(col("text")) >= 1)
+      probe("logreg_train") {
+        Curation.logisticTrain(feats(docs1), "y", Seq("x0", "x1", "x2"), 3)
+          .length.toLong
+      } {
+        Curation.logisticTrain(feats(docsN), "y", Seq("x0", "x1", "x2"), 3)
+          .length.toLong
+      }
+    }
     // hash-keyed LM scores: shuffles carry (8-byte hash, count) pairs
     probe("bigram_lm") {
       Curation.bigramLogProb(docs1, "doc_id", Text.tokens(col("text"))).count()

@@ -734,6 +734,28 @@ object SparkEntry {
         "vec_id", "embedding", dim = 64, bits = 4, tables = 8, seed = 42L, k = 5)
     }),
 
+    // recall@5 of the LSH index vs exact brute force — the
+    // index-quality EVALUATION loop (at 100 TB you monitor recall
+    // continuously and retune bits/tables when it sags); integer
+    // per-query intersection counts, zero-recall queries kept at 0
+    "ann_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.filter(col("vec_id") >= 8)
+      val queries = e.filter(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id")
+      val lsh = Similarity.lshTopK(corpus, queries, "vec_id", "embedding",
+          dim = 64, bits = 4, tables = 8, seed = 42L, k = 5)
+        .select("query_id", "neighbor_id")
+      val m = lsh.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_match"))
+      exact.select("query_id").distinct()
+        .join(m, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_match"), lit(0L)).as("n_match"),
+          lit(5).as("k"))
+    }),
+
     "ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(
@@ -1330,6 +1352,17 @@ object SparkEntry {
     * ±v[i] and both engines fold the same doubles in array order —
     * signatures agree bit-for-bit, then bucket join → distinct pair →
     * cosine rerank mirror the plan 1:1. */
+  private def annTopkOracle: String =
+    """SELECT q.vec_id AS query_id,
+              CAST(row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                         c.vec_id) AS INTEGER) AS rnk,
+              c.vec_id AS neighbor_id
+       FROM embeddings q CROSS JOIN embeddings c
+       WHERE q.vec_id < 8 AND c.vec_id >= 8
+       QUALIFY rnk <= 5"""
+
   private def annLshOracle: String = {
     val (dim, bits, tables, seed) = (64, 4, 8, 42L)
     def sigExpr(v: String, tableSeed: Long): String = {
@@ -2736,16 +2769,24 @@ object SparkEntry {
       s"""WITH ${embLshCtes(tables = 3, probeRadius = 1)}
          SELECT vec_a, vec_b FROM pairs""",
 
-    "ann_topk" ->
-      """SELECT q.vec_id AS query_id,
-                CAST(row_number() OVER (
-                  PARTITION BY q.vec_id
-                  ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
-                           c.vec_id) AS INTEGER) AS rnk,
-                c.vec_id AS neighbor_id
-         FROM embeddings q CROSS JOIN embeddings c
-         WHERE q.vec_id < 8 AND c.vec_id >= 8
-         QUALIFY rnk <= 5""",
+    "ann_topk" -> annTopkOracle,
+
+    // recall@5 of the LSH index vs exact brute force, per query —
+    // integer intersection counts (the index-quality monitoring loop;
+    // both rankings' tie-breaks are deterministic, so the counts are
+    // engine-exact)
+    "ann_recall" ->
+      s"""WITH lsh AS ($annLshOracle),
+         exact AS ($annTopkOracle),
+         m AS (SELECT l.query_id, count(*) AS n_match
+               FROM lsh l JOIN exact e
+                 ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+               GROUP BY 1),
+         q AS (SELECT DISTINCT query_id FROM exact)
+         SELECT q.query_id,
+                CAST(coalesce(m.n_match, 0) AS BIGINT) AS n_match,
+                CAST(5 AS INTEGER) AS k
+         FROM q LEFT JOIN m USING (query_id)""",
 
     "text_tokens" ->
       """SELECT doc_id,

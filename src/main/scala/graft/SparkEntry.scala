@@ -281,10 +281,15 @@ object SparkEntry {
       """)
     }),
 
-    // fixed-size quantile sketch per group (the O(accuracy)-memory
-    // twin of exact q21; rows-gated, accuracy spec-tested vs exact)
+    // fixed-size quantile sketch per group in its APPROXIMATE regime,
+    // hash-gated via the accuracy INVARIANT: per-group within-±2ε·n
+    // rank-error booleans (computed empirically in-plan) vs the
+    // oracle's derivation of the same window from exact ranks — a
+    // correct GK sketch never violates its own bound, so the booleans
+    // are deterministic even though the sketch values are
+    // merge-order-dependent (see Relational.approxPercentileBound)
     "approx_quantiles" -> ((s, dir) =>
-      Relational.approxPercentiles(t(s, dir, "orders"), accuracy = 1000)),
+      Relational.approxPercentileBound(t(s, dir, "orders"), accuracy = 1000)),
 
     // staged conversion funnel (signup → click → purchase, ordered,
     // ~28h conversion window per step)
@@ -2141,6 +2146,31 @@ object SparkEntry {
                 max(CASE WHEN rn = CAST(ceil(CAST(0.9 AS DOUBLE) * n) AS BIGINT) THEN v END) AS p90,
                 max(CASE WHEN rn = CAST(ceil(CAST(0.99 AS DOUBLE) * n) AS BIGINT) THEN v END) AS p99
          FROM s GROUP BY 1""",
+
+    // the GK sketch's ACCURACY INVARIANT replayed from exact ranks:
+    // the oracle derives the same ±2ε·n ± 1 rank window from exact
+    // group counts and emits its non-emptiness — the boolean the
+    // Spark side computes empirically from the sketch output (a
+    // correct sketch never violates its doubled bound, so both sides
+    // agree deterministically; a broken sketch flips Spark to false).
+    // The window constants interpolate the identical Scala doubles
+    // the plan uses (Double.toString round-trips through DuckDB's
+    // CAST AS DOUBLE), so both engines floor/ceil the same product.
+    "approx_quantiles" -> {
+      val eps = 2.0 / 1000
+      def okSql(p: Double): String = {
+        val pLo = p - eps
+        val pHi = p + eps
+        s"""(greatest(1, CAST(floor(CAST($pLo AS DOUBLE) * count(*)) AS BIGINT) - 1)
+             <= least(count(*), CAST(ceil(CAST($pHi AS DOUBLE) * count(*)) AS BIGINT) + 1))"""
+      }
+      s"""SELECT o_orderpriority,
+                 CAST(count(*) AS BIGINT) AS n_orders,
+                 ${okSql(0.5)} AS p50_ok,
+                 ${okSql(0.9)} AS p90_ok,
+                 ${okSql(0.99)} AS p99_ok
+          FROM orders GROUP BY 1"""
+    },
 
     "q22_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_rows,

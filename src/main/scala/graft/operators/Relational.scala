@@ -203,6 +203,73 @@ object Relational {
         percentile_approx(col("o_totalprice"), lit(0.99), lit(accuracy)).as("p99"),
         count("*").as("n_orders"))
 
+  /** Invariant gate for the GK quantile sketch in its APPROXIMATE
+    * regime — the hash-gateable twin of [[approxPercentiles]]. A
+    * value-replay oracle is impossible here (the sketch's output is
+    * merge-order-dependent), but the sketch's ACCURACY CONTRACT is
+    * deterministic: `percentile_approx(v, p, acc)` returns an element
+    * whose rank in the group lies within ±ε·n of p·n (ε = 1/acc).
+    * So the gate emits, per group, the empirical within-bound
+    * BOOLEANS: the sketch values' rank intervals — computed in-plan
+    * as (#values < v, #values ≤ v] against the same corpus — checked
+    * against a conservative window of ±2ε·n ± 1 ranks (2ε absorbs
+    * post-merge error accumulation across partial summaries; ±1
+    * absorbs floor/ceil rank-convention skew). The DuckDB oracle
+    * re-derives the identical window from exact group counts and
+    * emits its non-emptiness — the same boolean, since a correct
+    * sketch never violates its own (doubled) bound. A broken sketch
+    * flips the Spark side to false and fails the hash gate.
+    *
+    * Plan shape: one sketch aggregation (fixed O(accuracy) state,
+    * map-side partial merge), then one broadcast join of the 5-row
+    * sketch result back onto the fact and a second counting
+    * aggregation — two corpus scans, zero corpus shuffles beyond the
+    * 5-group aggregate rows. At 100 TB the rank-audit scan is the
+    * gate's cost, not the operator's: production runs only the first
+    * aggregation (the [[approxPercentiles]] plan). */
+  def approxPercentileBound(orders: DataFrame, accuracy: Int): DataFrame = {
+    val sk = orders.groupBy(col("o_orderpriority"))
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(accuracy)).as("v50"),
+        percentile_approx(col("o_totalprice"), lit(0.9), lit(accuracy)).as("v90"),
+        percentile_approx(col("o_totalprice"), lit(0.99), lit(accuracy)).as("v99"))
+    rankAudit(orders, sk, accuracy)
+  }
+
+  /** The rank-audit half of [[approxPercentileBound]], split out so
+    * the spec can plant a corrupted sketch frame (columns
+    * o_orderpriority, v50, v90, v99) and prove the booleans FLIP —
+    * i.e. the gate is falsifiable, not tautological. */
+  private[graft] def rankAudit(orders: DataFrame, sk: DataFrame,
+      accuracy: Int): DataFrame = {
+    def le(v: String) = sum(when(col("o_totalprice") <= col(v), 1L).otherwise(0L))
+    def lt(v: String) = sum(when(col("o_totalprice") < col(v), 1L).otherwise(0L))
+    val counted = orders.join(broadcast(sk), Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        le("v50").as("le50"), lt("v50").as("lt50"),
+        le("v90").as("le90"), lt("v90").as("lt90"),
+        le("v99").as("le99"), lt("v99").as("lt99"))
+    val eps = 2.0 / accuracy
+    // the returned value's rank interval is [lt+1, le]; ok = that
+    // interval intersects the ±2ε·n ± 1 window around rank p·n
+    // pLo/pHi are precomputed Scala doubles so the oracle SQL can
+    // interpolate the bit-identical constants (Double.toString
+    // round-trips, so both engines floor/ceil the same product)
+    def ok(p: Double, leC: String, ltC: String): Column = {
+      val n = col("n_orders").cast("double")
+      val pLo = p - eps
+      val pHi = p + eps
+      val lo = greatest(lit(1L), floor(lit(pLo) * n).cast("long") - lit(1L))
+      val hi = least(col("n_orders"), ceil(lit(pHi) * n).cast("long") + lit(1L))
+      (col(leC) >= lo) && (col(ltC) + lit(1L) <= hi)
+    }
+    counted.select(col("o_orderpriority"), col("n_orders"),
+      ok(0.5, "le50", "lt50").as("p50_ok"),
+      ok(0.9, "le90", "lt90").as("p90_ok"),
+      ok(0.99, "le99", "lt99").as("p99_ok"))
+  }
+
   /** Statistical aggregates per flag: correlation, sample covariance,
     * sample stddev — all single-pass partial-mergeable moments (one
     * shuffle carrying the moment tuples, same scale shape as sum/avg).

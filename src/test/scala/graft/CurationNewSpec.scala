@@ -166,6 +166,29 @@ class CurationNewSpec extends SparkSpec {
     }
   }
 
+  test("approxPercentileBound: booleans hold across accuracy regimes AND flip on a corrupted sketch") {
+    val orders = Tables.orders(spark, sfDir)
+    // invariant holds in the exact-ish (1000) and deep-approximate
+    // (100) regimes — the gate query's claim at any driver SF
+    for (acc <- Seq(100, 1000)) {
+      val out = Relational.approxPercentileBound(orders, accuracy = acc)
+      val flags = out.select("p50_ok", "p90_ok", "p99_ok")
+        .as[(Boolean, Boolean, Boolean)].collect()
+      assert(flags.nonEmpty && flags.forall(t => t._1 && t._2 && t._3),
+        s"accuracy=$acc violated its rank bound: ${flags.mkString(",")}")
+    }
+    // falsifiability: a sketch that returned the group MINIMUM for
+    // p99 must fail the audit — the gate is empirical, not tautology
+    val corrupt = orders.groupBy(col("o_orderpriority"))
+      .agg(min(col("o_totalprice")).as("v50"),
+        min(col("o_totalprice")).as("v90"),
+        min(col("o_totalprice")).as("v99"))
+    val bad = Relational.rankAudit(orders, corrupt, accuracy = 1000)
+      .select("p90_ok", "p99_ok").as[(Boolean, Boolean)].collect()
+    assert(bad.forall(t => !t._1 && !t._2),
+      s"corrupted sketch passed the audit: ${bad.mkString(",")}")
+  }
+
   test("funnel stage joins broadcast the prior-stage user set (fact never shuffled for a join)") {
     val p = plan(graft.operators.Events.funnelCounts(
       Tables.events(spark, sfDir), Seq("signup", "click", "purchase"), 100000))

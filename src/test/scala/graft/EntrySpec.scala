@@ -12,25 +12,25 @@ class EntrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
-  test("oracle coverage stays high (rows-only checks are weaker)") {
+  test("every query is oracle-gated (no rows-only checks left)") {
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
-    // the only rows-gated query left is the GK quantile sketch in its
-    // genuinely-approximate regime (merge-order-dependent, so no SQL
-    // replay exists; accuracy-tested vs exact in SketchSpec — the
-    // exact-regime twins q21a/q47a/q48a ARE hash-gated). Every other
-    // sketch is hash-verified against a full-pipeline SQL oracle:
-    // approx_topk (Count-Min counters in HUGEINT), ann_pq (codebook
-    // re-derived via unrolled Lloyd) and, since r5, approx_distinct
-    // (the deterministic-HLL register array — order-independent
-    // max-of-rho — replayed end to end, estimator included).
-    assert(rowsOnly === Set("approx_quantiles"),
-      s"unexpected rows-only queries: $rowsOnly")
+    // since r8 every registered query hash-gates against a DuckDB
+    // oracle. The last holdout was approx_quantiles (GK sketch in its
+    // merge-order-dependent approximate regime — no value replay
+    // exists); it now gates its accuracy INVARIANT instead: per-group
+    // within-±2ε·n rank-error booleans, deterministic because a
+    // correct sketch never violates its own bound (Relational
+    // .approxPercentileBound). The other sketches gate full value
+    // replays: approx_topk (Count-Min counters in HUGEINT), ann_pq
+    // (codebook re-derived via unrolled Lloyd), approx_distinct (the
+    // deterministic-HLL register array replayed end to end).
+    assert(rowsOnly.isEmpty, s"unexpected rows-only queries: $rowsOnly")
     // coverage floor: a refactor that silently drops registered
     // queries (or their oracles) must fail loudly here, not at the
     // driver's gate
     assert(SparkEntry.queries.size >= 118,
       s"query count regressed: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size >= 117,
+    assert(SparkEntry.oracleSql.size >= 118,
       s"oracle count regressed: ${SparkEntry.oracleSql.size}")
   }
 }

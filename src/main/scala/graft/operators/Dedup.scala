@@ -595,18 +595,45 @@ object Dedup {
       .drop("grp")
   }
 
-  /** A STANDING substring index: the distinct duplicated-window
-    * universe of a corpus — (window hash, representative doc) — built
-    * once at land time and probed by later batches
+  /** A STANDING substring index: the window universe of a corpus,
+    * built once at land time and probed by later batches
     * ([[substringProbe]]): the [[MinhashIndex]] pattern at PASSAGE
     * granularity, completing the continuous-dedup index family
     * exact → MinHash → embedding → substring. Unlike the pair
     * indexes, n_docs ≥ 2 is NOT required: a batch doc repeating ANY
     * corpus window is passage-duplication against the corpus.
-    * `maxDf` drops boilerplate hashes (√N [[autoCap]] policy).
-    * Callers own the lifecycle (`release()`). */
-  final case class SubstringIndex(hashes: DataFrame, k: Int) {
-    def release(): Unit = hashes.unpersist(blocking = false)
+    *
+    * Three frames (all keyed on the 8-byte window hash):
+    *   - `hashes` — the PROBE VIEW: (h, rep_doc, n_docs) for every
+    *     under-cap window; `rep_doc` = min doc containing the window
+    *     (first-occurrence-wins), `n_docs` its document frequency;
+    *   - `members` — the SOURCE OF TRUTH: distinct (h, doc_id)
+    *     pairs for under-cap windows. This is what makes the index
+    *     RETRACTABLE: a takedown of a window's rep_doc re-derives
+    *     the min from the surviving members ([[substringIndexRemove]])
+    *     instead of orphaning the representative;
+    *   - `tombs` — boilerplate tombstones: the h of every window
+    *     whose df ever exceeded `dfCap` (√N [[autoCap]] policy). The
+    *     cap is a STANDING policy, not a build-time filter: appends
+    *     re-cap newly frequent windows and tombstoned windows never
+    *     re-enter ("an over-cap window is boilerplate, not
+    *     duplication"), so the streamed index agrees with a batch
+    *     rebuild's policy as it ages. Tombstones are MONOTONE — a
+    *     retraction that drops a window's df back under cap does NOT
+    *     resurrect it (once boilerplate, always boilerplate, until a
+    *     full [[substringIndex]] rebuild re-derives the universe).
+    *
+    * `dfCap` rides with the index (resolved once at build; appends
+    * apply the same stamp). Callers own the lifecycle
+    * (`release()`); [[substringIndexWrite]]/[[substringIndexLoad]]
+    * are the durable cross-session form. */
+  final case class SubstringIndex(hashes: DataFrame, members: DataFrame,
+      tombs: DataFrame, k: Int, dfCap: Int) {
+    def release(): Unit = {
+      hashes.unpersist(blocking = false)
+      members.unpersist(blocking = false)
+      tombs.unpersist(blocking = false)
+    }
   }
 
   private def substringWindows(docs: DataFrame, idCol: String,
@@ -619,32 +646,162 @@ object Dedup {
   def substringIndex(corpus: DataFrame, idCol: String, textCol: String,
       k: Int, maxDf: CapPolicy = CapPolicy.Auto): SubstringIndex = {
     val dfCap = resolveCap(corpus, maxDf)
-    val agg = substringWindows(corpus, idCol, textCol, k)
-      .groupBy("h").agg(countDistinct(col("doc_id")).as("n_docs"),
-        min(col("doc_id")).as("rep_doc"))
-    val pruned =
-      if (dfCap == Int.MaxValue) agg else agg.filter(col("n_docs") <= dfCap)
-    val hashes = pruned.select(col("h"), col("rep_doc"))
+    // one windows scan, cached for the three derivations below
+    val allPairs = substringWindows(corpus, idCol, textCol, k)
+      .select(col("h"), col("doc_id")).dropDuplicates("h", "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val agg = allPairs.groupBy("h")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_doc"))
+    val tombs = (if (dfCap == Int.MaxValue) agg.limit(0)
+      else agg.filter(col("n_docs") > dfCap))
+      .select(col("h")).localCheckpoint(true)
+    val hashes = agg.filter(col("n_docs") <= dfCap)
+      .select(col("h"), col("rep_doc"), col("n_docs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     hashes.count()
-    SubstringIndex(hashes, k)
+    val members = allPairs.join(tombs, Seq("h"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    members.count()
+    allPairs.unpersist(blocking = false)
+    SubstringIndex(hashes, members, tombs, k, dfCap)
   }
 
   /** Extend the standing window universe with a landed batch — the
     * generation-swap refresh ([[minhashIndexAppend]] contract).
-    * Merging is a re-aggregation of (hash → min rep), so replaying a
-    * batch is IDEMPOTENT by construction (min is idempotent). Note
-    * the df cap is not re-derived here (the stamp of the build-time
-    * corpus); rebuild via [[substringIndex]] to re-cap. */
+    * IDEMPOTENT under at-least-once delivery: batch (h, doc) pairs
+    * already in `members` are anti-joined away, so a replayed batch
+    * touches nothing. The df cap is a STANDING policy here:
+    * tombstoned boilerplate never re-enters (anti-join against
+    * `tombs`), and a window whose df crosses `dfCap` through this
+    * append is tombstoned now — pruned-then-re-admitted and
+    * slowly-accumulating boilerplate both stay capped as the stream
+    * ages ([[SubstringIndex]] policy note). Work ∝ the batch's
+    * window membership, never the corpus: the re-aggregation of
+    * (n_docs, rep) runs only over hashes the batch actually touched. */
   def substringIndexAppend(index: SubstringIndex, batch: DataFrame,
       idCol: String, textCol: String): SubstringIndex = {
-    val b = substringWindows(batch, idCol, textCol, index.k)
-      .groupBy("h").agg(min(col("doc_id")).as("rep_doc"))
-    val merged = index.hashes.union(b)
-      .groupBy("h").agg(min(col("rep_doc")).as("rep_doc"))
+    val fresh = substringWindows(batch, idCol, textCol, index.k)
+      .select(col("h"), col("doc_id")).dropDuplicates("h", "doc_id")
+      .join(index.tombs, Seq("h"), "left_anti")
+      .join(index.members, Seq("h", "doc_id"), "left_anti")
+    val affected = fresh.select(col("h")).distinct()
+    val grown = index.members.unionByName(fresh)
+    val updated = grown.join(affected, Seq("h"))
+      .groupBy("h").agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_doc"))
+    val newTombs = updated.filter(col("n_docs") > index.dfCap).select(col("h"))
+    val tombs2 = index.tombs.unionByName(newTombs).localCheckpoint(true)
+    val hashes2 = index.hashes.join(affected, Seq("h"), "left_anti")
+      .unionByName(updated.filter(col("n_docs") <= index.dfCap)
+        .select(col("h"), col("rep_doc"), col("n_docs")))
+      .localCheckpoint(true)
+    val members2 = grown.join(newTombs, Seq("h"), "left_anti")
       .localCheckpoint(true)
     index.release()
-    SubstringIndex(merged, index.k)
+    SubstringIndex(hashes2, members2, tombs2, index.k, index.dfCap)
+  }
+
+  /** RETRACTION — the delete path completing the substring index's
+    * lifecycle (build → append → REMOVE → probe), the
+    * [[minhashIndexRemove]] contract at passage granularity: drop
+    * the given docs so their passages stop representing the corpus.
+    * The subtlety the pair indexes don't have: a removed doc may be
+    * a window's `rep_doc` (first-occurrence representative). The
+    * membership frame makes this sound — every affected window's
+    * (n_docs, rep) is RE-DERIVED from the surviving members, so
+    * first-occurrence-of-survivors semantics hold after any
+    * takedown, and a window whose last member leaves vanishes from
+    * the probe view entirely. Work ∝ the removed docs' window
+    * membership (the re-aggregation runs only over affected hashes).
+    * Unknown ids are a no-op; a later [[substringIndexAppend]] of a
+    * removed doc re-admits it. Tombstones are monotone (policy note
+    * on [[SubstringIndex]]). */
+  def substringIndexRemove(index: SubstringIndex, ids: DataFrame,
+      idCol: String): SubstringIndex = {
+    val del = ids.select(col(idCol).as("doc_id")).distinct()
+    val affected = index.members.join(del, Seq("doc_id")).select(col("h")).distinct()
+    val members2 = index.members.join(del, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val updated = members2.join(affected, Seq("h"))
+      .groupBy("h").agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_doc"))
+    val hashes2 = index.hashes.join(affected, Seq("h"), "left_anti")
+      .unionByName(updated.select(col("h"), col("rep_doc"), col("n_docs")))
+      .localCheckpoint(true)
+    // tombs carries over UNRELEASED (a localCheckpoint'd frame is
+    // unrecomputable once unpersisted) — release the replaced frames only
+    index.hashes.unpersist(blocking = false)
+    index.members.unpersist(blocking = false)
+    SubstringIndex(hashes2, members2, index.tombs, index.k, index.dfCap)
+  }
+
+  /** Land a [[SubstringIndex]] as durable tables — the
+    * [[minhashIndexWrite]] contract at passage granularity, so the
+    * continuous substring-cleaning loop ([[substringProbe]] /
+    * [[substringRemoveProbe]] under foreachBatch) can resume in a
+    * LATER SESSION from disk instead of re-windowing the corpus.
+    * All three frames land; `hashes` and `members` bucket on the
+    * window hash (any later probe-side join on h reads pre-clustered
+    * buckets). The build parameters travel WITH the tables — k
+    * (window width), dfCap (the standing boilerplate policy), and
+    * the shingle-hash family version — and are validated on load in
+    * BOTH directions (the [[graft.operators.Clusters.clustersLoad]]
+    * contract): a later session probing with a different k or a
+    * different hash family must hard-fail, not silently match
+    * nothing. */
+  def substringIndexWrite(index: SubstringIndex, hashesTable: String,
+      membersTable: String, tombsTable: String, buckets: Int = 16): Unit = {
+    val spark = index.hashes.sparkSession
+    index.hashes.write.format("parquet").mode("overwrite")
+      .bucketBy(buckets, "h").sortBy("h").saveAsTable(hashesTable)
+    index.members.write.format("parquet").mode("overwrite")
+      .bucketBy(buckets, "h").saveAsTable(membersTable)
+    // tombs: few rows (one per boilerplate hash) — plain table
+    index.tombs.write.format("parquet").mode("overwrite")
+      .saveAsTable(tombsTable)
+    Seq(hashesTable, membersTable, tombsTable).foreach { t =>
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES (" +
+        s"'graft.substr.k'='${index.k}', " +
+        s"'graft.substr.dfCap'='${index.dfCap}', " +
+        s"'graft.substr.hashVersion'='$minhashHashVersion')")
+    }
+  }
+
+  /** Reattach a durable index written by [[substringIndexWrite]].
+    * The requested k and the session's hash-family version must
+    * match the stamps; `dfCap` is INDEX STATE (resolved at build
+    * time), so it is read back from the stamp rather than requested
+    * — but it must agree across all three tables, and any
+    * `graft.substr.*` property this loader does not understand
+    * throws (a table stamped by a newer writer encodes policy this
+    * session cannot honor). A table missing the stamps was not
+    * written by substringIndexWrite and throws. */
+  def substringIndexLoad(spark: org.apache.spark.sql.SparkSession,
+      hashesTable: String, membersTable: String, tombsTable: String,
+      k: Int): SubstringIndex = {
+    val known = Set("k", "dfCap", "hashVersion")
+    val caps = Seq(hashesTable, membersTable, tombsTable).map { t =>
+      val props = spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+        .collect { case (key, v) if key.startsWith("graft.substr.") =>
+          key.stripPrefix("graft.substr.") -> v }
+      val unknown = props.keySet -- known
+      require(unknown.isEmpty,
+        s"index table $t stamps params this loader does not understand: " +
+          s"${unknown.toSeq.sorted.mkString(", ")}")
+      Seq("k" -> k, "hashVersion" -> minhashHashVersion).foreach {
+        case (name, v) => props.get(name) match {
+          case Some(s) => require(s == v.toString,
+            s"index table $t was built with $name=$s, load requested $v")
+          case None => throw new IllegalArgumentException(
+            s"table $t lacks graft.substr.$name — not a substringIndexWrite table")
+        }
+      }
+      props.getOrElse("dfCap", throw new IllegalArgumentException(
+        s"table $t lacks graft.substr.dfCap — not a substringIndexWrite table"))
+    }
+    require(caps.distinct.size == 1,
+      s"dfCap stamps disagree across index tables: $caps")
+    SubstringIndex(spark.table(hashesTable), spark.table(membersTable),
+      spark.table(tombsTable), k, caps.head.toInt)
   }
 
   /** Probe a batch against the standing window universe: maximal

@@ -195,7 +195,11 @@ class DedupSpec extends SparkSpec {
       (100L, s"q1 $shared q2 q3"),
       (101L, "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 v11 v12 v13 v14 v15 v16 v17 v18 v19 v20 v21"))
       .toDF("doc_id", "text")
-    val idx = Dedup.substringIndex(corpus, "doc_id", "text", k = 20)
+    // Auto cap degenerates on a 1-doc corpus (√1 = 1 would tombstone
+    // every cross-doc window at append time) — cap is off here, the
+    // standing-cap behavior has its own spec in DurableStateSpec
+    val idx = Dedup.substringIndex(corpus, "doc_id", "text", k = 20,
+      maxDf = Dedup.CapPolicy.Off)
     val spans = Dedup.substringProbe(idx, batch, "doc_id", "text")
       .orderBy("doc_id").as[(Long, Int, Int, Long)].collect()
     // batch doc 100: the 25 shared tokens sit at positions 2..26 —
@@ -224,7 +228,8 @@ class DedupSpec extends SparkSpec {
       (100L, s"q1 $shared q2 q3"),
       (101L, "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 v11 v12 v13 v14 v15 v16 v17 v18 v19 v20 v21"))
       .toDF("doc_id", "text")
-    val idx = Dedup.substringIndex(corpus, "doc_id", "text", k = 20)
+    val idx = Dedup.substringIndex(corpus, "doc_id", "text", k = 20,
+      maxDf = Dedup.CapPolicy.Off)
     try {
       val out = Dedup.substringRemoveProbe(idx, batch, "doc_id", "text")
         .orderBy("doc_id").as[(Long, String, Long)].collect()

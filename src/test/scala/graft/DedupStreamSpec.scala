@@ -110,13 +110,22 @@ class DedupStreamSpec extends SparkSpec {
     } finally { q.stop(); idx.unpersist(blocking = false) }
   }
 
-  test("streamed substring probes over batches ≡ the one-shot standing-index probe") {
+  test("streamed substring probes over batches ≡ the one-shot standing-index probe (and resume from durable tables)") {
     val docs = Tables.documents(spark, sfDir)
     val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 3)
     val batchDocs = docs.filter(pmod(col("doc_id"), lit(10)) === 3)
       .select(col("doc_id"), col("text")).as[Doc].collect().sortBy(_.doc_id).toSeq
 
-    val idx = Dedup.substringIndex(corpus, "doc_id", "text", k = 20)
+    // the continuous-loop RESUME path: the index this stream probes
+    // was landed as durable tables by an earlier session and
+    // reattached here (TextClusterStream.resume pattern — no corpus
+    // re-windowing on restart)
+    Seq("sst_h", "sst_m", "sst_t").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val built = Dedup.substringIndex(corpus, "doc_id", "text", k = 20)
+    Dedup.substringIndexWrite(built, "sst_h", "sst_m", "sst_t")
+    built.release()
+    val idx = Dedup.substringIndexLoad(spark, "sst_h", "sst_m", "sst_t", k = 20)
     val oneShot = Dedup.substringProbe(idx, batchDocs.toDF(), "doc_id", "text")
     val expected = oneShot.as[(Long, Int, Int, Long)].collect().toSet
     oneShot.unpersist(blocking = false)
@@ -130,7 +139,11 @@ class DedupStreamSpec extends SparkSpec {
     try {
       val size = math.max(1, batchDocs.size / 3)
       batchDocs.grouped(size).foreach { b => mem.addData(b); q.processAllAvailable() }
-    } finally { q.stop(); idx.release() }
+    } finally {
+      q.stop(); idx.release()
+      Seq("sst_h", "sst_m", "sst_t").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
     assert(got.toSet === expected)
   }
 

@@ -189,6 +189,147 @@ class DurableStateSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS clusters_spec")
   }
 
+  test("substring index retract ≡ build-without; rep_doc takedown re-derives the min survivor") {
+    // corpus-scale parity: remove ≡ build over the survivors (cap off
+    // so tombstone monotonicity can't make the two universes differ —
+    // the standing-cap behavior has its own spec below)
+    val docs = Tables.documents(spark, sfDir)
+    val victims = docs.filter(pmod(col("doc_id"), lit(10)) === 7)
+    val survivors = docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+    val removed = Dedup.substringIndexRemove(
+      Dedup.substringIndex(docs, "doc_id", "text", k = 20,
+        maxDf = Dedup.CapPolicy.Off),
+      victims.select("doc_id"), "doc_id")
+    val direct = Dedup.substringIndex(survivors, "doc_id", "text", k = 20,
+      maxDf = Dedup.CapPolicy.Off)
+    def universe(i: Dedup.SubstringIndex) =
+      i.hashes.as[(Long, Long, Long)].collect().toSet
+    assert(universe(removed) === universe(direct))
+    direct.release()
+    // unknown ids: no-op
+    val again = Dedup.substringIndexRemove(removed,
+      Seq(999999990L).toDF("doc_id"), "doc_id")
+    assert(universe(again) === universe(removed))
+    // re-admit restores the full universe
+    val readmitted = Dedup.substringIndexAppend(again, victims, "doc_id", "text")
+    val full = Dedup.substringIndex(docs, "doc_id", "text", k = 20,
+      maxDf = Dedup.CapPolicy.Off)
+    assert(universe(readmitted) === universe(full))
+    readmitted.release(); full.release()
+
+    // the subtlety the pair indexes don't have: removing a window's
+    // REPRESENTATIVE doc must hand representation to the min survivor
+    val shared = (1 to 25).map(i => s"s$i").mkString(" ")
+    val tiny = Seq((1L, s"a1 a2 $shared"), (2L, s"b1 $shared b2"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.substringIndexRemove(
+      Dedup.substringIndex(tiny, "doc_id", "text", k = 20,
+        maxDf = Dedup.CapPolicy.Off),
+      Seq(1L).toDF("doc_id"), "doc_id")
+    try {
+      // doc 2 now REPRESENTS the passage: probing doc 2 is a self-hit
+      // (no flag) while a new doc carrying the passage still flags
+      val selfProbe = Dedup.substringProbe(idx,
+        Seq((2L, s"b1 $shared b2")).toDF("doc_id", "text"), "doc_id", "text")
+      assert(selfProbe.count() === 0L,
+        "surviving representative must not flag against itself")
+      selfProbe.unpersist(blocking = false)
+      val newProbe = Dedup.substringProbe(idx,
+        Seq((300L, s"x1 $shared")).toDF("doc_id", "text"), "doc_id", "text")
+      assert(newProbe.count() === 1L,
+        "passage must still be indexed after its rep_doc's takedown")
+      newProbe.unpersist(blocking = false)
+    } finally idx.release()
+  }
+
+  test("substring index write/load roundtrip + param guards") {
+    val docs = Tables.documents(spark, sfDir).limit(200)
+    val idx = Dedup.substringIndex(docs, "doc_id", "text", k = 20)
+    val batch = Seq((900001L, docs.select("text").as[String].first()))
+      .toDF("doc_id", "text")
+    val expected = {
+      val p = Dedup.substringProbe(idx, batch, "doc_id", "text")
+      val r = p.as[(Long, Int, Int, Long)].collect().toSet
+      p.unpersist(blocking = false); r
+    }
+    assert(expected.nonEmpty, "probe of a corpus text should span-flag")
+    val ts = Seq("ss_hashes", "ss_members", "ss_tombs")
+    ts.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      Dedup.substringIndexWrite(idx, "ss_hashes", "ss_members", "ss_tombs")
+      idx.release()
+      val back = Dedup.substringIndexLoad(spark,
+        "ss_hashes", "ss_members", "ss_tombs", k = 20)
+      val p2 = Dedup.substringProbe(back, batch, "doc_id", "text")
+      assert(p2.as[(Long, Int, Int, Long)].collect().toSet === expected)
+      p2.unpersist(blocking = false)
+      // the loaded index continues the loop: append works against it
+      // (the appended doc copies a corpus text, so the corpus doc
+      // stays representative and the probe still flags the same span)
+      val grown = Dedup.substringIndexAppend(back, batch, "doc_id", "text")
+      val p3 = Dedup.substringProbe(grown, batch, "doc_id", "text")
+      assert(p3.as[(Long, Int, Int, Long)].collect().toSet === expected)
+      p3.unpersist(blocking = false)
+      // wrong k → throw (a different window width never matches)
+      intercept[IllegalArgumentException] {
+        Dedup.substringIndexLoad(spark, "ss_hashes", "ss_members",
+          "ss_tombs", k = 10)
+      }
+      // a stamp this loader does not understand → throw
+      spark.sql("ALTER TABLE ss_tombs SET TBLPROPERTIES " +
+        "('graft.substr.futurePolicy'='x')")
+      intercept[IllegalArgumentException] {
+        Dedup.substringIndexLoad(spark, "ss_hashes", "ss_members",
+          "ss_tombs", k = 20)
+      }
+      // not a substringIndexWrite table → throw
+      spark.sql("DROP TABLE IF EXISTS ss_alien")
+      Seq((1L, 2L)).toDF("h", "doc_id").write.saveAsTable("ss_alien")
+      intercept[IllegalArgumentException] {
+        Dedup.substringIndexLoad(spark, "ss_hashes", "ss_alien",
+          "ss_tombs", k = 20)
+      }
+      spark.sql("DROP TABLE IF EXISTS ss_alien")
+    } finally ts.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("substring df cap is a STANDING policy: append re-caps, tombstones never re-enter") {
+    val w = (1 to 25).map(i => s"w$i").mkString(" ") // the boilerplate passage
+    def doc(id: Long, tag: String) = (id, s"$tag$id $w")
+    // build at cap 3 with df(w)=2 — under cap, indexed
+    val idx0 = Dedup.substringIndex(
+      Seq(doc(1, "a"), doc(2, "a")).toDF("doc_id", "text"),
+      "doc_id", "text", k = 20, maxDf = Dedup.CapPolicy.Fixed(3))
+    assert(idx0.hashes.count() > 0)
+    // two appends push df(w) to 4 > cap: the windows must TOMBSTONE
+    // (old behavior kept accumulating them — ADVICE r7 finding)
+    val idx1 = Dedup.substringIndexAppend(idx0,
+      Seq(doc(3, "a")).toDF("doc_id", "text"), "doc_id", "text")
+    val idx2 = Dedup.substringIndexAppend(idx1,
+      Seq(doc(4, "a")).toDF("doc_id", "text"), "doc_id", "text")
+    val probe = Dedup.substringProbe(idx2,
+      Seq((500L, s"q1 $w")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(probe.count() === 0L,
+      "over-cap boilerplate must stop matching probes after append re-caps it")
+    probe.unpersist(blocking = false)
+    // tombstoned windows never re-enter via append...
+    val idx3 = Dedup.substringIndexAppend(idx2,
+      Seq(doc(5, "a")).toDF("doc_id", "text"), "doc_id", "text")
+    val probe2 = Dedup.substringProbe(idx3,
+      Seq((501L, s"q2 $w")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(probe2.count() === 0L, "tombstoned boilerplate re-entered via append")
+    probe2.unpersist(blocking = false)
+    // ...and retraction does not resurrect them (monotone), even when
+    // df drops back under cap
+    val idx4 = Dedup.substringIndexRemove(idx3,
+      Seq(1L, 2L, 3L).toDF("doc_id"), "doc_id")
+    val probe3 = Dedup.substringProbe(idx4,
+      Seq((502L, s"q3 $w")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(probe3.count() === 0L, "tombstone must survive retraction (monotone)")
+    probe3.unpersist(blocking = false)
+    idx4.release()
+  }
+
   test("clustersWrite survives quote/backslash metacharacters in values") {
     val params = Map("note" -> """it's a 'quoted' \ value""")
     val labels = Seq((7L, 7L)).toDF("node", "cluster_id")

@@ -215,16 +215,33 @@ object Clusters {
     * @return updated (node, cluster_id) covering labels ∪ new-edge
     *         endpoints
     */
+  /** @param extraNodes additional batch nodes to cover (self-labeled
+    *        when previously unseen): the streaming ingest fold passes
+    *        its batch ids here so SINGLETON DETECTION rides the same
+    *        resolution join the remap already performs — without this
+    *        the fold would pay a third labeling-sized join (an
+    *        anti-join of ids against the corpus-sized result) per
+    *        micro-batch. */
   def incrementalComponents(labels: DataFrame, newPairs: DataFrame,
-      aCol: String, bCol: String, maxIter: Int = 50): DataFrame = {
+      aCol: String, bCol: String, maxIter: Int = 50,
+      extraNodes: Option[DataFrame] = None): DataFrame = {
     val lab = labels.select(col("node"), col("cluster_id"))
     val edges = newPairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val endpoints = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
-    // resolve endpoints to their current representative (self for
-    // nodes the labeling has never seen)
-    val resolved = endpoints.join(lab, Seq("node"), "left")
-      .select(col("node"), coalesce(col("cluster_id"), col("node")).as("lbl"))
+      .union(edges.select(col("dst").as("node")))
+    val universe = extraNodes
+      .map(e => endpoints.union(e.select(col("node")))).getOrElse(endpoints)
+      .distinct()
+    // ONE left join resolves current representatives AND surfaces
+    // never-seen nodes (null cluster_id → their own label): the
+    // resolution and the new-node detection share a single
+    // labeling-sized join — `seen` is referenced thrice below, but
+    // the identical subtrees shuffle the labeling once
+    // (ReusedExchange); the remap at the bottom is the second and
+    // only other labeling-sized exchange per call.
+    val seen = universe.join(lab, Seq("node"), "left")
+    val resolved = seen.select(col("node"),
+      coalesce(col("cluster_id"), col("node")).as("lbl"))
     val clusterEdges = edges
       .join(resolved.select(col("node").as("src"), col("lbl").as("la")), "src")
       .join(resolved.select(col("node").as("dst"), col("lbl").as("lb")), "dst")
@@ -232,7 +249,7 @@ object Clusters {
       .select(col("la"), col("lb"))
     val merged = connectedComponents(clusterEdges, "la", "lb", maxIter)
       .select(col("node").as("old_lbl"), col("cluster_id").as("new_lbl"))
-    val newSelf = endpoints.join(lab.select("node"), Seq("node"), "left_anti")
+    val newSelf = seen.filter(col("cluster_id").isNull)
       .select(col("node"), col("node").as("cluster_id"))
     lab.union(newSelf)
       .join(merged, col("cluster_id") === col("old_lbl"), "left")

@@ -53,7 +53,7 @@ import graft.operators.{Clusters, Dedup}
   * (normalized, deduped) pairs, produce the next labeling
   * (lineage-free) and the decision delta (persisted, materialized
   * while the previous generation is still alive). */
-private[streaming] object ClusterFold {
+private[graft] object ClusterFold {
 
   /** @return (next labels, delta). Caller releases `prev` AFTER this
     *         returns (the delta is already materialized). The pair
@@ -63,10 +63,13 @@ private[streaming] object ClusterFold {
   def ingestFold(prev: DataFrame, ids: DataFrame,
       pairs: DataFrame): (DataFrame, DataFrame) = {
     val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val merged = Clusters.incrementalComponents(prev, p, "vec_a", "vec_b")
-    val singletons = ids.join(merged.select("node"), Seq("node"), "left_anti")
-      .select(col("node"), col("node").as("cluster_id"))
-    val next = merged.union(singletons).localCheckpoint(true)
+    // batch ids ride the incremental remap as extraNodes: edge-less
+    // new docs become their own singleton label inside the SAME
+    // resolution join, so each ingest pays exactly two labeling-sized
+    // exchanges (resolution + remap) — not a third anti-join against
+    // the corpus-sized result (r7 verdict plan-tightening)
+    val next = Clusters.incrementalComponents(prev, p, "vec_a", "vec_b",
+      extraNodes = Some(ids)).localCheckpoint(true)
     val delta = changedDelta(next, prev)
     p.unpersist(blocking = false)
     (next, delta)

@@ -63,6 +63,33 @@ class ClusterStreamSpec extends SparkSpec {
     loop.release()
   }
 
+  test("ingest singleton detection rides the remap join (no anti-join, parity kept)") {
+    import graft.streaming.ClusterFold
+    // labeling: {1,2} clustered, {5} singleton; batch: ids {2,7,8,9},
+    // one edge (2,7) — 8,9 are edge-less and must self-label
+    val prev = Seq((1L, 1L), (2L, 1L), (5L, 5L)).toDF("node", "cluster_id")
+    val ids = Seq(2L, 7L, 8L, 9L).toDF("node")
+    val pairs = Seq((2L, 7L)).toDF("vec_a", "vec_b")
+    val (next, delta) = ClusterFold.ingestFold(prev, ids, pairs)
+    assert(next.as[(Long, Long)].collect().toSet ===
+      Set((1L, 1L), (2L, 1L), (5L, 5L), (7L, 1L), (8L, 8L), (9L, 9L)))
+    assert(delta.select("node", "cluster_id", "keep")
+      .as[(Long, Long, Boolean)].collect().toSet ===
+      Set((7L, 1L, false), (8L, 8L, true), (9L, 9L, true)))
+    delta.unpersist(blocking = false)
+
+    // plan shape: the fold's labeling plan must contain NO anti-join —
+    // singletons surface from the null side of the SAME resolution
+    // join the remap uses, so each ingest pays two labeling-sized
+    // exchanges (resolution on node + remap on cluster_id), not a
+    // third anti-join against the corpus-sized result
+    val incPlan = Clusters.incrementalComponents(prev, pairs,
+        "vec_a", "vec_b", extraNodes = Some(ids))
+      .queryExecution.optimizedPlan.toString
+    assert(!incPlan.contains("LeftAnti"),
+      s"singleton/new-node detection reintroduced an anti-join:\n$incPlan")
+  }
+
   test("replayed batch emits an EMPTY delta (at-least-once safe)") {
     val emb = Tables.embeddings(spark, sfDir)
     val docs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))

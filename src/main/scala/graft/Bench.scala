@@ -72,14 +72,21 @@ object Bench {
     // queries at ms precision until a ~1500-byte budget is spent —
     // while the complete full-precision map goes to bench_full.json
     // (committed, and named in this line's `queries_full`).
+    // 3dp-rounded doubles are PRINTED with an explicit bounded format
+    // (rint(v*1000)/1000 can render a binary tail like
+    // 0.30000000000000004, blowing the per-entry width estimate), and
+    // the budget is spent on each entry's ACTUAL serialized length —
+    // "key":value plus separator — so the line cannot creep past the
+    // target no matter the value mix
     val ms = results.map { case (k, v) =>
-      k -> (if (v < 0) v else math.rint(v * 1000) / 1000) }
+      k -> (if (v < 0) v else f"$v%.3f".toDouble) }
     val (fails, oks) = ms.partition(_._2 < 0)
     val compact = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    def entryCost(k: String, v: Double) = k.length + v.toString.length + 4
     compact ++= fails
-    var budget = 1500 - compact.map(_._1.length + 12).sum
+    var budget = 1500 - compact.map { case (k, v) => entryCost(k, v) }.sum
     oks.sortBy(-_._2).foreach { case (k, v) =>
-      val cost = k.length + 12
+      val cost = entryCost(k, v)
       if (budget >= cost) { compact += (k -> v); budget -= cost }
     }
     println(jsonLine(compact.toSeq.sortBy(_._1),

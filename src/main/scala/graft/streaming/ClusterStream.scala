@@ -46,6 +46,14 @@ import graft.operators.{Clusters, Dedup}
   * cannot grow with stream length; the durable cross-session twin is
   * [[checkpointTo]] / [[ClusterStream.resume]] on the
   * [[Clusters.clustersWrite]] bucketed table.
+  *
+  * CONCURRENCY: ingest/retract/checkpointTo/release are synchronized
+  * on the loop instance — the takedown feed may run on a different
+  * thread than the foreachBatch driver, and the index/labeling swap
+  * is a read-modify-write that @volatile alone cannot make atomic
+  * (an unsynchronized concurrent ingest+retract could silently drop
+  * one side's swap: a lost batch or a resurrected retracted doc).
+  * Contention is nil — one micro-batch at a time.
   */
 /** The labeling-fold core shared by the embedding loop
   * ([[ClusterStream]]) and the text loop ([[TextClusterStream]]):
@@ -143,7 +151,7 @@ final class ClusterStream private (
     * `(node, cluster_id, keep)` for every node whose mapping is new
     * or changed. The delta is eagerly persisted (the pair-operator
     * caching contract) — callers unpersist when consumed. */
-  def ingest(batch: DataFrame): DataFrame = {
+  def ingest(batch: DataFrame): DataFrame = synchronized {
     val prev = labelsState
     val ids = batch.select(col(idCol).cast("long").as("node")).distinct()
     // append first, then probe AGAINST THE EXTENDED index: one pass
@@ -186,7 +194,7 @@ final class ClusterStream private (
     * whose mapping changed (splits, representative renames) with the
     * usual `keep = (node = cluster_id)`. Retracting unknown ids is a
     * no-op. Eagerly persisted — callers unpersist. */
-  def retract(ids: DataFrame): DataFrame = {
+  def retract(ids: DataFrame): DataFrame = synchronized {
     val prev = labelsState
     val del = ids.select(col(ids.columns.head).cast("long").as("node")).distinct()
 
@@ -216,10 +224,11 @@ final class ClusterStream private (
   /** Land the standing labeling durably ([[Clusters.clustersWrite]]
     * contract — node-bucketed, similarity-regime params stamped). */
   def checkpointTo(table: String, sourceParams: Map[String, String],
-      buckets: Int = 16): Unit =
+      buckets: Int = 16): Unit = synchronized {
     Clusters.clustersWrite(labelsState, table, sourceParams, buckets)
+  }
 
-  def release(): Unit = {
+  def release(): Unit = synchronized {
     index.release()
     labelsState.unpersist(blocking = false)
   }
@@ -246,7 +255,7 @@ final class TextClusterStream private (
   /** Fold one micro-batch of (id, text) docs into the standing state;
     * returns the (node, cluster_id, keep) decision delta (persisted —
     * callers unpersist). */
-  def ingest(batch: DataFrame): DataFrame = {
+  def ingest(batch: DataFrame): DataFrame = synchronized {
     val prev = labelsState
     val ids = batch.select(col(idCol).cast("long").as("node")).distinct()
     val extended = Dedup.minhashIndexAppend(index, batch, idCol, textCol)
@@ -263,7 +272,7 @@ final class TextClusterStream private (
   /** Takedown — [[ClusterStream.retract]] at text granularity: index
     * retraction + localized re-cluster of the touched clusters from
     * the retracted index restricted to their remaining members. */
-  def retract(ids: DataFrame): DataFrame = {
+  def retract(ids: DataFrame): DataFrame = synchronized {
     val prev = labelsState
     val del = ids.select(col(ids.columns.head).cast("long").as("node")).distinct()
     val extended = Dedup.minhashIndexRemove(index, del.select(col("node").as("doc_id")), "doc_id")
@@ -276,10 +285,15 @@ final class TextClusterStream private (
       extended.sigs.join(remIds, Seq("doc_id"), "left_semi"),
       extended.banded.join(remIds, Seq("doc_id"), "left_semi"),
       extended.k, extended.perms, extended.bands)
-    val pairs = ClusterFold.normalizePairs(
-      Dedup.minhashPairsFromIndex(sub, tau), "doc_a", "doc_b")
+    // hold the eagerly-persisted raw pairs so they can be released
+    // after the fold (retractFold persists its own normalized copy) —
+    // the embedding twin does the same; without this each takedown
+    // leaks one cached frame for the life of the stream
+    val rawPairs = Dedup.minhashPairsFromIndex(sub, tau)
+    val pairs = ClusterFold.normalizePairs(rawPairs, "doc_a", "doc_b")
     val (next, delta) =
       ClusterFold.retractFold(prev, del, touched, remaining, pairs)
+    rawPairs.unpersist(blocking = false)
     prev.unpersist(blocking = false)
     index = extended
     labelsState = next
@@ -287,10 +301,11 @@ final class TextClusterStream private (
   }
 
   def checkpointTo(table: String, sourceParams: Map[String, String],
-      buckets: Int = 16): Unit =
+      buckets: Int = 16): Unit = synchronized {
     Clusters.clustersWrite(labelsState, table, sourceParams, buckets)
+  }
 
-  def release(): Unit = {
+  def release(): Unit = synchronized {
     index.release()
     labelsState.unpersist(blocking = false)
   }

@@ -575,7 +575,11 @@ object ScaleProbe {
         val idx = Dedup.minhashIndex(corpus, "doc_id", "text", 3, 64, 16)
         val pairs = Dedup.minhashPairsFromIndex(idx, 0.5)
         val labels = Clusters.connectedComponents(pairs, "doc_a", "doc_b")
-        graft.streaming.TextClusterStream(idx, labels, "doc_id", "text", 0.5)
+        // labels are checkpoint-materialized — release the persisted
+        // pairs before handing the loop out
+        val loop = graft.streaming.TextClusterStream(idx, labels, "doc_id", "text", 0.5)
+        pairs.unpersist(blocking = false)
+        loop
       }
       val corpus1 = docs1.filter(pmod(col("doc_id"), lit(10)) =!= 3)
       val corpusN = docsN.filter(pmod(col("doc_id"), lit(10)) =!= 3)

@@ -638,6 +638,40 @@ object ScaleProbe {
       println(f"[scaleprobe] cluster_retract        1x: $t1%6.2f s ($n1%8d rows)  " +
         f"fixed-victims@${mult}x-state: $tN%6.2f s ($nN%8d rows)  ratio: ${tN / t1}%5.1f (flat=1)")
     }
+    // text-granularity takedown (r7 verdict open item): the embedding
+    // retract probe showed cost ∝ touched membership; measure the
+    // MinHash-pair re-derivation path the same way — fixed victims
+    // against a 1× vs N× standing TextClusterStream. The sub-index
+    // pair re-derivation is semi-joined to the touched clusters'
+    // remaining members, so fixed-victim cost should stay near-flat.
+    if (onlyNames.forall(_.contains("text_cluster_retract"))) {
+      def mkLoop(corpus: DataFrame): graft.streaming.TextClusterStream = {
+        val idx = Dedup.minhashIndex(corpus, "doc_id", "text", 3, 64, 16)
+        val pairs = Dedup.minhashPairsFromIndex(idx, 0.5)
+        val labels = Clusters.connectedComponents(pairs, "doc_a", "doc_b")
+        val loop = graft.streaming.TextClusterStream(idx, labels, "doc_id", "text", 0.5)
+        pairs.unpersist(blocking = false)
+        loop
+      }
+      // fixed victims: copy-0 ids, mod-7 slice (present at both scales)
+      val victims = docs1.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select("doc_id")
+      def retractTime(loop: graft.streaming.TextClusterStream): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val d = loop.retract(victims)
+        val n = d.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        d.unpersist(blocking = false)
+        (dt, n)
+      }
+      val warm = mkLoop(docs1); retractTime(warm); warm.release()
+      val loop1 = mkLoop(docs1)
+      val (t1, n1) = retractTime(loop1); loop1.release()
+      val loopN = mkLoop(docsN)
+      val (tN, nN) = retractTime(loopN); loopN.release()
+      println(f"[scaleprobe] text_cluster_retract   1x: $t1%6.2f s ($n1%8d rows)  " +
+        f"fixed-victims@${mult}x-state: $tN%6.2f s ($nN%8d rows)  ratio: ${tN / t1}%5.1f (flat=1)")
+    }
     // composite IVF-PQ (r5 verdict): fixed 64-query batch, corpus 1×
     // vs N×. With nlists FIXED the ADC scan within probed lists is ∝
     // corpus → expect ≈ linear (the 100 TB win is the 16-byte-code

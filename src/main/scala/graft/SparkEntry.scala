@@ -858,23 +858,42 @@ object SparkEntry {
         "y", Seq("x0", "x1", "x2", "x3"), iters = 3)
       val z = Seq("x0", "x1", "x2", "x3").zip(w)
         .map { case (c, wi) => col(c) * lit(wi) }.reduce(_ + _)
-      val scored = logregFeatures(docs.filter(bucket >= 80))
+      confusionMetrics(logregFeatures(docs.filter(bucket >= 80))
+        .select(col("y"), when(z > 0, 1.0).otherwise(0.0).as("yhat")))
+    }),
+
+    // hashed-ngram (fastText-shape) classifier TRAINING, hash-gated:
+    // the same 3 unrolled GD iterations, but over 16 poly-31-hashed
+    // token-bucket frequency features + bias — the feature map that
+    // sees VOCABULARY (the aggregate features can't; CurationNewSpec
+    // plants a lexical rule only this map separates). The oracle
+    // re-derives each token's bucket with the list_reduce poly-31
+    // fold and replays the trajectory bit-identically
+    "quality_ngram_train" -> ((s, dir) => {
+      import s.implicits._
+      val cols = (0 to ngramBuckets).map(i => s"x$i")
+      val w = graft.operators.Curation.logisticTrain(
+        ngramFeatures(t(s, dir, "documents")), "y", cols, iters = 3)
+      w.toSeq.zipWithIndex.map { case (wi, i) => (f"x$i%02d", wi) }
+        .toDF("feature", "weight")
+        .select(col("feature"), round(col("weight"), 6).as("weight"))
+    }),
+
+    // the hashed-ngram model EVALUATED on the same md5-bucket ≥ 80
+    // holdout as quality_classifier_eval: same split, same metric
+    // rows — the two feature maps' confusion matrices are directly
+    // comparable under one gate convention
+    "quality_ngram_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bucket = graft.operators.Curation.hashBucket(col("text"), 100)
+      val cols = (0 to ngramBuckets).map(i => s"x$i")
+      val w = graft.operators.Curation.logisticTrain(
+        ngramFeatures(docs.filter(bucket < 80)), "y", cols, iters = 3)
+      val z = cols.zip(w)
+        .map { case (c, wi) => col(c) * lit(wi) }.reduce(_ + _)
+      val scored = ngramFeatures(docs.filter(bucket >= 80))
         .select(col("y"), when(z > 0, 1.0).otherwise(0.0).as("yhat"))
-      scored.agg(
-          sum(when(col("yhat") === 1.0 && col("y") === 1.0, 1L).otherwise(0L)).as("tp"),
-          sum(when(col("yhat") === 1.0 && col("y") === 0.0, 1L).otherwise(0L)).as("fp"),
-          sum(when(col("yhat") === 0.0 && col("y") === 0.0, 1L).otherwise(0L)).as("tn"),
-          sum(when(col("yhat") === 0.0 && col("y") === 1.0, 1L).otherwise(0L)).as("fn"),
-          count(lit(1)).as("n"))
-        .select(explode(array(
-          struct(lit("tp").as("metric"), col("tp").cast("double").as("value")),
-          struct(lit("fp").as("metric"), col("fp").cast("double").as("value")),
-          struct(lit("tn").as("metric"), col("tn").cast("double").as("value")),
-          struct(lit("fn").as("metric"), col("fn").cast("double").as("value")),
-          struct(lit("accuracy").as("metric"),
-            round((col("tp") + col("tn")) / col("n").cast("double"), 4).as("value"))))
-          .as("m"))
-        .select(col("m.metric").as("metric"), col("m.value").as("value"))
+      confusionMetrics(scored)
     }),
 
     "text_tokens" -> ((s, dir) =>
@@ -1890,9 +1909,86 @@ object SparkEntry {
         Text.tokenCount(col("text")).as("__n"))
       .filter(col("__n") >= 1)
 
+  /** Bucket count of the hashed-ngram gate feature map (power of two:
+    * the signed-long `& (B-1)` bucket must equal the oracle's
+    * unsigned mod-2^64 hash mod B). 16 buckets + bias = 17 features
+    * — the GATE width; production fastText raises B to millions via
+    * [[graft.operators.Curation.logisticTrainSparse]]. */
+  private val ngramBuckets = 16
+
+  /** The hashed-ngram gate's labeled feature frame: bias + 16
+    * poly-31 token-bucket frequencies (4dp), lang='en' label —
+    * mirrored in [[ngramFeatureSqlCols]]. */
+  private def ngramFeatures(docs: DataFrame): DataFrame =
+    graft.operators.Curation.hashedTokenFeatures(docs,
+      when(col("lang") === "en", 1.0).otherwise(0.0), col("text"),
+      ngramBuckets)
+
+  /** Integer confusion matrix + rounded accuracy over a (y, yhat)
+    * frame — the shared tail of both classifier eval gates. */
+  private def confusionMetrics(scored: DataFrame): DataFrame =
+    scored.agg(
+        sum(when(col("yhat") === 1.0 && col("y") === 1.0, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("yhat") === 1.0 && col("y") === 0.0, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("yhat") === 0.0 && col("y") === 0.0, 1L).otherwise(0L)).as("tn"),
+        sum(when(col("yhat") === 0.0 && col("y") === 1.0, 1L).otherwise(0L)).as("fn"),
+        count(lit(1)).as("n"))
+      .select(explode(array(
+        struct(lit("tp").as("metric"), col("tp").cast("double").as("value")),
+        struct(lit("fp").as("metric"), col("fp").cast("double").as("value")),
+        struct(lit("tn").as("metric"), col("tn").cast("double").as("value")),
+        struct(lit("fn").as("metric"), col("fn").cast("double").as("value")),
+        struct(lit("accuracy").as("metric"),
+          round((col("tp") + col("tn")) / col("n").cast("double"), 4).as("value"))))
+        .as("m"))
+      .select(col("m.metric").as("metric"), col("m.value").as("value"))
+
   private val logregXs = 0 to 3
-  private def logregDot(w: String, f: String) =
-    logregXs.map(i => s"$w.w$i * $f.x$i").mkString(" + ")
+  private def logregDot(w: String, f: String) = gdDot(logregXs, w, f)
+
+  /** Left-folded dot product over feature columns x0..x{n} and weight
+    * columns w0..w{n} — the same association order as the Scala
+    * `reduce(_ + _)`, so both engines evaluate the identical
+    * expression tree. */
+  private def gdDot(xs: Range, w: String, f: String) =
+    xs.map(i => s"$w.w$i * $f.x$i").mkString(" + ")
+
+  /** Unrolled gradient-descent iteration CTEs (g1/w1 .. gN/wN for
+    * N = iters) over a feature CTE `f` with columns y, x0..x{n} —
+    * the shared machinery of every classifier-training oracle: σ from
+    * the previous round's accumulated weights (0.5 exactly at w=0),
+    * mean gradient rounded 6dp at each iteration edge, lr = 1. */
+  private def gdIterCtes(xs: Range, iters: Int): String = {
+    def gradCte(n: Int): String =
+      if (n == 1)
+        s"""g1 AS (SELECT ${xs.map(i =>
+          s"round(avg(x$i * (y - 0.5)), 6) AS g$i").mkString(", ")} FROM f),
+           w1 AS (SELECT ${xs.map(i => s"g$i AS w$i").mkString(", ")} FROM g1)"""
+      else
+        s"""g$n AS (SELECT ${xs.map(i =>
+          s"round(avg(f.x$i * (f.y - 1.0 / (1.0 + exp(-(${gdDot(xs, "w", "f")}))))), 6) AS g$i")
+            .mkString(", ")}
+             FROM f CROSS JOIN w${n - 1} w),
+           w$n AS (SELECT ${xs.map(i => s"w.w$i + g.g$i AS w$i").mkString(", ")}
+                   FROM w${n - 1} w CROSS JOIN g$n g)"""
+    (1 to iters).map(gradCte).mkString(",\n")
+  }
+
+  /** Shared confusion-matrix SQL tail of both classifier eval
+    * oracles: expects a CTE `p` with (y, yhat). */
+  private val confusionSqlTail: String =
+    """c AS (SELECT
+               sum(CASE WHEN yhat = 1 AND y = 1 THEN 1 ELSE 0 END) AS tp,
+               sum(CASE WHEN yhat = 1 AND y = 0 THEN 1 ELSE 0 END) AS fp,
+               sum(CASE WHEN yhat = 0 AND y = 0 THEN 1 ELSE 0 END) AS tn,
+               sum(CASE WHEN yhat = 0 AND y = 1 THEN 1 ELSE 0 END) AS fn,
+               count(*) AS n
+             FROM p)
+       SELECT 'tp' AS metric, CAST(tp AS DOUBLE) AS value FROM c
+       UNION ALL SELECT 'fp', CAST(fp AS DOUBLE) FROM c
+       UNION ALL SELECT 'tn', CAST(tn AS DOUBLE) FROM c
+       UNION ALL SELECT 'fn', CAST(fn AS DOUBLE) FROM c
+       UNION ALL SELECT 'accuracy', round((tp + tn) / CAST(n AS DOUBLE), 4) FROM c"""
 
   /** Shared CTE prefix of the logreg oracles: labeled features with a
     * hash-split bucket, plus 3 unrolled GD iterations over the rows
@@ -1905,18 +2001,6 @@ object SparkEntry {
              tok -> tok IN ('the','a','of','and','in','to','is')))
            / CAST(len(toks) AS DOUBLE), 4) AS x2,
          round(n_nonspace / CAST(len(toks) AS DOUBLE) / 10.0, 4) AS x3"""
-    def gradCte(n: Int): String =
-      if (n == 1)
-        s"""g1 AS (SELECT ${logregXs.map(i =>
-          s"round(avg(x$i * (y - 0.5)), 6) AS g$i").mkString(", ")} FROM f),
-           w1 AS (SELECT ${logregXs.map(i => s"g$i AS w$i").mkString(", ")} FROM g1)"""
-      else
-        s"""g$n AS (SELECT ${logregXs.map(i =>
-          s"round(avg(f.x$i * (f.y - 1.0 / (1.0 + exp(-(${logregDot("w", "f")}))))), 6) AS g$i")
-            .mkString(", ")}
-             FROM f CROSS JOIN w${n - 1} w),
-           w$n AS (SELECT ${logregXs.map(i => s"w.w$i + g.g$i AS w$i").mkString(", ")}
-                   FROM w${n - 1} w CROSS JOIN g$n g)"""
     s"""WITH b AS (
          SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
                 string_split_regex(trim(text), '\\s+') AS toks,
@@ -1926,7 +2010,7 @@ object SparkEntry {
        f AS (
          SELECT $featCols
          FROM b WHERE len(toks) >= 1 $trainWhere),
-       ${(1 to 3).map(gradCte).mkString(",\n")}"""
+       ${gdIterCtes(logregXs, 3)}"""
   }
 
   private def logregOracleSql: String =
@@ -1952,20 +2036,70 @@ object SparkEntry {
        p AS (SELECT f.y,
                     CASE WHEN (${logregDot("w", "f")}) > 0 THEN 1.0 ELSE 0.0 END AS yhat
              FROM feval f CROSS JOIN w3 w),
-       c AS (SELECT
-               sum(CASE WHEN yhat = 1 AND y = 1 THEN 1 ELSE 0 END) AS tp,
-               sum(CASE WHEN yhat = 1 AND y = 0 THEN 1 ELSE 0 END) AS fp,
-               sum(CASE WHEN yhat = 0 AND y = 0 THEN 1 ELSE 0 END) AS tn,
-               sum(CASE WHEN yhat = 0 AND y = 1 THEN 1 ELSE 0 END) AS fn,
-               count(*) AS n
-             FROM p)
-       SELECT 'tp' AS metric, CAST(tp AS DOUBLE) AS value FROM c
-       UNION ALL SELECT 'fp', CAST(fp AS DOUBLE) FROM c
-       UNION ALL SELECT 'tn', CAST(tn AS DOUBLE) FROM c
-       UNION ALL SELECT 'fn', CAST(fn AS DOUBLE) FROM c
-       UNION ALL SELECT 'accuracy', round((tp + tn) / CAST(n AS DOUBLE), 4) FROM c"""
+       $confusionSqlTail"""
+
+  /** The hashed-ngram feature columns in DuckDB SQL, mirroring
+    * [[ngramFeatures]] column-for-column: expects a CTE with `y`,
+    * `toks` (empty tokens removed) and `hb` (per-token poly-31
+    * bucket). */
+  private def ngramFeatureSqlCols: String =
+    (Seq("y", "1.0 AS x0") ++
+      (0 until ngramBuckets).map(b =>
+        s"round(len(list_filter(hb, h -> h = $b)) / CAST(len(toks) AS DOUBLE), 4) AS x${b + 1}"))
+      .mkString(",\n                ")
+
+  /** Shared CTE prefix of the hashed-ngram classifier oracles: the
+    * per-token poly-31 rolling hash (the list_reduce fold every hash
+    * oracle in this file uses) bucketed mod 16 — equal to the JVM's
+    * signed `& 15` because 16 divides 2^64 — then the same 3
+    * unrolled GD iterations as the dense gate. */
+  private def ngramCtes(trainWhere: String): String = {
+    val poly = "list_reduce(list_prepend(1125899906842597::HUGEINT, " +
+      "list_transform(string_split(tok, ''), c -> ord(c)::HUGEINT)), " +
+      "(a, b2) -> (a * 31 + b2) % 18446744073709551616::HUGEINT)"
+    s"""WITH b0 AS (
+         SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                list_filter(string_split_regex(trim(text), '\\s+'),
+                  t0 -> t0 <> '') AS toks,
+                CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS bucket
+         FROM documents),
+       bh AS (
+         SELECT y, toks, bucket,
+                list_transform(toks,
+                  tok -> CAST($poly % $ngramBuckets AS INTEGER)) AS hb
+         FROM b0),
+       f AS (
+         SELECT $ngramFeatureSqlCols
+         FROM bh WHERE len(toks) >= 1 $trainWhere),
+       ${gdIterCtes(0 to ngramBuckets, 3)}"""
+  }
+
+  /** quality_ngram_train oracle: bucket hashes re-derived in SQL, 3
+    * unrolled GD iterations, weights emitted with zero-padded
+    * feature labels (x00..x16). */
+  private def ngramTrainOracleSql: String =
+    s"""${ngramCtes("")}
+       ${(0 to ngramBuckets).map(i =>
+        f"SELECT 'x$i%02d' AS feature, round(w$i, 6) AS weight FROM w3")
+        .mkString("\n UNION ALL ")}"""
+
+  /** quality_ngram_eval oracle: train on md5-bucket < 80, score the
+    * held-out rows, emit the confusion matrix — the dense eval
+    * oracle's shape over the hashed feature map. */
+  private def ngramEvalOracleSql: String =
+    s"""${ngramCtes("AND bucket < 80")},
+       feval AS (
+         SELECT $ngramFeatureSqlCols
+         FROM bh WHERE len(toks) >= 1 AND bucket >= 80),
+       p AS (SELECT f.y,
+                    CASE WHEN (${gdDot(0 to ngramBuckets, "w", "f")}) > 0
+                         THEN 1.0 ELSE 0.0 END AS yhat
+             FROM feval f CROSS JOIN w3 w),
+       $confusionSqlTail"""
 
   def oracleSql: Map[String, String] = Map(
+    "quality_ngram_train" -> ngramTrainOracleSql,
+    "quality_ngram_eval" -> ngramEvalOracleSql,
     "text_bpe" -> bpeOracleSql,
     "text_bpe_encode" -> bpeEncodeOracleSql,
     "quality_classifier_train" -> logregOracleSql,

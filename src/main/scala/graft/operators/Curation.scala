@@ -582,6 +582,100 @@ object Curation {
     w
   }
 
+  /** fastText-shape hashed token features for the quality classifier:
+    * each token hashes into one of `nBuckets` buckets (poly-31
+    * rolling hash, low bits), and feature x_{b+1} is the 4dp-rounded
+    * fraction of the document's tokens landing in bucket b (x0 is
+    * the bias, always 1). Unlike the four aggregate surface features
+    * ([[qualityClassifier]]'s length/stopword/punctuation shape),
+    * hashed buckets see VOCABULARY — a planted lexical rule ("docs
+    * containing word W are junk") is separable here and provably not
+    * there (CurationNewSpec plants one).
+    *
+    * `nBuckets` must be a power of two so the signed-long bit-mask
+    * bucket equals the oracle's unsigned mod-2^64 remainder mod B.
+    * Output is the [[logisticTrain]] feature-frame contract
+    * (y, x0..x{nBuckets}): the dense columns keep the per-doc dot
+    * product a FIXED expression tree (engine-reproducible, the gate
+    * path); at fastText vocab scale (millions of buckets) use the
+    * long-form [[logisticTrainSparse]] instead. Token-less documents
+    * drop out. One codegen'd pass over the scan — no shuffle.
+    */
+  def hashedTokenFeatures(docs: DataFrame, label: Column, textCol: Column,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0,
+      s"nBuckets must be a power of two, got $nBuckets")
+    import graft.functions.expr.NativeFunctions.rolling_hash
+    val toks = array_remove(graft.functions.Text.tokens(textCol), "")
+    val bucketed = docs.select(label.as("y"), toks.as("__t"))
+      .withColumn("__b", transform(col("__t"),
+        t => rolling_hash(t).bitwiseAND(lit(nBuckets - 1L))))
+      .withColumn("__n", size(col("__t")))
+      .filter(col("__n") >= 1)
+    val xs = (0 until nBuckets).map { b =>
+      round(size(filter(col("__b"), h => h === lit(b.toLong)))
+        / col("__n").cast("double"), 4).as(s"x${b + 1}")
+    }
+    bucketed.select(col("y") +: lit(1.0).as("x0") +: xs :+ col("__n"): _*)
+  }
+
+  /** Long-form sparse logistic trainer — the fastText SCALE shape of
+    * [[logisticTrain]]. Input is one row per PRESENT (doc, feature)
+    * pair (`idCol`, `labelCol`, `bucketCol`, `valueCol`); absent
+    * pairs are implicit zeros, so a million-bucket vocabulary costs
+    * rows ∝ corpus tokens, not corpus × buckets. The weight vector
+    * lives as a (bucket, w) DataFrame — never on the driver — so the
+    * model can exceed driver memory; each GD iteration is two narrow
+    * shuffles (dot product grouped by doc, gradient grouped by
+    * bucket) plus a weight-sized outer join, with the corpus frame
+    * scanned twice and never widened.
+    *
+    * Same determinism discipline as the dense trainer: mean gradient
+    * (sum over present entries / N total docs — absent entries
+    * contribute zero to the sum but every doc counts in N) rounded
+    * `roundTo` dp at each iteration edge. Returns the final
+    * (bucket, w) frame, persisted — caller unpersists.
+    */
+  def logisticTrainSparse(feats: DataFrame, idCol: String, labelCol: String,
+      bucketCol: String, valueCol: String, iters: Int, lr: Double = 1.0,
+      roundTo: Int = 6): DataFrame = {
+    require(iters > 0)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val f = feats.select(col(idCol).as("__doc"), col(labelCol).as("__y"),
+      col(bucketCol).as("bucket"), col(valueCol).as("__v")).persist(lvl)
+    // one bounded driver scalar, computed once (the pagerank-L1 shape)
+    val nDocs = f.select(col("__doc")).distinct().count().toDouble
+    require(nDocs > 0, "empty feature frame")
+    var w = f.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bucket",
+          f.schema("bucket").dataType),
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.DoubleType))))
+    for (_ <- 1 to iters) {
+      val z = f.join(w, Seq("bucket"), "left")
+        .groupBy("__doc").agg(
+          sum(col("__v") * coalesce(col("w"), lit(0.0))).as("__z"))
+        .select(col("__doc"),
+          (lit(1.0) / (lit(1.0) + exp(-col("__z")))).as("__p"))
+      val g = f.join(z, "__doc")
+        .groupBy("bucket")
+        .agg(round(sum(col("__v") * (col("__y") - col("__p"))) / nDocs,
+          roundTo).as("__g"))
+      val next = w.join(g, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          (coalesce(col("w"), lit(0.0)) + lit(lr) * coalesce(col("__g"), lit(0.0)))
+            .as("w"))
+        .persist(lvl)
+      next.count() // generation swap: materialize before releasing
+      w.unpersist(blocking = false)
+      w = next
+    }
+    f.unpersist(blocking = false)
+    w
+  }
+
   def qualityClassifier(docs: DataFrame, idCol: String, textCol: String,
       bias: Double, wLogTokens: Double, wStopDev: Double,
       wTokenLen: Double, wPunct: Double): DataFrame = {

@@ -231,4 +231,91 @@ class CurationNewSpec extends SparkSpec {
       lr = 5.0)
     assert(w.toSeq === w2.toSeq)
   }
+
+  // ---- hashedTokenFeatures: vocabulary separability ----
+
+  // A planted LEXICAL rule: positives contain "zyzzyva", negatives
+  // "quixote" — both 7 alpha chars, so token count, average token
+  // length, stopword ratio and punctuation density are IDENTICAL
+  // across classes by construction. The aggregate-feature classifier
+  // is blind to it; the hashed token buckets see it (zyzzyva →
+  // bucket 0, quixote → bucket 8, fillers elsewhere — verified
+  // collision-free for B = 16).
+  private def plantedDocs: DataFrame =
+    (0 until 200).map { i =>
+      val marker = if (i % 2 == 0) "zyzzyva" else "quixote"
+      val filler = Seq.fill(i % 5)("alpha").mkString(" ")
+      (i.toLong, if (i % 2 == 0) 1.0 else 0.0,
+        s"beta gamma $marker delta $filler".trim)
+    }.toDF("doc_id", "y", "text")
+
+  /** Train 50 iters on `train`, return holdout accuracy on `held`
+    * (both must carry y, x0..x{nFeats-1}); also returns the weights. */
+  private def holdoutAccuracy(train: DataFrame, held: DataFrame,
+      nFeats: Int): (Double, Array[Double]) = {
+    val cols = (0 until nFeats).map(i => s"x$i")
+    val w = Curation.logisticTrain(train, "y", cols, iters = 50, lr = 5.0)
+    val z = cols.zip(w).map { case (c, wi) => col(c) * lit(wi) }.reduce(_ + _)
+    val Array(acc) = held
+      .select(avg(when((z > 0) === (col("y") === 1.0), 1.0).otherwise(0.0)))
+      .as[Double].collect()
+    (acc, w)
+  }
+
+  test("hashed token buckets separate a planted lexical rule the aggregate features cannot") {
+    val docs = plantedDocs
+    import graft.functions.Text
+    // the aggregate feature map (the qualityClassifier surface shape)
+    def aggFeats(d: DataFrame): DataFrame = d.select(col("y"),
+      lit(1.0).as("x0"),
+      (Text.tokenCount(col("text")) / lit(10.0)).as("x1"),
+      round(Text.stopwordRatio(col("text")), 4).as("x2"),
+      round(Text.avgTokenLen(col("text")) / lit(10.0), 4).as("x3"))
+    // split 80/20 on doc_id order (deterministic; i % 2 labels are
+    // independent of the 160 cut, so both classes sit in both halves)
+    val tr = docs.filter(col("doc_id") < 160)
+    val he = docs.filter(col("doc_id") >= 160)
+    val (aggAcc, _) = holdoutAccuracy(aggFeats(tr), aggFeats(he), 4)
+    val (hashAcc, w) = holdoutAccuracy(
+      Curation.hashedTokenFeatures(tr, col("y"), col("text"), 16),
+      Curation.hashedTokenFeatures(he, col("y"), col("text"), 16), 17)
+    assert(hashAcc >= 0.95,
+      s"hashed-bucket classifier should nail the planted rule, got $hashAcc")
+    assert(aggAcc <= 0.65,
+      s"aggregate features must NOT separate the planted rule (identical by construction), got $aggAcc")
+    // and the learned weights point the right way: zyzzyva's bucket
+    // (0 → feature x1) positive, quixote's (8 → x9) negative
+    assert(w(1) > 0 && w(9) < 0,
+      s"marker buckets should carry opposite-sign weights, got x1=${w(1)} x9=${w(9)}")
+  }
+
+  // ---- logisticTrainSparse ≡ dense logisticTrain ----
+
+  test("sparse long-form trainer matches the dense trainer on the pivoted frame") {
+    // long-form features: every doc carries bias bucket 0 (value 1)
+    // plus two content buckets in 1..10
+    val long = (0 until 60).flatMap { i =>
+      val y = if ((i % 3) == 0) 1.0 else 0.0
+      Seq((i.toLong, y, 0L, 1.0),
+        (i.toLong, y, (i % 4 + 1).toLong, 0.5),
+        (i.toLong, y, (i % 5 + 5).toLong, 0.25))
+    }.toDF("doc_id", "y", "bucket", "value")
+    val sparse = Curation.logisticTrainSparse(long, "doc_id", "y",
+      "bucket", "value", iters = 5)
+    val sparseW = sparse.as[(Long, Double)].collect().toMap
+    sparse.unpersist()
+    // dense pivot of the same frame: x_b = value if present else 0
+    val dense = long.groupBy("doc_id").agg(
+      first(col("y")).as("y"),
+      (0L to 9L).map(b =>
+        sum(when(col("bucket") === b, col("value")).otherwise(0.0))
+          .as(s"x$b")): _*)
+    val denseW = Curation.logisticTrain(dense, "y",
+      (0 to 9).map(i => s"x$i"), iters = 5)
+    (0 to 9).foreach { b =>
+      val sw = sparseW.getOrElse(b.toLong, 0.0)
+      assert(math.abs(sw - denseW(b)) <= 2e-6,
+        s"bucket $b: sparse $sw vs dense ${denseW(b)}")
+    }
+  }
 }

@@ -62,6 +62,87 @@ object LmStream {
     LmModel(bf, pf, uni, total, vocab)
   }
 
+  /** Exact additive merge of two frozen LMs — the standing-index
+    * append analogue for the MODEL family (the answer
+    * minhashIndexAppend gave the indexes in r4-r7): n-gram counts
+    * are sums, so union → group-sum over the count tables of corpora
+    * A and B yields tables IDENTICAL to training on A ∪ B — no
+    * approximation, and A is never re-tokenized. total adds; vocab
+    * is the merged table's row count (distinct union). Cost ∝ model
+    * table sizes (vocab-bounded), never ∝ corpus — the property that
+    * makes periodic refresh affordable at 100 TB standing state.
+    * Returns a new materialized model; inputs stay live (callers
+    * release). */
+  def mergeLm(a: LmModel, b: LmModel): LmModel = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def merged(x: DataFrame, y: DataFrame, key: String, cnt: String) =
+      x.select(col(key), col(cnt)).union(y.select(col(key), col(cnt)))
+        .groupBy(key).agg(sum(cnt).as(cnt)).persist(lvl)
+    val bf = merged(a.bigram, b.bigram, "bigram_h", "bcnt")
+    val pf = merged(a.prefix, b.prefix, "prefix_h", "pcnt")
+    val uni = merged(a.unigram, b.unigram, "token_h", "ucnt")
+    bf.count(); pf.count()
+    val vocab = uni.count() // materializes uni; distinct union vocab
+    LmModel(bf, pf, uni, a.total + b.total, vocab)
+  }
+
+  /** Version of the LM hash/tokenization convention (whitespace
+    * tokens, xxhash64 seeds 1L/2L via Curation.bigramHashRows).
+    * Bump if any of those change — a landed LM must hard-fail a
+    * load from a session whose scorer would hash differently. */
+  private[graft] val lmVersion = 1
+
+  /** Land a frozen LM as three hash-bucketed tables (the durable
+    * contract every standing index in this engine follows): bucketed
+    * by their join key so a later session's [[scoreBatch]] joins
+    * shuffle only the batch side. The corpus scalars and the hash
+    * convention version are stamped as table properties and
+    * validated both directions on load. */
+  def lmWrite(model: LmModel, unigramTable: String, bigramTable: String,
+      prefixTable: String, buckets: Int = 16): Unit = {
+    val spark = model.unigram.sparkSession
+    def land(df: DataFrame, key: String, table: String): Unit =
+      df.write.format("parquet").mode("overwrite")
+        .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+    land(model.unigram, "token_h", unigramTable)
+    land(model.bigram, "bigram_h", bigramTable)
+    land(model.prefix, "prefix_h", prefixTable)
+    Seq(unigramTable, bigramTable, prefixTable).foreach { t =>
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES (" +
+        s"'graft.lm.version'='$lmVersion', " +
+        s"'graft.lm.total'='${model.total}', " +
+        s"'graft.lm.vocab'='${model.vocab}')")
+    }
+  }
+
+  /** Reattach a durable LM written by [[lmWrite]]. Each table must
+    * carry the version + scalar stamps (a table not written by
+    * lmWrite, or written under a different hash convention, throws),
+    * and the three tables must agree on the scalars (mixing tables
+    * from two different landed models would silently mis-normalize
+    * every score). */
+  def lmLoad(spark: org.apache.spark.sql.SparkSession, unigramTable: String,
+      bigramTable: String, prefixTable: String): LmModel = {
+    val stamps = Seq(unigramTable, bigramTable, prefixTable).map { t =>
+      val props = spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      Seq("version", "total", "vocab").foreach { k =>
+        require(props.contains(s"graft.lm.$k"),
+          s"table $t lacks graft.lm.$k — not an lmWrite table")
+      }
+      require(props("graft.lm.version") == lmVersion.toString,
+        s"table $t was written under LM hash convention " +
+          s"${props("graft.lm.version")}, this session scores with $lmVersion")
+      (props("graft.lm.total").toLong, props("graft.lm.vocab").toLong)
+    }
+    require(stamps.distinct.size == 1,
+      s"LM tables disagree on (total, vocab): $stamps — they were not " +
+        "written by one lmWrite call")
+    val (total, vocab) = stamps.head
+    LmModel(spark.table(bigramTable), spark.table(prefixTable),
+      spark.table(unigramTable), total, vocab)
+  }
+
   /** Score one (micro-)batch against the frozen model:
     * avg ln(λ·P(w|prev) + (1−λ)·P_add1(w)) per doc, where
     * P(w|prev) = bcnt/pcnt (0 when the prefix or bigram is unseen —
@@ -98,4 +179,98 @@ object LmStream {
           graft.functions.Text.tokens(col("text")), lambda))
       }
       .start()
+
+  /** Drive an [[LmLoop]] per micro-batch: each batch scores against
+    * the loop's CURRENT frozen generation and lands for the next
+    * refresh; every `refreshEvery`-th batch triggers the
+    * merge-and-swap AFTER its own scoring (a batch never influences
+    * its own scores). Scored frames are eagerly persisted — the
+    * callback consumes them, then this driver unpersists. */
+  def refreshingScoreQuery(stream: Dataset[Doc], loop: LmLoop,
+      refreshEvery: Int)(onBatch: DataFrame => Unit): StreamingQuery = {
+    require(refreshEvery >= 1, s"refreshEvery must be >= 1, got $refreshEvery")
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[Doc], batchId: Long) =>
+        val scored = loop.ingest(batch.toDF())
+        try onBatch(scored)
+        finally scored.unpersist(blocking = false)
+        if ((batchId + 1) % refreshEvery == 0) loop.refresh()
+      }
+      .start()
+  }
+}
+
+/** Continuous LM deployment with periodic refresh — the staleness
+  * answer for the MODEL family that the indexes got in r4-r7. The
+  * CCNet deployment shape stays: scoring is always against a FROZEN
+  * generation (a document's score never depends on its own batch);
+  * what's new is the generation lifecycle:
+  *
+  *   - [[ingest]] scores a micro-batch against the current frozen
+  *     model and LANDS the batch (persisted, batch-sized) for the
+  *     next refresh;
+  *   - [[refresh]] trains a DELTA LM on the landed batches only and
+  *     [[LmStream.mergeLm]]s it into the standing model — exact ≡
+  *     retraining on corpus ∪ landed (counts add), at cost ∝ landed
+  *     batches + model tables, never ∝ corpus — then swaps
+  *     generations (new model materialized BEFORE the old one is
+  *     released; foreachBatch frames are not replayable).
+  *
+  * All mutators synchronize on this loop (the ClusterStream
+  * contract): ingest and a control-plane refresh may run on
+  * different threads, and a lost swap would silently drop landed
+  * counts. Durable story: [[LmStream.lmWrite]] the current model at
+  * a checkpoint cadence; a later session [[LmStream.lmLoad]]s and
+  * resumes the loop. */
+final class LmLoop(initial: LmStream.LmModel, lambda: Double) {
+  import LmStream.{scoreBatch, trainLm, mergeLm, LmModel}
+
+  @volatile private var model: LmModel = initial
+  private var landed: List[DataFrame] = Nil
+
+  /** The current frozen generation (read-only view; lifecycle owned
+    * by this loop — [[release]]). */
+  def current: LmModel = model
+
+  /** Number of batches landed since the last refresh. */
+  def pendingBatches: Int = synchronized { landed.size }
+
+  /** Score one micro-batch against the FROZEN current generation and
+    * land it for the next refresh. The scored frame is eagerly
+    * persisted (the pair-operator caching contract) — callers
+    * unpersist when consumed. */
+  def ingest(batch: DataFrame): DataFrame = synchronized {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val b = batch.select(col("doc_id"), col("text")).persist(lvl)
+    b.count() // land eagerly: foreachBatch frames die with the batch
+    landed = b :: landed
+    val scored = scoreBatch(model, b, "doc_id",
+      graft.functions.Text.tokens(col("text")), lambda).persist(lvl)
+    scored.count()
+    scored
+  }
+
+  /** Merge-and-swap: fold every landed batch into the standing model
+    * (exact — see [[LmStream.mergeLm]]) and release the previous
+    * generation. No-op when nothing has landed (the model reference
+    * is untouched — replay-safe). */
+  def refresh(): Unit = synchronized {
+    if (landed.nonEmpty) {
+      val union = landed.reduce(_ union _)
+      val delta = trainLm(union, "doc_id",
+        graft.functions.Text.tokens(col("text")))
+      val next = mergeLm(model, delta) // materializes before the swap
+      val prev = model
+      model = next
+      prev.release(); delta.release()
+      landed.foreach(_.unpersist(blocking = false))
+      landed = Nil
+    }
+  }
+
+  def release(): Unit = synchronized {
+    model.release()
+    landed.foreach(_.unpersist(blocking = false))
+    landed = Nil
+  }
 }

@@ -672,6 +672,43 @@ object ScaleProbe {
       println(f"[scaleprobe] text_cluster_retract   1x: $t1%6.2f s ($n1%8d rows)  " +
         f"fixed-victims@${mult}x-state: $tN%6.2f s ($nN%8d rows)  ratio: ${tN / t1}%5.1f (flat=1)")
     }
+    // LM refresh (r8): a FIXED landed batch folded into a standing
+    // LmLoop whose frozen model was trained on 1× vs N× corpus.
+    // refresh() = trainLm(landed) + mergeLm (union→group-sum of the
+    // standing count tables) — cost ∝ batch + model-table sizes,
+    // never ∝ corpus. The suffixed N× corpus grows vocab ~N×, so the
+    // merge side is honestly N× bigger — the claim under test is that
+    // refresh stays FAR below the full retrain the merge replaces
+    // (also timed at N× for the comparison).
+    if (onlyNames.forall(_.contains("lm_refresh"))) {
+      import graft.streaming.{LmLoop, LmStream}
+      val toks = Text.tokens(col("text"))
+      val corpus1 = docs1.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+      val corpusN = docsN.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+      val batchFix = docsN.filter(pmod(col("doc_id"), lit(10)) === 3 &&
+        col("doc_id") < 10000000L)
+      def refreshTime(corpus: DataFrame): Double = {
+        val loop = new LmLoop(LmStream.trainLm(corpus, "doc_id", toks), 0.9)
+        val scored = loop.ingest(batchFix)
+        scored.unpersist(blocking = false)
+        val t0 = System.nanoTime()
+        loop.refresh()
+        val dt = (System.nanoTime() - t0) / 1e9
+        loop.release()
+        dt
+      }
+      refreshTime(corpus1) // warm
+      val t1 = refreshTime(corpus1)
+      val tN = refreshTime(corpusN)
+      // the alternative refresh() replaces: full retrain at N×
+      val tr0 = System.nanoTime()
+      val full = LmStream.trainLm(corpusN.unionByName(batchFix), "doc_id", toks)
+      val tRetrain = (System.nanoTime() - tr0) / 1e9
+      full.release()
+      println(f"[scaleprobe] lm_refresh             1x: $t1%6.2f s  " +
+        f"fixed-batch@${mult}x-state: $tN%6.2f s  ratio: ${tN / t1}%5.1f  " +
+        f"(full ${mult}x retrain: $tRetrain%6.2f s, refresh wins ${tRetrain / tN}%4.1fx)")
+    }
     // composite IVF-PQ (r5 verdict): fixed 64-query batch, corpus 1×
     // vs N×. With nlists FIXED the ADC scan within probed lists is ∝
     // corpus → expect ≈ linear (the 100 TB win is the 16-byte-code

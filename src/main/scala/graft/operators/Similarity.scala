@@ -145,25 +145,71 @@ object Similarity {
     * query batch probes the stored `(neighbor_id, cv, cn2, cid)` rows
     * — no per-batch assignment recompute, and the cid bucketing means
     * a probe's list join needs no corpus shuffle ever. */
-  def ivfIndexWrite(corpus: DataFrame, idCol: String, vecCol: String,
-      quantizer: Array[Array[Double]], table: String, buckets: Int = 16): Unit = {
-    val cents = quantizer.zipWithIndex.map { case (c, i) => (i, c) }
-    corpus.select(col(idCol).as("neighbor_id"),
+  /** The stored-row projection shared by [[ivfIndexWrite]] and
+    * [[ivfIndexAppend]] — ONE definition of the assignment, so an
+    * appended row is bit-identical to what a full rebuild would
+    * store. */
+  private def ivfRows(src: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Int, Array[Double])]): DataFrame =
+    src.select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn2", Vectors.normSq(col("cv")))
       .withColumn("cid", array_min(listRanks(cents, col("cv"))).getField("cid"))
+
+  private def ivfProps(quantizer: Array[Array[Double]]): Map[String, String] = Map(
+    "nlist" -> quantizer.length.toString,
+    "dim" -> quantizer.headOption.map(_.length).getOrElse(0).toString,
+    "qfp" -> modelFingerprint(
+      Seq(quantizer.length), quantizer.iterator.flatten))
+
+  def ivfIndexWrite(corpus: DataFrame, idCol: String, vecCol: String,
+      quantizer: Array[Array[Double]], table: String, buckets: Int = 16): Unit = {
+    val cents = quantizer.zipWithIndex.map { case (c, i) => (i, c) }
+    ivfRows(corpus, idCol, vecCol, cents)
       .write.format("parquet").mode("overwrite")
       .bucketBy(buckets, "cid").sortBy("cid")
       .saveAsTable(table)
     // the quantizer travels with the table as a fingerprint (the
     // minhashIndexWrite param-stamping contract): stored cids are
     // meaningless under any other centroid set
-    stampProps(corpus.sparkSession, table, "ivf", Map(
-      "nlist" -> quantizer.length.toString,
-      "dim" -> quantizer.headOption.map(_.length).getOrElse(0).toString,
-      "qfp" -> modelFingerprint(
-        Seq(quantizer.length), quantizer.iterator.flatten)))
+    stampProps(corpus.sparkSession, table, "ivf", ivfProps(quantizer))
   }
+
+  /** CONTINUOUS INGESTION for the landed IVF index — the
+    * minhashIndexAppend contract at the serving-index layer: assign
+    * only the batch under the SAME stamped quantizer (validated — a
+    * batch assigned under different centroids would land in the
+    * wrong lists) and insert into the bucketed table.
+    * Replay-idempotent: ids already stored are dropped, so a
+    * re-delivered micro-batch is a no-op. Appending a previously
+    * removed id RE-ADMITS it (its tombstone clears — the
+    * minhash/embedding re-append semantics). */
+  def ivfIndexAppend(spark: org.apache.spark.sql.SparkSession, table: String,
+      batch: DataFrame, idCol: String, vecCol: String,
+      quantizer: Array[Array[Double]], buckets: Int = 16): Unit = {
+    requireProps(spark, table, "ivf", ivfProps(quantizer))
+    val cents = quantizer.zipWithIndex.map { case (c, i) => (i, c) }
+    appendIndexRows(spark, table, ivfRows(batch, idCol, vecCol, cents), buckets)
+  }
+
+  /** TAKEDOWN for the landed IVF index: tombstone the ids so probes
+    * stop returning them immediately (parquet tables don't delete
+    * in place — the probe view anti-joins the takedown-sized
+    * tombstone sibling, a broadcast), leaving the physical rewrite
+    * to [[ivfIndexCompact]] on its own cadence. Unknown ids and
+    * re-removal are no-ops. */
+  def ivfIndexRemove(spark: org.apache.spark.sql.SparkSession, table: String,
+      ids: DataFrame, idCol: String): Unit =
+    removeIndexIds(spark, table, ids, idCol)
+
+  /** Fold accumulated tombstones into the physical table: one
+    * anti-join rewrite into a fresh bucketed table (props carried
+    * over), then swap-by-rename and clear the tombstones. No-op
+    * without tombstones. Probe results are identical before and
+    * after — compaction is purely physical. */
+  def ivfIndexCompact(spark: org.apache.spark.sql.SparkSession, table: String,
+      buckets: Int = 16): Unit =
+    compactIndexTable(spark, table, buckets)
 
   /** Probe a persisted IVF index ([[ivfIndexWrite]]) — result-
     * identical to [[ivfTopK]] with the same quantizer (spec-proven),
@@ -179,7 +225,7 @@ object Similarity {
       "qfp" -> modelFingerprint(
         Seq(quantizer.length), quantizer.iterator.flatten)))
     val cents = quantizer.zipWithIndex.map { case (c, i) => (i, c) }
-    probeLists(spark.table(table), queries, idCol, vecCol, cents, nprobe, k)
+    probeLists(storedRows(spark, table), queries, idCol, vecCol, cents, nprobe, k)
   }
 
   private def stampProps(spark: org.apache.spark.sql.SparkSession,
@@ -187,6 +233,85 @@ object Similarity {
     val kv = props.map { case (n, v) => s"'graft.$family.$n'='$v'" }.mkString(", ")
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ($kv)")
   }
+
+  /** Tombstone sibling of a durable ANN index table: ids taken down
+    * since the last compaction. */
+  private def tombTable(table: String) = s"${table}__tombstones"
+
+  private def indexTombstones(spark: org.apache.spark.sql.SparkSession,
+      table: String): Option[DataFrame] =
+    if (spark.catalog.tableExists(tombTable(table)))
+      Some(spark.table(tombTable(table)))
+    else None
+
+  /** The probe view of a stored index: physical rows minus pending
+    * tombstones (takedown-sized — the anti-join broadcasts; zero
+    * cost when no takedown has ever run). */
+  private def storedRows(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame = {
+    val rows = spark.table(table)
+    indexTombstones(spark, table)
+      .map(t => rows.join(t, Seq("neighbor_id"), "left_anti"))
+      .getOrElse(rows)
+  }
+
+  /** Idempotent bucketed insert shared by both ANN index families:
+    * only ids not already stored land (replay-safe), and any
+    * tombstone covering an appended id clears (re-admission). */
+  private def appendIndexRows(spark: org.apache.spark.sql.SparkSession,
+      table: String, rows: DataFrame, buckets: Int): Unit = {
+    rows.dropDuplicates("neighbor_id")
+      .join(spark.table(table).select("neighbor_id"),
+        Seq("neighbor_id"), "left_anti")
+      .write.format("parquet").mode("append")
+      .bucketBy(buckets, "cid").sortBy("cid").saveAsTable(table)
+    indexTombstones(spark, table).foreach { t =>
+      val ids = rows.select("neighbor_id").distinct()
+      if (!t.join(ids, Seq("neighbor_id"), "left_semi").isEmpty) {
+        // tombstones are takedown-sized: the rewrite is tiny, and the
+        // localCheckpoint breaks lineage to the table being replaced
+        val kept = t.join(ids, Seq("neighbor_id"), "left_anti")
+          .localCheckpoint(true)
+        kept.write.format("parquet").mode("overwrite")
+          .saveAsTable(tombTable(table))
+      }
+    }
+  }
+
+  private def removeIndexIds(spark: org.apache.spark.sql.SparkSession,
+      table: String, ids: DataFrame, idCol: String): Unit = {
+    val idType = spark.table(table).schema("neighbor_id").dataType
+    val del = ids.select(col(idCol).cast(idType).as("neighbor_id")).distinct()
+    // only ids actually stored (unknown ids no-op), minus ids already
+    // tombstoned (re-removal no-op) — the sibling stays duplicate-free
+    val present = del.join(spark.table(table), Seq("neighbor_id"), "left_semi")
+    indexTombstones(spark, table)
+      .map(t => present.join(t, Seq("neighbor_id"), "left_anti"))
+      .getOrElse(present)
+      .write.format("parquet").mode("append").saveAsTable(tombTable(table))
+  }
+
+  private def compactIndexTable(spark: org.apache.spark.sql.SparkSession,
+      table: String, buckets: Int): Unit =
+    indexTombstones(spark, table).foreach { tombs =>
+      def esc(v: String) = v.replace("\\", "\\\\").replace("'", "\\'")
+      val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+        .filter(_._1.startsWith("graft."))
+      // rewrite into a sibling then swap-by-rename: Spark cannot
+      // overwrite a table from a plan that reads it, and the rename
+      // keeps the swap a metadata operation (one physical pass total)
+      val tmp = s"${table}__compacting"
+      spark.sql(s"DROP TABLE IF EXISTS $tmp")
+      spark.table(table).join(tombs, Seq("neighbor_id"), "left_anti")
+        .write.format("parquet").mode("overwrite")
+        .bucketBy(buckets, "cid").sortBy("cid").saveAsTable(tmp)
+      val kv = props.map { case (k, v) => s"'${esc(k)}'='${esc(v)}'" }.mkString(", ")
+      if (kv.nonEmpty) spark.sql(s"ALTER TABLE $tmp SET TBLPROPERTIES ($kv)")
+      spark.sql(s"DROP TABLE IF EXISTS ${tombTable(table)}")
+      spark.sql(s"DROP TABLE $table")
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    }
 
   private def requireProps(spark: org.apache.spark.sql.SparkSession,
       table: String, family: String, expected: Map[String, String]): Unit = {
@@ -615,22 +740,53 @@ object Similarity {
     * stamped as table properties; [[ivfPqProbeIndex]] hard-fails on
     * any mismatch — stored cids/codes are meaningless under other
     * model state. */
-  def ivfPqIndexWrite(corpus: DataFrame, idCol: String, vecCol: String,
-      quantizer: Array[Array[Double]], codebook: IndexedSeq[Double],
-      m: Int, kCent: Int, table: String, buckets: Int = 16): Unit = {
+  /** The stored-row projection shared by [[ivfPqIndexWrite]] and
+    * [[ivfPqIndexAppend]] — one definition of assignment + encode. */
+  private def ivfPqRows(src: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Int, Array[Double])], codebook: IndexedSeq[Double],
+      m: Int, kCent: Int): DataFrame = {
     import graft.functions.expr.NativeFunctions.pq_encode
-    val cents = quantizer.zipWithIndex.map { case (c, i) => (i, c) }
-    corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+    src.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
       .select(col("neighbor_id"), col("cv"),
         Vectors.normSq(col("cv")).as("cn2"),
         array_min(listRanks(cents, col("cv"))).getField("cid").as("cid"),
         pq_encode(col("cv"), codebook, m, kCent).as("code"))
+  }
+
+  def ivfPqIndexWrite(corpus: DataFrame, idCol: String, vecCol: String,
+      quantizer: Array[Array[Double]], codebook: IndexedSeq[Double],
+      m: Int, kCent: Int, table: String, buckets: Int = 16): Unit = {
+    val cents = quantizer.zipWithIndex.map { case (c, i) => (i, c) }
+    ivfPqRows(corpus, idCol, vecCol, cents, codebook, m, kCent)
       .write.format("parquet").mode("overwrite")
       .bucketBy(buckets, "cid").sortBy("cid")
       .saveAsTable(table)
     stampProps(corpus.sparkSession, table, "ivfpq", ivfPqProps(quantizer, codebook, m, kCent))
   }
+
+  /** [[ivfIndexAppend]] for the IVF-PQ family: batch-only assignment
+    * AND encode under the stamped quantizer + codebook (both
+    * fingerprint-validated), idempotent insert, tombstone
+    * re-admission. */
+  def ivfPqIndexAppend(spark: org.apache.spark.sql.SparkSession, table: String,
+      batch: DataFrame, idCol: String, vecCol: String,
+      quantizer: Array[Array[Double]], codebook: IndexedSeq[Double],
+      m: Int, kCent: Int, buckets: Int = 16): Unit = {
+    requireProps(spark, table, "ivfpq", ivfPqProps(quantizer, codebook, m, kCent))
+    val cents = quantizer.zipWithIndex.map { case (c, i) => (i, c) }
+    appendIndexRows(spark, table,
+      ivfPqRows(batch, idCol, vecCol, cents, codebook, m, kCent), buckets)
+  }
+
+  /** [[ivfIndexRemove]] for the IVF-PQ family. */
+  def ivfPqIndexRemove(spark: org.apache.spark.sql.SparkSession, table: String,
+      ids: DataFrame, idCol: String): Unit =
+    removeIndexIds(spark, table, ids, idCol)
+
+  /** [[ivfIndexCompact]] for the IVF-PQ family. */
+  def ivfPqIndexCompact(spark: org.apache.spark.sql.SparkSession, table: String,
+      buckets: Int = 16): Unit =
+    compactIndexTable(spark, table, buckets)
 
   private def ivfPqProps(quantizer: Array[Array[Double]],
       codebook: IndexedSeq[Double], m: Int, kCent: Int): Map[String, String] = Map(
@@ -654,7 +810,7 @@ object Similarity {
     val cents = quantizer.zipWithIndex.map { case (c, i) => (i, c) }
     val dim = quantizer.headOption.map(_.length).getOrElse(0)
     require(m > 0 && dim % m == 0, s"ivfPqProbeIndex: dim $dim not divisible by m=$m")
-    val idx = spark.table(table)
+    val idx = storedRows(spark, table)
     probePqLists(idx.select("neighbor_id", "cid", "code", "cn2"),
       idx.select("neighbor_id", "cv", "cn2"), queries, idCol, vecCol,
       cents, codebook, m, kCent, dim / m, nprobe, k, rerank)

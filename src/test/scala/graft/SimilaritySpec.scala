@@ -280,6 +280,126 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ivfpq_idx_spec")
   }
 
+  test("IVF index lifecycle: append ≡ rebuild, replay-idempotent; remove tombstones; re-append re-admits; compact probe-invariant") {
+    val e = Tables.embeddings(spark, sfDir)
+    val all = e.filter(col("vec_id") >= 8)
+    val base = all.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+    val batch = all.filter(pmod(col("vec_id"), lit(3)) === 0)
+    val victims = batch.filter(pmod(col("vec_id"), lit(2)) === 0)
+      .select(col("vec_id"))
+    val queries = e.filter(col("vec_id") < 8)
+    val q = base.select(col("embedding").cast("array<double>"), col("vec_id"))
+      .orderBy("vec_id").limit(16).collect()
+      .map(_.getSeq[Double](0).toArray)
+    def probeSet(table: String) =
+      Similarity.ivfProbeIndex(spark, table, queries, "vec_id", "embedding",
+        q, nprobe = 4, k = 5).as[(Long, Int, Long)].collect().toSet
+    Seq("ivf_lc", "ivf_lc_full", "ivf_lc_without").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.sql("DROP TABLE IF EXISTS ivf_lc__tombstones")
+    Similarity.ivfIndexWrite(base, "vec_id", "embedding", q, "ivf_lc")
+    Similarity.ivfIndexWrite(all, "vec_id", "embedding", q, "ivf_lc_full")
+    Similarity.ivfIndexWrite(
+      all.join(victims, Seq("vec_id"), "left_anti"),
+      "vec_id", "embedding", q, "ivf_lc_without")
+    try {
+      val fullSet = probeSet("ivf_lc_full")
+      val withoutSet = probeSet("ivf_lc_without")
+      assert(fullSet !== withoutSet,
+        "victims must matter to the probe or the spec is vacuous")
+      // append ≡ build-over-union
+      Similarity.ivfIndexAppend(spark, "ivf_lc", batch, "vec_id", "embedding", q)
+      assert(probeSet("ivf_lc") === fullSet)
+      val nRows = spark.table("ivf_lc").count()
+      assert(nRows === all.count())
+      // replay: same batch again is a no-op
+      Similarity.ivfIndexAppend(spark, "ivf_lc", batch, "vec_id", "embedding", q)
+      assert(spark.table("ivf_lc").count() === nRows)
+      assert(probeSet("ivf_lc") === fullSet)
+      // takedown: probes match an index built without the victims
+      Similarity.ivfIndexRemove(spark, "ivf_lc", victims, "vec_id")
+      assert(probeSet("ivf_lc") === withoutSet)
+      val victimIds = victims.as[Long].collect().toSet
+      assert(probeSet("ivf_lc").forall(r => !victimIds.contains(r._3)))
+      // re-removal is a no-op on the tombstone sibling
+      val nTombs = spark.table("ivf_lc__tombstones").count()
+      Similarity.ivfIndexRemove(spark, "ivf_lc", victims, "vec_id")
+      assert(spark.table("ivf_lc__tombstones").count() === nTombs)
+      // re-append RE-ADMITS (tombstones clear, physical rows undoubled)
+      Similarity.ivfIndexAppend(spark, "ivf_lc",
+        all.join(victims, Seq("vec_id"), "left_semi"),
+        "vec_id", "embedding", q)
+      assert(probeSet("ivf_lc") === fullSet)
+      assert(spark.table("ivf_lc").count() === nRows)
+      assert(spark.table("ivf_lc__tombstones").count() === 0)
+      // compact: physical delete, probe-invariant, sibling dropped
+      Similarity.ivfIndexRemove(spark, "ivf_lc", victims, "vec_id")
+      Similarity.ivfIndexCompact(spark, "ivf_lc")
+      assert(probeSet("ivf_lc") === withoutSet)
+      assert(spark.table("ivf_lc").count() === nRows - victimIds.size)
+      assert(!spark.catalog.tableExists("ivf_lc__tombstones"))
+      // appending under a different quantizer must throw
+      val tampered = q.map(_.clone()); tampered(0)(0) += 1.0
+      intercept[IllegalArgumentException] {
+        Similarity.ivfIndexAppend(spark, "ivf_lc", batch, "vec_id",
+          "embedding", tampered)
+      }
+    } finally Seq("ivf_lc", "ivf_lc_full", "ivf_lc_without",
+      "ivf_lc__tombstones", "ivf_lc__compacting").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("IVF-PQ index lifecycle: append/remove/compact under fingerprint guard") {
+    val e = Tables.embeddings(spark, sfDir)
+    val all = e.filter(col("vec_id") >= 8)
+    val base = all.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+    val batch = all.filter(pmod(col("vec_id"), lit(3)) === 0)
+    val victims = batch.filter(pmod(col("vec_id"), lit(2)) === 0)
+      .select(col("vec_id"))
+    val queries = e.filter(col("vec_id") < 8)
+    val q = base.select(col("embedding").cast("array<double>"), col("vec_id"))
+      .orderBy("vec_id").limit(16).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val (cb, _) = Similarity.pqTrain(base, "vec_id", "embedding",
+      m = 8, kCent = 32, trainSample = 512, iters = 3, roundTo = Some(6))
+    def probeSet(table: String) =
+      Similarity.ivfPqProbeIndex(spark, table, queries, "vec_id", "embedding",
+        q, cb, m = 8, kCent = 32, nprobe = 4, k = 5)
+        .as[(Long, Int, Long)].collect().toSet
+    Seq("ivfpq_lc", "ivfpq_lc_full", "ivfpq_lc_without").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.sql("DROP TABLE IF EXISTS ivfpq_lc__tombstones")
+    Similarity.ivfPqIndexWrite(base, "vec_id", "embedding", q, cb,
+      m = 8, kCent = 32, table = "ivfpq_lc")
+    Similarity.ivfPqIndexWrite(all, "vec_id", "embedding", q, cb,
+      m = 8, kCent = 32, table = "ivfpq_lc_full")
+    Similarity.ivfPqIndexWrite(all.join(victims, Seq("vec_id"), "left_anti"),
+      "vec_id", "embedding", q, cb, m = 8, kCent = 32, table = "ivfpq_lc_without")
+    try {
+      val fullSet = probeSet("ivfpq_lc_full")
+      Similarity.ivfPqIndexAppend(spark, "ivfpq_lc", batch, "vec_id",
+        "embedding", q, cb, m = 8, kCent = 32)
+      assert(probeSet("ivfpq_lc") === fullSet)
+      Similarity.ivfPqIndexAppend(spark, "ivfpq_lc", batch, "vec_id",
+        "embedding", q, cb, m = 8, kCent = 32) // replay no-op
+      assert(spark.table("ivfpq_lc").count() === all.count())
+      Similarity.ivfPqIndexRemove(spark, "ivfpq_lc", victims, "vec_id")
+      assert(probeSet("ivfpq_lc") === probeSet("ivfpq_lc_without"))
+      Similarity.ivfPqIndexCompact(spark, "ivfpq_lc")
+      assert(probeSet("ivfpq_lc") === probeSet("ivfpq_lc_without"))
+      assert(!spark.catalog.tableExists("ivfpq_lc__tombstones"))
+      // the stamped fingerprints survive compaction (swap-by-rename
+      // re-stamps): a tampered codebook still throws
+      val cbTampered = cb.updated(0, cb(0) + 1.0)
+      intercept[IllegalArgumentException] {
+        Similarity.ivfPqIndexAppend(spark, "ivfpq_lc", batch, "vec_id",
+          "embedding", q, cbTampered, m = 8, kCent = 32)
+      }
+    } finally Seq("ivfpq_lc", "ivfpq_lc_full", "ivfpq_lc_without",
+      "ivfpq_lc__tombstones", "ivfpq_lc__compacting").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("ivfProbeIndex rejects a quantizer the index was not built with") {
     val e = Tables.embeddings(spark, sfDir)
     val corpus = e.filter(col("vec_id") >= 8)

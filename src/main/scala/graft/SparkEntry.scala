@@ -392,6 +392,24 @@ object SparkEntry {
         "doc_id", "text", k = 3, perms = 64, bands = 16, tau = 0.5)
     }),
 
+    // dedup-index-quality monitoring (the dedup-side ann_recall):
+    // exact 3-gram Jaccard ≥ 0.6 pairs are ground truth, the
+    // registered minhash-LSH pipeline the candidates — corpus-level
+    // integer counts, so the gate is exact even though the index is
+    // probabilistic. n_hit/n_true = pair recall.
+    "dedup_recall" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val truth = Dedup.ngramJaccardPairs(d, "doc_id", "text", k = 3, tau = 0.6)
+        .select("doc_a", "doc_b")
+      val cand = Dedup.minhashLshPairs(d, "doc_id", "text",
+          k = 3, perms = 64, bands = 16, tau = 0.5)
+        .select("doc_a", "doc_b")
+      val hit = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+    }),
+
     // synthetic embeddings top out at cos~0.51; tau=0.4 keeps the
     // operator's output non-trivial while staying a "near"-dup filter.
     // Blocking = seeded-hyperplane LSH buckets (bits × tables is an
@@ -589,6 +607,21 @@ object SparkEntry {
           col("n_chars"), col("text"), alpha = 0.5)
         .select(col("doc_id"), col("lang"))),
 
+    // DSIR importance weights (Xie et al. 2023): per-doc hashed-bag
+    // log likelihood ratio of the en target slice vs the raw corpus
+    // over 32 poly-31 unigram buckets — the data-selection scorer;
+    // model state is 32 log-ratios, corpus scanned twice, no shuffle
+    "sample_dsir" -> ((s, dir) =>
+      Curation.dsirWeights(t(s, dir, "documents"), "doc_id", col("text"),
+        col("lang") === "en", nBuckets = dsirBuckets)),
+
+    // the DSIR draw: Gumbel-top-100 ∝ exp(logweight) with
+    // deterministic hash-derived noise (retry/speculation-safe),
+    // selection a distributed TakeOrdered — never a global sort
+    "sample_dsir_select" -> ((s, dir) =>
+      Curation.dsirSelect(t(s, dir, "documents"), "doc_id", col("text"),
+        col("lang") === "en", nBuckets = dsirBuckets, k = 100)),
+
     // semantic decontamination: corpus embeddings probed against a
     // broadcast eval set (vec_id < 8 plays the benchmark) — the
     // paraphrase leakage n-gram/Bloom decon can't see
@@ -659,6 +692,14 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       Curation.tfidfTopTerms(d, "doc_id", Text.tokens(col("text")), k = 3)
     }),
+
+    // BM25 (Lucene idf form) top-20 docs for a literal query bag —
+    // the retrieval scorer of CCNet-style domain mining / RAG corpus
+    // building; corpus stats (df, N, avgdl) are one broadcast 1-row
+    // agg, scoring is an in-row pass, selection a TakeOrdered
+    "text_bm25" -> ((s, dir) =>
+      Curation.bm25TopK(t(s, dir, "documents"), "doc_id", col("text"),
+        terms = bm25Terms, k = 20)),
 
     // CMS heavy hitters: top-20 tokens by Count-Min estimate (native
     // CmsAgg/CmsEstimate), candidates from a 20% hash-sample.
@@ -1198,7 +1239,14 @@ object SparkEntry {
   private def minhashIncOracleSql: String =
     minhashOracleCore("(sa.doc_id % 10 <> 3) AND (sb.doc_id % 10 = 3)")
 
-  private def minhashOracleCore(pairCond: String): String = {
+  private def minhashOracleCore(pairCond: String): String =
+    s"""WITH ${minhashCandCtes(pairCond)}
+       |SELECT doc_a, doc_b, est_jaccard FROM cand""".stripMargin
+
+  /** The minhash-LSH candidate pipeline as a bare CTE chain ending in
+    * `cand(doc_a, doc_b, est_jaccard)` — lets the recall gate compose
+    * it with the exact-Jaccard CTEs in one statement. */
+  private def minhashCandCtes(pairCond: String): String = {
     val T = BigInt(1) << 64
     def u(l: Long): BigInt = BigInt(l) & ((BigInt(1) << 64) - 1)
     val mult = -7046029254386353131L // MinHashAgg.mix / ShingleHashes combine constant
@@ -1224,7 +1272,7 @@ object SparkEntry {
     val eqSum = (0 until 64)
       .map(i => s"(CASE WHEN sa.sig[${i + 1}] = sb.sig[${i + 1}] THEN 1 ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ts
        |  FROM documents),
        |tokh AS (SELECT doc_id, $tokH AS th FROM toks),
@@ -1245,12 +1293,13 @@ object SparkEntry {
        |         min(CASE WHEN x >= 9223372036854775808::HUGEINT
        |                  THEN x - $T::HUGEINT ELSE x END) AS slot
        |  FROM m5 GROUP BY 1, 2),
-       |sigs AS (SELECT doc_id, list(slot ORDER BY i) AS sig FROM slots GROUP BY 1)
-       |SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
-       |       round(($eqSum) / 64.0, 4) AS est_jaccard
-       |FROM sigs sa JOIN sigs sb ON $pairCond
-       |WHERE ($bandOr)
-       |  AND round(($eqSum) / 64.0, 4) >= 0.5""".stripMargin
+       |sigs AS (SELECT doc_id, list(slot ORDER BY i) AS sig FROM slots GROUP BY 1),
+       |cand AS (
+       |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+       |         round(($eqSum) / 64.0, 4) AS est_jaccard
+       |  FROM sigs sa JOIN sigs sb ON $pairCond
+       |  WHERE ($bandOr)
+       |    AND round(($eqSum) / 64.0, 4) >= 0.5)""".stripMargin
   }
 
   /** decon_bloom oracle: the Bloom bit pipeline reproduced exactly in
@@ -1916,6 +1965,15 @@ object SparkEntry {
     * [[graft.operators.Curation.logisticTrainSparse]]. */
   private val ngramBuckets = 16
 
+  /** DSIR gate width (power of two for the same signed-& reason);
+    * production DSIR uses 10k+ buckets via the sparse twin. */
+  private val dsirBuckets = 32
+
+  /** The text_bm25 literal query bag (df ≈ 0.77 · N on the gate
+    * corpus — idf ≈ 0.27, so ranking exercises tf and length
+    * normalization, not just term presence). */
+  private val bm25Terms = Seq("vector", "customer", "spark")
+
   /** The hashed-ngram gate's labeled feature frame: bias + 16
     * poly-31 token-bucket frequencies (4dp), lang='en' label —
     * mirrored in [[ngramFeatureSqlCols]]. */
@@ -2097,7 +2155,120 @@ object SparkEntry {
              FROM feval f CROSS JOIN w3 w),
        $confusionSqlTail"""
 
+  /** sample_dsir CTE chain, shared with the select oracle: poly-31
+    * token buckets, add-one-smoothed bucket log-ratios (a bucket
+    * absent from the corpus coalesces to 0 — its per-doc count is 0
+    * everywhere, so the value is never weighted), and the per-doc
+    * fixed-order chained dot that mirrors the Scala `reduce(_ + _)`
+    * association tree term for term. */
+  private def dsirCtes: String = {
+    val B = dsirBuckets
+    val poly = "list_reduce(list_prepend(1125899906842597::HUGEINT, " +
+      "list_transform(string_split(tok, ''), c -> ord(c)::HUGEINT)), " +
+      "(a, b2) -> (a * 31 + b2) % 18446744073709551616::HUGEINT)"
+    val lrCols = (0 until B).map(b =>
+      s"coalesce(max(CASE WHEN b = $b THEN lr END), 0) AS lr$b")
+      .mkString(", ")
+    val dot = (0 until B).map(b =>
+      s"len(list_filter(hb, h -> h = $b)) * l.lr$b").mkString(" + ")
+    s"""WITH t0 AS (
+       |  SELECT doc_id, (lang = 'en') AS tgt,
+       |         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ts
+       |  FROM documents),
+       |db AS (
+       |  SELECT doc_id, tgt,
+       |         list_transform(ts, tok -> CAST($poly % $B AS INTEGER)) AS hb
+       |  FROM t0 WHERE len(ts) >= 1),
+       |bc AS (
+       |  SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct, count(*) AS cr
+       |  FROM (SELECT tgt, unnest(hb) AS b FROM db) GROUP BY 1),
+       |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM bc),
+       |lr AS (
+       |  SELECT b, ln((ct + 1) / CAST(nt + $B AS DOUBLE))
+       |           - ln((cr + 1) / CAST(nr + $B AS DOUBLE)) AS lr
+       |  FROM bc CROSS JOIN tot),
+       |lrrow AS (SELECT $lrCols FROM lr),
+       |wts AS (
+       |  SELECT doc_id, round($dot, 6) AS dsir_logweight
+       |  FROM db CROSS JOIN lrrow l)""".stripMargin
+  }
+
+  private def dsirOracleSql: String =
+    s"""$dsirCtes
+       |SELECT doc_id, dsir_logweight FROM wts""".stripMargin
+
+  /** sample_dsir_select oracle: the same weights plus the
+    * deterministic Gumbel key — poly-31 over 'dsir:'||id, low 20
+    * bits to u ∈ (0,1), g = −ln(−ln u) — then ORDER BY key DESC,
+    * id LIMIT k (the TakeOrdered the plan runs). */
+  private def dsirSelectOracleSql: String = {
+    val polyId = "list_reduce(list_prepend(1125899906842597::HUGEINT, " +
+      "list_transform(string_split('dsir:' || CAST(doc_id AS VARCHAR), ''), " +
+      "c -> ord(c)::HUGEINT)), " +
+      "(a, b2) -> (a * 31 + b2) % 18446744073709551616::HUGEINT)"
+    s"""$dsirCtes,
+       |sel AS (
+       |  SELECT doc_id, dsir_logweight,
+       |         round(dsir_logweight - ln(-ln(
+       |           (CAST($polyId % 1048576 AS DOUBLE) + 0.5) / 1048576.0)), 6)
+       |           AS dsir_key
+       |  FROM wts)
+       |SELECT doc_id, dsir_logweight, dsir_key
+       |FROM sel ORDER BY dsir_key DESC, doc_id LIMIT 100""".stripMargin
+  }
+
+  /** text_bm25 oracle: df/N/avgdl from one aggregate (all integral
+    * sums — order-independent), then the per-term scoring chain with
+    * the Scala-computed double literals (k1+1 etc.) interpolated via
+    * Double.toString so both engines parse the identical bits. */
+  private def bm25OracleSql: String = {
+    val (k1, b, k) = (1.2, 0.75, 20)
+    val dfCols = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN list_contains(ts, '$t') THEN 1.0 ELSE 0.0 END) AS df$i"
+    }.mkString(", ")
+    val chain = bm25Terms.zipWithIndex.map { case (t, i) =>
+      val tf = s"len(list_filter(ts, x -> x = '$t'))"
+      s"ln(1.0 + (st.n - st.df$i + 0.5) / (st.df$i + 0.5)) * ($tf * ${k1 + 1.0}) / " +
+        s"($tf + $k1 * (${1.0 - b} + $b * dl / st.avgdl))"
+    }.mkString(" + ")
+    s"""WITH t0 AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ts
+       |  FROM documents),
+       |d AS (SELECT doc_id, ts, CAST(len(ts) AS DOUBLE) AS dl
+       |      FROM t0 WHERE len(ts) >= 1),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl, $dfCols FROM d),
+       |s AS (SELECT doc_id, round($chain, 4) AS bm25 FROM d CROSS JOIN st),
+       |r AS (SELECT doc_id,
+       |             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rnk,
+       |             bm25
+       |      FROM s)
+       |SELECT doc_id, rnk, bm25 FROM r WHERE rnk <= $k""".stripMargin
+  }
+
+  /** dedup_recall oracle: the minhash candidate CTE chain and the
+    * exact-Jaccard CTE chain (prefix j) composed in one statement;
+    * the three corpus-level counts are scalar subqueries. */
+  private def dedupRecallOracleSql: String =
+    s"""WITH ${minhashCandCtes("sa.doc_id < sb.doc_id")},
+       |${jaccardCtesFor("documents", "j")},
+       |truth AS (
+       |  SELECT da, db FROM jshared
+       |  JOIN jsz za ON da = za.doc_id
+       |  JOIN jsz zb ON db = zb.doc_id
+       |  WHERE round(c / (za.n + zb.n - c), 4) >= 0.6),
+       |hits AS (
+       |  SELECT t.da FROM truth t
+       |  JOIN cand cd ON t.da = cd.doc_a AND t.db = cd.doc_b)
+       |SELECT (SELECT count(*) FROM truth) AS n_true,
+       |       (SELECT count(*) FROM cand) AS n_candidates,
+       |       (SELECT count(*) FROM hits) AS n_hit""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "sample_dsir" -> dsirOracleSql,
+    "sample_dsir_select" -> dsirSelectOracleSql,
+    "text_bm25" -> bm25OracleSql,
+    "dedup_recall" -> dedupRecallOracleSql,
     "quality_ngram_train" -> ngramTrainOracleSql,
     "quality_ngram_eval" -> ngramEvalOracleSql,
     "text_bpe" -> bpeOracleSql,

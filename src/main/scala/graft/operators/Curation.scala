@@ -766,4 +766,183 @@ object Curation {
     df.withColumn("pct_rank", percent_rank().over(w))
       .filter(col("pct_rank") >= loPct && col("pct_rank") <= hiPct)
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by how much more likely its hashed-unigram bag is under a TARGET
+    * distribution than under the RAW corpus distribution,
+    *
+    *   logweight(d) = Σ_b count_b(d) · (ln p_target(b) − ln p_raw(b))
+    *
+    * with add-one smoothing over `nBuckets` poly-31 token buckets (the
+    * [[hashedTokenFeatures]] feature map — reference main_dag.py has no
+    * selection stage; this is the modern replacement for its
+    * keep-everything merge, cited per the brief's pipeline mandate).
+    *
+    * Scale shape: the two bucket distributions are ONE
+    * map-side-combining aggregation producing `nBuckets` rows — the
+    * bounded model state every trainer here keeps (the logistic-GD /
+    * kmeans convention). The per-doc score is then a single
+    * codegen'd pass with the 2·B log-probabilities folded to B
+    * literal log-ratios — the corpus is scanned twice and never
+    * shuffled. At a production B (fastText's millions), swap the
+    * dense literal dot for the long-form join of
+    * [[dsirWeightsSparse]], which keeps the model in a DataFrame.
+    *
+    * Determinism: counts are exact integers; the fixed-order chained
+    * dot (b ascending) gives both engines the identical association
+    * tree, so the oracle replays the doubles bit-for-bit.
+    *
+    * Returns (idCol, dsir_logweight 6dp) for every tokenizable doc.
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: Column,
+      isTarget: Column, nBuckets: Int): DataFrame = {
+    val (base, lr) = dsirBase(docs, idCol, textCol, isTarget, nBuckets)
+    val w = (0 until nBuckets).map(b =>
+        size(filter(col("__b"), h => h === lit(b.toLong))).cast("double")
+          * lit(lr(b)))
+      .reduce(_ + _)
+    // eager-materialize contract: the tiny (id, weight) result holds
+    // the cache so the corpus-sized bucketed frame can release
+    val out = base.select(col("__id").as(idCol),
+        round(w, 6).as("dsir_logweight"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    base.unpersist(blocking = false)
+    out
+  }
+
+  /** DSIR Gumbel-top-k selection: sample `k` documents WITHOUT
+    * replacement with probability ∝ exp(logweight) by taking the top
+    * k of logweight + Gumbel(0,1) noise (the Gumbel-top-k trick). The
+    * noise is deterministic — derived from a poly-31 hash of the doc
+    * id — so the draw is retry/speculation-safe and replayable in
+    * SQL, the same reason every sampler here hashes instead of
+    * rand(). Selection is a distributed TakeOrdered (orderBy + limit
+    * — per-partition top-k then a k-row driver merge), never a
+    * global single-partition sort. Returns the k selected rows as
+    * (idCol, dsir_logweight 6dp, dsir_key 6dp).
+    */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: Column,
+      isTarget: Column, nBuckets: Int, k: Int): DataFrame = {
+    import graft.functions.expr.NativeFunctions.rolling_hash
+    val scored = dsirWeights(docs, idCol, textCol, isTarget, nBuckets)
+    // u in (0,1) from the low 20 bits of the id hash; g ~ Gumbel(0,1)
+    val band = rolling_hash(concat(lit("dsir:"), col(idCol).cast("string")))
+      .bitwiseAND(lit((1L << 20) - 1))
+    val u = (band.cast("double") + lit(0.5)) / lit(1048576.0)
+    val key = round(col("dsir_logweight") - log(-log(u)), 6)
+    scored
+      .withColumn("dsir_key", key)
+      .orderBy(col("dsir_key").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("dsir_logweight"), col("dsir_key"))
+  }
+
+  /** Long-form DSIR scorer — the production-B shape: per-doc bucket
+    * counts explode to (doc, bucket, count) rows that join the
+    * broadcast B-row log-ratio table and sum back per doc. Model
+    * never lives as plan literals, so B can be millions. Sum
+    * association differs from the dense fold, so this twin is
+    * spec-gated against [[dsirWeights]] at 1e-9, not oracle-gated.
+    */
+  def dsirWeightsSparse(docs: DataFrame, idCol: String, textCol: Column,
+      isTarget: Column, nBuckets: Int): DataFrame = {
+    val (base, lr) = dsirBase(docs, idCol, textCol, isTarget, nBuckets)
+    val lrDf = broadcast(base.sparkSession.createDataFrame(
+      lr.zipWithIndex.map { case (v, b) => (b.toLong, v) }).toDF("b", "lr"))
+    val out = base.select(col("__id"), explode(col("__b")).as("b"))
+      .groupBy("__id", "b").agg(count(lit(1)).cast("double").as("c"))
+      .join(lrDf, "b")
+      .groupBy("__id").agg(round(sum(col("c") * col("lr")), 6).as("dsir_logweight"))
+      .select(col("__id").as(idCol), col("dsir_logweight"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    base.unpersist(blocking = false)
+    out
+  }
+
+  /** Shared head of the DSIR scorers: the persisted bucketed corpus
+    * and the B smoothed log-ratios (bounded driver model state). */
+  private def dsirBase(docs: DataFrame, idCol: String, textCol: Column,
+      isTarget: Column, nBuckets: Int): (DataFrame, IndexedSeq[Double]) = {
+    require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0,
+      s"nBuckets must be a power of two, got $nBuckets")
+    import graft.functions.expr.NativeFunctions.rolling_hash
+    val toks = array_remove(graft.functions.Text.tokens(textCol), "")
+    val base = docs
+      .select(col(idCol).as("__id"), isTarget.cast("boolean").as("__tgt"),
+        toks.as("__t"))
+      .withColumn("__b", transform(col("__t"),
+        t => rolling_hash(t).bitwiseAND(lit(nBuckets - 1L))))
+      .filter(size(col("__t")) >= 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = base.select(explode(col("__b")).as("b"), col("__tgt"))
+      .groupBy("b").agg(
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+      .collect()
+    val ct = Array.fill(nBuckets)(0L)
+    val cr = Array.fill(nBuckets)(0L)
+    rows.foreach { r =>
+      val b = r.getLong(0).toInt; ct(b) = r.getLong(1); cr(b) = r.getLong(2)
+    }
+    val (nt, nr) = (ct.sum, cr.sum)
+    require(nt > 0, "target slice has no tokens")
+    val lr = (0 until nBuckets).map { b =>
+      math.log((ct(b) + 1L).toDouble / (nt + nBuckets).toDouble) -
+        math.log((cr(b) + 1L).toDouble / (nr + nBuckets).toDouble)
+    }
+    (base, lr)
+  }
+
+  /** BM25 (Robertson/Lucene form) relevance of every document to a
+    * literal bag of query terms:
+    *
+    *   score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    *   idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))
+    *
+    * The retrieval scorer of the training-data world (CC-Net-style
+    * domain mining, eval-set mining, RAG corpus building). Corpus
+    * stats (per-term df, N, avgdl) are one 1-row aggregate broadcast
+    * back over the corpus — the tf-idf shape, but with the per-term
+    * df pivoted into columns so the scoring pass needs no
+    * token-explode shuffle: tf per term is an in-row array count over
+    * the literal term list. Returns the top `k` docs as
+    * (idCol, rnk, bm25 4dp) with the rank on (rounded score desc, id)
+    * so selection is stable across engines and retries.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: Column,
+      terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms, "terms must be distinct")
+    val toks = array_remove(graft.functions.Text.tokens(textCol), "")
+    val base = docs.select(col(idCol).as("__id"), toks.as("__t"))
+      .withColumn("__dl", size(col("__t")).cast("double"))
+      .filter(col("__dl") >= 1)
+    val aggs: Seq[Column] =
+      count(lit(1)).cast("double").as("__n") +:
+        avg(col("__dl")).as("__avgdl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(col("__t"), t), 1.0).otherwise(0.0)).as(s"__df$i")
+        }
+    val stats = base.agg(aggs.head, aggs.tail: _*)
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("__t"), x => x === lit(t))).cast("double")
+      val idf = log(lit(1.0) +
+        (col("__n") - col(s"__df$i") + lit(0.5)) / (col(s"__df$i") + lit(0.5)))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl")))
+    }.reduce(_ + _)
+    // TakeOrdered (per-partition top-k + k-row driver merge), THEN
+    // rank the k survivors — the global row_number window never sees
+    // the corpus, only k rows
+    base.crossJoin(broadcast(stats))
+      .select(col("__id"), round(score, 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("__id"))
+      .limit(k)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("bm25").desc, col("__id"))).cast("int"))
+      .select(col("__id").as(idCol), col("rnk"), col("bm25"))
+  }
 }

@@ -384,6 +384,24 @@ object ScaleProbe {
     } {
       Curation.interpLogProb(docsN, "doc_id", Text.tokens(col("text")), 0.9).count()
     }
+    // DSIR: two corpus passes (B-row distribution agg + literal-dot
+    // scoring), no shuffle — expect ≈ linear
+    probe("dsir_weights") {
+      Curation.dsirWeights(docs1, "doc_id", col("text"),
+        pmod(col("doc_id"), lit(2)) === 0, nBuckets = 32).count()
+    } {
+      Curation.dsirWeights(docsN, "doc_id", col("text"),
+        pmod(col("doc_id"), lit(2)) === 0, nBuckets = 32).count()
+    }
+    // BM25: one broadcast 1-row stats agg + one in-row scoring pass +
+    // TakeOrdered — expect ≈ linear
+    probe("bm25_topk") {
+      Curation.bm25TopK(docs1, "doc_id", col("text"),
+        Seq("vector", "customer", "spark"), k = 20).count()
+    } {
+      Curation.bm25TopK(docsN, "doc_id", col("text"),
+        Seq("vector", "customer", "spark"), k = 20).count()
+    }
     // standing-index probe: index build sits OUTSIDE the timer (it is
     // the amortized land-time cost); two claims measured — (a) a
     // FIXED batch against an N× corpus stays ~flat (the corpus is

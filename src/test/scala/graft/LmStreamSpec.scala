@@ -146,6 +146,9 @@ class LmStreamSpec extends SparkSpec {
     val model = LmStream.trainLm(docs, "doc_id", toks)
     val probe = docs.limit(15)
     val expected = scoresOf(model, probe)
+    val specTables = Seq("lm_uni_t", "lm_bi_t", "lm_pre_t",
+      "lm_not_an_lm", "lm_uni_h", "lm_bi_h", "lm_pre_h")
+    dropTables(specTables: _*)
     try {
       LmStream.lmWrite(model, "lm_uni_t", "lm_bi_t", "lm_pre_t")
       val loaded = LmStream.lmLoad(spark, "lm_uni_t", "lm_bi_t", "lm_pre_t")
@@ -165,7 +168,10 @@ class LmStreamSpec extends SparkSpec {
       intercept[IllegalArgumentException] {
         LmStream.lmLoad(spark, "lm_uni_h", "lm_bi_t", "lm_pre_t")
       }
-    } finally model.release()
+    } finally {
+      model.release()
+      dropTables(specTables: _*)
+    }
   }
 
   // ---- refreshing streaming driver ----

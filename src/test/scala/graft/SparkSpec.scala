@@ -8,6 +8,26 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   val sfDir = "/root/testdata/sf0.001"
+
+  /** Drop spec-owned catalog tables AND any orphaned warehouse
+    * directory a previous (crashed or drop-less) session left behind
+    * — a fresh session's catalog is empty, so DROP alone cannot
+    * clear leftovers and the next managed CREATE fails with
+    * LOCATION_ALREADY_EXISTS. */
+  def dropTables(names: String*): Unit = {
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    names.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(warehouse, t)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(dir)
+      }
+    }
+  }
 }
 
 object SparkSpec {

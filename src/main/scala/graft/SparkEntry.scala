@@ -622,6 +622,15 @@ object SparkEntry {
       Curation.dsirSelect(t(s, dir, "documents"), "doc_id", col("text"),
         col("lang") === "en", nBuckets = dsirBuckets, k = 100)),
 
+    // data-recipe repeat factors (epochs): src0 pushed past the 4.0
+    // clamp, src1 up-sampled ~3.5x, src2 slightly down-sampled,
+    // everything else held at 1 epoch — budget is a factor of total
+    // corpus tokens, so the recipe is scale-invariant
+    "sample_epochs" -> ((s, dir) =>
+      Curation.epochsSample(t(s, dir, "documents"), "source", "doc_id",
+        Text.tokenCount(col("text")), epochShares,
+        budgetFactor = 1.0, maxEpochs = 4.0)),
+
     // semantic decontamination: corpus embeddings probed against a
     // broadcast eval set (vec_id < 8 plays the benchmark) — the
     // paraphrase leakage n-gram/Bloom decon can't see
@@ -1974,6 +1983,11 @@ object SparkEntry {
     * normalization, not just term presence). */
   private val bm25Terms = Seq("vector", "customer", "spark")
 
+  /** sample_epochs target shares — chosen so the gate exercises all
+    * three regimes: clamp (src0: raw epochs ≈ 5.7), genuine
+    * up-sampling (src1 ≈ 3.5×), slight down-sampling (src2 ≈ 0.97). */
+  private val epochShares = Map("src0" -> 0.3, "src1" -> 0.2, "src2" -> 0.05)
+
   /** The hashed-ngram gate's labeled feature frame: bias + 16
     * poly-31 token-bucket frequencies (4dp), lang='en' label —
     * mirrored in [[ngramFeatureSqlCols]]. */
@@ -2198,23 +2212,52 @@ object SparkEntry {
        |SELECT doc_id, dsir_logweight FROM wts""".stripMargin
 
   /** sample_dsir_select oracle: the same weights plus the
-    * deterministic Gumbel key — poly-31 over 'dsir:'||id, low 20
-    * bits to u ∈ (0,1), g = −ln(−ln u) — then ORDER BY key DESC,
-    * id LIMIT k (the TakeOrdered the plan runs). */
+    * deterministic Gumbel key — md5 bucket of 'dsir:'||id (the
+    * hashBucket holdout convention; avalanched so u is uniform),
+    * u ∈ (0,1), g = −ln(−ln u) — then ORDER BY key DESC, id LIMIT k
+    * (the TakeOrdered the plan runs). */
   private def dsirSelectOracleSql: String = {
-    val polyId = "list_reduce(list_prepend(1125899906842597::HUGEINT, " +
-      "list_transform(string_split('dsir:' || CAST(doc_id AS VARCHAR), ''), " +
-      "c -> ord(c)::HUGEINT)), " +
-      "(a, b2) -> (a * 31 + b2) % 18446744073709551616::HUGEINT)"
+    val mdId = "CAST(('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8)) " +
+      "AS BIGINT) % 1048576"
     s"""$dsirCtes,
        |sel AS (
        |  SELECT doc_id, dsir_logweight,
        |         round(dsir_logweight - ln(-ln(
-       |           (CAST($polyId % 1048576 AS DOUBLE) + 0.5) / 1048576.0)), 6)
+       |           (CAST($mdId AS DOUBLE) + 0.5) / 1048576.0)), 6)
        |           AS dsir_key
        |  FROM wts)
        |SELECT doc_id, dsir_logweight, dsir_key
        |FROM sel ORDER BY dsir_key DESC, doc_id LIMIT 100""".stripMargin
+  }
+
+  /** sample_epochs oracle: stratum/total token sums (integral,
+    * order-free), the share CASE, the clamped epochs expression in
+    * the plan's association order, and the per-doc hash draw u <
+    * frac(epochs) replayed with the md5 'epoch:'||id bucket. */
+  private def epochsOracleSql: String = {
+    val shareCase = epochShares.toSeq.sortBy(_._1)
+      .map { case (s, v) => s"WHEN source = '$s' THEN CAST($v AS DOUBLE)" }
+      .mkString("CASE ", " ", " ELSE NULL END")
+    val polyId = "CAST(('0x' || substr(md5('epoch:' || CAST(doc_id AS VARCHAR)), 1, 8)) " +
+      "AS BIGINT)"
+    s"""WITH b AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS tok
+       |  FROM documents),
+       |av AS (SELECT source, sum(tok) AS avail FROM b GROUP BY 1),
+       |tt AS (SELECT sum(tok) AS tot FROM b),
+       |e AS (
+       |  SELECT b.doc_id, b.source,
+       |         CASE WHEN ($shareCase) IS NOT NULL
+       |              THEN least(($shareCase) * 1.0 * tot / avail, 4.0)
+       |              ELSE 1.0 END AS epochs,
+       |         (CAST($polyId % 1048576 AS DOUBLE) + 0.5) / 1048576.0 AS u
+       |  FROM b JOIN av USING (source) CROSS JOIN tt)
+       |SELECT doc_id, source, round(epochs, 6) AS epochs,
+       |       CAST(floor(epochs) +
+       |            (CASE WHEN u < epochs - floor(epochs) THEN 1 ELSE 0 END)
+       |            AS INTEGER) AS n_copies
+       |FROM e""".stripMargin
   }
 
   /** text_bm25 oracle: df/N/avgdl from one aggregate (all integral
@@ -2267,6 +2310,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "sample_dsir" -> dsirOracleSql,
     "sample_dsir_select" -> dsirSelectOracleSql,
+    "sample_epochs" -> epochsOracleSql,
     "text_bm25" -> bm25OracleSql,
     "dedup_recall" -> dedupRecallOracleSql,
     "quality_ngram_train" -> ngramTrainOracleSql,

@@ -825,11 +825,11 @@ object Curation {
     */
   def dsirSelect(docs: DataFrame, idCol: String, textCol: Column,
       isTarget: Column, nBuckets: Int, k: Int): DataFrame = {
-    import graft.functions.expr.NativeFunctions.rolling_hash
     val scored = dsirWeights(docs, idCol, textCol, isTarget, nBuckets)
-    // u in (0,1) from the low 20 bits of the id hash; g ~ Gumbel(0,1)
-    val band = rolling_hash(concat(lit("dsir:"), col(idCol).cast("string")))
-      .bitwiseAND(lit((1L << 20) - 1))
+    // u in (0,1) from the md5 id bucket (the [[hashBucket]] family —
+    // avalanched, so u is uniform even over sequential ids, which
+    // the poly-31 rolling hash's low bits are NOT); g ~ Gumbel(0,1)
+    val band = hashBucket(concat(lit("dsir:"), col(idCol).cast("string")), 1 << 20)
     val u = (band.cast("double") + lit(0.5)) / lit(1048576.0)
     val key = round(col("dsir_logweight") - log(-log(u)), 6)
     scored
@@ -894,6 +894,61 @@ object Curation {
         math.log((cr(b) + 1L).toDouble / (nr + nBuckets).toDouble)
     }
     (base, lr)
+  }
+
+  /** Domain repeat factors — the data-recipe UP-sampling step
+    * (LLaMA/Dolma style: "2.4 epochs of books, 0.7 of web") that
+    * [[mixtureSample]]'s never-upsample contract cannot express. For
+    * each stratum with a target share, epochs = share · budgetFactor
+    * · total_tokens / stratum_tokens, clamped to `maxEpochs` (the
+    * repetition-harm ceiling); unmapped strata keep `defaultEpochs`.
+    * Every doc gets n_copies = ⌊epochs⌋ plus one more when a
+    * deterministic per-doc hash u < frac(epochs) — so realized
+    * stratum tokens land on the target in expectation, doc-level,
+    * retry/speculation-safe (the no-rand() sampler rule).
+    *
+    * Budget is a FACTOR of total corpus tokens, not an absolute
+    * count, so the recipe is scale-invariant: the same shares give
+    * the same epochs at sf0.01 and at 100 TB.
+    *
+    * Scale shape: stratum token sums = ONE map-side-combining agg
+    * (rows = #strata) broadcast back; the copy count is then a
+    * stateless per-row expression — the corpus is never shuffled.
+    * Materialize copies downstream with
+    * `explode(sequence(1, n_copies))` (cost ∝ output tokens, the
+    * honest price of up-sampling).
+    *
+    * Returns (idCol, stratumCol, epochs 6dp, n_copies int).
+    */
+  def epochsSample(docs: DataFrame, stratumCol: String, idCol: String,
+      tokens: Column, targetShares: Map[String, Double],
+      budgetFactor: Double, maxEpochs: Double,
+      defaultEpochs: Double = 1.0): DataFrame = {
+    require(targetShares.nonEmpty && targetShares.values.forall(_ > 0))
+    require(maxEpochs > 0 && budgetFactor > 0)
+    val base = docs.select(col(idCol).as("__id"),
+      col(stratumCol).as("__s"), tokens.cast("double").as("__tok"))
+    val avail = base.groupBy("__s").agg(sum(col("__tok")).as("__avail"))
+    val tot = base.agg(sum(col("__tok")).as("__tot"))
+    // deterministic share lookup: sorted entries so the when-chain
+    // (and its oracle CASE mirror) has a canonical order
+    val share = targetShares.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("double")) { case (acc, (s, v)) =>
+        when(col("__s") === s, v).otherwise(acc)
+      }
+    val epochs = when(share.isNotNull,
+      least(share * lit(budgetFactor) * col("__tot") / col("__avail"),
+        lit(maxEpochs))).otherwise(lit(defaultEpochs))
+    // md5 bucket, not the poly rolling hash: sequential ids need an
+    // avalanched draw or u clusters (see dsirSelect)
+    val u = (hashBucket(concat(lit("epoch:"), col("__id").cast("string")), 1 << 20)
+      .cast("double") + lit(0.5)) / lit(1048576.0)
+    val nCopies = (floor(epochs) +
+      when(u < epochs - floor(epochs), 1L).otherwise(0L)).cast("int")
+    base.join(broadcast(avail), "__s")
+      .crossJoin(broadcast(tot))
+      .select(col("__id").as(idCol), col("__s").as(stratumCol),
+        round(epochs, 6).as("epochs"), nCopies.as("n_copies"))
   }
 
   /** BM25 (Robertson/Lucene form) relevance of every document to a

@@ -98,6 +98,47 @@ class DsirBm25Spec extends SparkSpec {
     }
   }
 
+  test("epochsSample: clamp, expectation-correct up-sampling, inert default") {
+    // 3 strata x 40 docs x 10 tokens each
+    val docs = (0 until 120).map { i =>
+      (i.toLong, s"s${i % 3}", Seq.fill(10)("tok").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val out = Curation.epochsSample(docs, "source", "doc_id",
+        graft.functions.Text.tokenCount(col("text")),
+        // s0: 0.5*1200/400 = 1.5 epochs; s1: 2.0*1200/400 = 6 -> clamp 4
+        targetShares = Map("s0" -> 0.5, "s1" -> 2.0),
+        budgetFactor = 1.0, maxEpochs = 4.0)
+      .as[(Long, String, Double, Int)].collect()
+    val byS = out.groupBy(_._2)
+    // clamped stratum: every doc at exactly 4 copies
+    assert(byS("s1").forall(r => r._3 === 4.0 && r._4 === 4))
+    // unmapped stratum: exactly 1 copy each (frac 0 never fires)
+    assert(byS("s2").forall(r => r._3 === 1.0 && r._4 === 1))
+    // fractional stratum: epochs 1.5, copies in {1, 2}, realized
+    // tokens within Bernoulli noise of the 600-token target
+    // (sd = sqrt(40 * 0.25) * 10 ≈ 32)
+    assert(byS("s0").forall(r => r._3 === 1.5 && (r._4 === 1 || r._4 === 2)))
+    val realized = byS("s0").map(_._4).sum * 10
+    assert(math.abs(realized - 600) <= 100,
+      s"realized s0 tokens $realized far from the 600 target")
+  }
+
+  test("epochsSample draw is avalanched: u spreads over (0,1) on sequential ids") {
+    // the poly-31 low bits cluster on sequential ids (span < 0.6 over
+    // hundreds of ids); the md5 draw must cover the unit interval
+    val docs = (0 until 300).map(i => (i.toLong, "s", "a b c"))
+      .toDF("doc_id", "source", "text")
+    // epochs = 0.5 exactly: n_copies is Bernoulli(0.5) on u
+    val picks = Curation.epochsSample(docs, "source", "doc_id",
+        graft.functions.Text.tokenCount(col("text")),
+        targetShares = Map("s" -> 0.5), budgetFactor = 1.0, maxEpochs = 4.0)
+      .as[(Long, String, Double, Int)].collect()
+    val ones = picks.count(_._4 == 1)
+    // binomial(300, 0.5): mean 150, sd ~8.7 — accept ±5 sd
+    assert(ones > 105 && ones < 195,
+      s"Bernoulli(0.5) draw produced $ones/300 successes — u is not uniform")
+  }
+
   test("bm25TopK plan: stats broadcast, corpus never shuffled, TakeOrdered selection") {
     val docs = sources.Tables.documents(spark, sfDir)
     val p = Curation.bm25TopK(docs, "doc_id", col("text"),

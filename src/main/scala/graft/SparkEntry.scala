@@ -429,6 +429,36 @@ object SparkEntry {
         dim = 64, bits = 4, tables = 3, seed = 42L, tau = 0.4,
         probeRadius = 1)),
 
+    // embedding-index pair recall on a SAMPLED audit slice (the
+    // production audit shape: exact ground truth is only ever
+    // affordable for a sample — audit × corpus, never corpus²):
+    // per-audit-vector integer counts of exact cosine-pairs vs the
+    // registered LSH pipeline's candidates, zero-recall vecs kept
+    "emb_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val audit = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qv"))
+      val corpus = e.select(col("vec_id").as("pid"),
+        col("embedding").cast("array<double>").as("pv"))
+      val truth = corpus.crossJoin(broadcast(audit))
+        .filter(col("qid") =!= col("pid") &&
+          graft.functions.Vectors.cosine(col("qv"), col("pv")) >= 0.4)
+        .select(col("qid"), least(col("qid"), col("pid")).as("vec_a"),
+          greatest(col("qid"), col("pid")).as("vec_b"))
+      val cand = Dedup.embeddingPairsLsh(e, "vec_id", "embedding",
+          dim = 64, bits = 4, tables = 8, seed = 42L, tau = 0.4)
+        .select("vec_a", "vec_b")
+      val hit = truth.join(cand, Seq("vec_a", "vec_b"), "left_semi")
+      val tCnt = truth.groupBy("qid").agg(count(lit(1)).as("n_true"))
+      val hCnt = hit.groupBy("qid").agg(count(lit(1)).as("n_hit"))
+      audit.select(col("qid").as("vec_id"))
+        .join(tCnt.withColumnRenamed("qid", "vec_id"), Seq("vec_id"), "left")
+        .join(hCnt.withColumnRenamed("qid", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("n_true"), lit(0L)).as("n_true"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+    }),
+
     // SemDeDup-style semantic dedup end-to-end: embedding-cosine
     // pairs -> connected components -> keep min-id per cluster (the
     // composition of dedup_embedding + dedup_clusters + dedup_keep
@@ -2289,6 +2319,31 @@ object SparkEntry {
        |SELECT doc_id, rnk, bm25 FROM r WHERE rnk <= $k""".stripMargin
   }
 
+  /** emb_recall oracle: exact-cosine ground truth on the audit slice
+    * (list_cosine_similarity — the same association as
+    * Vectors.cosine) intersected with the hyperplane-literal LSH
+    * pair chain; integer counts per audit vector, zero-recall rows
+    * kept via LEFT JOIN + coalesce. */
+  private def embRecallOracleSql: String =
+    s"""WITH $embLshPairsCtes,
+       |truth AS (
+       |  SELECT q.vec_id AS qid,
+       |         least(q.vec_id, p.vec_id) AS vec_a,
+       |         greatest(q.vec_id, p.vec_id) AS vec_b
+       |  FROM e q JOIN e p ON q.vec_id < 16 AND p.vec_id <> q.vec_id
+       |  WHERE list_cosine_similarity(q.v, p.v) >= 0.4),
+       |hit AS (
+       |  SELECT t.qid FROM truth t
+       |  JOIN pairs c ON t.vec_a = c.vec_a AND t.vec_b = c.vec_b),
+       |aud AS (SELECT vec_id FROM e WHERE vec_id < 16),
+       |tc AS (SELECT qid, count(*) AS n_true FROM truth GROUP BY 1),
+       |hc AS (SELECT qid, count(*) AS n_hit FROM hit GROUP BY 1)
+       |SELECT a.vec_id, coalesce(tc.n_true, 0) AS n_true,
+       |       coalesce(hc.n_hit, 0) AS n_hit
+       |FROM aud a
+       |LEFT JOIN tc ON a.vec_id = tc.qid
+       |LEFT JOIN hc ON a.vec_id = hc.qid""".stripMargin
+
   /** dedup_recall oracle: the minhash candidate CTE chain and the
     * exact-Jaccard CTE chain (prefix j) composed in one statement;
     * the three corpus-level counts are scalar subqueries. */
@@ -2311,6 +2366,7 @@ object SparkEntry {
     "sample_dsir" -> dsirOracleSql,
     "sample_dsir_select" -> dsirSelectOracleSql,
     "sample_epochs" -> epochsOracleSql,
+    "emb_recall" -> embRecallOracleSql,
     "text_bm25" -> bm25OracleSql,
     "dedup_recall" -> dedupRecallOracleSql,
     "quality_ngram_train" -> ngramTrainOracleSql,

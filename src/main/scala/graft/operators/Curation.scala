@@ -798,14 +798,10 @@ object Curation {
   def dsirWeights(docs: DataFrame, idCol: String, textCol: Column,
       isTarget: Column, nBuckets: Int): DataFrame = {
     val (base, lr) = dsirBase(docs, idCol, textCol, isTarget, nBuckets)
-    val w = (0 until nBuckets).map(b =>
-        size(filter(col("__b"), h => h === lit(b.toLong))).cast("double")
-          * lit(lr(b)))
-      .reduce(_ + _)
     // eager-materialize contract: the tiny (id, weight) result holds
     // the cache so the corpus-sized bucketed frame can release
     val out = base.select(col("__id").as(idCol),
-        round(w, 6).as("dsir_logweight"))
+        round(dsirDotCol(lr), 6).as("dsir_logweight"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     base.unpersist(blocking = false)
@@ -862,21 +858,28 @@ object Curation {
     out
   }
 
-  /** Shared head of the DSIR scorers: the persisted bucketed corpus
-    * and the B smoothed log-ratios (bounded driver model state). */
-  private def dsirBase(docs: DataFrame, idCol: String, textCol: Column,
-      isTarget: Column, nBuckets: Int): (DataFrame, IndexedSeq[Double]) = {
+  /** The bucketed-token frame every DSIR stage shares: (__id, __tgt,
+    * __t tokens, __b poly-31 buckets), token-less docs dropped. */
+  private[graft] def dsirBucketize(docs: DataFrame, idCol: String,
+      textCol: Column, isTarget: Column, nBuckets: Int): DataFrame = {
     require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0,
       s"nBuckets must be a power of two, got $nBuckets")
     import graft.functions.expr.NativeFunctions.rolling_hash
     val toks = array_remove(graft.functions.Text.tokens(textCol), "")
-    val base = docs
+    docs
       .select(col(idCol).as("__id"), isTarget.cast("boolean").as("__tgt"),
         toks.as("__t"))
       .withColumn("__b", transform(col("__t"),
         t => rolling_hash(t).bitwiseAND(lit(nBuckets - 1L))))
       .filter(size(col("__t")) >= 1)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** The two bucket-count vectors (target, raw) of a bucketized
+    * frame — ONE map-side-combining agg, B rows collected (bounded
+    * model state; counts are exact longs, so they merge additively
+    * across batches — the streaming refresh relies on this). */
+  private[graft] def dsirCounts(base: DataFrame,
+      nBuckets: Int): (Array[Long], Array[Long]) = {
     val rows = base.select(explode(col("__b")).as("b"), col("__tgt"))
       .groupBy("b").agg(
         sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"),
@@ -887,13 +890,37 @@ object Curation {
     rows.foreach { r =>
       val b = r.getLong(0).toInt; ct(b) = r.getLong(1); cr(b) = r.getLong(2)
     }
+    (ct, cr)
+  }
+
+  /** Add-one-smoothed per-bucket log likelihood ratios from the two
+    * count vectors. Pure driver arithmetic over bounded state. */
+  def dsirLogRatios(ct: Array[Long], cr: Array[Long]): IndexedSeq[Double] = {
+    require(ct.length == cr.length && ct.nonEmpty)
+    val nBuckets = ct.length
     val (nt, nr) = (ct.sum, cr.sum)
     require(nt > 0, "target slice has no tokens")
-    val lr = (0 until nBuckets).map { b =>
+    (0 until nBuckets).map { b =>
       math.log((ct(b) + 1L).toDouble / (nt + nBuckets).toDouble) -
         math.log((cr(b) + 1L).toDouble / (nr + nBuckets).toDouble)
     }
-    (base, lr)
+  }
+
+  /** The fixed-order chained dot Σ_b count_b · lr_b over the __b
+    * column — the association tree the oracle mirrors. */
+  private[graft] def dsirDotCol(lr: Seq[Double]): Column =
+    lr.zipWithIndex.map { case (v, b) =>
+      size(filter(col("__b"), h => h === lit(b.toLong))).cast("double") * lit(v)
+    }.reduce(_ + _)
+
+  /** Shared head of the batch DSIR scorers: the persisted bucketed
+    * corpus and the B smoothed log-ratios. */
+  private def dsirBase(docs: DataFrame, idCol: String, textCol: Column,
+      isTarget: Column, nBuckets: Int): (DataFrame, IndexedSeq[Double]) = {
+    val base = dsirBucketize(docs, idCol, textCol, isTarget, nBuckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (ct, cr) = dsirCounts(base, nBuckets)
+    (base, dsirLogRatios(ct, cr))
   }
 
   /** Domain repeat factors — the data-recipe UP-sampling step

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Curation
+
+/** Continuous DSIR deployment — the staleness answer for the
+  * data-selection scorer, mirroring the LM loop (LmStream): scoring
+  * is always against a FROZEN model generation (a batch never
+  * influences its own importance weights — the no-self-influence
+  * rule every scorer here keeps), and the model refreshes by EXACT
+  * additive merge.
+  *
+  * Unlike the LM loop, nothing corpus-sized ever lands: the DSIR
+  * model is two B-long count vectors, and counts are additive, so
+  * each micro-batch folds to its own count delta AT INGEST TIME (one
+  * B-row aggregate over the batch) and refresh() is pure driver
+  * arithmetic — merge ≡ retraining on corpus ∪ batches, bit-exact,
+  * at zero corpus cost. This is the cheapest refresh in the engine:
+  * model state 2·B longs, refresh cost O(B).
+  *
+  * Reference pipeline has no selection stage (main_dag.py merges
+  * everything); this is the continuous form of the modern
+  * replacement (Xie et al. 2023), built like the index loops.
+  */
+object DsirStream {
+
+  /** Streaming document with its target-slice membership. */
+  case class Doc(doc_id: Long, text: String, target: Boolean)
+
+  /** The DSIR model: per-bucket token counts for the target slice
+    * and the raw corpus. Exact longs — generations merge additively
+    * and two training orders give identical models. */
+  final case class DsirModel(ct: Array[Long], cr: Array[Long]) {
+    require(ct.length == cr.length && ct.nonEmpty,
+      "count vectors must be same non-zero length")
+    def nBuckets: Int = cr.length
+    /** Smoothed log-ratios — requires a non-empty target slice. */
+    def logRatios: IndexedSeq[Double] = Curation.dsirLogRatios(ct, cr)
+  }
+
+  /** Fit the model: one map-side-combining B-row aggregate. */
+  def train(docs: DataFrame, idCol: String, textCol: Column,
+      isTarget: Column, nBuckets: Int): DsirModel = {
+    val (ct, cr) = Curation.dsirCounts(
+      Curation.dsirBucketize(docs, idCol, textCol, isTarget, nBuckets), nBuckets)
+    DsirModel(ct, cr)
+  }
+
+  /** Exact additive merge: counts add, so
+    * merge(train(A), train(B)) == train(A ∪ B) bit-for-bit. */
+  def merge(a: DsirModel, b: DsirModel): DsirModel = {
+    require(a.nBuckets == b.nBuckets,
+      s"bucket widths differ: ${a.nBuckets} vs ${b.nBuckets}")
+    DsirModel(
+      Array.tabulate(a.nBuckets)(i => a.ct(i) + b.ct(i)),
+      Array.tabulate(a.nBuckets)(i => a.cr(i) + b.cr(i)))
+  }
+
+  /** Score a batch under a FROZEN model: the same fixed-order
+    * literal-ratio dot as the batch operator, so
+    * scoreBatch(train(corpus), corpus) ≡ Curation.dsirWeights(corpus)
+    * exactly (spec-pinned). */
+  def scoreBatch(model: DsirModel, batch: DataFrame, idCol: String,
+      textCol: Column): DataFrame =
+    Curation.dsirBucketize(batch, idCol, textCol, lit(false), model.nBuckets)
+      .select(col("__id").as(idCol),
+        round(Curation.dsirDotCol(model.logRatios), 6).as("dsir_logweight"))
+
+  /** foreachBatch driver: score each micro-batch against the current
+    * generation, fold its count delta, refresh every `refreshEvery`
+    * batches AFTER scoring (a batch never influences its own
+    * weights). Scored frames are eagerly persisted by ingest — the
+    * callback consumes them, then this driver unpersists. */
+  def refreshingScoreQuery(stream: Dataset[Doc], loop: DsirLoop,
+      refreshEvery: Int)(onBatch: DataFrame => Unit): StreamingQuery = {
+    require(refreshEvery >= 1, s"refreshEvery must be >= 1, got $refreshEvery")
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[Doc], batchId: Long) =>
+        val scored = loop.ingest(batch.toDF(), col("target"))
+        try onBatch(scored)
+        finally scored.unpersist(blocking = false)
+        if ((batchId + 1) % refreshEvery == 0) loop.refresh()
+      }
+      .start()
+  }
+}
+
+/** The DSIR generation loop. All mutators synchronize on this
+  * instance (the ClusterStream/LmLoop contract): ingest and a
+  * control-plane refresh may run on different threads, and a lost
+  * swap would silently drop landed counts. */
+final class DsirLoop(initial: DsirStream.DsirModel) {
+  import DsirStream.{DsirModel, merge, scoreBatch, train}
+
+  @volatile private var model: DsirModel = initial
+  private var pending: Option[DsirModel] = None
+
+  /** The current frozen generation. */
+  def current: DsirModel = model
+
+  /** Score one micro-batch against the FROZEN generation, then fold
+    * the batch's count delta for the next refresh. The scored frame
+    * is eagerly persisted — callers unpersist when consumed. */
+  def ingest(batch: DataFrame, isTarget: Column): DataFrame = synchronized {
+    val scored = scoreBatch(model, batch, "doc_id", col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scored.count() // materialize BEFORE the delta fold can swap state
+    val delta = train(batch, "doc_id", col("text"), isTarget, model.nBuckets)
+    pending = Some(pending.fold(delta)(merge(_, delta)))
+    scored
+  }
+
+  /** Swap in corpus ∪ landed — pure O(B) driver arithmetic, exact by
+    * count additivity. No-op when nothing landed (replay-safe). */
+  def refresh(): Unit = synchronized {
+    pending.foreach { p => model = merge(model, p); pending = None }
+  }
+}

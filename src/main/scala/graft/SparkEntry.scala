@@ -690,6 +690,21 @@ object SparkEntry {
         bias = -2.0, wLogTokens = 0.6, wStopDev = -6.0,
         wTokenLen = 0.1, wPunct = -4.0)),
 
+    // the composite gate a production corpus actually ships: C4
+    // heuristics ∧ classifier logit ∧ repetition screen, with each
+    // component flag kept for filter attribution; the two in-row
+    // gates share one scan/projection, only repetition aggregates.
+    // minSentences = 0 here: the synthetic corpus carries no
+    // sentence punctuation, and a constant-false composite would
+    // gate nothing — the word-bound, classifier and repetition
+    // components all vary on this corpus
+    "quality_ensemble" -> ((s, dir) =>
+      Curation.qualityEnsemble(t(s, dir, "documents"), "doc_id", "text",
+        minWords = 10, maxWords = 50000, minSentences = 0,
+        bias = -2.0, wLogTokens = 0.6, wStopDev = -6.0,
+        wTokenLen = 0.1, wPunct = -4.0,
+        maxTopTokenRatio = 0.12, maxDupTrigramRatio = 0.05)),
+
     // benchmark decontamination: docs from sources src0/src1 act as the
     // held-out eval set; corpus docs sharing any word-5-gram are flagged
     "decon_ngram" -> ((s, dir) => {
@@ -2319,6 +2334,96 @@ object SparkEntry {
        |SELECT doc_id, rnk, bm25 FROM r WHERE rnk <= $k""".stripMargin
   }
 
+  /** quality_classifier oracle (also a CTE of the ensemble): feature
+    * arithmetic mirrored term-by-term, keep thresholds the raw
+    * logit. */
+  private def qualityClassifierOracleSql: String =
+    """WITH f AS (
+         SELECT doc_id,
+                CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS ntok,
+                CAST(len(regexp_extract_all(
+                      regexp_replace(' ' || lower(text) || ' ', '\s+', '  ', 'g'),
+                      ' (the|a|of|and|in|to|is) ')) AS DOUBLE)
+                  / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS swr,
+                length(regexp_replace(trim(text), '\s+', '', 'g'))
+                  / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS atl,
+                len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                  / CAST(length(text) AS DOUBLE) AS pr
+         FROM documents),
+       z AS (SELECT doc_id,
+               -2.0 + 0.6 * ln(1.0 + ntok)
+                    + (-6.0) * (swr - 0.4) * (swr - 0.4)
+                    + 0.1 * atl + (-4.0) * pr AS zv
+             FROM f)
+       SELECT doc_id, round(1.0 / (1.0 + exp(-zv)), 4) AS score,
+              (zv > 0) AS keep
+       FROM z"""
+
+  /** text_c4_filters oracle (also a CTE of the ensemble, which runs
+    * it at minSentences = 0 — the corpus carries no sentence
+    * punctuation). */
+  private def c4OracleSql: String = c4OracleSqlFor(minSentences = 2)
+
+  private def c4OracleSqlFor(minSentences: Int): String =
+    s"""WITH b AS (
+         SELECT doc_id,
+                len(list_filter(string_split_regex(trim(text), '\\s+'),
+                    x -> x <> '')) AS nw,
+                length(text) - length(replace(replace(replace(
+                    text, '.', ''), '!', ''), '?', '')) AS ns,
+                (contains(text, '{') OR contains(text, '}')) AS has_curly,
+                contains(lower(text), 'lorem ipsum') AS has_lorem
+         FROM documents)
+       SELECT doc_id, CAST(nw AS INTEGER) AS n_words,
+              CAST(ns AS INTEGER) AS n_sentences,
+              has_curly, has_lorem,
+              (nw >= 10 AND nw <= 50000 AND ns >= $minSentences
+               AND NOT has_curly AND NOT has_lorem) AS c4_keep
+       FROM b"""
+
+  /** text_repetition oracle (also a CTE of the ensemble). */
+  private def textRepetitionOracleSql: String =
+    """WITH toks AS (
+         SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+       tf AS (
+         SELECT doc_id, token, count(*) AS c
+         FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+         WHERE token <> '' GROUP BY 1, 2),
+       ts AS (
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                count(*) AS n_distinct_tokens, max(c) AS top_c
+         FROM tf GROUP BY 1),
+       sh AS (
+         SELECT doc_id,
+                count(DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS n_distinct_tri
+         FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+         GROUP BY 1)
+       SELECT ts.doc_id, ts.n_tokens, ts.n_distinct_tokens,
+              round(ts.top_c / ts.n_tokens, 4) AS top_token_ratio,
+              round(CASE WHEN ts.n_tokens > 2
+                    THEN 1.0 - COALESCE(sh.n_distinct_tri, 0) / (ts.n_tokens - 2)
+                    ELSE 0.0 END, 4) AS dup_trigram_ratio,
+              (ts.top_c / ts.n_tokens <= 0.12 AND
+               CASE WHEN ts.n_tokens > 2
+                    THEN 1.0 - COALESCE(sh.n_distinct_tri, 0) / (ts.n_tokens - 2)
+                    ELSE 0.0 END <= 0.05) AS rep_ok
+       FROM ts LEFT JOIN sh ON ts.doc_id = sh.doc_id"""
+
+  /** quality_ensemble oracle: the three component oracles as nested
+    * CTEs (each carries its own WITH — legal as a subquery), joined
+    * on doc_id with the same left-join + coalesce(false) the plan
+    * uses for token-less docs. */
+  private def qualityEnsembleOracleSql: String =
+    s"""WITH c4r AS (${c4OracleSqlFor(minSentences = 0)}),
+       |clfr AS ($qualityClassifierOracleSql),
+       |repr AS ($textRepetitionOracleSql)
+       |SELECT c4r.doc_id, c4r.c4_keep, clfr.keep AS clf_keep,
+       |       coalesce(repr.rep_ok, FALSE) AS rep_ok,
+       |       (c4r.c4_keep AND clfr.keep AND coalesce(repr.rep_ok, FALSE)) AS keep
+       |FROM c4r
+       |JOIN clfr ON c4r.doc_id = clfr.doc_id
+       |LEFT JOIN repr ON c4r.doc_id = repr.doc_id""".stripMargin
+
   /** emb_recall oracle: exact-cosine ground truth on the audit slice
     * (list_cosine_similarity — the same association as
     * Vectors.cosine) intersected with the hyperplane-literal LSH
@@ -2367,6 +2472,7 @@ object SparkEntry {
     "sample_dsir_select" -> dsirSelectOracleSql,
     "sample_epochs" -> epochsOracleSql,
     "emb_recall" -> embRecallOracleSql,
+    "quality_ensemble" -> qualityEnsembleOracleSql,
     "text_bm25" -> bm25OracleSql,
     "dedup_recall" -> dedupRecallOracleSql,
     "quality_ngram_train" -> ngramTrainOracleSql,
@@ -2850,44 +2956,9 @@ object SparkEntry {
     // feature arithmetic mirrored term-by-term (left-assoc) so the
     // logit is bit-identical; keep thresholds the raw logit (no
     // transcendental in the decision), sigmoid rounded at the edge
-    "quality_classifier" ->
-      """WITH f AS (
-           SELECT doc_id,
-                  CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS ntok,
-                  CAST(len(regexp_extract_all(
-                        regexp_replace(' ' || lower(text) || ' ', '\s+', '  ', 'g'),
-                        ' (the|a|of|and|in|to|is) ')) AS DOUBLE)
-                    / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS swr,
-                  length(regexp_replace(trim(text), '\s+', '', 'g'))
-                    / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS atl,
-                  len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
-                    / CAST(length(text) AS DOUBLE) AS pr
-           FROM documents),
-         z AS (SELECT doc_id,
-                 -2.0 + 0.6 * ln(1.0 + ntok)
-                      + (-6.0) * (swr - 0.4) * (swr - 0.4)
-                      + 0.1 * atl + (-4.0) * pr AS zv
-               FROM f)
-         SELECT doc_id, round(1.0 / (1.0 + exp(-zv)), 4) AS score,
-                (zv > 0) AS keep
-         FROM z""",
+    "quality_classifier" -> qualityClassifierOracleSql,
 
-    "text_c4_filters" ->
-      """WITH b AS (
-           SELECT doc_id,
-                  len(list_filter(string_split_regex(trim(text), '\s+'),
-                      x -> x <> '')) AS nw,
-                  length(text) - length(replace(replace(replace(
-                      text, '.', ''), '!', ''), '?', '')) AS ns,
-                  (contains(text, '{') OR contains(text, '}')) AS has_curly,
-                  contains(lower(text), 'lorem ipsum') AS has_lorem
-           FROM documents)
-         SELECT doc_id, CAST(nw AS INTEGER) AS n_words,
-                CAST(ns AS INTEGER) AS n_sentences,
-                has_curly, has_lorem,
-                (nw >= 10 AND nw <= 50000 AND ns >= 2
-                 AND NOT has_curly AND NOT has_lorem) AS c4_keep
-         FROM b""",
+    "text_c4_filters" -> c4OracleSql,
 
     // word-5-gram overlap between the corpus and the src0/src1 "eval"
     // docs; distinct STRING 5-grams here ≡ distinct shingle hashes in
@@ -2909,32 +2980,7 @@ object SparkEntry {
          FROM corpus c JOIN bench b ON c.s = b.s
          GROUP BY 1""",
 
-    "text_repetition" ->
-      """WITH toks AS (
-           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-         tf AS (
-           SELECT doc_id, token, count(*) AS c
-           FROM (SELECT doc_id, unnest(t) AS token FROM toks)
-           WHERE token <> '' GROUP BY 1, 2),
-         ts AS (
-           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-                  count(*) AS n_distinct_tokens, max(c) AS top_c
-           FROM tf GROUP BY 1),
-         sh AS (
-           SELECT doc_id,
-                  count(DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS n_distinct_tri
-           FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
-           GROUP BY 1)
-         SELECT ts.doc_id, ts.n_tokens, ts.n_distinct_tokens,
-                round(ts.top_c / ts.n_tokens, 4) AS top_token_ratio,
-                round(CASE WHEN ts.n_tokens > 2
-                      THEN 1.0 - COALESCE(sh.n_distinct_tri, 0) / (ts.n_tokens - 2)
-                      ELSE 0.0 END, 4) AS dup_trigram_ratio,
-                (ts.top_c / ts.n_tokens <= 0.12 AND
-                 CASE WHEN ts.n_tokens > 2
-                      THEN 1.0 - COALESCE(sh.n_distinct_tri, 0) / (ts.n_tokens - 2)
-                      ELSE 0.0 END <= 0.05) AS rep_ok
-         FROM ts LEFT JOIN sh ON ts.doc_id = sh.doc_id""",
+    "text_repetition" -> textRepetitionOracleSql,
 
     "dedup_ngram_jaccard" ->
       s"""WITH $jaccardCtes

@@ -513,20 +513,31 @@ object Curation {
     * integer/boolean-exact — no float thresholds — and computed in one
     * codegen'd pass over the scan; `c4_keep` is the conjunction.
     */
+  /** The C4 flag components — shared by [[c4Filters]] and
+    * [[qualityEnsemble]] so the two gates are one expression tree. */
+  private def c4Parts(t: Column): (Column, Column, Column, Column) = (
+    size(array_remove(graft.functions.Text.tokens(t), "")),
+    length(t) - length(translate(t, ".!?", "")),
+    t.contains("{") || t.contains("}"),
+    lower(t).contains("lorem ipsum"))
+
+  private def c4Keep(t: Column, minWords: Int, maxWords: Int,
+      minSentences: Int): Column = {
+    val (nWords, nSentences, hasCurly, hasLorem) = c4Parts(t)
+    nWords >= minWords && nWords <= maxWords &&
+      nSentences >= minSentences && !hasCurly && !hasLorem
+  }
+
   def c4Filters(docs: DataFrame, idCol: String, textCol: String,
       minWords: Int, maxWords: Int, minSentences: Int): DataFrame = {
     val t = col(textCol)
-    val nWords = size(array_remove(graft.functions.Text.tokens(t), ""))
-    val nSentences = length(t) - length(translate(t, ".!?", ""))
-    val hasCurly = t.contains("{") || t.contains("}")
-    val hasLorem = lower(t).contains("lorem ipsum")
+    val (nWords, nSentences, hasCurly, hasLorem) = c4Parts(t)
     docs.select(col(idCol).as("doc_id"),
       nWords.cast("int").as("n_words"),
       nSentences.cast("int").as("n_sentences"),
       hasCurly.as("has_curly"),
       hasLorem.as("has_lorem"),
-      (nWords >= minWords && nWords <= maxWords &&
-        nSentences >= minSentences && !hasCurly && !hasLorem).as("c4_keep"))
+      c4Keep(t, minWords, maxWords, minSentences).as("c4_keep"))
   }
 
   /** Model-based quality gate: a logistic score over cheap text
@@ -676,11 +687,11 @@ object Curation {
     w
   }
 
-  def qualityClassifier(docs: DataFrame, idCol: String, textCol: String,
-      bias: Double, wLogTokens: Double, wStopDev: Double,
-      wTokenLen: Double, wPunct: Double): DataFrame = {
+  /** The classifier logit — shared by [[qualityClassifier]] and
+    * [[qualityEnsemble]] so both gates score the identical z. */
+  private def classifierZ(t: Column, bias: Double, wLogTokens: Double,
+      wStopDev: Double, wTokenLen: Double, wPunct: Double): Column = {
     import graft.functions.Text
-    val t = col(textCol)
     val nTok = Text.tokenCount(t).cast("double")
     val padded = regexp_replace(concat(lit(" "), lower(t), lit(" ")),
       lit("\\s+"), lit("  "))
@@ -689,13 +700,53 @@ object Curation {
     val swDev = swr - lit(0.4)
     val punctRatio =
       size(regexp_extract_all(t, lit("[^A-Za-z0-9\\s]"), lit(0))) / length(t).cast("double")
-    val z = lit(bias) + lit(wLogTokens) * log(lit(1.0) + nTok) +
+    lit(bias) + lit(wLogTokens) * log(lit(1.0) + nTok) +
       lit(wStopDev) * swDev * swDev +
       lit(wTokenLen) * Text.avgTokenLen(t) +
       lit(wPunct) * punctRatio
+  }
+
+  def qualityClassifier(docs: DataFrame, idCol: String, textCol: String,
+      bias: Double, wLogTokens: Double, wStopDev: Double,
+      wTokenLen: Double, wPunct: Double): DataFrame = {
+    val z = classifierZ(col(textCol), bias, wLogTokens, wStopDev, wTokenLen, wPunct)
     docs.select(col(idCol).as("doc_id"),
       round(lit(1.0) / (lit(1.0) + exp(-z)), 4).as("score"),
       (z > 0).as("keep"))
+  }
+
+  /** The composite keep decision a production corpus actually runs —
+    * heuristic gate (C4) ∧ model gate (classifier logit) ∧
+    * repetition gate — emitted per document with each component flag
+    * so the operator doubles as the filter-attribution report
+    * (which gate killed this doc?).
+    *
+    * Scale shape: the C4 and classifier flags are ONE in-row
+    * codegen'd projection over a single scan (shared expression
+    * trees with the standalone gates — not re-derived per gate);
+    * only the repetition gate needs its own token aggregate, and the
+    * final join carries (id, 3 booleans). Token-less docs have no
+    * repetition row — their rep_ok coalesces false, and C4's
+    * min-word floor already rejects them.
+    */
+  def qualityEnsemble(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int, maxWords: Int, minSentences: Int,
+      bias: Double, wLogTokens: Double, wStopDev: Double,
+      wTokenLen: Double, wPunct: Double,
+      maxTopTokenRatio: Double, maxDupTrigramRatio: Double): DataFrame = {
+    val t = col(textCol)
+    val inRow = docs.select(col(idCol).as("doc_id"),
+      c4Keep(t, minWords, maxWords, minSentences).as("c4_keep"),
+      (classifierZ(t, bias, wLogTokens, wStopDev, wTokenLen, wPunct) > 0)
+        .as("clf_keep"))
+    val rep = repetitionStats(docs, idCol, textCol,
+        maxTopTokenRatio, maxDupTrigramRatio)
+      .select(col("doc_id"), col("rep_ok"))
+    inRow.join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("c4_keep"), col("clf_keep"),
+        coalesce(col("rep_ok"), lit(false)).as("rep_ok"),
+        (col("c4_keep") && col("clf_keep") &&
+          coalesce(col("rep_ok"), lit(false))).as("keep"))
   }
 
   /** Per-stratum deterministic hash sampling: keep each row iff its

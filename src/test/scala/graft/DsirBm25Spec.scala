@@ -139,6 +139,33 @@ class DsirBm25Spec extends SparkSpec {
       s"Bernoulli(0.5) draw produced $ones/300 successes — u is not uniform")
   }
 
+  test("qualityEnsemble ≡ its component gates composed, flag for flag") {
+    val docs = sources.Tables.documents(spark, sfDir)
+    val ens = Curation.qualityEnsemble(docs, "doc_id", "text",
+        minWords = 10, maxWords = 50000, minSentences = 0,
+        bias = -2.0, wLogTokens = 0.6, wStopDev = -6.0,
+        wTokenLen = 0.1, wPunct = -4.0,
+        maxTopTokenRatio = 0.12, maxDupTrigramRatio = 0.05)
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    val c4 = Curation.c4Filters(docs, "doc_id", "text", 10, 50000, 0)
+      .select(col("doc_id"), col("c4_keep"))
+      .as[(Long, Boolean)].collect().toMap
+    val clf = Curation.qualityClassifier(docs, "doc_id", "text",
+        -2.0, 0.6, -6.0, 0.1, -4.0)
+      .select(col("doc_id"), col("keep"))
+      .as[(Long, Boolean)].collect().toMap
+    val rep = Curation.repetitionStats(docs, "doc_id", "text", 0.12, 0.05)
+      .select(col("doc_id"), col("rep_ok"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(ens.keySet === c4.keySet)
+    ens.foreach { case (id, (c4k, clfk, repk, keep)) =>
+      assert(c4k === c4(id) && clfk === clf(id)
+        && repk === rep.getOrElse(id, false)
+        && keep === (c4k && clfk && repk), s"doc $id flags diverge")
+    }
+  }
+
   test("bm25TopK plan: stats broadcast, corpus never shuffled, TakeOrdered selection") {
     val docs = sources.Tables.documents(spark, sfDir)
     val p = Curation.bm25TopK(docs, "doc_id", col("text"),

@@ -291,4 +291,63 @@ class MultimodalSpec extends SparkSpec {
     assert(m.forall(_._1.length === 64)) // sha-256 hex
     assert(m(0)._1 !== m(1)._1)
   }
+
+  // ---- video container metadata (REAL mp4 box parsing) ----
+
+  private def mp4Row(id: Long, durMs: Long, scale: Long,
+      handlers: Seq[String]): MediaRow =
+    MediaRow(id,
+      Multimodal.encodeMp4Skeleton(durMs, scale, handlers),
+      MediaMeta("video/mp4", 0, 0, durMs, "h264"))
+
+  test("videoMetadata parses brand, duration, timescale and track handlers from real boxes") {
+    implicit val s = spark
+    val ds = Seq(
+      mp4Row(1L, 90000L, 600L, Seq("vide", "soun")),
+      mp4Row(2L, 2500L, 1000L, Seq("vide")),
+      solidPng(3L, 8, 8, 0xff0000)).toDS() // non-video rows drop
+    val out = Multimodal.videoMetadata(ds).collect().sortBy(_.media_id)
+    assert(out.map(_.media_id).toSeq === Seq(1L, 2L))
+    val v1 = out(0)
+    assert(v1.ok && v1.major_brand === "isom" && v1.timescale === 600L)
+    assert(v1.duration_ms === 90000L)
+    assert(v1.n_tracks === 2 && v1.track_types === Seq("vide", "soun"))
+    assert(out(1).duration_ms === 2500L && out(1).track_types === Seq("vide"))
+  }
+
+  test("videoMetadata flags malformed containers instead of failing the task") {
+    implicit val s = spark
+    val junk = MediaRow(9L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9),
+      MediaMeta("video/mp4", 0, 0, 0L, "h264"))
+    val truncated = {
+      val good = Multimodal.encodeMp4Skeleton(1000L, 600L, Seq("vide"))
+      MediaRow(10L, good.take(good.length - 5),
+        MediaMeta("video/mp4", 0, 0, 0L, "h264"))
+    }
+    val out = Multimodal.videoMetadata(
+      Seq(junk, truncated, mp4Row(11L, 1000L, 600L, Seq("vide"))).toDS())
+      .collect().sortBy(_.media_id)
+    assert(!out(0).ok && out(0).error.nonEmpty)
+    assert(!out(1).ok && out(1).error.nonEmpty)
+    assert(out(2).ok)
+  }
+
+  test("mp4 skeleton roundtrips through the parser, incl. 64-bit largesize boxes") {
+    val p = Multimodal.encodeMp4Skeleton(3600000L, 90000L,
+      Seq("vide", "soun", "sbtl"))
+    val i = Multimodal.parseMp4(p)
+    assert(i.majorBrand === "isom" && i.durationMs === 3600000L)
+    assert(i.timescale === 90000L && i.nTracks === 3)
+    assert(i.trackTypes === Seq("vide", "soun", "sbtl"))
+    // rewrite the moov box with a 64-bit largesize header: same parse
+    val moovAt = p.indexOfSlice("moov".getBytes("ISO-8859-1")) - 4
+    val size32 = ((p(moovAt) & 0xff) << 24) | ((p(moovAt + 1) & 0xff) << 16) |
+      ((p(moovAt + 2) & 0xff) << 8) | (p(moovAt + 3) & 0xff)
+    val big = p.take(moovAt) ++
+      Array[Byte](0, 0, 0, 1) ++ "moov".getBytes("ISO-8859-1") ++
+      (56 to 0 by -8).map(sh => (((size32 + 8).toLong >> sh) & 0xff).toByte) ++
+      p.slice(moovAt + 8, p.length)
+    val i2 = Multimodal.parseMp4(big)
+    assert(i2.durationMs === i.durationMs && i2.trackTypes === i.trackTypes)
+  }
 }

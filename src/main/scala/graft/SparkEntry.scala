@@ -2318,7 +2318,7 @@ object SparkEntry {
        |              THEN least(($shareCase) * 1.0 * tot / avail, 4.0)
        |              ELSE 1.0 END AS epochs,
        |         (CAST($polyId % 1048576 AS DOUBLE) + 0.5) / 1048576.0 AS u
-       |  FROM b JOIN av USING (source) CROSS JOIN tt)
+       |  FROM b LEFT JOIN av USING (source) CROSS JOIN tt)
        |SELECT doc_id, source, round(epochs, 6) AS epochs,
        |       CAST(floor(epochs) +
        |            (CASE WHEN u < epochs - floor(epochs) THEN 1 ELSE 0 END)

@@ -365,6 +365,18 @@ object Curation {
     * deterministic under retries, zero sampling state, and the corpus
     * itself is never shuffled.
     */
+  /** The per-stratum literal lookup every sampler here shares: a
+    * when-chain over SORTED map entries (canonical branch order — the
+    * keys are disjoint, so sorting is output-inert but lets an
+    * oracle mirror the expression deterministically), falling through
+    * to `default` for unmapped (or NULL) strata. */
+  private def stratumLookup(stratumCol: Column,
+      values: Map[String, Double], default: Column): Column =
+    values.toSeq.sortBy(_._1).foldLeft(default) {
+      case (acc, (stratum, v)) =>
+        when(stratumCol === stratum, lit(v)).otherwise(acc)
+    }
+
   def mixtureSample(df: DataFrame, stratumCol: String, weight: Column,
       content: Column, targetShares: Map[String, Double],
       defaultRate: Double, buckets: Int = 10000): DataFrame = {
@@ -372,10 +384,8 @@ object Curation {
       s"defaultRate $defaultRate outside [0, 1]")
     targetShares.values.foreach(s =>
       require(s >= 0.0 && s <= 1.0, s"target share $s outside [0, 1]"))
-    val share = targetShares.foldLeft(lit(null).cast("double")) {
-      case (acc, (stratum, sh)) =>
-        when(col(stratumCol) === stratum, lit(sh)).otherwise(acc)
-    }
+    val share = stratumLookup(col(stratumCol), targetShares,
+      lit(null).cast("double"))
     val totals = df.groupBy(col(stratumCol))
       .agg(sum(weight).cast("double").as("__w"))
     val grand = totals.agg(sum(col("__w")).as("__wtot"))
@@ -761,10 +771,9 @@ object Curation {
       buckets: Int = 10000): DataFrame = {
     (rates.values ++ Seq(defaultRate)).foreach(r =>
       require(r >= 0.0 && r <= 1.0, s"sampling rate $r outside [0, 1]"))
-    val cut = rates.foldLeft(lit(defaultRate * buckets)) {
-      case (acc, (stratum, rate)) =>
-        when(col(stratumCol) === stratum, lit(rate * buckets)).otherwise(acc)
-    }
+    val cut = stratumLookup(col(stratumCol),
+      rates.map { case (k, v) => k -> v * buckets },
+      lit(defaultRate * buckets))
     df.withColumn("bucket", hashBucket(content, buckets))
       .filter(col("bucket") < cut)
   }
@@ -873,11 +882,8 @@ object Curation {
   def dsirSelect(docs: DataFrame, idCol: String, textCol: Column,
       isTarget: Column, nBuckets: Int, k: Int): DataFrame = {
     val scored = dsirWeights(docs, idCol, textCol, isTarget, nBuckets)
-    // u in (0,1) from the md5 id bucket (the [[hashBucket]] family —
-    // avalanched, so u is uniform even over sequential ids, which
-    // the poly-31 rolling hash's low bits are NOT); g ~ Gumbel(0,1)
-    val band = hashBucket(concat(lit("dsir:"), col(idCol).cast("string")), 1 << 20)
-    val u = (band.cast("double") + lit(0.5)) / lit(1048576.0)
+    // g ~ Gumbel(0,1) from the shared avalanched unit draw
+    val u = unitDraw("dsir:", col(idCol))
     val key = round(col("dsir_logweight") - log(-log(u)), 6)
     scored
       .withColumn("dsir_key", key)
@@ -1008,26 +1014,31 @@ object Curation {
       col(stratumCol).as("__s"), tokens.cast("double").as("__tok"))
     val avail = base.groupBy("__s").agg(sum(col("__tok")).as("__avail"))
     val tot = base.agg(sum(col("__tok")).as("__tot"))
-    // deterministic share lookup: sorted entries so the when-chain
-    // (and its oracle CASE mirror) has a canonical order
-    val share = targetShares.toSeq.sortBy(_._1)
-      .foldLeft(lit(null).cast("double")) { case (acc, (s, v)) =>
-        when(col("__s") === s, v).otherwise(acc)
-      }
+    val share = stratumLookup(col("__s"), targetShares,
+      lit(null).cast("double"))
     val epochs = when(share.isNotNull,
       least(share * lit(budgetFactor) * col("__tot") / col("__avail"),
         lit(maxEpochs))).otherwise(lit(defaultEpochs))
-    // md5 bucket, not the poly rolling hash: sequential ids need an
-    // avalanched draw or u clusters (see dsirSelect)
-    val u = (hashBucket(concat(lit("epoch:"), col("__id").cast("string")), 1 << 20)
-      .cast("double") + lit(0.5)) / lit(1048576.0)
+    val u = unitDraw("epoch:", col("__id"))
     val nCopies = (floor(epochs) +
       when(u < epochs - floor(epochs), 1L).otherwise(0L)).cast("int")
-    base.join(broadcast(avail), "__s")
+    // LEFT join: a NULL stratum has no avail row (null keys never
+    // join) but must still land on defaultEpochs, not silently drop
+    // from the recipe — the share lookup is null there, so __avail
+    // is never read
+    base.join(broadcast(avail), Seq("__s"), "left")
       .crossJoin(broadcast(tot))
       .select(col("__id").as(idCol), col("__s").as(stratumCol),
         round(epochs, 6).as("epochs"), nCopies.as("n_copies"))
   }
+
+  /** Deterministic unit-uniform draw in (0, 1) from an id — the md5
+    * bucket (AVALANCHED — the poly rolling hash's low bits cluster
+    * on sequential ids), shared by [[dsirSelect]] and
+    * [[epochsSample]] and mirrored by their SQL oracles. */
+  private def unitDraw(prefix: String, id: Column): Column =
+    (hashBucket(concat(lit(prefix), id.cast("string")), 1 << 20)
+      .cast("double") + lit(0.5)) / lit(1048576.0)
 
   /** BM25 (Robertson/Lucene form) relevance of every document to a
     * literal bag of query terms:

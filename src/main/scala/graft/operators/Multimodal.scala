@@ -313,22 +313,33 @@ object Multimodal {
           if (size < hdr || o + size > end)
             throw new IllegalArgumentException(
               s"malformed box '$typ' at $o (size $size)")
+          // leaf reads must stay INSIDE the box's declared size — a
+          // truncated leaf must flag, not silently read its sibling
+          def need(n: Int): Unit =
+            if (size < hdr + n)
+              throw new IllegalArgumentException(
+                s"truncated '$typ' box at $o (size $size < ${hdr + n})")
           typ match {
             case "ftyp" =>
+              need(4)
               brand = fourcc(o + hdr)
             case "moov" | "trak" | "mdia" =>
               if (typ == "trak") nTracks += 1
               walk(o + hdr, (o + size).toInt)
             case "mvhd" =>
+              need(1)
               val v = payload(o + hdr) & 0xff
               if (v == 1) {
+                need(32)
                 timescale = be32(o + hdr + 20)
                 duration = be64(o + hdr + 24)
               } else {
+                need(20)
                 timescale = be32(o + hdr + 12)
                 duration = be32(o + hdr + 16)
               }
             case "hdlr" =>
+              need(12)
               handlers += fourcc(o + hdr + 8)
             case _ => ()
           }
@@ -349,7 +360,12 @@ object Multimodal {
       * data, exactly like a faststart header fragment. */
     def encodeMp4Skeleton(durationMs: Long, timescale: Long,
         handlers: Seq[String]): Array[Byte] = {
-      require(timescale > 0 && handlers.forall(_.length == 4))
+      require(timescale > 0 && timescale <= 0xffffffffL &&
+        handlers.forall(_.length == 4))
+      require(durationMs >= 0 &&
+        durationMs <= (0xffffffffL * 1000L) / timescale,
+        s"duration $durationMs ms overflows the 32-bit mvhd v0 field " +
+          s"at timescale $timescale")
       def box(typ: String, body: Array[Byte]): Array[Byte] = {
         val out = new Array[Byte](8 + body.length)
         val size = out.length

@@ -79,7 +79,7 @@ object DsirStream {
     require(refreshEvery >= 1, s"refreshEvery must be >= 1, got $refreshEvery")
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[Doc], batchId: Long) =>
-        val scored = loop.ingest(batch.toDF(), col("target"))
+        val scored = loop.ingest(batchId, batch.toDF(), col("target"))
         try onBatch(scored)
         finally scored.unpersist(blocking = false)
         if ((batchId + 1) % refreshEvery == 0) loop.refresh()
@@ -93,25 +93,45 @@ object DsirStream {
   * control-plane refresh may run on different threads, and a lost
   * swap would silently drop landed counts. */
 final class DsirLoop(initial: DsirStream.DsirModel) {
-  import DsirStream.{DsirModel, merge, scoreBatch, train}
+  import DsirStream.{DsirModel, merge}
 
   @volatile private var model: DsirModel = initial
   private var pending: Option[DsirModel] = None
+  // replay ledger: foreachBatch is at-least-once, and a re-delivered
+  // batch must not fold its counts twice (the merge ≡ union-retrain
+  // invariant would silently break). 8 bytes per batch ever seen —
+  // the same role the idempotent index appends play structurally.
+  private val seen = scala.collection.mutable.Set.empty[Long]
 
   /** The current frozen generation. */
   def current: DsirModel = model
 
   /** Score one micro-batch against the FROZEN generation, then fold
-    * the batch's count delta for the next refresh. The scored frame
-    * is eagerly persisted — callers unpersist when consumed. */
-  def ingest(batch: DataFrame, isTarget: Column): DataFrame = synchronized {
-    val scored = scoreBatch(model, batch, "doc_id", col("text"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    scored.count() // materialize BEFORE the delta fold can swap state
-    val delta = train(batch, "doc_id", col("text"), isTarget, model.nBuckets)
-    pending = Some(pending.fold(delta)(merge(_, delta)))
-    scored
-  }
+    * the batch's count delta for the next refresh — UNLESS this
+    * batchId was already ingested (at-least-once replay): replays
+    * re-score (downstream consumes by batchId) but never re-fold.
+    * The batch is tokenized/bucketized ONCE, feeding both the
+    * scoring dot and the count delta. The scored frame is eagerly
+    * persisted — callers unpersist when consumed. */
+  def ingest(batchId: Long, batch: DataFrame, isTarget: Column): DataFrame =
+    synchronized {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val base = graft.operators.Curation.dsirBucketize(
+        batch, "doc_id", col("text"), isTarget, model.nBuckets).persist(lvl)
+      val scored = base.select(col("__id").as("doc_id"),
+          round(graft.operators.Curation.dsirDotCol(model.logRatios), 6)
+            .as("dsir_logweight"))
+        .persist(lvl)
+      scored.count() // materialize BEFORE the delta fold can swap state
+      if (!seen.contains(batchId)) {
+        val (ct, cr) = graft.operators.Curation.dsirCounts(base, model.nBuckets)
+        val delta = DsirModel(ct, cr)
+        pending = Some(pending.fold(delta)(merge(_, delta)))
+        seen += batchId
+      }
+      base.unpersist(blocking = false)
+      scored
+    }
 
   /** Swap in corpus ∪ landed — pure O(B) driver arithmetic, exact by
     * count additivity. No-op when nothing landed (replay-safe). */

@@ -123,6 +123,20 @@ class DsirBm25Spec extends SparkSpec {
       s"realized s0 tokens $realized far from the 600 target")
   }
 
+  test("epochsSample keeps NULL-stratum docs at defaultEpochs instead of dropping them") {
+    val docs = Seq(
+      (1L, "s0", "a b c d"), (2L, "s0", "a b c d"),
+      (3L, null.asInstanceOf[String], "a b c d"))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.epochsSample(docs, "source", "doc_id",
+        graft.functions.Text.tokenCount(col("text")),
+        targetShares = Map("s0" -> 0.5), budgetFactor = 1.0, maxEpochs = 4.0)
+      .as[(Long, Option[String], Double, Int)].collect()
+    assert(out.length === 3, s"NULL-stratum doc dropped: ${out.toSeq}")
+    val nullRow = out.find(_._1 == 3L).get
+    assert(nullRow._3 === 1.0 && nullRow._4 === 1)
+  }
+
   test("epochsSample draw is avalanched: u spreads over (0,1) on sequential ids") {
     // the poly-31 low bits cluster on sequential ids (span < 0.6 over
     // hundreds of ids); the md5 draw must cover the unit interval

@@ -50,12 +50,16 @@ class DsirStreamSpec extends SparkSpec {
     def probeScores = DsirStream.scoreBatch(loop.current, probe, "doc_id",
       col("text")).as[(Long, Double)].collect().toMap
     val before = probeScores
-    val scored = loop.ingest(rest, tgt)
+    val scored = loop.ingest(0L, rest, tgt)
     scored.unpersist(blocking = false)
     // landed but not refreshed: scores unchanged (frozen generation)
     assert(probeScores === before)
+    // at-least-once replay: the SAME batchId re-delivered must
+    // re-score but never re-fold its counts
+    loop.ingest(0L, rest, tgt).unpersist(blocking = false)
     loop.refresh()
-    // after refresh: exactly the model trained on the union
+    // after refresh: exactly the model trained on the union — a
+    // double-folded replay would double rest's counts here
     val union = DsirStream.train(docs, "doc_id", col("text"), tgt, B)
     assert(loop.current.ct.toSeq === union.ct.toSeq)
     assert(loop.current.cr.toSeq === union.cr.toSeq)

@@ -332,6 +332,28 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2).ok)
   }
 
+  test("parseMp4 flags a truncated leaf box instead of reading its sibling's bytes") {
+    // an mvhd cut to header-only followed by a trak: the old walker
+    // would read the trak's bytes as timescale/duration
+    val good = Multimodal.encodeMp4Skeleton(1000L, 600L, Seq("vide"))
+    val moovAt = good.indexOfSlice("moov".getBytes("ISO-8859-1")) - 4
+    val mvhdAt = good.indexOfSlice("mvhd".getBytes("ISO-8859-1")) - 4
+    // shrink mvhd's size to 8 (header only) and splice the rest of
+    // moov directly after it, fixing up the moov size
+    val mvhdSize = ((good(mvhdAt) & 0xff) << 24) | ((good(mvhdAt + 1) & 0xff) << 16) |
+      ((good(mvhdAt + 2) & 0xff) << 8) | (good(mvhdAt + 3) & 0xff)
+    val cut = good.take(mvhdAt) ++
+      Array[Byte](0, 0, 0, 8) ++ "mvhd".getBytes("ISO-8859-1") ++
+      good.slice(mvhdAt + mvhdSize, good.length)
+    val newMoovSize = (cut.length - moovAt)
+    cut(moovAt) = ((newMoovSize >> 24) & 0xff).toByte
+    cut(moovAt + 1) = ((newMoovSize >> 16) & 0xff).toByte
+    cut(moovAt + 2) = ((newMoovSize >> 8) & 0xff).toByte
+    cut(moovAt + 3) = (newMoovSize & 0xff).toByte
+    val e = intercept[IllegalArgumentException] { Multimodal.parseMp4(cut) }
+    assert(e.getMessage.contains("truncated"), e.getMessage)
+  }
+
   test("mp4 skeleton roundtrips through the parser, incl. 64-bit largesize boxes") {
     val p = Multimodal.encodeMp4Skeleton(3600000L, 90000L,
       Seq("vide", "soun", "sbtl"))

@@ -1036,6 +1036,14 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"), Text.langId(col("text")).as("predicted_lang"))),
 
+    // langid accuracy audit vs the generator's lang column: integer
+    // confusion counts per (true, predicted) pair — one
+    // map-side-combining agg over the in-row heuristic
+    "text_langid_eval" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), Text.langId(col("text")).as("predicted_lang"))
+        .groupBy("lang", "predicted_lang").agg(count(lit(1)).as("n"))),
+
     "text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"), Text.fingerprint(col("text")).as("fp"))),
@@ -2355,6 +2363,20 @@ object SparkEntry {
        |SELECT doc_id, rnk, bm25 FROM r WHERE rnk <= $k""".stripMargin
   }
 
+  /** text_langid oracle (also a CTE of the eval gate). */
+  private def langidOracleSql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+                  FROM documents)
+       SELECT doc_id,
+              CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS predicted_lang
+       FROM (SELECT doc_id, list_aggregate([
+               {'hits': len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','that','it'))), 'lang': 'en'},
+               {'hits': len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','zu'))), 'lang': 'de'},
+               {'hits': len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','un','es'))), 'lang': 'es'},
+               {'hits': len(list_filter(toks, t -> t IN ('le','la','et','les','des','est','un','dans'))), 'lang': 'fr'},
+               {'hits': len(list_filter(toks, t -> t IN ('的','是','了','在','和','有','我','不'))), 'lang': 'zh'}
+             ], 'max') AS best FROM t)"""
+
   /** quality_classifier oracle (also a CTE of the ensemble): feature
     * arithmetic mirrored term-by-term, keep thresholds the raw
     * logit. */
@@ -3341,18 +3363,17 @@ object SparkEntry {
     // argmax of per-language stopword hits; ties resolve to the
     // lexicographically greatest language in BOTH engines (struct max
     // compares hits, then lang)
-    "text_langid" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
-                    FROM documents)
-         SELECT doc_id,
-                CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS predicted_lang
-         FROM (SELECT doc_id, list_aggregate([
-                 {'hits': len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','that','it'))), 'lang': 'en'},
-                 {'hits': len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','zu'))), 'lang': 'de'},
-                 {'hits': len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','un','es'))), 'lang': 'es'},
-                 {'hits': len(list_filter(toks, t -> t IN ('le','la','et','les','des','est','un','dans'))), 'lang': 'fr'},
-                 {'hits': len(list_filter(toks, t -> t IN ('的','是','了','在','和','有','我','不'))), 'lang': 'zh'}
-               ], 'max') AS best FROM t)""",
+    "text_langid" -> langidOracleSql,
+
+    // the langid heuristic audited against the generator's lang
+    // column: integer confusion counts (the text-side ann_recall —
+    // at scale you monitor this on labeled slices and retune the
+    // stopword tables when accuracy sags)
+    "text_langid_eval" ->
+      s"""WITH pred AS ($langidOracleSql)
+         SELECT d.lang, pred.predicted_lang, count(*) AS n
+         FROM documents d JOIN pred ON d.doc_id = pred.doc_id
+         GROUP BY 1, 2""",
 
     "q15_event_windows" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,

@@ -402,6 +402,28 @@ object ScaleProbe {
       Curation.bm25TopK(docsN, "doc_id", col("text"),
         Seq("vector", "customer", "spark"), k = 20).count()
     }
+    // epochs: #strata-row agg + broadcast + stateless copy count
+    locally {
+      def withSrc(d: DataFrame) =
+        d.withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(20))))
+      val shares = Map("s0" -> 0.3, "s1" -> 0.2)
+      probe("sample_epochs") {
+        Curation.epochsSample(withSrc(docs1), "source", "doc_id",
+          Text.tokenCount(col("text")), shares, 1.0, 4.0).count()
+      } {
+        Curation.epochsSample(withSrc(docsN), "source", "doc_id",
+          Text.tokenCount(col("text")), shares, 1.0, 4.0).count()
+      }
+    }
+    // ensemble: one in-row flag projection + the repetition agg +
+    // a thin (id, booleans) join
+    probe("quality_ensemble") {
+      Curation.qualityEnsemble(docs1, "doc_id", "text",
+        10, 50000, 0, -2.0, 0.6, -6.0, 0.1, -4.0, 0.12, 0.05).count()
+    } {
+      Curation.qualityEnsemble(docsN, "doc_id", "text",
+        10, 50000, 0, -2.0, 0.6, -6.0, 0.1, -4.0, 0.12, 0.05).count()
+    }
     // standing-index probe: index build sits OUTSIDE the timer (it is
     // the amortized land-time cost); two claims measured — (a) a
     // FIXED batch against an N× corpus stays ~flat (the corpus is

@@ -69,6 +69,53 @@ object DsirStream {
       .select(col("__id").as(idCol),
         round(Curation.dsirDotCol(model.logRatios), 6).as("dsir_logweight"))
 
+  /** DSIR model-table stamp version — bumps when the bucket hash
+    * convention changes (a model written under another convention
+    * must hard-fail on load, not silently mis-score). */
+  private val dsirVersion = 1
+
+  /** Land the model as ONE tiny (b, ct, cr) table — durable-state
+    * contract (the lmWrite pattern): width + version stamped as
+    * table properties and validated both directions on load. The
+    * table is B rows; no bucketing needed (it rides the driver as
+    * literals at scoring time, never a join side). */
+  def dsirWrite(spark: org.apache.spark.sql.SparkSession,
+      model: DsirModel, table: String): Unit = {
+    import spark.implicits._
+    (0 until model.nBuckets)
+      .map(b => (b, model.ct(b), model.cr(b))).toDF("b", "ct", "cr")
+      .write.format("parquet").mode("overwrite").saveAsTable(table)
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+      s"'graft.dsir.version'='$dsirVersion', " +
+      s"'graft.dsir.nbuckets'='${model.nBuckets}')")
+  }
+
+  /** Reattach a durable DSIR model written by [[dsirWrite]]. A table
+    * without the stamps (or written under a different hash-convention
+    * version, or whose row set disagrees with the stamped width)
+    * throws. */
+  def dsirLoad(spark: org.apache.spark.sql.SparkSession,
+      table: String): DsirModel = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    Seq("version", "nbuckets").foreach { k =>
+      require(props.contains(s"graft.dsir.$k"),
+        s"table $table lacks graft.dsir.$k — not a dsirWrite table")
+    }
+    require(props("graft.dsir.version") == dsirVersion.toString,
+      s"table $table was written under DSIR hash convention " +
+        s"${props("graft.dsir.version")}, this session scores with $dsirVersion")
+    val b = props("graft.dsir.nbuckets").toInt
+    val rows = spark.table(table).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    require(rows.length == b && rows.map(_._1).sorted.sameElements(0 until b),
+      s"table $table rows disagree with the stamped width $b")
+    val ct = Array.fill(b)(0L)
+    val cr = Array.fill(b)(0L)
+    rows.foreach { case (i, c1, c2) => ct(i) = c1; cr(i) = c2 }
+    DsirModel(ct, cr)
+  }
+
   /** foreachBatch driver: score each micro-batch against the current
     * generation, fold its count delta, refresh every `refreshEvery`
     * batches AFTER scoring (a batch never influences its own
@@ -138,4 +185,19 @@ final class DsirLoop(initial: DsirStream.DsirModel) {
   def refresh(): Unit = synchronized {
     pending.foreach { p => model = merge(model, p); pending = None }
   }
+
+  /** Land the CURRENT generation (not the un-refreshed pending delta
+    * — checkpoint after refresh(), the LmLoop cadence) so a later
+    * session can [[DsirLoop.resume]]. */
+  def checkpointTo(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = synchronized {
+    DsirStream.dsirWrite(spark, model, table)
+  }
+}
+
+object DsirLoop {
+  /** Reattach a loop from a [[DsirStream.dsirWrite]] table. */
+  def resume(spark: org.apache.spark.sql.SparkSession,
+      table: String): DsirLoop =
+    new DsirLoop(DsirStream.dsirLoad(spark, table))
 }

@@ -69,6 +69,37 @@ class DsirStreamSpec extends SparkSpec {
     assert(loop.current eq gen)
   }
 
+  test("dsirWrite → dsirLoad roundtrips the model; guard directions throw") {
+    val tgt = col("lang") === "en"
+    val m = DsirStream.train(docs, "doc_id", col("text"), tgt, B)
+    dropTables("dsir_spec", "dsir_not_a_model")
+    try {
+      DsirStream.dsirWrite(spark, m, "dsir_spec")
+      val loaded = DsirStream.dsirLoad(spark, "dsir_spec")
+      assert(loaded.ct.toSeq === m.ct.toSeq && loaded.cr.toSeq === m.cr.toSeq)
+      // resumed loop scores identically
+      val loop = DsirLoop.resume(spark, "dsir_spec")
+      val probe = docs.limit(5)
+      val a = DsirStream.scoreBatch(loop.current, probe, "doc_id", col("text"))
+        .as[(Long, Double)].collect().toMap
+      val b = DsirStream.scoreBatch(m, probe, "doc_id", col("text"))
+        .as[(Long, Double)].collect().toMap
+      assert(a === b)
+      // guard: a non-dsirWrite table throws
+      spark.range(3).selectExpr("CAST(id AS INT) AS b", "id AS ct", "id AS cr")
+        .write.mode("overwrite").saveAsTable("dsir_not_a_model")
+      intercept[IllegalArgumentException] {
+        DsirStream.dsirLoad(spark, "dsir_not_a_model")
+      }
+      // guard: a stamped table whose rows disagree with the width
+      spark.sql("ALTER TABLE dsir_not_a_model SET TBLPROPERTIES (" +
+        "'graft.dsir.version'='1', 'graft.dsir.nbuckets'='32')")
+      intercept[IllegalArgumentException] {
+        DsirStream.dsirLoad(spark, "dsir_not_a_model")
+      }
+    } finally dropTables("dsir_spec", "dsir_not_a_model")
+  }
+
   test("streaming driver: batch N scores under a generation that saw batches < N only") {
     val corpus = ((1L to 10L).map(i => (i, "alpha beta gamma", true)) ++
       (11L to 20L).map(i => (i, "zeta eta theta", false)))

@@ -448,13 +448,16 @@ object SparkEntry {
           greatest(col("qid"), col("pid")).as("vec_b"))
       val cand = Dedup.embeddingPairsLsh(e, "vec_id", "embedding",
           dim = 64, bits = 4, tables = 8, seed = 42L, tau = 0.4)
-        .select("vec_a", "vec_b")
-      val hit = truth.join(cand, Seq("vec_a", "vec_b"), "left_semi")
-      val tCnt = truth.groupBy("qid").agg(count(lit(1)).as("n_true"))
-      val hCnt = hit.groupBy("qid").agg(count(lit(1)).as("n_hit"))
+        .select(col("vec_a"), col("vec_b"), lit(1L).as("__hit"))
+      // mark-join instead of a branched semi-join: the audit×corpus
+      // cosine pass runs ONCE (truth is unbranched lineage — a
+      // branch would re-scan and re-verify the corpus), the cand
+      // side is the operator's eagerly-persisted pair result
+      val cnt = truth.join(broadcast(cand), Seq("vec_a", "vec_b"), "left")
+        .groupBy("qid").agg(count(lit(1)).as("n_true"),
+          sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_hit"))
       audit.select(col("qid").as("vec_id"))
-        .join(tCnt.withColumnRenamed("qid", "vec_id"), Seq("vec_id"), "left")
-        .join(hCnt.withColumnRenamed("qid", "vec_id"), Seq("vec_id"), "left")
+        .join(cnt.withColumnRenamed("qid", "vec_id"), Seq("vec_id"), "left")
         .select(col("vec_id"), coalesce(col("n_true"), lit(0L)).as("n_true"),
           coalesce(col("n_hit"), lit(0L)).as("n_hit"))
     }),

@@ -78,8 +78,13 @@ object Bench {
     // the budget is spent on each entry's ACTUAL serialized length —
     // "key":value plus separator — so the line cannot creep past the
     // target no matter the value mix
+    // BigDecimal, not f"%.3f": the f interpolator is default-locale
+    // sensitive (a comma decimal separator would crash .toDouble and
+    // kill the whole bench before any artifact is written)
     val ms = results.map { case (k, v) =>
-      k -> (if (v < 0) v else f"$v%.3f".toDouble) }
+      k -> (if (v < 0) v
+            else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble) }
     val (fails, oks) = ms.partition(_._2 < 0)
     val compact = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     def entryCost(k: String, v: Double) = k.length + v.toString.length + 4

@@ -637,7 +637,7 @@ object Curation {
       round(size(filter(col("__b"), h => h === lit(b.toLong)))
         / col("__n").cast("double"), 4).as(s"x${b + 1}")
     }
-    bucketed.select(col("y") +: lit(1.0).as("x0") +: xs :+ col("__n"): _*)
+    bucketed.select(col("y") +: lit(1.0).as("x0") +: xs: _*)
   }
 
   /** Long-form sparse logistic trainer — the fastText SCALE shape of
@@ -651,11 +651,19 @@ object Curation {
     * bucket) plus a weight-sized outer join, with the corpus frame
     * scanned twice and never widened.
     *
-    * Same determinism discipline as the dense trainer: mean gradient
-    * (sum over present entries / N total docs — absent entries
-    * contribute zero to the sum but every doc counts in N) rounded
-    * `roundTo` dp at each iteration edge. Returns the final
-    * (bucket, w) frame, persisted — caller unpersists.
+    * Determinism is WEAKER than the dense trainer's, by design: the
+    * per-doc dot product is a distributed groupBy-sum whose FP
+    * accumulation order is partitioning-dependent, so a rounded
+    * gradient sitting exactly on a `roundTo` boundary can differ at
+    * the last ulp across cluster layouts. That is why the ORACLE
+    * GATES train on the dense fixed-expression-tree form and this
+    * long-form twin is spec-gated against it at tolerance, not
+    * hash-gated. N counts the docs PRESENT in the frame — emit a
+    * bias row (bucket 0, value 1) for every doc so documents whose
+    * other features are all implicit zeros still count in the
+    * gradient denominator (the dense trainer's x0 column plays this
+    * role). Returns the final (bucket, w) frame, persisted — caller
+    * unpersists.
     */
   def logisticTrainSparse(feats: DataFrame, idCol: String, labelCol: String,
       bucketCol: String, valueCol: String, iters: Int, lr: Double = 1.0,

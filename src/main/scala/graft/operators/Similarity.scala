@@ -171,8 +171,11 @@ object Similarity {
       .saveAsTable(table)
     // the quantizer travels with the table as a fingerprint (the
     // minhashIndexWrite param-stamping contract): stored cids are
-    // meaningless under any other centroid set
-    stampProps(corpus.sparkSession, table, "ivf", ivfProps(quantizer))
+    // meaningless under any other centroid set. The physical bucket
+    // count is stamped too, so compaction re-buckets to the ORIGINAL
+    // spec instead of its caller's default.
+    stampProps(corpus.sparkSession, table, "ivf",
+      ivfProps(quantizer) + ("buckets" -> buckets.toString))
   }
 
   /** CONTINUOUS INGESTION for the landed IVF index — the
@@ -255,63 +258,110 @@ object Similarity {
       .getOrElse(rows)
   }
 
+  /** In-JVM mutual exclusion for the three table mutators: the docs
+    * put remove on an immediate takedown feed and compact on its own
+    * cadence — different threads — and an interleaved
+    * read-modify-write of the tombstone sibling would silently lose
+    * a takedown (the ClusterStream synchronized-mutator contract,
+    * at the table layer). Cross-PROCESS writers remain the caller's
+    * single-writer contract (the RunManifest stance). */
+  private val indexMutationLock = new Object
+
   /** Idempotent bucketed insert shared by both ANN index families:
     * only ids not already stored land (replay-safe), and any
-    * tombstone covering an appended id clears (re-admission). */
+    * tombstone covering an appended id clears (re-admission). A
+    * resurrected id is served from its STORED row — if the incoming
+    * row differs (updated vector), the append REFUSES rather than
+    * silently serving the stale stored vector: compact first, then
+    * append the new row. */
   private def appendIndexRows(spark: org.apache.spark.sql.SparkSession,
-      table: String, rows: DataFrame, buckets: Int): Unit = {
-    rows.dropDuplicates("neighbor_id")
-      .join(spark.table(table).select("neighbor_id"),
-        Seq("neighbor_id"), "left_anti")
-      .write.format("parquet").mode("append")
-      .bucketBy(buckets, "cid").sortBy("cid").saveAsTable(table)
-    indexTombstones(spark, table).foreach { t =>
-      val ids = rows.select("neighbor_id").distinct()
-      if (!t.join(ids, Seq("neighbor_id"), "left_semi").isEmpty) {
-        // tombstones are takedown-sized: the rewrite is tiny, and the
-        // localCheckpoint breaks lineage to the table being replaced
-        val kept = t.join(ids, Seq("neighbor_id"), "left_anti")
-          .localCheckpoint(true)
-        kept.write.format("parquet").mode("overwrite")
-          .saveAsTable(tombTable(table))
+      table: String, rows: DataFrame, buckets: Int): Unit =
+    indexMutationLock.synchronized {
+      rows.dropDuplicates("neighbor_id")
+        .join(spark.table(table).select("neighbor_id"),
+          Seq("neighbor_id"), "left_anti")
+        .write.format("parquet").mode("append")
+        .bucketBy(buckets, "cid").sortBy("cid").saveAsTable(table)
+      indexTombstones(spark, table).foreach { t =>
+        val ids = rows.select("neighbor_id").distinct()
+        val resurrected = t.join(ids, Seq("neighbor_id"), "left_semi")
+        if (!resurrected.isEmpty) {
+          // takedown-sized: compare each resurrected id's incoming row
+          // to its stored row (full-row hash) before clearing
+          val cols = rows.columns.sorted.map(col(_))
+          def rowHash(df: DataFrame, name: String) =
+            df.join(resurrected, Seq("neighbor_id"), "left_semi")
+              .select(col("neighbor_id"), hash(cols: _*).as(name))
+          val conflicts = rowHash(rows.dropDuplicates("neighbor_id"), "__hi")
+            .join(rowHash(spark.table(table), "__hs"), "neighbor_id")
+            .filter(col("__hi") =!= col("__hs"))
+          require(conflicts.isEmpty,
+            s"re-append of removed id(s) with a row differing from the " +
+              s"stored one (stale vector would be served): compact " +
+              s"$table first, then append")
+          // the localCheckpoint breaks lineage to the table being replaced
+          val kept = t.join(ids, Seq("neighbor_id"), "left_anti")
+            .localCheckpoint(true)
+          kept.write.format("parquet").mode("overwrite")
+            .saveAsTable(tombTable(table))
+        }
       }
     }
-  }
 
   private def removeIndexIds(spark: org.apache.spark.sql.SparkSession,
-      table: String, ids: DataFrame, idCol: String): Unit = {
-    val idType = spark.table(table).schema("neighbor_id").dataType
-    val del = ids.select(col(idCol).cast(idType).as("neighbor_id")).distinct()
-    // only ids actually stored (unknown ids no-op), minus ids already
-    // tombstoned (re-removal no-op) — the sibling stays duplicate-free
-    val present = del.join(spark.table(table), Seq("neighbor_id"), "left_semi")
-    indexTombstones(spark, table)
-      .map(t => present.join(t, Seq("neighbor_id"), "left_anti"))
-      .getOrElse(present)
-      .write.format("parquet").mode("append").saveAsTable(tombTable(table))
-  }
+      table: String, ids: DataFrame, idCol: String): Unit =
+    indexMutationLock.synchronized {
+      val idType = spark.table(table).schema("neighbor_id").dataType
+      val del = ids.select(col(idCol).cast(idType).as("neighbor_id")).distinct()
+      // only ids actually stored (unknown ids no-op), minus ids already
+      // tombstoned (re-removal no-op) — the sibling stays duplicate-free
+      val present = del.join(spark.table(table), Seq("neighbor_id"), "left_semi")
+      indexTombstones(spark, table)
+        .map(t => present.join(t, Seq("neighbor_id"), "left_anti"))
+        .getOrElse(present)
+        .write.format("parquet").mode("append").saveAsTable(tombTable(table))
+    }
 
   private def compactIndexTable(spark: org.apache.spark.sql.SparkSession,
-      table: String, buckets: Int): Unit =
+      table: String, buckets: Int): Unit = indexMutationLock.synchronized {
     indexTombstones(spark, table).foreach { tombs =>
       def esc(v: String) = v.replace("\\", "\\\\").replace("'", "\\'")
       val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
         .map(r => r.getString(0) -> r.getString(1)).toMap
         .filter(_._1.startsWith("graft."))
-      // rewrite into a sibling then swap-by-rename: Spark cannot
-      // overwrite a table from a plan that reads it, and the rename
-      // keeps the swap a metadata operation (one physical pass total)
-      val tmp = s"${table}__compacting"
-      spark.sql(s"DROP TABLE IF EXISTS $tmp")
-      spark.table(table).join(tombs, Seq("neighbor_id"), "left_anti")
-        .write.format("parquet").mode("overwrite")
-        .bucketBy(buckets, "cid").sortBy("cid").saveAsTable(tmp)
-      val kv = props.map { case (k, v) => s"'${esc(k)}'='${esc(v)}'" }.mkString(", ")
-      if (kv.nonEmpty) spark.sql(s"ALTER TABLE $tmp SET TBLPROPERTIES ($kv)")
-      spark.sql(s"DROP TABLE IF EXISTS ${tombTable(table)}")
-      spark.sql(s"DROP TABLE $table")
-      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      if (tombs.isEmpty) {
+        // nothing pending (e.g. every takedown was re-admitted):
+        // drop the empty sibling, skip the corpus-sized rewrite
+        spark.sql(s"DROP TABLE IF EXISTS ${tombTable(table)}")
+      } else {
+        // re-bucket to the ORIGINAL stamped spec, not this caller's
+        // default — a silent re-bucketing would break later appends
+        val physBuckets = props.collectFirst {
+          case (k, v) if k.endsWith(".buckets") => v.toInt
+        }.getOrElse(buckets)
+        // rewrite into a sibling then swap-by-rename: Spark cannot
+        // overwrite a table from a plan that reads it, and the rename
+        // keeps the swap a metadata operation (one physical pass total)
+        val tmp = s"${table}__compacting"
+        spark.sql(s"DROP TABLE IF EXISTS $tmp")
+        spark.table(table).join(tombs, Seq("neighbor_id"), "left_anti")
+          .write.format("parquet").mode("overwrite")
+          .bucketBy(physBuckets, "cid").sortBy("cid").saveAsTable(tmp)
+        val kv = props.map { case (k, v) => s"'${esc(k)}'='${esc(v)}'" }.mkString(", ")
+        if (kv.nonEmpty) spark.sql(s"ALTER TABLE $tmp SET TBLPROPERTIES ($kv)")
+        // swap order keeps every crash window recoverable: rename the
+        // live table ASIDE, rename the rewrite IN, only then drop the
+        // old rows and the folded tombstones (dropping tombstones
+        // FIRST would lose takedowns on a crash before the swap)
+        val old = s"${table}__precompact"
+        spark.sql(s"DROP TABLE IF EXISTS $old")
+        spark.sql(s"ALTER TABLE $table RENAME TO $old")
+        spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+        spark.sql(s"DROP TABLE $old")
+        spark.sql(s"DROP TABLE IF EXISTS ${tombTable(table)}")
+      }
     }
+  }
 
   private def requireProps(spark: org.apache.spark.sql.SparkSession,
       table: String, family: String, expected: Map[String, String]): Unit = {
@@ -761,7 +811,8 @@ object Similarity {
       .write.format("parquet").mode("overwrite")
       .bucketBy(buckets, "cid").sortBy("cid")
       .saveAsTable(table)
-    stampProps(corpus.sparkSession, table, "ivfpq", ivfPqProps(quantizer, codebook, m, kCent))
+    stampProps(corpus.sparkSession, table, "ivfpq",
+      ivfPqProps(quantizer, codebook, m, kCent) + ("buckets" -> buckets.toString))
   }
 
   /** [[ivfIndexAppend]] for the IVF-PQ family: batch-only assignment

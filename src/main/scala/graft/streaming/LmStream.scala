@@ -191,7 +191,7 @@ object LmStream {
     require(refreshEvery >= 1, s"refreshEvery must be >= 1, got $refreshEvery")
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[Doc], batchId: Long) =>
-        val scored = loop.ingest(batch.toDF())
+        val scored = loop.ingest(batchId, batch.toDF())
         try onBatch(scored)
         finally scored.unpersist(blocking = false)
         if ((batchId + 1) % refreshEvery == 0) loop.refresh()
@@ -227,6 +227,12 @@ final class LmLoop(initial: LmStream.LmModel, lambda: Double) {
 
   @volatile private var model: LmModel = initial
   private var landed: List[DataFrame] = Nil
+  // replay ledger: foreachBatch is at-least-once, and a re-delivered
+  // batch must not land twice — mergeLm is exact-additive, so a
+  // double-landed batch would double its n-gram counts in the
+  // standing model FOREVER. 8 bytes per batch ever seen (the
+  // DsirLoop / idempotent-index-append contract).
+  private val seen = scala.collection.mutable.Set.empty[Long]
 
   /** The current frozen generation (read-only view; lifecycle owned
     * by this loop — [[release]]). */
@@ -236,17 +242,22 @@ final class LmLoop(initial: LmStream.LmModel, lambda: Double) {
   def pendingBatches: Int = synchronized { landed.size }
 
   /** Score one micro-batch against the FROZEN current generation and
-    * land it for the next refresh. The scored frame is eagerly
-    * persisted (the pair-operator caching contract) — callers
-    * unpersist when consumed. */
-  def ingest(batch: DataFrame): DataFrame = synchronized {
+    * land it for the next refresh — UNLESS this batchId was already
+    * ingested (at-least-once replay): replays re-score (downstream
+    * consumes by batchId) but never re-land. The scored frame is
+    * eagerly persisted (the pair-operator caching contract) —
+    * callers unpersist when consumed. */
+  def ingest(batchId: Long, batch: DataFrame): DataFrame = synchronized {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val b = batch.select(col("doc_id"), col("text")).persist(lvl)
     b.count() // land eagerly: foreachBatch frames die with the batch
-    landed = b :: landed
     val scored = scoreBatch(model, b, "doc_id",
       graft.functions.Text.tokens(col("text")), lambda).persist(lvl)
     scored.count()
+    if (!seen.contains(batchId)) {
+      landed = b :: landed
+      seen += batchId
+    } else b.unpersist(blocking = false) // replay: nothing to land
     scored
   }
 

@@ -729,7 +729,7 @@ object ScaleProbe {
         col("doc_id") < 10000000L)
       def refreshTime(corpus: DataFrame): Double = {
         val loop = new LmLoop(LmStream.trainLm(corpus, "doc_id", toks), 0.9)
-        val scored = loop.ingest(batchFix)
+        val scored = loop.ingest(0L, batchFix)
         scored.unpersist(blocking = false)
         val t0 = System.nanoTime()
         loop.refresh()

@@ -204,12 +204,17 @@ class DurableStateSpec extends SparkSpec {
       maxDf = Dedup.CapPolicy.Off)
     def universe(i: Dedup.SubstringIndex) =
       i.hashes.as[(Long, Long, Long)].collect().toSet
-    assert(universe(removed) === universe(direct))
+    // snapshot BEFORE handing `removed` to the next remove — the
+    // mutators unpersist their input's frames (ownership transfer),
+    // and collecting a released localCheckpoint'd frame is a
+    // use-after-free race
+    val uRemoved = universe(removed)
+    assert(uRemoved === universe(direct))
     direct.release()
     // unknown ids: no-op
     val again = Dedup.substringIndexRemove(removed,
       Seq(999999990L).toDF("doc_id"), "doc_id")
-    assert(universe(again) === universe(removed))
+    assert(universe(again) === uRemoved)
     // re-admit restores the full universe
     val readmitted = Dedup.substringIndexAppend(again, victims, "doc_id", "text")
     val full = Dedup.substringIndex(docs, "doc_id", "text", k = 20,

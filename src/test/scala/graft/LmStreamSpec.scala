@@ -114,12 +114,17 @@ class LmStreamSpec extends SparkSpec {
       loop.refresh()
       assert(loop.current eq gen0, "empty refresh must not swap generations")
 
-      val scored = loop.ingest(batch)
+      val scored = loop.ingest(0L, batch)
       assert(scored.count() > 0); scored.unpersist()
       assert(loop.pendingBatches === 1)
       // FROZEN: landing a batch must not move any probe score
       assert(scoresOf(loop.current, probe) === before,
         "scores drifted before refresh — the generation leaked")
+      // at-least-once replay: the SAME batchId re-delivered must not
+      // land twice (a double-land would double its n-gram counts in
+      // the refreshed model forever)
+      loop.ingest(0L, batch).unpersist()
+      assert(loop.pendingBatches === 1, "replayed batch landed twice")
 
       loop.refresh()
       assert(loop.pendingBatches === 0)

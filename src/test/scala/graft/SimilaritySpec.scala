@@ -332,6 +332,25 @@ class SimilaritySpec extends SparkSpec {
       assert(probeSet("ivf_lc") === fullSet)
       assert(spark.table("ivf_lc").count() === nRows)
       assert(spark.table("ivf_lc__tombstones").count() === 0)
+      // compact with an EMPTY tombstone sibling: no-op beyond
+      // dropping the sibling — no corpus rewrite, rows untouched
+      Similarity.ivfIndexCompact(spark, "ivf_lc")
+      assert(spark.table("ivf_lc").count() === nRows)
+      assert(!spark.catalog.tableExists("ivf_lc__tombstones"))
+      assert(probeSet("ivf_lc") === fullSet)
+      // STALE-VECTOR GUARD: a removed id re-appended with a DIFFERENT
+      // vector must refuse — the stored (stale) row would be served,
+      // not the new one; compact-then-append is the documented path
+      Similarity.ivfIndexRemove(spark, "ivf_lc", victims, "vec_id")
+      val mutated = all.join(victims, Seq("vec_id"), "left_semi")
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(1.0f)))
+      intercept[IllegalArgumentException] {
+        Similarity.ivfIndexAppend(spark, "ivf_lc", mutated,
+          "vec_id", "embedding", q)
+      }
+      // the refused append left the takedown in force
+      assert(probeSet("ivf_lc") === withoutSet)
       // compact: physical delete, probe-invariant, sibling dropped
       Similarity.ivfIndexRemove(spark, "ivf_lc", victims, "vec_id")
       Similarity.ivfIndexCompact(spark, "ivf_lc")

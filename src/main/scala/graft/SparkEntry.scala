@@ -946,6 +946,26 @@ object SparkEntry {
           concat_ws("|", col("subwords")).as("subwords"))
     }),
 
+    // tokenizer EVALUATION: corpus-level fertility (subwords/word)
+    // and compression (chars/subword) of the trained BPE — the
+    // quality readout a tokenizer deployment monitors (a fertility
+    // regression means the vocab no longer fits the corpus); one
+    // aggregate over the same train→apply pipeline the encode gate
+    // replays
+    "text_bpe_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.operators.Bpe.train(docs, "text", nMerges = 3)
+      graft.operators.Bpe.encodeWords(docs, "doc_id", "text", model)
+        .agg(count(lit(1)).as("n_words"),
+          sum(size(col("subwords"))).as("n_subwords"),
+          sum(length(col("word"))).as("n_chars"))
+        .select(col("n_words"), col("n_subwords"), col("n_chars"),
+          round(col("n_subwords") / col("n_words").cast("double"), 4)
+            .as("fertility"),
+          round(col("n_chars") / col("n_subwords").cast("double"), 4)
+            .as("chars_per_subword"))
+    }),
+
     // quality-classifier TRAINING, hash-gated end to end: 3 unrolled
     // gradient-descent iterations over exact/4dp-rounded text features
     // with a deterministic label (lang = 'en'); the mean gradient is
@@ -2025,6 +2045,24 @@ object SparkEntry {
        FROM dw d JOIN v3 v ON d.word = v.w
        WHERE d.word <> ''"""
 
+  /** text_bpe_eval oracle: the encode pipeline's per-occurrence
+    * splits aggregated to corpus fertility/compression. */
+  private def bpeEvalOracleSql: String =
+    s"""${bpeWithPrefix(3)},
+       dw AS (
+         SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+         FROM documents),
+       j AS (
+         SELECT len(v.syms) AS ns, length(d.word) AS nc
+         FROM dw d JOIN v3 v ON d.word = v.w
+         WHERE d.word <> '')
+       SELECT count(*) AS n_words,
+              CAST(sum(ns) AS BIGINT) AS n_subwords,
+              CAST(sum(nc) AS BIGINT) AS n_chars,
+              round(sum(ns) / CAST(count(*) AS DOUBLE), 4) AS fertility,
+              round(sum(nc) / CAST(sum(ns) AS DOUBLE), 4) AS chars_per_subword
+       FROM j"""
+
   /** quality_classifier_train oracle: 3 unrolled GD iterations — the
     * same feature derivation (exact rationals + 4dp rounds), σ from
     * the previous round's accumulated weights, mean gradient rounded
@@ -2525,6 +2563,7 @@ object SparkEntry {
     "quality_ngram_eval" -> ngramEvalOracleSql,
     "text_bpe" -> bpeOracleSql,
     "text_bpe_encode" -> bpeEncodeOracleSql,
+    "text_bpe_eval" -> bpeEvalOracleSql,
     "quality_classifier_train" -> logregOracleSql,
     "quality_classifier_eval" -> logregEvalOracleSql,
     "approx_distinct" -> hllOracleSql,

@@ -1164,6 +1164,24 @@ object SparkEntry {
       Curation.shardAssign(t(s, dir, "documents"), "doc_id", col("text"), nShards = 8)
         .select(col("doc_id"), col("shard"), col("pos"))),
 
+    // shard BALANCE readout: per-shard doc/token loads plus each
+    // shard's share of corpus tokens — the skew monitor a sharded
+    // training-data writer runs before shipping (hash sharding keeps
+    // shares near 1/n; a hot shard means a content-hash pathology)
+    "sample_shards_eval" -> ((s, dir) => {
+      val sharded = Curation.shardAssign(t(s, dir, "documents"),
+        "doc_id", col("text"), nShards = 8)
+      val perShard = sharded.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(Text.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      perShard
+        .crossJoin(broadcast(perShard.agg(
+          sum(col("n_tokens")).as("__tot"))))
+        .select(col("shard"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens") / col("__tot").cast("double"), 4)
+            .as("token_share"))
+    }),
+
     // trailing 1-hour moving average per user — VALUE-bound window
     // frame (rangeBetween on truncated epoch seconds, mirrored in the
     // oracle), not a row-count frame
@@ -3592,6 +3610,19 @@ object SparkEntry {
                   PARTITION BY CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 8
                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS pos
          FROM documents""",
+
+    "sample_shards_eval" ->
+      """WITH s AS (
+           SELECT CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 8 AS shard,
+                  len(string_split_regex(trim(text), '\s+')) AS tok
+           FROM documents),
+         p AS (SELECT shard, count(*) AS n_docs,
+                      CAST(sum(tok) AS BIGINT) AS n_tokens
+               FROM s GROUP BY 1),
+         t AS (SELECT sum(n_tokens) AS tot FROM p)
+         SELECT shard, n_docs, n_tokens,
+                round(n_tokens / CAST(tot AS DOUBLE), 4) AS token_share
+         FROM p CROSS JOIN t""",
 
     "q16_sessionize" ->
       """WITH g AS (

@@ -825,6 +825,20 @@ object SparkEntry {
       Curation.packSequences(t(s, dir, "documents"), "source", "doc_id",
         Text.tokenCount(col("text")), budget = 2048)),
 
+    // packing EFFICIENCY readout: per-source pack count, token load
+    // and fill fraction vs the 2048 budget — the waste monitor of
+    // the sequence writer (fill well under 1 means the budget or the
+    // doc-length mix needs retuning)
+    "pack_eval" -> ((s, dir) =>
+      Curation.packSequences(t(s, dir, "documents"), "source", "doc_id",
+          Text.tokenCount(col("text")), budget = 2048)
+        .groupBy(col("source"))
+        .agg(countDistinct(col("pack_id")).as("n_packs"),
+          sum(col("n_tokens").cast("long")).as("n_tokens"))
+        .select(col("source"), col("n_packs"), col("n_tokens"),
+          round(col("n_tokens") / (col("n_packs") * lit(2048.0)), 4)
+            .as("fill"))),
+
     // PII-style scrub: emails then number runs → typed placeholders;
     // output is counts + a fingerprint of the redacted text
     "text_redact" -> ((s, dir) =>
@@ -3324,6 +3338,22 @@ object SparkEntry {
                         ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048.0) AS BIGINT)
                   AS pack_id
          FROM t""",
+
+    "pack_eval" ->
+      """WITH t AS (SELECT source, doc_id,
+                CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens
+         FROM documents),
+         packed AS (
+           SELECT source, n_tokens,
+                  CAST(floor((sum(n_tokens) OVER (
+                          PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048.0) AS BIGINT)
+                    AS pack_id
+           FROM t)
+         SELECT source, count(DISTINCT pack_id) AS n_packs,
+                CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                round(sum(n_tokens) / (count(DISTINCT pack_id) * 2048.0), 4) AS fill
+         FROM packed GROUP BY 1""",
 
     "text_redact" ->
       """SELECT doc_id,

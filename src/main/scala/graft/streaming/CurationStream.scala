@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.{Curation, Dedup}
+
+/** The END-TO-END continuous curation pipeline: every micro-batch
+  * runs the same gauntlet a batch corpus build runs — exact-dup
+  * probe against the standing corpus (batch hashes broadcast, the
+  * corpus never shuffled), then the composite quality gate (C4 ∧
+  * classifier ∧ repetition, each flag kept for attribution) — and
+  * only survivors land. This is the composition a production ingest
+  * actually deploys; each stage already exists and is gated
+  * individually (dedup_incremental, quality_ensemble), so the spec
+  * burden here is exactly one claim: streamed batches compose to the
+  * batch pipeline on their union.
+  *
+  * Survivor rows carry the full decision record (dup_of + the three
+  * quality flags + keep), so the downstream sink doubles as the
+  * filter-attribution ledger. Batch independence: each batch is
+  * judged against the FROZEN corpus plus nothing — cross-batch
+  * duplicates are the standing-index loops' job (stream_dedup_probe
+  * / the cluster loops); this driver is the stateless-per-batch
+  * gauntlet that composes with them.
+  */
+object CurationStream {
+
+  case class Doc(doc_id: Long, text: String)
+
+  /** One micro-batch through the gauntlet (also the batch-parity
+    * reference when handed the whole stream at once). Returns the
+    * decision frame: (doc_id, dup_of nullable, c4_keep, clf_keep,
+    * rep_ok, keep) — keep ⇔ not a duplicate AND every gate passed. */
+  def curateBatch(corpus: DataFrame, batch: DataFrame,
+      minWords: Int = 10, maxWords: Int = 50000, minSentences: Int = 0,
+      bias: Double = -2.0, wLogTokens: Double = 0.6, wStopDev: Double = -6.0,
+      wTokenLen: Double = 0.1, wPunct: Double = -4.0,
+      maxTopTokenRatio: Double = 0.12,
+      maxDupTrigramRatio: Double = 0.05): DataFrame = {
+    val dups = Dedup.exactIncremental(corpus, batch, "doc_id", "text")
+    val flags = Curation.qualityEnsemble(batch, "doc_id", "text",
+      minWords, maxWords, minSentences, bias, wLogTokens, wStopDev,
+      wTokenLen, wPunct, maxTopTokenRatio, maxDupTrigramRatio)
+    dups.join(flags, "doc_id")
+      .select(col("doc_id"), col("dup_of"),
+        col("c4_keep"), col("clf_keep"), col("rep_ok"),
+        (col("dup_of").isNull && col("keep")).as("keep"))
+  }
+
+  /** foreachBatch driver: run each micro-batch through
+    * [[curateBatch]] against the frozen corpus and hand the decision
+    * frame to the sink callback. The corpus hash index is built ONCE
+    * (persisted, 16 bytes/doc) — micro-batches broadcast their own
+    * hashes into it, so per-batch cost ∝ batch. */
+  def curateQuery(stream: Dataset[Doc], corpus: DataFrame)(
+      onBatch: DataFrame => Unit): StreamingQuery = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val corpusHashes = corpus
+      .select(col("doc_id"), col("text")).persist(lvl)
+    corpusHashes.count()
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[Doc], _: Long) =>
+        val decided = curateBatch(corpusHashes, batch.toDF()).persist(lvl)
+        decided.count()
+        try onBatch(decided)
+        finally decided.unpersist(blocking = false)
+      }
+      .start()
+  }
+}

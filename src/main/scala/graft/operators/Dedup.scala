@@ -458,10 +458,19 @@ object Dedup {
     * is never shuffled; only matching rows (∝ batch) reach the
     * min-id aggregate. */
   def exactIncremental(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    exactIncrementalHashed(
+      corpus.select(col(idCol).as("__cid"), md5(col(textCol)).as("__h")),
+      batch, idCol, textCol)
+
+  /** [[exactIncremental]] against a PRE-HASHED corpus frame
+    * (__cid, __h) — the standing-index form: a long-lived ingest
+    * loop computes (and persists) the 16-byte-per-doc hash index
+    * once, instead of re-hashing corpus text every micro-batch. */
+  def exactIncrementalHashed(corpusHashes: DataFrame, batch: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     val bh = batch.select(col(idCol).as("doc_id"), md5(col(textCol)).as("__h"))
-    val matches = corpus
-      .select(col(idCol).as("__cid"), md5(col(textCol)).as("__h"))
+    val matches = corpusHashes
       .join(broadcast(bh.select("__h").distinct()), "__h")
       .groupBy("__h").agg(min("__cid").as("dup_of"))
     bh.join(broadcast(matches), Seq("__h"), "left")

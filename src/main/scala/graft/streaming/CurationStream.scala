@@ -38,8 +38,16 @@ object CurationStream {
       bias: Double = -2.0, wLogTokens: Double = 0.6, wStopDev: Double = -6.0,
       wTokenLen: Double = 0.1, wPunct: Double = -4.0,
       maxTopTokenRatio: Double = 0.12,
-      maxDupTrigramRatio: Double = 0.05): DataFrame = {
-    val dups = Dedup.exactIncremental(corpus, batch, "doc_id", "text")
+      maxDupTrigramRatio: Double = 0.05): DataFrame =
+    decide(Dedup.exactIncremental(corpus, batch, "doc_id", "text"),
+      batch, minWords, maxWords, minSentences, bias, wLogTokens,
+      wStopDev, wTokenLen, wPunct, maxTopTokenRatio, maxDupTrigramRatio)
+
+  private def decide(dups: DataFrame, batch: DataFrame,
+      minWords: Int, maxWords: Int, minSentences: Int,
+      bias: Double, wLogTokens: Double, wStopDev: Double,
+      wTokenLen: Double, wPunct: Double,
+      maxTopTokenRatio: Double, maxDupTrigramRatio: Double): DataFrame = {
     val flags = Curation.qualityEnsemble(batch, "doc_id", "text",
       minWords, maxWords, minSentences, bias, wLogTokens, wStopDev,
       wTokenLen, wPunct, maxTopTokenRatio, maxDupTrigramRatio)
@@ -49,20 +57,26 @@ object CurationStream {
         (col("dup_of").isNull && col("keep")).as("keep"))
   }
 
-  /** foreachBatch driver: run each micro-batch through
-    * [[curateBatch]] against the frozen corpus and hand the decision
-    * frame to the sink callback. The corpus hash index is built ONCE
-    * (persisted, 16 bytes/doc) — micro-batches broadcast their own
-    * hashes into it, so per-batch cost ∝ batch. */
+  /** foreachBatch driver: run each micro-batch through the gauntlet
+    * against the frozen corpus and hand the decision frame to the
+    * sink callback. The corpus HASH index is built and persisted
+    * ONCE (16 bytes/doc — corpus text is never re-hashed per batch);
+    * micro-batches broadcast their own hashes into it, so per-batch
+    * cost ∝ batch. */
   def curateQuery(stream: Dataset[Doc], corpus: DataFrame)(
       onBatch: DataFrame => Unit): StreamingQuery = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val corpusHashes = corpus
-      .select(col("doc_id"), col("text")).persist(lvl)
+      .select(col("doc_id").as("__cid"), md5(col("text")).as("__h"))
+      .persist(lvl)
     corpusHashes.count()
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[Doc], _: Long) =>
-        val decided = curateBatch(corpusHashes, batch.toDF()).persist(lvl)
+        val b = batch.toDF()
+        val decided = decide(
+          Dedup.exactIncrementalHashed(corpusHashes, b, "doc_id", "text"),
+          b, 10, 50000, 0, -2.0, 0.6, -6.0, 0.1, -4.0, 0.12, 0.05)
+          .persist(lvl)
         decided.count()
         try onBatch(decided)
         finally decided.unpersist(blocking = false)

@@ -717,6 +717,17 @@ object SparkEntry {
         docs.filter(!isBench), docs.filter(isBench), "doc_id", "text", k = 5)
     }),
 
+    // the INVERSE decon view: per benchmark doc, how much of it
+    // leaked (distinct shingles + corpus docs carrying them,
+    // zero-leak bench docs kept) — the compromised-eval report an
+    // eval owner reads before trusting a score
+    "decon_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isBench = col("source").isin("src0", "src1")
+      Curation.contaminationReport(
+        docs.filter(!isBench), docs.filter(isBench), "doc_id", "text", k = 5)
+    }),
+
     // Bloom-filter decontamination: benchmark compresses to a 512 KB
     // broadcast bit array; every corpus doc probed in-row (native
     // BloomAgg/BloomContainsAny) — the corpus is NEVER shuffled.
@@ -3096,6 +3107,30 @@ object SparkEntry {
                 count(DISTINCT b.doc_id) AS n_bench_docs
          FROM corpus c JOIN bench b ON c.s = b.s
          GROUP BY 1""",
+
+    // the same shingle universes aggregated per BENCH doc, zero-leak
+    // docs kept via the LEFT JOIN
+    "decon_report" ->
+      """WITH toks AS (
+           SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, source,
+                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS s
+           FROM toks, unnest(generate_series(1, len(t) - 4)) AS u(i)),
+         bench AS (SELECT s, doc_id FROM sh WHERE source IN ('src0', 'src1')),
+         corpus AS (SELECT doc_id, s FROM sh WHERE source NOT IN ('src0', 'src1')),
+         hits AS (
+           SELECT b.doc_id AS bench_id,
+                  count(DISTINCT b.s) AS n_leaked_shingles,
+                  count(DISTINCT c.doc_id) AS n_corpus_docs
+           FROM bench b JOIN corpus c ON b.s = c.s
+           GROUP BY 1),
+         u AS (SELECT DISTINCT doc_id AS bench_id FROM bench)
+         SELECT u.bench_id,
+                coalesce(h.n_leaked_shingles, 0) AS n_leaked_shingles,
+                coalesce(h.n_corpus_docs, 0) AS n_corpus_docs
+         FROM u LEFT JOIN hits h ON u.bench_id = h.bench_id""",
 
     "text_repetition" -> textRepetitionOracleSql,
 

@@ -315,6 +315,34 @@ object Curation {
     * (numBits, kHashes) — callers route flagged docs to the exact
     * [[contaminationFlags]] probe when FPs matter.
     */
+  /** The INVERSE decontamination view: per BENCHMARK doc, how much
+    * of it leaked into the corpus — distinct leaked shingles and
+    * distinct corpus docs carrying them, zero-leak bench docs kept
+    * at 0. [[contaminationFlags]] answers "which corpus docs must I
+    * drop"; this answers "which eval questions are compromised" —
+    * the report an eval owner reads before trusting a score. Same
+    * scale shape: the bench side broadcasts, the corpus never
+    * shuffles for the probe; the per-bench-doc agg output is
+    * bench-sized. */
+  def contaminationReport(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, k: Int): DataFrame = {
+    import graft.functions.expr.NativeFunctions.shingle_hashes
+    val b = bench.select(col(idCol).as("bench_id"),
+        explode(shingle_hashes(col(textCol), k)).as("s"))
+      .distinct()
+    val hits = corpus.select(col(idCol).as("doc_id"),
+        explode(shingle_hashes(col(textCol), k)).as("s"))
+      .join(broadcast(b), "s")
+      .groupBy("bench_id")
+      .agg(countDistinct(col("s")).as("n_leaked_shingles"),
+        countDistinct(col("doc_id")).as("n_corpus_docs"))
+    b.select(col("bench_id")).distinct()
+      .join(hits, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_leaked_shingles"), lit(0L)).as("n_leaked_shingles"),
+        coalesce(col("n_corpus_docs"), lit(0L)).as("n_corpus_docs"))
+  }
+
   def contaminationFlagsBloom(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, n: Int,
       numBits: Int, kHashes: Int): DataFrame = {

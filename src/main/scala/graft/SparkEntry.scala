@@ -708,6 +708,26 @@ object SparkEntry {
         wTokenLen = 0.1, wPunct = -4.0,
         maxTopTokenRatio = 0.12, maxDupTrigramRatio = 0.05)),
 
+    // the FUNNEL over the ensemble's attribution flags: how many
+    // docs each gate kills (counted independently — gates overlap)
+    // and how many survive everything — the one-row dashboard a
+    // curation run publishes
+    "quality_report" -> ((s, dir) =>
+      Curation.qualityEnsemble(t(s, dir, "documents"), "doc_id", "text",
+          minWords = 10, maxWords = 50000, minSentences = 0,
+          bias = -2.0, wLogTokens = 0.6, wStopDev = -6.0,
+          wTokenLen = 0.1, wPunct = -4.0,
+          maxTopTokenRatio = 0.12, maxDupTrigramRatio = 0.05)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(!col("c4_keep"), 1L).otherwise(0L)).as("killed_c4"),
+          sum(when(!col("clf_keep"), 1L).otherwise(0L)).as("killed_classifier"),
+          sum(when(!col("rep_ok"), 1L).otherwise(0L)).as("killed_repetition"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("survivors"))
+        .select(col("n_docs"), col("killed_c4"), col("killed_classifier"),
+          col("killed_repetition"), col("survivors"),
+          round(col("survivors") / col("n_docs").cast("double"), 4)
+            .as("keep_rate"))),
+
     // benchmark decontamination: docs from sources src0/src1 act as the
     // held-out eval set; corpus docs sharing any word-5-gram are flagged
     "decon_ngram" -> ((s, dir) => {
@@ -2551,6 +2571,23 @@ object SparkEntry {
        |JOIN clfr ON c4r.doc_id = clfr.doc_id
        |LEFT JOIN repr ON c4r.doc_id = repr.doc_id""".stripMargin
 
+  /** quality_report oracle: the ensemble CTE aggregated to the
+    * per-gate kill funnel. */
+  private def qualityReportOracleSql: String =
+    s"""WITH ens AS ($qualityEnsembleOracleSql)
+       |SELECT count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN NOT c4_keep THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS killed_c4,
+       |       CAST(sum(CASE WHEN NOT clf_keep THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS killed_classifier,
+       |       CAST(sum(CASE WHEN NOT rep_ok THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS killed_repetition,
+       |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS survivors,
+       |       round(sum(CASE WHEN keep THEN 1 ELSE 0 END)
+       |             / CAST(count(*) AS DOUBLE), 4) AS keep_rate
+       |FROM ens""".stripMargin
+
   /** emb_recall oracle: exact-cosine ground truth on the audit slice
     * (list_cosine_similarity — the same association as
     * Vectors.cosine) intersected with the hyperplane-literal LSH
@@ -2600,6 +2637,7 @@ object SparkEntry {
     "sample_epochs" -> epochsOracleSql,
     "emb_recall" -> embRecallOracleSql,
     "quality_ensemble" -> qualityEnsembleOracleSql,
+    "quality_report" -> qualityReportOracleSql,
     "text_bm25" -> bm25OracleSql,
     "dedup_recall" -> dedupRecallOracleSql,
     "quality_ngram_train" -> ngramTrainOracleSql,

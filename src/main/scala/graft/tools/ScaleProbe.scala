@@ -424,6 +424,41 @@ object ScaleProbe {
       Curation.qualityEnsemble(docsN, "doc_id", "text",
         10, 50000, 0, -2.0, 0.6, -6.0, 0.1, -4.0, 0.12, 0.05).count()
     }
+    // curation gauntlet: FIXED batch vs N× standing corpus — the
+    // hash index builds OUTSIDE the timer (land-time cost, the
+    // minhash_probe convention: probe() not reused because its
+    // clearCache would evict the standing index); a probe's cost
+    // must track the batch, so the ratio target is ~flat
+    if (onlyNames.forall(_.contains("curate_probe"))) {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // novel text (suffix token): the batch is dup-free against BOTH
+      // corpora, so the survivor count reads identically at 1× and N×
+      val batchFix = docs1.limit(500)
+        .withColumn("text", concat(col("text"), lit(" zz")))
+        .persist(lvl)
+      batchFix.count()
+      def index(c: DataFrame): DataFrame = {
+        val i = c.select(col("doc_id").as("__cid"), md5(col("text")).as("__h"))
+          .persist(lvl)
+        i.count(); i
+      }
+      val idx1 = index(docs1); val idxN = index(docsN)
+      def run(idx: DataFrame): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val dups = Dedup.exactIncrementalHashed(idx, batchFix, "doc_id", "text")
+        val flags = Curation.qualityEnsemble(batchFix, "doc_id", "text",
+          10, 50000, 0, -2.0, 0.6, -6.0, 0.1, -4.0, 0.12, 0.05)
+        val n = dups.join(flags, "doc_id")
+          .filter(col("dup_of").isNull && col("keep")).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      run(idx1) // warm codegen
+      val (t1, n1) = run(idx1)
+      val (tN, nN) = run(idxN)
+      println(f"[scaleprobe] curate_probe           1x: $t1%6.2f s ($n1%8d rows)  " +
+        f"fixed-batch@${mult}x-corpus: $tN%6.2f s ($nN%8d rows)  ratio: ${tN / t1}%5.1f (flat=1)")
+      Seq(idx1, idxN, batchFix).foreach(_.unpersist(blocking = false))
+    }
     // standing-index probe: index build sits OUTSIDE the timer (it is
     // the amortized land-time cost); two claims measured — (a) a
     // FIXED batch against an N× corpus stays ~flat (the corpus is

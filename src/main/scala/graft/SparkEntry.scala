@@ -1112,6 +1112,32 @@ object SparkEntry {
         .select(col("lang"), Text.langId(col("text")).as("predicted_lang"))
         .groupBy("lang", "predicted_lang").agg(count(lit(1)).as("n"))),
 
+    // TRAINED langid (r9): multinomial NB over hashed char-3-gram
+    // buckets, fitted on the md5-bucket<80 split of the generator's
+    // labels — closed-form training (one exact-count aggregate), so
+    // the oracle replays it without GD unrolling. NOTE the honest
+    // readout: this corpus's lang column is INDEPENDENT of its text
+    // (all langs share one vocabulary), so the model's holdout
+    // confusion is near-chance HERE — the gate proves the arithmetic,
+    // and LangidSpec proves learning capacity on a planted
+    // multilingual corpus where language actually exists in the text
+    "text_langid_train" -> ((s, dir) => {
+      val bucket = graft.operators.Curation.hashBucket(col("text"), 100)
+      graft.operators.Langid.nbTrain(
+        t(s, dir, "documents").filter(bucket < 80),
+        "lang", "text", langidLangs, langidNbBuckets)
+    }),
+
+    // the trained model's holdout confusion matrix — directly
+    // comparable to text_langid_eval's heuristic matrix (same labels)
+    "text_langid_model_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bucket = graft.operators.Curation.hashBucket(col("text"), 100)
+      graft.operators.Langid.nbConfusion(
+        docs.filter(bucket < 80), docs.filter(bucket >= 80),
+        "lang", "text", langidLangs, langidNbBuckets)
+    }),
+
     "text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"), Text.fingerprint(col("text")).as("fp"))),
@@ -1387,8 +1413,43 @@ object SparkEntry {
           Seq("purchase_value", "purchase_ts"))
         .select(col("event_id"), col("user_id"), col("ts").as("click_ts"),
           col("purchase_value"), col("purchase_ts"))
-    })
+    }),
+
+    // THE CAPSTONE: the end-to-end batch curation pipeline — every
+    // stage is the SAME operator its standalone gate runs, wired
+    // through survivor sets (dedup_keep → quality_ensemble →
+    // decon_bloom → sample_mixture → sample_epochs → sample_shards →
+    // pack_sequences). The oracle nests the component CTEs in
+    // sequence, so this row proves the individually-green stages
+    // COMPOSE — corpus in, training-ready packed shards out
+    "pipeline_curate" -> ((s, dir) => curatedFor(s, dir).packed),
+
+    // the pipeline's one-row funnel: per-stage survivor counts plus
+    // the final sequence-writer stats — the dashboard a corpus run
+    // publishes next to its shards
+    "pipeline_report" -> ((s, dir) => curatedFor(s, dir).report)
   )
+
+  /** A fresh pipeline instance per call: each query's action persists
+    * its OWN stage boundaries (the Verify/Bench harness clearCache()s
+    * between queries, which would strand a shared instance's persist
+    * registrations — a deregistered stage frame silently recomputes
+    * the dedup subtree once per downstream reference). Long-lived
+    * callers use [[graft.operators.CuratePipeline.curate]] directly
+    * and own release(). */
+  private def curatedFor(s: SparkSession, dir: String) =
+    graft.operators.CuratePipeline.curate(
+        t(s, dir, "documents"), "doc_id", "text", "lang", "source",
+        col("n_chars"), benchSources = Seq("src0", "src1"),
+        shingleK = 3, tau = 0.6,
+        minWords = 10, maxWords = 50000, minSentences = 0,
+        bias = -2.0, wLogTokens = 0.6, wStopDev = -6.0,
+        wTokenLen = 0.1, wPunct = -4.0,
+        maxTopTokenRatio = 0.12, maxDupTrigramRatio = 0.05,
+        deconN = 5, bloomBits = 1 << 22, bloomHashes = 3,
+        langShares = Map("en" -> 0.25, "de" -> 0.35), defaultRate = 0.6,
+        epochShares = epochShares, budgetFactor = 1.0, maxEpochs = 4.0,
+        nShards = 8, packBudget = 2048)
 
   /** dedup_minhash_lsh oracle: the full ShingleHashes → MinHash-mix →
     * banded-LSH pipeline reproduced in DuckDB HUGEINT arithmetic mod
@@ -1478,7 +1539,14 @@ object SparkEntry {
     * flagged iff ANY of its shingles has ALL 3 positions inside the
     * benchmark's position set — bit-for-bit the broadcast-filter
     * probe, INCLUDING false positives. */
-  private def bloomOracleSql: String = {
+  private def bloomOracleSql: String = bloomOracleSqlFor("documents")
+
+  /** The same Bloom pipeline with the CORPUS side drawn from `rel`
+    * (the benchmark side always comes from the raw `documents`
+    * table — a held-out eval set is a fixed artifact, independent of
+    * whatever funnel produced the corpus being decontaminated). With
+    * rel = documents the union is documents itself. */
+  private def bloomOracleSqlFor(rel: String): String = {
     val T = BigInt(1) << 64
     def u(l: Long): BigInt = BigInt(l) & ((BigInt(1) << 64) - 1)
     val mult = -7046029254386353131L // ShingleHashes combine / CmsHash row constant
@@ -1500,10 +1568,16 @@ object SparkEntry {
     val h5 = s"(${mm(h4, M)} + th[i+4]) % $T::HUGEINT"
     val constRows = consts.zipWithIndex
       .map { case (c, i) => s"($i, $c::HUGEINT)" }.mkString(", ")
-    s"""WITH toks AS (
+    s"""WITH corpus_bench AS (
+       |  SELECT doc_id, source, text FROM $rel
+       |  WHERE source NOT IN ('src0', 'src1')
+       |  UNION ALL
+       |  SELECT doc_id, source, text FROM documents
+       |  WHERE source IN ('src0', 'src1')),
+       |toks AS (
        |  SELECT doc_id, source,
        |         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ts
-       |  FROM documents),
+       |  FROM corpus_bench),
        |tokh AS (SELECT doc_id, source, $tokH AS th FROM toks),
        |shl AS (
        |  SELECT doc_id, source,
@@ -1529,7 +1603,7 @@ object SparkEntry {
        |  GROUP BY 1, 2),
        |flags AS (SELECT doc_id, bool_or(hits = 3) AS flagged FROM corp GROUP BY 1)
        |SELECT d.doc_id, coalesce(f.flagged, FALSE) AS flagged
-       |FROM (SELECT doc_id FROM documents WHERE source NOT IN ('src0', 'src1')) d
+       |FROM (SELECT doc_id FROM $rel WHERE source NOT IN ('src0', 'src1')) d
        |LEFT JOIN flags f ON d.doc_id = f.doc_id""".stripMargin
   }
 
@@ -2438,6 +2512,111 @@ object SparkEntry {
        |FROM e""".stripMargin
   }
 
+  /** The end-to-end curation pipeline oracle's shared CTE chain:
+    * each stage's CTEs are the STANDALONE component oracle
+    * re-rooted at the previous stage's survivor CTE (d1..d4), ending
+    * in `packed(doc_id, copy, shard, pos, n_tokens, pack_id)`.
+    * Stage params mirror [[curatedFor]] exactly; the expansion uid
+    * (doc_id*16 + copy), the (copy ':' text) shard hash and the
+    * pos-ordered pack window mirror CuratePipeline.curate. */
+  private def pipelineCtes: String = {
+    val shareCase = epochShares.toSeq.sortBy(_._1)
+      .map { case (s, v) => s"WHEN source = '$s' THEN CAST($v AS DOUBLE)" }
+      .mkString("CASE ", " ", " ELSE NULL END")
+    val polyId = "CAST(('0x' || substr(md5('epoch:' || CAST(doc_id AS VARCHAR)), 1, 8)) " +
+      "AS BIGINT)"
+    s"""${jaccardCtesFor("documents", "pl_")},
+       |pl_pairs AS (
+       |  SELECT da, db
+       |  FROM pl_shared JOIN pl_sz za ON da = za.doc_id
+       |  JOIN pl_sz zb ON db = zb.doc_id
+       |  WHERE round(c / (za.n + zb.n - c), 4) >= 0.6),
+       |pl_edges AS (
+       |  SELECT da AS src, db AS dst FROM pl_pairs
+       |  UNION ALL SELECT db, da FROM pl_pairs),
+       |pl_reach(node, lbl) AS (
+       |  SELECT src, src FROM pl_edges
+       |  UNION
+       |  SELECT e.src, r.lbl FROM pl_edges e JOIN pl_reach r ON e.dst = r.node),
+       |pl_clusters AS (SELECT node, min(lbl) AS cluster_id FROM pl_reach GROUP BY 1),
+       |d1 AS MATERIALIZED (SELECT * FROM documents
+       |       WHERE doc_id NOT IN
+       |             (SELECT node FROM pl_clusters WHERE node <> cluster_id)),
+       |ens AS MATERIALIZED (${qualityEnsembleOracleSqlFor("d1")}),
+       |d2 AS MATERIALIZED (SELECT d1.* FROM d1 JOIN ens USING (doc_id) WHERE ens.keep),
+       |bl AS MATERIALIZED (${bloomOracleSqlFor("d2")}),
+       |d3 AS MATERIALIZED (SELECT d2.* FROM d2 JOIN bl USING (doc_id) WHERE NOT bl.flagged),
+       |mw AS (SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS wt FROM d3 GROUP BY 1),
+       |mg AS (SELECT sum(wt) AS wtot FROM mw),
+       |mr AS (SELECT lang,
+       |         coalesce(least(1.0,
+       |           (CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.35 END * wtot) / wt),
+       |           0.6) AS rate
+       |       FROM mw CROSS JOIN mg),
+       |d4 AS MATERIALIZED (SELECT d3.* FROM d3 JOIN mr USING (lang)
+       |       WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000
+       |             < rate * 10000),
+       |eb AS (SELECT doc_id, source,
+       |         CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS tok
+       |       FROM d4),
+       |eav AS (SELECT source, sum(tok) AS avail FROM eb GROUP BY 1),
+       |ett AS (SELECT sum(tok) AS tot FROM eb),
+       |ee AS (
+       |  SELECT eb.doc_id,
+       |         CASE WHEN ($shareCase) IS NOT NULL
+       |              THEN least(($shareCase) * 1.0 * tot / avail, 4.0)
+       |              ELSE 1.0 END AS epochs,
+       |         (CAST($polyId % 1048576 AS DOUBLE) + 0.5) / 1048576.0 AS u
+       |  FROM eb LEFT JOIN eav USING (source) CROSS JOIN ett),
+       |ncopies AS (
+       |  SELECT doc_id,
+       |         CAST(floor(epochs) +
+       |              (CASE WHEN u < epochs - floor(epochs) THEN 1 ELSE 0 END)
+       |              AS INTEGER) AS n_copies
+       |  FROM ee),
+       |expanded AS (
+       |  SELECT d4.doc_id, d4.text, CAST(c.c AS INTEGER) AS copy,
+       |         d4.doc_id * 16 + c.c AS uid
+       |  FROM d4 JOIN ncopies USING (doc_id),
+       |       unnest(generate_series(0, CAST(n_copies AS BIGINT) - 1)) AS c(c)
+       |  WHERE n_copies >= 1),
+       |shd AS (
+       |  SELECT doc_id, copy, uid,
+       |         CAST(('0x' || substr(md5(CAST(copy AS VARCHAR) || ':' || text), 1, 8))
+       |              AS BIGINT) % 8 AS shard,
+       |         CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)
+       |           AS n_tokens
+       |  FROM expanded),
+       |positioned AS (
+       |  SELECT doc_id, copy, shard, n_tokens,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY shard
+       |           ORDER BY md5(CAST(uid AS VARCHAR)), uid) AS INTEGER) AS pos
+       |  FROM shd),
+       |packed AS MATERIALIZED (
+       |  SELECT doc_id, copy, shard, pos, n_tokens,
+       |         CAST(floor((sum(n_tokens) OVER (
+       |                 PARTITION BY shard ORDER BY pos
+       |                 ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048.0) AS BIGINT)
+       |           AS pack_id
+       |  FROM positioned)""".stripMargin
+  }
+
+  private def pipelineCurateOracleSql: String =
+    s"""WITH RECURSIVE $pipelineCtes
+       |SELECT doc_id, copy, shard, pos, n_tokens, pack_id FROM packed""".stripMargin
+
+  private def pipelineReportOracleSql: String =
+    s"""WITH RECURSIVE $pipelineCtes
+       |SELECT (SELECT count(*) FROM documents) AS n_raw,
+       |       (SELECT count(*) FROM d1) AS n_dedup,
+       |       (SELECT count(*) FROM d2) AS n_quality,
+       |       (SELECT count(*) FROM d3) AS n_decon,
+       |       (SELECT count(*) FROM d4) AS n_mixture,
+       |       (SELECT count(*) FROM packed) AS n_copies,
+       |       (SELECT count(DISTINCT (shard, pack_id)) FROM packed) AS n_packs,
+       |       (SELECT CAST(sum(n_tokens) AS BIGINT) FROM packed) AS n_tokens""".stripMargin
+
   /** text_bm25 oracle: df/N/avgdl from one aggregate (all integral
     * sums — order-independent), then the per-term scoring chain with
     * the Scala-computed double literals (k1+1 etc.) interpolated via
@@ -2481,22 +2660,122 @@ object SparkEntry {
                {'hits': len(list_filter(toks, t -> t IN ('的','是','了','在','和','有','我','不'))), 'lang': 'zh'}
              ], 'max') AS best FROM t)"""
 
+  /** Trained-langid gate constants: the corpus lang label set and
+    * the NB feature width (power of two, though the char-3-gram poly
+    * hash never exceeds 2^31 so plain % matches in both engines). */
+  private val langidLangs = Seq("de", "en", "es", "fr", "zh")
+  private val langidNbBuckets = 16
+
+  /** Shared CTE chain of the trained-langid oracles: codepoint list →
+    * char-3-gram poly-31 buckets (exact — the gram value is < 2^31,
+    * no mod-2^64 machinery) → exact integer bucket counts → the
+    * 1-row training aggregate over the md5-bucket<80 split. */
+  private def langidNbCtes: String = {
+    val B = langidNbBuckets
+    val xcols = (0 until B)
+      .map(b => s"len(list_filter(gb, h -> h = $b)) AS x$b")
+      .mkString(",\n       |         ")
+    val perLang = langidLangs.sorted.flatMap { l =>
+      s"CAST(sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS n_$l" +:
+        (0 until B).map(b =>
+          s"CAST(sum(CASE WHEN lang = '$l' THEN x$b ELSE 0 END) AS BIGINT) " +
+            s"AS c_${l}_$b")
+    }.mkString(",\n       |         ")
+    s"""WITH nb0 AS (
+       |  SELECT lang,
+       |         CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS bucket,
+       |         list_transform(list_filter(string_split(lower(text), ''),
+       |                                    c -> c <> ''),
+       |                        c -> ord(c)::BIGINT) AS codes
+       |  FROM documents),
+       |nb1 AS (
+       |  SELECT lang, bucket,
+       |         CASE WHEN len(codes) >= 3
+       |              THEN list_transform(generate_series(1, len(codes) - 2),
+       |                   i -> ((codes[i] * 31 + codes[i+1]) * 31 + codes[i+2]) % $B)
+       |              ELSE [] END AS gb
+       |  FROM nb0),
+       |nbx AS (
+       |  SELECT lang, bucket,
+       |         $xcols
+       |  FROM nb1),
+       |nbtr AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         $perLang
+       |  FROM nbx WHERE bucket < 80)""".stripMargin
+  }
+
+  private def langidTotChain(l: String): String =
+    (0 until langidNbBuckets).map(b => s"c_${l}_$b").mkString("(", " + ", ")")
+  private def langidPriorSql(l: String): String =
+    s"round(ln(CAST(n_$l + 1 AS DOUBLE) / (n + ${langidLangs.size})), 6)"
+  private def langidLikSql(l: String, b: Int): String =
+    s"round(ln(CAST(c_${l}_$b + 1 AS DOUBLE) / " +
+      s"(${langidTotChain(l)} + $langidNbBuckets)), 6)"
+
+  /** text_langid_train oracle: the closed-form NB fit replayed —
+    * exact count rows plus 6dp-rounded log prior/likelihoods. */
+  private def langidTrainOracleSql: String = {
+    val selects = langidLangs.sorted.flatMap { l =>
+      (s"SELECT '$l' AS lang, 'prior' AS feature, n_$l AS cnt, " +
+        s"${langidPriorSql(l)} AS logp FROM nbtr") +:
+        (0 until langidNbBuckets).map(b =>
+          f"SELECT '$l', 'b$b%02d', c_${l}_$b, ${langidLikSql(l, b)} FROM nbtr")
+    }
+    s"""$langidNbCtes
+       |${selects.mkString("\nUNION ALL ")}""".stripMargin
+  }
+
+  /** text_langid_model_eval oracle: per-holdout-doc z chains (prior +
+    * Σ x_b·lik, left-assoc, term-for-term with the plan), CASE-chain
+    * argmax in sorted-lang order, integer confusion counts. */
+  private def langidModelEvalOracleSql: String = {
+    val B = langidNbBuckets
+    val sorted = langidLangs.sorted
+    val zCols = sorted.map { l =>
+      val chain = (langidPriorSql(l) +:
+        (0 until B).map(b => s"CAST(x$b AS DOUBLE) * ${langidLikSql(l, b)}"))
+        .mkString(" + ")
+      s"$chain AS z_$l"
+    }.mkString(",\n       |         ")
+    val cases = sorted.dropRight(1).map { l =>
+      val cond = sorted.filter(_ != l).map(o => s"z_$l >= z_$o")
+        .mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString("\n       |           ")
+    s"""$langidNbCtes,
+       |nbev AS (SELECT lang, ${(0 until B).map(b => s"x$b").mkString(", ")}
+       |         FROM nbx WHERE bucket >= 80),
+       |nbz AS (
+       |  SELECT lang,
+       |         $zCols
+       |  FROM nbev CROSS JOIN nbtr)
+       |SELECT lang,
+       |       CASE $cases
+       |           ELSE '${sorted.last}' END AS predicted_lang,
+       |       CAST(count(*) AS BIGINT) AS n
+       |FROM nbz GROUP BY 1, 2""".stripMargin
+  }
+
   /** quality_classifier oracle (also a CTE of the ensemble): feature
     * arithmetic mirrored term-by-term, keep thresholds the raw
     * logit. */
   private def qualityClassifierOracleSql: String =
-    """WITH f AS (
+    qualityClassifierOracleSqlFor("documents")
+
+  private def qualityClassifierOracleSqlFor(rel: String): String =
+    s"""WITH f AS (
          SELECT doc_id,
-                CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS ntok,
+                CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS ntok,
                 CAST(len(regexp_extract_all(
-                      regexp_replace(' ' || lower(text) || ' ', '\s+', '  ', 'g'),
+                      regexp_replace(' ' || lower(text) || ' ', '\\s+', '  ', 'g'),
                       ' (the|a|of|and|in|to|is) ')) AS DOUBLE)
-                  / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS swr,
-                length(regexp_replace(trim(text), '\s+', '', 'g'))
-                  / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS atl,
-                len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                  / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS swr,
+                length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                  / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS atl,
+                len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
                   / CAST(length(text) AS DOUBLE) AS pr
-         FROM documents),
+         FROM $rel),
        z AS (SELECT doc_id,
                -2.0 + 0.6 * ln(1.0 + ntok)
                     + (-6.0) * (swr - 0.4) * (swr - 0.4)
@@ -2511,7 +2790,8 @@ object SparkEntry {
     * punctuation). */
   private def c4OracleSql: String = c4OracleSqlFor(minSentences = 2)
 
-  private def c4OracleSqlFor(minSentences: Int): String =
+  private def c4OracleSqlFor(minSentences: Int,
+      rel: String = "documents"): String =
     s"""WITH b AS (
          SELECT doc_id,
                 len(list_filter(string_split_regex(trim(text), '\\s+'),
@@ -2520,7 +2800,7 @@ object SparkEntry {
                     text, '.', ''), '!', ''), '?', '')) AS ns,
                 (contains(text, '{') OR contains(text, '}')) AS has_curly,
                 contains(lower(text), 'lorem ipsum') AS has_lorem
-         FROM documents)
+         FROM $rel)
        SELECT doc_id, CAST(nw AS INTEGER) AS n_words,
               CAST(ns AS INTEGER) AS n_sentences,
               has_curly, has_lorem,
@@ -2530,8 +2810,11 @@ object SparkEntry {
 
   /** text_repetition oracle (also a CTE of the ensemble). */
   private def textRepetitionOracleSql: String =
-    """WITH toks AS (
-         SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+    textRepetitionOracleSqlFor("documents")
+
+  private def textRepetitionOracleSqlFor(rel: String): String =
+    s"""WITH toks AS (
+         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM $rel),
        tf AS (
          SELECT doc_id, token, count(*) AS c
          FROM (SELECT doc_id, unnest(t) AS token FROM toks)
@@ -2561,9 +2844,12 @@ object SparkEntry {
     * on doc_id with the same left-join + coalesce(false) the plan
     * uses for token-less docs. */
   private def qualityEnsembleOracleSql: String =
-    s"""WITH c4r AS (${c4OracleSqlFor(minSentences = 0)}),
-       |clfr AS ($qualityClassifierOracleSql),
-       |repr AS ($textRepetitionOracleSql)
+    qualityEnsembleOracleSqlFor("documents")
+
+  private def qualityEnsembleOracleSqlFor(rel: String): String =
+    s"""WITH c4r AS (${c4OracleSqlFor(minSentences = 0, rel)}),
+       |clfr AS (${qualityClassifierOracleSqlFor(rel)}),
+       |repr AS (${textRepetitionOracleSqlFor(rel)})
        |SELECT c4r.doc_id, c4r.c4_keep, clfr.keep AS clf_keep,
        |       coalesce(repr.rep_ok, FALSE) AS rep_ok,
        |       (c4r.c4_keep AND clfr.keep AND coalesce(repr.rep_ok, FALSE)) AS keep
@@ -2635,6 +2921,8 @@ object SparkEntry {
     "sample_dsir" -> dsirOracleSql,
     "sample_dsir_select" -> dsirSelectOracleSql,
     "sample_epochs" -> epochsOracleSql,
+    "pipeline_curate" -> pipelineCurateOracleSql,
+    "pipeline_report" -> pipelineReportOracleSql,
     "emb_recall" -> embRecallOracleSql,
     "quality_ensemble" -> qualityEnsembleOracleSql,
     "quality_report" -> qualityReportOracleSql,
@@ -3527,6 +3815,8 @@ object SparkEntry {
     // lexicographically greatest language in BOTH engines (struct max
     // compares hits, then lang)
     "text_langid" -> langidOracleSql,
+    "text_langid_train" -> langidTrainOracleSql,
+    "text_langid_model_eval" -> langidModelEvalOracleSql,
 
     // the langid heuristic audited against the generator's lang
     // column: integer confusion counts (the text-side ann_recall —

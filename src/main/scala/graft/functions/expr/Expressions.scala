@@ -557,6 +557,69 @@ case class BpeMergeStep(child: Expression, lhs: String, rhs: String)
     copy(child = newChild)
 }
 
+/** Viterbi-segment one word under a unigram piece model — the
+  * SentencePiece-style tokenizer's encode ([[graft.operators.Unigram]]).
+  * The (piece → log-prob) table rides in the expression as literals
+  * (the BpeEncode model-in-plan pattern). dp over codepoint
+  * positions; candidates check LONGEST length first with a
+  * strictly-greater replace, so ties go to the longer piece —
+  * matching the oracle's CASE order exactly. A position no piece
+  * covers falls back to its single codepoint at `unkLogp`. */
+case class UnigramEncode(child: Expression, pieces: Seq[(String, Double)],
+    maxLen: Int, unkLogp: Double)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "unigram_encode"
+
+  @transient private lazy val lp: Map[String, Double] = pieces.toMap
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val syms = BpeOps.codepointSyms(input.asInstanceOf[UTF8String].toString)
+    val n = syms.length
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[UTF8String])
+    val dp = new Array[Double](n + 1)
+    val back = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) {
+      var bestDp = Double.NegativeInfinity
+      var bestL = 0
+      var l = math.min(maxLen, i)
+      while (l >= 1) {
+        val piece = syms.slice(i - l, i).mkString
+        val plp =
+          if (l == 1) Some(lp.getOrElse(piece, unkLogp))
+          else lp.get(piece)
+        plp.foreach { v =>
+          val cand = dp(i - l) + v
+          if (cand > bestDp) { bestDp = cand; bestL = l }
+        }
+        l -= 1
+      }
+      dp(i) = bestDp
+      back(i) = bestL
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pos = n
+    while (pos > 0) {
+      val l = back(pos)
+      out += syms.slice(pos - l, pos).mkString
+      pos -= l
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.reverseIterator.map(UTF8String.fromString).toArray[UTF8String])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object NativeFunctions {
   /** Column API for HammingDistance. */
   def hamming_distance(a: Column, b: Column): Column =
@@ -591,6 +654,12 @@ object NativeFunctions {
   /** Column API for BpeEncode (word string → subword array). */
   def bpe_encode(word: Column, rules: Seq[(String, String)]): Column =
     ColumnBridge.toColumn(BpeEncode(ColumnBridge.toExpr(word), rules))
+
+  /** Column API for UnigramEncode (word string → piece array). */
+  def unigram_encode(word: Column, pieces: Seq[(String, Double)],
+      maxLen: Int, unkLogp: Double): Column =
+    ColumnBridge.toColumn(
+      UnigramEncode(ColumnBridge.toExpr(word), pieces, maxLen, unkLogp))
 
   /** Column API for BpeMergeStep (symbol array → symbol array). */
   def bpe_merge_step(syms: Column, lhs: String, rhs: String): Column =

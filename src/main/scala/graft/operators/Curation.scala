@@ -237,9 +237,11 @@ object Curation {
     * single sort, no driver state, and shards pack independently so
     * 100 TB packs as width, not depth. */
   def packSequences(docs: DataFrame, groupCol: String, idCol: String,
-      tokenCount: Column, budget: Int): DataFrame = {
+      tokenCount: Column, budget: Int,
+      passthrough: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
-    docs.select(col(groupCol), col(idCol), tokenCount.as("n_tokens"))
+    docs.select(Seq(col(groupCol), col(idCol)) ++ passthrough.map(col)
+        :+ tokenCount.as("n_tokens"): _*)
       .withColumn("__cum", sum(col("n_tokens")).over(w))
       .withColumn("pack_id",
         floor((col("__cum") - col("n_tokens")) / budget.toDouble).cast("long"))

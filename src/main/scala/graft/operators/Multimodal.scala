@@ -22,12 +22,15 @@ import org.apache.spark.sql.functions._
   * partition. The AUDIO path is real for WAV/PCM: payloads decode via
   * `javax.sound.sampled` (pure JVM) to normalized mono samples and
   * feature-extract as per-strip RMS energy. For VIDEO, the CONTAINER
-  * level is real — MP4/ISO-BMFF box framing parses on the pure JVM
-  * ([[videoMetadata]]: brand, duration, timescale, per-track handler
-  * types) — while FRAME decode (and compressed audio) remains a
-  * deterministic STUB (clearly marked — those codecs need native
-  * libraries absent from this environment); the distributed plumbing
-  * around the stub is identical to the real paths.
+  * level is real for BOTH families — MP4/ISO-BMFF box framing and
+  * RIFF/AVI chunk framing parse on the pure JVM ([[videoMetadata]]:
+  * brand, duration, timescale, per-track handler types) — and FRAME
+  * decode is real for MJPEG-in-AVI (each frame a baseline JPEG
+  * javax.imageio decodes). Only mp4/h264 + webm frame decode and
+  * compressed audio (mp3/aac) remain deterministic STUBS (clearly
+  * marked — those codecs need native libraries absent from this
+  * environment); the distributed plumbing around the stub is
+  * identical to the real paths.
   */
 object Multimodal {
 
@@ -354,6 +357,145 @@ object Multimodal {
         handlers.toSeq)
     }
 
+    // ----------------------------------------------------------------
+    // Real video codec for ONE pure-JVM-decodable format: MJPEG in an
+    // AVI (RIFF) container. RIFF is a little-endian box walk (the
+    // ISO-BMFF pattern above, LE and word-aligned); each MJPEG frame
+    // chunk is a baseline JPEG javax.imageio already decodes. This is
+    // the one real video-frame path a no-native-codec JVM can have;
+    // mp4/h264 + webm/vp9 frame decode stays the marked stub.
+    // ----------------------------------------------------------------
+
+    /** Walk a RIFF/AVI container: main-header fields, per-stream
+      * fccTypes, and the offsets of the video data chunks inside the
+      * 'movi' list ('##dc'/'##db'). Malformed framing throws (callers
+      * convert to flagged rows — decode failure is data). */
+    def parseAvi(payload: Array[Byte]): AviInfo = {
+      def le32(o: Int): Long =
+        (payload(o) & 0xffL) | ((payload(o + 1) & 0xffL) << 8) |
+          ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
+      def fourcc(o: Int): String = new String(payload, o, 4, "ISO-8859-1")
+      require(payload.length >= 12 && fourcc(0) == "RIFF" &&
+        fourcc(8) == "AVI ", "not a RIFF/AVI payload")
+      var usPerFrame = 0L; var totalFrames = 0L
+      var w = 0; var h = 0; var nStreams = 0
+      val tracks = scala.collection.mutable.ArrayBuffer.empty[String]
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+        var o = start
+        while (o + 8 <= end) {
+          val id = fourcc(o)
+          val size = le32(o + 4)
+          if (size < 0 || o + 8 + size > end)
+            throw new IllegalArgumentException(
+              s"malformed chunk '$id' at $o (size $size)")
+          if (id == "LIST") {
+            if (size < 4)
+              throw new IllegalArgumentException(s"truncated LIST at $o")
+            val listType = fourcc(o + 8)
+            walk(o + 12, o + 8 + size.toInt, inMovi || listType == "movi")
+          } else if (inMovi &&
+              (id.endsWith("dc") || id.endsWith("db"))) {
+            frames += ((o + 8, size.toInt)) // a video data chunk
+          } else id match {
+            case "avih" =>
+              if (size < 40)
+                throw new IllegalArgumentException(s"truncated avih at $o")
+              usPerFrame = le32(o + 8)
+              totalFrames = le32(o + 8 + 16)
+              nStreams = le32(o + 8 + 24).toInt
+              w = le32(o + 8 + 32).toInt
+              h = le32(o + 8 + 36).toInt
+            case "strh" =>
+              if (size < 4)
+                throw new IllegalArgumentException(s"truncated strh at $o")
+              tracks += fourcc(o + 8)
+            case _ => ()
+          }
+          o += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        }
+      }
+      walk(12, payload.length, inMovi = false)
+      require(usPerFrame > 0, "no avih main header found")
+      AviInfo(usPerFrame, totalFrames, w, h, nStreams, tracks.toSeq,
+        frames.toIndexedSeq)
+    }
+
+    /** Decode up to `maxFrames` REAL frames of an MJPEG-in-AVI
+      * payload: every '##dc' chunk in the movi list is a standalone
+      * baseline JPEG (this synthesizer writes full JFIF frames, the
+      * common MJPEG form), decoded by javax.imageio. */
+    def decodeAviMjpegFrames(payload: Array[Byte],
+        maxFrames: Int): IndexedSeq[BufferedImage] = {
+      val info = parseAvi(payload)
+      require(info.frameChunks.nonEmpty, "no video frame chunks in movi")
+      info.frameChunks.take(maxFrames).map { case (off, len) =>
+        val img = ImageIO.read(new ByteArrayInputStream(payload, off, len))
+        require(img != null, s"undecodable MJPEG frame at offset $off")
+        img
+      }
+    }
+
+    /** Synthesize a REAL MJPEG-in-AVI container from frames — the
+      * video twin of encodeGifAnimated: RIFF(hdrl(avih, strl(strh
+      * 'vids'/'MJPG', strf BITMAPINFOHEADER)), movi('00dc' JPEG ...)).
+      * Frames JPEG-encode via javax.imageio, so the payload is a
+      * fully standard MJPEG AVI any player decodes. */
+    def encodeAviMjpeg(frames: Seq[BufferedImage], fps: Int): Array[Byte] = {
+      require(frames.nonEmpty && fps > 0, "need frames and a positive fps")
+      val w = frames.head.getWidth
+      val h = frames.head.getHeight
+      val jpegs = frames.map { f =>
+        // the JPEG writer rejects rasters with alpha — normalize
+        val rgb =
+          if (f.getType == BufferedImage.TYPE_INT_RGB) f
+          else {
+            val c = new BufferedImage(f.getWidth, f.getHeight,
+              BufferedImage.TYPE_INT_RGB)
+            val g = c.createGraphics()
+            try g.drawImage(f, 0, 0, null) finally g.dispose()
+            c
+          }
+        val bos = new ByteArrayOutputStream(4096)
+        ImageIO.write(rgb, "jpg", bos)
+        bos.toByteArray
+      }
+      def le32(v: Long): Array[Byte] = Array(
+        (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      def le16(v: Int): Array[Byte] =
+        Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      def cc(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+      def chunk(id: String, body: Array[Byte]): Array[Byte] =
+        cc(id) ++ le32(body.length.toLong) ++ body ++
+          (if ((body.length & 1) == 1) Array(0.toByte) else Array.emptyByteArray)
+      def list(typ: String, body: Array[Byte]): Array[Byte] =
+        chunk("LIST", cc(typ) ++ body)
+      // MainAVIHeader: usPerFrame, maxBytesPerSec, padding, flags,
+      // totalFrames, initialFrames, streams, sugBufSize, w, h, rsvd[4]
+      val avih = chunk("avih",
+        le32(1000000L / fps) ++ le32(0) ++ le32(0) ++ le32(0x10L) ++
+          le32(frames.length.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
+          le32(w.toLong) ++ le32(h.toLong) ++ new Array[Byte](16))
+      // AVIStreamHeader: type, handler, flags, prio/lang, initFrames,
+      // scale, rate, start, length, sugBuf, quality, sampleSize, rcFrame
+      val strh = chunk("strh",
+        cc("vids") ++ cc("MJPG") ++ le32(0) ++ le32(0) ++ le32(0) ++
+          le32(1) ++ le32(fps.toLong) ++ le32(0) ++
+          le32(frames.length.toLong) ++ le32(0) ++ le32(0xffffffffL) ++
+          le32(0) ++ le16(0) ++ le16(0) ++ le16(w) ++ le16(h))
+      // BITMAPINFOHEADER with biCompression = 'MJPG'
+      val strf = chunk("strf",
+        le32(40) ++ le32(w.toLong) ++ le32(h.toLong) ++ le16(1) ++ le16(24) ++
+          cc("MJPG") ++ le32(w.toLong * h * 3) ++
+          le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+      val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+      val movi = list("movi",
+        jpegs.flatMap(j => chunk("00dc", j).toSeq).toArray)
+      val body = cc("AVI ") ++ hdrl ++ movi
+      cc("RIFF") ++ le32(body.length.toLong) ++ body
+    }
+
     /** Synthesize a minimal valid MP4 skeleton (ftyp + moov with mvhd
       * and one hdlr-bearing trak per handler) — the container-level
       * twin of encodePng/encodeWavPcm16 for tests. Carries no sample
@@ -405,6 +547,13 @@ object Multimodal {
   case class Mp4Info(majorBrand: String, durationMs: Long,
       timescale: Long, nTracks: Int, trackTypes: Seq[String])
 
+  /** Parsed RIFF/AVI container structure. `frameChunks` are the
+    * (offset, length) spans of the movi video data chunks — for
+    * MJPEG each span IS a decodable baseline JPEG. */
+  case class AviInfo(microSecPerFrame: Long, totalFrames: Long,
+      width: Int, height: Int, nStreams: Int, trackTypes: Seq[String],
+      frameChunks: IndexedSeq[(Int, Int)])
+
   /** Per-video container metadata row — ok/error follow the
     * [[MediaFeatures]] failure-is-data stance. */
   case class VideoMeta(media_id: Long, ok: Boolean, error: String,
@@ -427,9 +576,19 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           try {
-            val i = Codec.parseMp4(r.payload)
-            VideoMeta(r.media_id, ok = true, "", i.majorBrand, i.durationMs,
-              i.timescale, i.nTracks, i.trackTypes)
+            // RIFF magic → AVI walker; anything else → ISO-BMFF walker
+            if (r.payload.length >= 4 && r.payload(0) == 'R' &&
+                r.payload(1) == 'I' && r.payload(2) == 'F' &&
+                r.payload(3) == 'F') {
+              val a = Codec.parseAvi(r.payload)
+              VideoMeta(r.media_id, ok = true, "", "AVI ",
+                a.microSecPerFrame * a.totalFrames / 1000L,
+                1000000L, a.nStreams, a.trackTypes)
+            } else {
+              val i = Codec.parseMp4(r.payload)
+              VideoMeta(r.media_id, ok = true, "", i.majorBrand, i.durationMs,
+                i.timescale, i.nTracks, i.trackTypes)
+            }
           } catch { case e: Exception =>
             VideoMeta(r.media_id, ok = false,
               s"${e.getClass.getSimpleName}: ${e.getMessage}",
@@ -446,6 +605,15 @@ object Multimodal {
   private[graft] def parseMp4(payload: Array[Byte]): Mp4Info =
     Codec.parseMp4(payload)
 
+  /** AVI/MJPEG helpers exposed for tests/synthesis. */
+  private[graft] def encodeAviMjpeg(frames: Seq[BufferedImage],
+      fps: Int): Array[Byte] = Codec.encodeAviMjpeg(frames, fps)
+  private[graft] def parseAvi(payload: Array[Byte]): AviInfo =
+    Codec.parseAvi(payload)
+  private[graft] def decodeAviMjpegFrames(payload: Array[Byte],
+      maxFrames: Int): IndexedSeq[BufferedImage] =
+    Codec.decodeAviMjpegFrames(payload, maxFrames)
+
   /** PNG-encode helper exposed for tests/synthesis. */
   private[graft] def encodePng(img: BufferedImage): Array[Byte] = Codec.encodePng(img)
   private[graft] def decodeImage(payload: Array[Byte]): BufferedImage = Codec.decode(payload)
@@ -461,6 +629,12 @@ object Multimodal {
   private def isWav(meta: MediaMeta): Boolean =
     meta.mediaType == "audio/wav" || meta.mediaType == "audio/x-wav" ||
       meta.mediaType == "audio/wave"
+
+  /** AVI containers — REAL frame decode when the stream is MJPEG
+    * (each frame a baseline JPEG); the one video format a pure JVM
+    * decodes. mp4/h264 + webm/vp9 stay on the stub path. */
+  private def isAvi(meta: MediaMeta): Boolean =
+    meta.mediaType == "video/x-msvideo" || meta.mediaType == "video/avi"
 
   // ------------------------------------------------------------------
   // STUB: the non-image decode kernel. Audio/video codecs need native
@@ -508,7 +682,21 @@ object Multimodal {
           val feats =
             if (isImage(r.meta)) Codec.stripLuminance(Codec.decode(r.payload), dim)
             else if (isWav(r.meta)) Codec.stripRms(Codec.decodeWav(r.payload), dim)
-            else decodeStub(h, dim) // STUB: video + compressed-audio codecs are native-only
+            else if (isAvi(r.meta)) {
+              // REAL video features: mean strip-luminance over the
+              // decoded MJPEG frames (bounded per-row work)
+              val frames = Codec.decodeAviMjpegFrames(r.payload, 64)
+              val acc = new Array[Float](dim)
+              frames.foreach { f =>
+                val s = Codec.stripLuminance(f, dim)
+                var i = 0
+                while (i < dim) { acc(i) += s(i); i += 1 }
+              }
+              var i = 0
+              while (i < dim) { acc(i) /= frames.length; i += 1 }
+              acc
+            }
+            else decodeStub(h, dim) // STUB: mp4/webm + compressed-audio codecs are native-only
           MediaFeatures(r.media_id, r.payload.length.toLong, h, feats)
         } catch { case e: Exception =>
           MediaFeatures(r.media_id, r.payload.length.toLong, h,
@@ -537,18 +725,20 @@ object Multimodal {
   case class FrameFeatures(media_id: Long, frame: Int, features: Array[Float],
       ok: Boolean = true, error: String = "")
 
-  /** Media-row → frame-rows with REAL per-frame pixels for GIF
-    * containers: every stored frame decodes (progressive composite —
-    * GIF frames are deltas, so sampling still reads the whole
-    * container, exactly like video keyframe extraction without an
-    * index), `nFrames` are sampled evenly across the timeline, and
-    * each emits strip-luminance features over its DECODED pixels.
-    * mp4/webm rows keep the clearly-marked deterministic stub (their
-    * codecs are native-only); an undecodable GIF emits one flagged
-    * row (frame = −1, ok = false) instead of failing the task — the
-    * [[MediaFeatures]] accounting stance. The explode happens inside
-    * mapPartitions: frame rows (dim floats each) are what shuffles,
-    * never the container payload. */
+  /** Media-row → frame-rows with REAL per-frame pixels for GIF AND
+    * AVI/MJPEG containers: GIF frames decode by progressive composite
+    * (frames are deltas, so sampling still reads the whole container,
+    * exactly like video keyframe extraction without an index);
+    * AVI/MJPEG frames are standalone baseline JPEGs pulled straight
+    * from their movi chunks. `nFrames` are sampled evenly across the
+    * timeline, each emitting strip-luminance features over its
+    * DECODED pixels. mp4/webm rows keep the clearly-marked
+    * deterministic stub (their codecs are native-only); an
+    * undecodable container emits one flagged row (frame = −1,
+    * ok = false) instead of failing the task — the [[MediaFeatures]]
+    * accounting stance. The explode happens inside mapPartitions:
+    * frame rows (dim floats each) are what shuffles, never the
+    * container payload. */
   def sampleFrameFeatures(ds: Dataset[MediaRow], nFrames: Int, dim: Int,
       maxFrames: Int = 1024)(
       implicit spark: SparkSession): Dataset[FrameFeatures] = {
@@ -556,22 +746,27 @@ object Multimodal {
     require(nFrames > 0, s"nFrames $nFrames must be positive")
     ds.mapPartitions { rows =>
       // codec init amortizes here, once per partition
-      rows.flatMap { r =>
-        if (isGif(r.meta)) {
-          try {
-            val frames = Codec.decodeGifFrames(r.payload, maxFrames)
-            val n = frames.length
-            val k = math.min(nFrames, n)
-            (0 until k).map { j =>
-              val fi = (j.toLong * n / k).toInt // even temporal sample
-              FrameFeatures(r.media_id, j,
-                Codec.stripLuminance(frames(fi), dim))
-            }
-          } catch { case e: Exception =>
-            Seq(FrameFeatures(r.media_id, -1, Array.empty[Float], ok = false,
-              error = s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+      def sampled(r: MediaRow,
+          decode: => IndexedSeq[BufferedImage]): Seq[FrameFeatures] =
+        try {
+          val frames = decode
+          val n = frames.length
+          val k = math.min(nFrames, n)
+          (0 until k).map { j =>
+            val fi = (j.toLong * n / k).toInt // even temporal sample
+            FrameFeatures(r.media_id, j,
+              Codec.stripLuminance(frames(fi), dim))
           }
-        } else {
+        } catch { case e: Exception =>
+          Seq(FrameFeatures(r.media_id, -1, Array.empty[Float], ok = false,
+            error = s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+        }
+      rows.flatMap { r =>
+        if (isGif(r.meta))
+          sampled(r, Codec.decodeGifFrames(r.payload, maxFrames))
+        else if (isAvi(r.meta))
+          sampled(r, Codec.decodeAviMjpegFrames(r.payload, maxFrames))
+        else {
           // STUB: mp4/webm/compressed-audio frame decode needs native
           // codecs absent from this environment
           (0 until nFrames).map(j =>

@@ -273,21 +273,20 @@ object Similarity {
     * resurrected id is served from its STORED row — if the incoming
     * row differs (updated vector), the append REFUSES rather than
     * silently serving the stale stored vector: compact first, then
-    * append the new row. */
+    * append the new row. The conflict check runs BEFORE any write,
+    * so a refused append leaves the table and its tombstones
+    * untouched — no partial commit to reason about. */
   private def appendIndexRows(spark: org.apache.spark.sql.SparkSession,
       table: String, rows: DataFrame, buckets: Int): Unit =
     indexMutationLock.synchronized {
-      rows.dropDuplicates("neighbor_id")
-        .join(spark.table(table).select("neighbor_id"),
-          Seq("neighbor_id"), "left_anti")
-        .write.format("parquet").mode("append")
-        .bucketBy(buckets, "cid").sortBy("cid").saveAsTable(table)
+      val ids = rows.select("neighbor_id").distinct()
+      // stale-vector guard first: takedown-sized — compare each
+      // resurrected id's incoming row to its stored row (full-row
+      // hash); the append below skips already-stored ids, so the
+      // stored rows this check reads cannot change under it
       indexTombstones(spark, table).foreach { t =>
-        val ids = rows.select("neighbor_id").distinct()
         val resurrected = t.join(ids, Seq("neighbor_id"), "left_semi")
         if (!resurrected.isEmpty) {
-          // takedown-sized: compare each resurrected id's incoming row
-          // to its stored row (full-row hash) before clearing
           val cols = rows.columns.sorted.map(col(_))
           def rowHash(df: DataFrame, name: String) =
             df.join(resurrected, Seq("neighbor_id"), "left_semi")
@@ -299,6 +298,16 @@ object Similarity {
             s"re-append of removed id(s) with a row differing from the " +
               s"stored one (stale vector would be served): compact " +
               s"$table first, then append")
+        }
+      }
+      rows.dropDuplicates("neighbor_id")
+        .join(spark.table(table).select("neighbor_id"),
+          Seq("neighbor_id"), "left_anti")
+        .write.format("parquet").mode("append")
+        .bucketBy(buckets, "cid").sortBy("cid").saveAsTable(table)
+      indexTombstones(spark, table).foreach { t =>
+        val resurrected = t.join(ids, Seq("neighbor_id"), "left_semi")
+        if (!resurrected.isEmpty) {
           // the localCheckpoint breaks lineage to the table being replaced
           val kept = t.join(ids, Seq("neighbor_id"), "left_anti")
             .localCheckpoint(true)

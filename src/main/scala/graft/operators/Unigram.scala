@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.expr.NativeFunctions
+
+/** Unigram-LM subword tokenizer (SentencePiece's other half, Kudo
+  * 2018) — the production tokenizer family BPE doesn't cover. Train =
+  * hard (Viterbi) EM over the word-frequency vocabulary:
+  *
+  *   seed:   every ≤ `maxLen`-codepoint substring of the vocab,
+  *           occurrence-weighted; keep the top `seedTopK` by count
+  *           plus ALL single codepoints (so segmentation is total),
+  *           probs = normalized counts;
+  *   E-step: Viterbi-best segmentation of every vocab word under the
+  *           frozen piece log-probs (the native [[graft.functions.expr.UnigramEncode]]
+  *           — model rides the plan as literals, the BpeEncode
+  *           pattern);
+  *   M-step: piece probs re-estimated from the segmentation counts;
+  *           pieces that win no position anywhere PRUNE (drop out of
+  *           the table) — the SentencePiece shrink step in its hard-EM
+  *           form.
+  *
+  * Scale shape = the BPE/kmeans driver loop: the corpus is scanned
+  * once (vocab build); every EM round touches only the vocab frame
+  * (distinct words ≪ corpus, one map-side-combining aggregate); the
+  * model is bounded driver state (≤ seedTopK + alphabet rows). Log
+  * probs round 6dp at each ITERATION EDGE (the emb_kmeans trade) so
+  * the SQL oracle can replay the trajectory bit-for-bit. */
+object Unigram {
+
+  final case class Piece(piece: String, cnt: Long, logp: Double)
+
+  final case class Model(pieces: IndexedSeq[Piece], maxLen: Int) {
+    def logps: Seq[(String, Double)] = pieces.map(p => (p.piece, p.logp))
+  }
+
+  /** Unknown-codepoint floor shared with the oracle: a single char
+    * absent from the piece table segments alone at this log-prob. */
+  val UnkLogp: Double = -100.0
+
+  private def vocabOf(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  /** Normalize a (piece, cnt) frame into collected model rows:
+    * logp = round(ln(cnt / Σcnt), 6) — rounded IN-PLAN so both
+    * engines share one rounding semantics. */
+  private def normalized(counts: DataFrame): IndexedSeq[Piece] = {
+    val tot = counts.agg(sum(col("cnt")).as("__tot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("piece"), col("cnt"),
+        round(log(col("cnt") / col("__tot").cast("double")), 6).as("logp"))
+      .collect()
+      .map(r => Piece(r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_.piece).toIndexedSeq
+  }
+
+  /** Train `iters` hard-EM rounds over the corpus vocabulary. */
+  def train(docs: DataFrame, textCol: String, iters: Int = 2,
+      maxLen: Int = 3, seedTopK: Int = 200): Model = {
+    require(iters >= 1 && maxLen >= 1 && seedTopK >= 1)
+    val vocab = vocabOf(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    vocab.count()
+    try {
+      // seed: occurrence-weighted substring counts (every start ×
+      // every length ≤ maxLen — the suffix-seed of SentencePiece)
+      val subs = vocab.select(
+          explode(expr(
+            s"""flatten(transform(sequence(1, char_length(w)),
+               |  i -> transform(sequence(1, least($maxLen, char_length(w) - i + 1)),
+               |       l -> substring(w, i, l))))""".stripMargin)).as("piece"),
+          col("freq"))
+        .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      subs.count()
+      try {
+        val top = subs.orderBy(col("cnt").desc, col("piece"))
+          .limit(seedTopK)
+        val chars = subs.filter(length(col("piece")) === 1)
+        val seed = top.unionByName(chars).dropDuplicates("piece")
+        var model = Model(normalized(seed), maxLen)
+        for (_ <- 1 to iters) {
+          val counts = vocab.select(
+              explode(NativeFunctions.unigram_encode(
+                col("w"), model.logps, maxLen, UnkLogp)).as("piece"),
+              col("freq"))
+            .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+          model = Model(normalized(counts), maxLen)
+        }
+        model
+      } finally subs.unpersist(blocking = false)
+    } finally vocab.unpersist(blocking = false)
+  }
+
+  /** Encode: one row per (id, word) occurrence with its Viterbi piece
+    * array under the trained model — the Bpe.encodeWords shape. */
+  def encodeWords(docs: DataFrame, idCol: String, textCol: String,
+      model: Model): DataFrame =
+    docs.select(col(idCol),
+        explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .select(col(idCol), col("word"),
+        NativeFunctions.unigram_encode(col("word"), model.logps,
+          model.maxLen, UnkLogp).as("pieces"))
+}

@@ -62,7 +62,9 @@ object CurationStream {
     * sink callback. The corpus HASH index is built and persisted
     * ONCE (16 bytes/doc — corpus text is never re-hashed per batch);
     * micro-batches broadcast their own hashes into it, so per-batch
-    * cost ∝ batch. */
+    * cost ∝ batch. The index's lifecycle is owned by the QUERY: a
+    * termination listener unpersists it when the query stops (for
+    * any reason), so a stopped gauntlet leaks no executor storage. */
   def curateQuery(stream: Dataset[Doc], corpus: DataFrame)(
       onBatch: DataFrame => Unit): StreamingQuery = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -70,7 +72,7 @@ object CurationStream {
       .select(col("doc_id").as("__cid"), md5(col("text")).as("__h"))
       .persist(lvl)
     corpusHashes.count()
-    stream.writeStream.outputMode("append")
+    val query = stream.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[Doc], _: Long) =>
         val b = batch.toDF()
         val decided = decide(
@@ -82,5 +84,18 @@ object CurationStream {
         finally decided.unpersist(blocking = false)
       }
       .start()
+    val spark = corpus.sparkSession
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+          if (e.id == query.id) {
+            corpusHashes.unpersist(blocking = false)
+            spark.streams.removeListener(this)
+          }
+      })
+    query
   }
 }

@@ -138,8 +138,16 @@ object DsirStream {
 /** The DSIR generation loop. All mutators synchronize on this
   * instance (the ClusterStream/LmLoop contract): ingest and a
   * control-plane refresh may run on different threads, and a lost
-  * swap would silently drop landed counts. */
-final class DsirLoop(initial: DsirStream.DsirModel) {
+  * swap would silently drop landed counts.
+  *
+  * `initialHighWater` restores the replay ledger across sessions:
+  * batchIds at or below it were folded into the model some earlier
+  * session checkpointed, so a stream checkpoint re-delivering them
+  * after a driver restart re-scores but never re-folds. Structured
+  * Streaming batchIds are contiguous and monotone per query, which
+  * is what lets the durable ledger be ONE long instead of a set. */
+final class DsirLoop(initial: DsirStream.DsirModel,
+    initialHighWater: Long = -1L) {
   import DsirStream.{DsirModel, merge}
 
   @volatile private var model: DsirModel = initial
@@ -148,7 +156,10 @@ final class DsirLoop(initial: DsirStream.DsirModel) {
   // batch must not fold its counts twice (the merge ≡ union-retrain
   // invariant would silently break). 8 bytes per batch ever seen —
   // the same role the idempotent index appends play structurally.
+  // The durable form is the high-water mark: checkpointTo stamps it,
+  // resume restores it, and ids at or below it count as seen.
   private val seen = scala.collection.mutable.Set.empty[Long]
+  private var highWater: Long = initialHighWater
 
   /** The current frozen generation. */
   def current: DsirModel = model
@@ -170,7 +181,7 @@ final class DsirLoop(initial: DsirStream.DsirModel) {
             .as("dsir_logweight"))
         .persist(lvl)
       scored.count() // materialize BEFORE the delta fold can swap state
-      if (!seen.contains(batchId)) {
+      if (batchId > highWater && !seen.contains(batchId)) {
         val (ct, cr) = graft.operators.Curation.dsirCounts(base, model.nBuckets)
         val delta = DsirModel(ct, cr)
         pending = Some(pending.fold(delta)(merge(_, delta)))
@@ -186,18 +197,34 @@ final class DsirLoop(initial: DsirStream.DsirModel) {
     pending.foreach { p => model = merge(model, p); pending = None }
   }
 
-  /** Land the CURRENT generation (not the un-refreshed pending delta
-    * — checkpoint after refresh(), the LmLoop cadence) so a later
-    * session can [[DsirLoop.resume]]. */
+  /** Land the loop durably so a later session can
+    * [[DsirLoop.resume]]: refresh() first — every ingested batch
+    * folds before the write, so un-refreshed pending counts can
+    * never silently miss the checkpoint — then write the model with
+    * the replay ledger's high-water batchId stamped alongside the
+    * model stamps. A resumed loop therefore never re-folds a batch
+    * the stream checkpoint re-delivers after a driver restart. */
   def checkpointTo(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit = synchronized {
+    refresh()
     DsirStream.dsirWrite(spark, model, table)
+    val hw = if (seen.isEmpty) highWater else math.max(highWater, seen.max)
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+      s"'graft.dsir.maxbatch'='$hw')")
   }
 }
 
 object DsirLoop {
-  /** Reattach a loop from a [[DsirStream.dsirWrite]] table. */
+  /** Reattach a loop from a [[DsirLoop.checkpointTo]] (or plain
+    * [[DsirStream.dsirWrite]]) table, restoring the replay ledger's
+    * high-water mark — a plain dsirWrite table carries no ledger
+    * stamp and resumes with an empty ledger (only compose that with
+    * a FRESH stream checkpoint). */
   def resume(spark: org.apache.spark.sql.SparkSession,
-      table: String): DsirLoop =
-    new DsirLoop(DsirStream.dsirLoad(spark, table))
+      table: String): DsirLoop = {
+    val hw = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .get("graft.dsir.maxbatch").map(_.toLong).getOrElse(-1L)
+    new DsirLoop(DsirStream.dsirLoad(spark, table), hw)
+  }
 }

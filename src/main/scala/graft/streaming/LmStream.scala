@@ -222,7 +222,8 @@ object LmStream {
   * counts. Durable story: [[LmStream.lmWrite]] the current model at
   * a checkpoint cadence; a later session [[LmStream.lmLoad]]s and
   * resumes the loop. */
-final class LmLoop(initial: LmStream.LmModel, lambda: Double) {
+final class LmLoop(initial: LmStream.LmModel, lambda: Double,
+    initialHighWater: Long = -1L) {
   import LmStream.{scoreBatch, trainLm, mergeLm, LmModel}
 
   @volatile private var model: LmModel = initial
@@ -231,8 +232,12 @@ final class LmLoop(initial: LmStream.LmModel, lambda: Double) {
   // batch must not land twice — mergeLm is exact-additive, so a
   // double-landed batch would double its n-gram counts in the
   // standing model FOREVER. 8 bytes per batch ever seen (the
-  // DsirLoop / idempotent-index-append contract).
+  // DsirLoop / idempotent-index-append contract). The durable form
+  // is the high-water mark (batchIds are contiguous and monotone per
+  // streaming query): checkpointTo stamps it, resume restores it,
+  // and ids at or below it count as seen.
   private val seen = scala.collection.mutable.Set.empty[Long]
+  private var highWater: Long = initialHighWater
 
   /** The current frozen generation (read-only view; lifecycle owned
     * by this loop — [[release]]). */
@@ -254,7 +259,7 @@ final class LmLoop(initial: LmStream.LmModel, lambda: Double) {
     val scored = scoreBatch(model, b, "doc_id",
       graft.functions.Text.tokens(col("text")), lambda).persist(lvl)
     scored.count()
-    if (!seen.contains(batchId)) {
+    if (batchId > highWater && !seen.contains(batchId)) {
       landed = b :: landed
       seen += batchId
     } else b.unpersist(blocking = false) // replay: nothing to land
@@ -283,5 +288,42 @@ final class LmLoop(initial: LmStream.LmModel, lambda: Double) {
     model.release()
     landed.foreach(_.unpersist(blocking = false))
     landed = Nil
+  }
+
+  /** Land the loop durably so a later session can [[LmLoop.resume]]:
+    * refresh() first — every landed batch folds before the write, so
+    * un-refreshed pending batches can never silently miss the
+    * checkpoint — then [[LmStream.lmWrite]] the model with the replay
+    * ledger's high-water batchId stamped on each table (the DsirLoop
+    * contract). A resumed loop never re-lands a batch the stream
+    * checkpoint re-delivers after a driver restart. */
+  def checkpointTo(unigramTable: String, bigramTable: String,
+      prefixTable: String, buckets: Int = 16): Unit = synchronized {
+    refresh()
+    LmStream.lmWrite(model, unigramTable, bigramTable, prefixTable, buckets)
+    val spark = model.unigram.sparkSession
+    val hw = if (seen.isEmpty) highWater else math.max(highWater, seen.max)
+    Seq(unigramTable, bigramTable, prefixTable).foreach { t =>
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES (" +
+        s"'graft.lm.maxbatch'='$hw')")
+    }
+  }
+}
+
+object LmLoop {
+  /** Reattach a loop from [[LmLoop.checkpointTo]] (or plain
+    * [[LmStream.lmWrite]]) tables, restoring the replay ledger's
+    * high-water mark — plain lmWrite tables carry no ledger stamp
+    * and resume with an empty ledger (only compose that with a
+    * FRESH stream checkpoint). */
+  def resume(spark: org.apache.spark.sql.SparkSession,
+      unigramTable: String, bigramTable: String, prefixTable: String,
+      lambda: Double): LmLoop = {
+    val hw = spark.sql(s"SHOW TBLPROPERTIES $unigramTable").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .get("graft.lm.maxbatch").map(_.toLong).getOrElse(-1L)
+    new LmLoop(
+      LmStream.lmLoad(spark, unigramTable, bigramTable, prefixTable),
+      lambda, hw)
   }
 }

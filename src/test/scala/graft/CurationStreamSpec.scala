@@ -67,4 +67,25 @@ class CurationStreamSpec extends SparkSpec {
     assert(got(999999L)._2.nonEmpty && !got(999999L)._6)
     assert(got.values.exists(_._6))
   }
+
+  test("curateQuery releases the corpus hash index when the query stops") {
+    val corpus = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).limit(50)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val mem = MemoryStream[Doc]
+    val q = CurationStream.curateQuery(mem.toDS(), corpus)(_ => ())
+    try {
+      mem.addData(Doc(1L, "hello streaming world of ample words"))
+      q.processAllAvailable()
+      assert(spark.sparkContext.getPersistentRDDs.keySet
+        .diff(before).nonEmpty, "the corpus hash index never persisted")
+    } finally q.stop()
+    // the termination listener fires asynchronously on the event bus
+    val deadline = System.currentTimeMillis() + 30000
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    while (leaked.nonEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(200)
+    assert(leaked.isEmpty,
+      s"corpus hash index leaked after query termination: $leaked")
+  }
 }

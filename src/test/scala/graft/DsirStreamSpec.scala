@@ -134,4 +134,37 @@ class DsirStreamSpec extends SparkSpec {
     assert(got(200L) < got(100L),
       s"refresh must lower the raw-flooded vocab score: ${got(200L)} vs ${got(100L)}")
   }
+
+  test("checkpointTo folds pending and persists the replay ledger; " +
+      "a resumed loop never re-folds a checkpointed batch") {
+    val tgt = col("lang") === "en"
+    val half = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val rest = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    dropTables("dsir_ledger_spec")
+    try {
+      val loop = new DsirLoop(
+        DsirStream.train(half, "doc_id", col("text"), tgt, B))
+      loop.ingest(0L, rest, tgt).unpersist(blocking = false)
+      // checkpoint WITHOUT an explicit refresh: the un-refreshed
+      // pending delta must land in the checkpoint, not silently drop
+      loop.checkpointTo(spark, "dsir_ledger_spec")
+      val union = DsirStream.train(docs, "doc_id", col("text"), tgt, B)
+      val landed = DsirStream.dsirLoad(spark, "dsir_ledger_spec")
+      assert(landed.ct.toSeq === union.ct.toSeq)
+      assert(landed.cr.toSeq === union.cr.toSeq)
+      // driver restart: the stream checkpoint re-delivers batch 0 to
+      // a RESUMED loop — its durable ledger must refuse the re-fold
+      val resumed = DsirLoop.resume(spark, "dsir_ledger_spec")
+      resumed.ingest(0L, rest, tgt).unpersist(blocking = false)
+      resumed.refresh()
+      assert(resumed.current.ct.toSeq === union.ct.toSeq,
+        "re-delivered checkpointed batch double-folded after resume")
+      assert(resumed.current.cr.toSeq === union.cr.toSeq)
+      // a genuinely NEW batch id still folds
+      resumed.ingest(1L, rest.limit(5), tgt).unpersist(blocking = false)
+      resumed.refresh()
+      assert(resumed.current.cr.sum > union.cr.sum,
+        "post-checkpoint batch must fold on the resumed loop")
+    } finally dropTables("dsir_ledger_spec")
+  }
 }

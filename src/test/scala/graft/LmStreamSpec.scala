@@ -222,4 +222,41 @@ class LmStreamSpec extends SparkSpec {
         "batch 1 must have scored under the generation that had not seen it")
     } finally loop.release()
   }
+
+  test("LmLoop.checkpointTo folds pending and persists the ledger; " +
+      "a resumed loop never re-lands a checkpointed batch") {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val corpus = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+    dropTables("lm_ck_uni", "lm_ck_bi", "lm_ck_pre")
+    val loop = new graft.streaming.LmLoop(
+      LmStream.trainLm(corpus, "doc_id", toks), lambda = 0.9)
+    try {
+      loop.ingest(0L, batch).unpersist()
+      assert(loop.pendingBatches === 1)
+      // checkpoint WITHOUT an explicit refresh: the pending batch
+      // must fold into the landed model, not silently miss it
+      loop.checkpointTo("lm_ck_uni", "lm_ck_bi", "lm_ck_pre")
+      assert(loop.pendingBatches === 0,
+        "checkpointTo must refresh before writing")
+      val landed = LmStream.lmLoad(spark, "lm_ck_uni", "lm_ck_bi", "lm_ck_pre")
+      val full = LmStream.trainLm(corpus.union(batch), "doc_id", toks)
+      assert(landed.total === full.total && landed.vocab === full.vocab,
+        "checkpoint missed the pending batch's counts")
+      full.release()
+      // driver restart: the stream checkpoint re-delivers batch 0 —
+      // the resumed loop's durable ledger must refuse the re-land
+      val resumed = graft.streaming.LmLoop.resume(
+        spark, "lm_ck_uni", "lm_ck_bi", "lm_ck_pre", lambda = 0.9)
+      resumed.ingest(0L, batch).unpersist()
+      assert(resumed.pendingBatches === 0,
+        "re-delivered checkpointed batch landed again after resume")
+      // a genuinely NEW batch id still lands
+      resumed.ingest(1L, batch.limit(3)).unpersist()
+      assert(resumed.pendingBatches === 1)
+    } finally {
+      loop.release()
+      dropTables("lm_ck_uni", "lm_ck_bi", "lm_ck_pre")
+    }
+  }
 }

@@ -180,6 +180,87 @@ class MultimodalSpec extends SparkSpec {
     assert(!out(0).ok && out(0).frame === -1 && out(0).features.isEmpty)
   }
 
+  test("sampleFrameFeatures decodes REAL video frames from an MJPEG AVI") {
+    implicit val s = spark
+    // four solid-gray JPEG frames with distinct levels: each sampled
+    // frame's strip luminance must equal ITS OWN frame's planted gray
+    // — the byte-slice stub or a metadata-only parse cannot produce
+    // this (JPEG is lossy; solid frames survive within ~2/255)
+    val grays = Seq(16, 80, 160, 240)
+    val avi = Multimodal.encodeAviMjpeg(
+      grays.map(g => solidFrame(48, 32, g)), fps = 10)
+    val ds = Seq(MediaRow(10L, avi,
+      MediaMeta("video/x-msvideo", 48, 32, 400L, "mjpeg"))).toDS()
+    val out = Multimodal.sampleFrameFeatures(ds, nFrames = 4, dim = 3)
+      .collect().sortBy(_.frame)
+    assert(out.length === 4)
+    out.foreach { f =>
+      assert(f.ok)
+      assert(f.features.length === 3)
+      val expected = grays(f.frame) / 255.0f
+      f.features.foreach(v =>
+        assert(math.abs(v - expected) <= 0.02f,
+          s"frame ${f.frame}: luminance $v, expected ~$expected"))
+    }
+  }
+
+  test("AVI frame sampling is even; extractFeatures averages REAL " +
+      "decoded frames; corrupt AVI rows flag") {
+    implicit val s = spark
+    val grays = (0 until 8).map(i => 15 + i * 30)
+    val avi = Multimodal.encodeAviMjpeg(
+      grays.map(g => solidFrame(32, 32, g)), fps = 5)
+    val ds = Seq(MediaRow(11L, avi,
+      MediaMeta("video/x-msvideo", 32, 32, 1600L, "mjpeg"))).toDS()
+    // even sample over 8 frames at k=4 picks source frames 0, 2, 4, 6
+    val out = Multimodal.sampleFrameFeatures(ds, nFrames = 4, dim = 1)
+      .collect().sortBy(_.frame)
+    val picked = Seq(0, 2, 4, 6).map(i => grays(i) / 255.0f)
+    assert(out.length === 4)
+    out.zip(picked).foreach { case (f, exp) =>
+      assert(math.abs(f.features(0) - exp) <= 0.02f,
+        s"frame ${f.frame}: ${f.features(0)}, expected ~$exp")
+    }
+    // whole-payload features = mean luminance across ALL real frames
+    val feats = Multimodal.extractFeatures(ds, dim = 2).collect().head
+    assert(feats.ok)
+    val mean = grays.map(_ / 255.0f).sum / grays.length
+    feats.features.foreach(v =>
+      assert(math.abs(v - mean) <= 0.02f,
+        s"mean-frame luminance $v, expected ~$mean"))
+    // a corrupt AVI row flags instead of failing the task
+    val bad = Seq(MediaRow(12L,
+      "RIFF    AVI ".getBytes("ISO-8859-1"),
+      MediaMeta("video/x-msvideo", 8, 8, 0L, "mjpeg"))).toDS()
+    val flagged = Multimodal.sampleFrameFeatures(bad, nFrames = 2, dim = 1)
+      .collect()
+    assert(flagged.length === 1 && !flagged(0).ok && flagged(0).frame === -1)
+  }
+
+  test("AVI container roundtrips the walker; videoMetadata reads RIFF " +
+      "and ISO-BMFF side by side") {
+    implicit val s = spark
+    val avi = Multimodal.encodeAviMjpeg(
+      (0 until 6).map(_ => solidFrame(24, 16, 128)), fps = 10)
+    val info = Multimodal.parseAvi(avi)
+    assert(info.microSecPerFrame === 100000L)
+    assert(info.totalFrames === 6L)
+    assert(info.width === 24 && info.height === 16)
+    assert(info.nStreams === 1 && info.trackTypes === Seq("vids"))
+    assert(info.frameChunks.length === 6)
+    val mp4 = Multimodal.encodeMp4Skeleton(2500L, 1000L, Seq("vide", "soun"))
+    val ds = Seq(
+      MediaRow(20L, avi, MediaMeta("video/x-msvideo", 24, 16, 600L, "mjpeg")),
+      MediaRow(21L, mp4, MediaMeta("video/mp4", 0, 0, 2500L, "h264"))).toDS()
+    val metas = Multimodal.videoMetadata(ds).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(metas(20L).ok && metas(20L).major_brand === "AVI ")
+    assert(metas(20L).duration_ms === 600L) // 6 frames at 10 fps
+    assert(metas(20L).n_tracks === 1 && metas(20L).track_types === Seq("vids"))
+    assert(metas(21L).ok && metas(21L).major_brand === "isom")
+    assert(metas(21L).duration_ms === 2500L)
+  }
+
   test("sampleFrames explodes each media row into n frame rows") {
     val media = Multimodal.syntheticMedia(spark, 5).toDF()
     val frames = Multimodal.sampleFrames(media, "payload", nFrames = 4)

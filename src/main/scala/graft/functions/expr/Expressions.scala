@@ -287,6 +287,61 @@ case class ShingleHashesAll(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Exact char-k-gram hash-bucket COUNT VECTOR of a string in ONE
+  * pass: walk the codepoints of the (already-lowercased) input,
+  * poly-31-fold each window of k codepoints (max value for k=3 is
+  * ~0x10FFFF·31² < 2^31 — exact in both engines, no mod-2^64
+  * machinery), `% buckets`, and increment that slot of a
+  * length-`buckets` long array. Element b equals the oracle's
+  * `len(list_filter(gb, h -> h = b))` over the per-gram list.
+  *
+  * This replaces a `split(lower)∘transform(ascii)∘sequence∘transform`
+  * per-CHARACTER higher-order pipeline whose B=16 `size(filter(…))`
+  * derived columns fanned into K×B² scoring chains after projection
+  * collapse (measured 166 s / 209 s for the trained-langid pair at
+  * sf0.1 vs ~2 s for the identical arithmetic single-node — the
+  * expression-tree duplication was the whole cost). Inputs shorter
+  * than k codepoints yield the all-zero vector (prior-only scoring
+  * downstream), matching the oracle's empty-list branch. */
+case class CharGramBucketCounts(child: Expression, k: Int, buckets: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_gram_bucket_counts"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val out = new Array[Long](buckets)
+    val n = s.codePointCount(0, s.length)
+    if (n >= k) {
+      val codes = new Array[Long](n)
+      var ci = 0
+      var p = 0
+      while (p < s.length) {
+        val cp = s.codePointAt(p)
+        codes(ci) = cp.toLong
+        ci += 1
+        p += Character.charCount(cp)
+      }
+      var i = 0
+      val m = n - k + 1
+      while (i < m) {
+        var h = 0L
+        var w = 0
+        while (w < k) { h = h * 31L + codes(i + w); w += 1 }
+        out((h % buckets).toInt) += 1L
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Murmur-style 64-bit finalizer (the MinHashAgg.mix avalanche without
   * the permutation constant): xor-shift / multiply rounds with Java
   * long wrap semantics. A native expression rather than Column
@@ -642,6 +697,11 @@ object NativeFunctions {
   /** Column API for ShingleHashesAll (positional, non-deduplicating). */
   def shingle_hashes_all(text: Column, k: Int): Column =
     ColumnBridge.toColumn(ShingleHashesAll(ColumnBridge.toExpr(text), k))
+
+  /** Column API for CharGramBucketCounts (string → length-B count vector). */
+  def char_gram_bucket_counts(text: Column, k: Int, buckets: Int): Column =
+    ColumnBridge.toColumn(
+      CharGramBucketCounts(ColumnBridge.toExpr(text), k, buckets))
 
   /** Column API for SortedPairs (array input → array<struct<a,b>>). */
   def sorted_pairs(arr: Column): Column =

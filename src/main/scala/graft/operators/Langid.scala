@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.expr.NativeFunctions
+
 /** TRAINED language identification: multinomial Naive Bayes over
   * hashed character-3-gram buckets — the classic langid shape
   * (langid.py / CLD are NB or NB-like over char n-grams; fastText's
@@ -14,50 +16,48 @@ import org.apache.spark.sql.functions._
   * where the heuristic collapses and the trained model doesn't).
   *
   * Everything is oracle-expressible by construction: features are
-  * exact integer gram counts (in-row — the hashedTokenFeatures
-  * shape), training is ONE map-side-combining 1-row aggregate of
-  * exact longs (closed form — no GD iterations to unroll), and
-  * scoring is a fixed left-assoc chain over 6dp-rounded log
-  * likelihoods, mirrored term-for-term in SQL.
+  * exact integer gram counts (in-row — one native
+  * [[graft.functions.expr.CharGramBucketCounts]] pass per document),
+  * training is ONE map-side-combining 1-row aggregate of exact longs
+  * (closed form — no GD iterations to unroll), and scoring is a fixed
+  * left-assoc chain over 6dp-rounded log likelihoods, mirrored
+  * term-for-term in SQL.
   *
   * Scale shape: train = one aggregate over the corpus (model is
-  * K·(B+1) longs — broadcast-as-literal territory); predict = one
-  * codegen'd pass with the 1-row stats crossJoined in (broadcast by
-  * construction); no shuffle anywhere but the final confusion
-  * groupBy, which carries (lang, lang) pairs. At a million-bucket
-  * vocabulary the same model factors through the long-form sparse
-  * frame (the logisticTrainSparse stance); B here is the GATE width.
+  * K·(B+1) longs — literally collected to the driver and baked into
+  * the scoring plan as LITERALS, the broadcast-as-literal pattern the
+  * BPE/PQ expressions share). Predict = one codegen'd pass whose only
+  * non-literal input is the per-doc count vector; no shuffle anywhere
+  * but the final confusion groupBy, which carries (lang, lang) pairs.
+  * At a million-bucket vocabulary the same model factors through the
+  * long-form sparse frame (the logisticTrainSparse stance); B here is
+  * the GATE width.
+  *
+  * r10 perf note: the r9 version built a per-CHARACTER array via
+  * `split∘transform(ascii)` HOFs, derived B=16 `size(filter(…))`
+  * columns from it, and referenced those through K×B² z-chains —
+  * after projection collapse the duplicated interpreted trees cost
+  * 166 s / 209 s at sf0.1 against a ~2 s single-node baseline. The
+  * native one-pass count vector plus literal model brings the pair
+  * back to sub-second scans with an UNCHANGED oracle.
   */
 object Langid {
 
-  /** Per-char-3-gram hash buckets as an in-row array. The gram hash
-    * is a plain poly-31 fold over three codepoints — max value
-    * ~0x10FFFF·31² < 2^31, so the arithmetic is exact in both
-    * engines with no mod-2^64 machinery. Docs under 3 chars get an
-    * empty array (prior-only scoring). */
-  private def gramBuckets(textCol: Column, buckets: Int): Column = {
-    val codes = transform(
-      filter(split(lower(textCol), ""), c => c =!= ""),
-      c => ascii(c).cast("long"))
-    when(size(codes) >= 3,
-      transform(sequence(lit(1), size(codes) - 2),
-        i => pmod(
-          (element_at(codes, i) * 31 + element_at(codes, i + 1)) * 31
-            + element_at(codes, i + 2),
-          lit(buckets.toLong))))
-      .otherwise(array().cast("array<bigint>"))
-  }
+  /** Per-doc exact bucket-count vector (length `buckets`): one native
+    * pass over the lowercased text. Element b equals the oracle's
+    * `len(list_filter(gb, h -> h = b))`. */
+  private def gramCounts(textCol: Column, buckets: Int): Column =
+    NativeFunctions.char_gram_bucket_counts(lower(textCol), 3, buckets)
 
-  /** Append exact integer bucket-count columns x0..x{B-1}; the gram
-    * array materializes ONCE per row (the hashedTokenFeatures
-    * discipline — B in-row filters over one array, not B gram
-    * pipelines). */
+  /** Append exact integer bucket-count columns x0..x{B-1}, all views
+    * over ONE materialized count-vector column (CollapseProject's
+    * duplication guard keeps the non-cheap native expression from
+    * being inlined per reference). */
   def withGramCounts(df: DataFrame, textCol: String, buckets: Int,
       keep: Seq[Column]): DataFrame = {
-    val withB = df.withColumn("__gb", gramBuckets(col(textCol), buckets))
+    val withB = df.withColumn("__gx", gramCounts(col(textCol), buckets))
     val xs = (0 until buckets).map(b =>
-      size(filter(col("__gb"), g => g === lit(b.toLong)))
-        .cast("long").as(s"x$b"))
+      element_at(col("__gx"), b + 1).as(s"x$b"))
     withB.select(keep ++ xs: _*)
   }
 
@@ -77,54 +77,77 @@ object Langid {
     f.agg(aggs.head, aggs.tail: _*)
   }
 
-  private def totalOf(l: String, buckets: Int): Column =
-    (0 until buckets).map(b => col(s"c_${l}_$b")).reduce(_ + _)
-
-  /** Laplace-smoothed log prior / log likelihood (6dp — the rounding
-    * edge every trained gate in this engine shares, so the ln() libm
-    * ulp can never flip a downstream comparison). */
-  private def prior(l: String, k: Int): Column =
-    round(log((col(s"n_$l") + lit(1)).cast("double") / (col("n") + lit(k))), 6)
-  private def likelihood(l: String, b: Int, buckets: Int): Column =
-    round(log((col(s"c_${l}_$b") + lit(1)).cast("double")
-      / (totalOf(l, buckets) + lit(buckets))), 6)
+  /** Laplace-smoothed log prior / log likelihood over the COLLECTED
+    * exact-count model row, as constant-foldable Column expressions —
+    * the same round/log/÷ shapes the oracle's nbtr CTE computes, with
+    * literal inputs, so Catalyst folds them with its OWN arithmetic
+    * and the 6dp values are bit-identical to the SQL's. (The r9
+    * column-reference version embedded the 16-term totalOf chain per
+    * likelihood; after projection collapse nbTrain's Generate carried
+    * 85 of those and blew the 64 KB codegen limit — literals fold to
+    * a single array constant instead.) */
+  private def priorLit(st: org.apache.spark.sql.Row, l: String,
+      k: Int): Column =
+    round(log((lit(st.getAs[Long](s"n_$l")) + lit(1)).cast("double")
+      / (lit(st.getAs[Long]("n")) + lit(k))), 6)
+  private def likLit(st: org.apache.spark.sql.Row, l: String, tot: Long,
+      b: Int, buckets: Int): Column =
+    round(log((lit(st.getAs[Long](s"c_${l}_$b")) + lit(1)).cast("double")
+      / (lit(tot) + lit(buckets))), 6)
+  private def totalOf(st: org.apache.spark.sql.Row, l: String,
+      buckets: Int): Long =
+    (0 until buckets).map(b => st.getAs[Long](s"c_${l}_$b")).sum
 
   /** Train: the fitted model as (lang, feature, cnt, logp) rows —
     * 'prior' carries the doc count and smoothed log prior, 'bNN'
-    * rows carry the exact gram count and smoothed log likelihood. */
+    * rows carry the exact gram count and smoothed log likelihood.
+    * The 1-row exact-count aggregate is collected (bounded driver
+    * state: K·(B+1)+1 longs) and re-emitted through constant-folded
+    * literal expressions. */
   def nbTrain(train: DataFrame, langCol: String, textCol: String,
       langs: Seq[String], buckets: Int): DataFrame = {
-    val st = stats(train, langCol, textCol, langs, buckets)
     val k = langs.size
+    val st = stats(train, langCol, textCol, langs, buckets).collect()(0)
     val rows = langs.sorted.flatMap { l =>
+      val tot = totalOf(st, l, buckets)
       struct(lit(l).as("lang"), lit("prior").as("feature"),
-        col(s"n_$l").as("cnt"), prior(l, k).as("logp")) +:
+        lit(st.getAs[Long](s"n_$l")).as("cnt"),
+        priorLit(st, l, k).as("logp")) +:
         (0 until buckets).map(b =>
           struct(lit(l).as("lang"), lit(f"b$b%02d").as("feature"),
-            col(s"c_${l}_$b").as("cnt"),
-            likelihood(l, b, buckets).as("logp")))
+            lit(st.getAs[Long](s"c_${l}_$b")).as("cnt"),
+            likLit(st, l, tot, b, buckets).as("logp")))
     }
-    st.select(explode(array(rows: _*)).as("m"))
+    train.sparkSession.range(1)
+      .select(explode(array(rows: _*)).as("m"))
       .select(col("m.lang").as("lang"), col("m.feature").as("feature"),
         col("m.cnt").as("cnt"), col("m.logp").as("logp"))
   }
 
-  /** Score `test` under the model fitted on `train`: per-doc
-    * z_lang = log prior + Σ_b x_b · log P(b|lang) as a fixed
-    * left-assoc chain, argmax with first-match-in-sorted-order tie
-    * break (deterministic, SQL-mirrorable CASE), aggregated to the
-    * integer confusion matrix (lang, predicted_lang, n). */
+  /** Score `test` under the model fitted on `train`: the K·(B+1)-long
+    * exact-count model is collected (one aggregate job, bounded driver
+    * state) and baked into the scoring projection as LITERAL inputs to
+    * the SAME round/log/÷ expression shapes the r9 column version
+    * used — Catalyst constant-folds them with its own arithmetic, so
+    * the 6dp values are bit-identical to what the oracle's nbtr CTE
+    * computes. Per-doc z_lang = log prior + Σ_b x_b · log P(b|lang)
+    * as a fixed left-assoc chain over the count vector, argmax with
+    * first-match-in-sorted-order tie break (deterministic,
+    * SQL-mirrorable CASE), aggregated to the integer confusion matrix
+    * (lang, predicted_lang, n). */
   def nbConfusion(train: DataFrame, test: DataFrame, langCol: String,
       textCol: String, langs: Seq[String], buckets: Int): DataFrame = {
-    val st = stats(train, langCol, textCol, langs, buckets)
     val k = langs.size
     val sorted = langs.sorted
-    val scored = withGramCounts(test, textCol, buckets,
-      Seq(col(langCol).as("lang"))).crossJoin(broadcast(st))
+    val st = stats(train, langCol, textCol, langs, buckets).collect()(0)
+    val scored = test.select(col(langCol).as("lang"),
+      gramCounts(col(textCol), buckets).as("__gx"))
     val zCols = sorted.map { l =>
+      val tot = totalOf(st, l, buckets)
       val terms = (0 until buckets).map(b =>
-        col(s"x$b").cast("double") * likelihood(l, b, buckets))
-      (prior(l, k) +: terms).reduce(_ + _).as(s"__z_$l")
+        element_at(col("__gx"), b + 1).cast("double")
+          * likLit(st, l, tot, b, buckets))
+      (priorLit(st, l, k) +: terms).reduce(_ + _).as(s"__z_$l")
     }
     val withZ = scored.select(col("lang") +: zCols: _*)
     var pred: Column = lit(sorted.last)

@@ -59,6 +59,15 @@ object CuratePipeline {
       report: DataFrame,
       private val cached: Seq[DataFrame]) {
     def release(): Unit = cached.foreach(_.unpersist())
+
+    /** True while every persisted stage boundary is still registered
+      * with the cache manager. A harness-side `clearCache()` (the
+      * Verify/Bench isolation step) deregisters them behind our back;
+      * a memoizing caller must treat such an instance as STALE —
+      * reusing it would recompute the dedup subtree once per
+      * downstream reference instead of once total. */
+    def isLive: Boolean = cached.forall(
+      _.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
   }
 
   /** Run the full funnel. Parameters are the standalone gates'

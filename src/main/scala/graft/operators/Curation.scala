@@ -419,10 +419,15 @@ object Curation {
     val totals = df.groupBy(col(stratumCol))
       .agg(sum(weight).cast("double").as("__w"))
     val grand = totals.agg(sum(col("__w")).as("__wtot"))
+    // defaultRate must live in its OWN branch: least(1.0, NULL) is
+    // 1.0 in both engines (least skips NULLs), so a coalesce around
+    // it never fires and unlisted strata would silently sample at
+    // 100% (r9 ADVICE) — the when/otherwise makes the fallback real
     val rates = totals.crossJoin(broadcast(grand))
       .select(col(stratumCol),
-        coalesce(least(lit(1.0), (share * col("__wtot")) / col("__w")),
-          lit(defaultRate)).as("__rate"))
+        when(share.isNotNull,
+          least(lit(1.0), (share * col("__wtot")) / col("__w")))
+          .otherwise(lit(defaultRate)).as("__rate"))
     df.join(broadcast(rates), stratumCol)
       .filter(hashBucket(content, buckets) < col("__rate") * buckets)
       .drop("__rate")

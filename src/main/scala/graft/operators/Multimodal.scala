@@ -380,7 +380,9 @@ object Multimodal {
       var usPerFrame = 0L; var totalFrames = 0L
       var w = 0; var h = 0; var nStreams = 0
       val tracks = scala.collection.mutable.ArrayBuffer.empty[String]
-      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      // (streamNo, offset, size) — filtered to the video stream AFTER
+      // the walk, once the strh order has fixed each stream's index
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
       def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
         var o = start
         while (o + 8 <= end) {
@@ -395,8 +397,10 @@ object Multimodal {
             val listType = fourcc(o + 8)
             walk(o + 12, o + 8 + size.toInt, inMovi || listType == "movi")
           } else if (inMovi &&
-              (id.endsWith("dc") || id.endsWith("db"))) {
-            frames += ((o + 8, size.toInt)) // a video data chunk
+              (id.endsWith("dc") || id.endsWith("db")) &&
+              id.take(2).forall(_.isDigit)) {
+            // a video data chunk of stream ##
+            frames += ((id.take(2).toInt, o + 8, size.toInt))
           } else id match {
             case "avih" =>
               if (size < 40)
@@ -417,8 +421,17 @@ object Multimodal {
       }
       walk(12, payload.length, inMovi = false)
       require(usPerFrame > 0, "no avih main header found")
+      // keep only the VIDEO stream's chunks (r9 ADVICE): stream N is
+      // the N-th strh in hdrl order, and data chunk ids carry that
+      // index as their two-digit prefix — a multi-stream AVI (e.g.
+      // vids + auds) must not interleave audio '##wb'-adjacent or
+      // second-stream chunks into the frame list javax.imageio sees
+      val vidStream = tracks.indexWhere(_ == "vids")
+      require(vidStream >= 0, "no 'vids' stream in hdrl")
       AviInfo(usPerFrame, totalFrames, w, h, nStreams, tracks.toSeq,
-        frames.toIndexedSeq)
+        frames.collect { case (s, off, len) if s == vidStream =>
+          (off, len)
+        }.toIndexedSeq)
     }
 
     /** Decode up to `maxFrames` REAL frames of an MJPEG-in-AVI

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.operators.{Curation, Dedup}
+import graft.operators.{Curation, Dedup, DeconIndex}
 
 /** The END-TO-END continuous curation pipeline: every micro-batch
   * runs the same gauntlet a batch corpus build runs — exact-dup
@@ -57,6 +57,23 @@ object CurationStream {
         (col("dup_of").isNull && col("keep")).as("keep"))
   }
 
+  /** Continuous DECONTAMINATION probe — the standing-decon-index
+    * loop completing the family (the minhashProbeQuery contract):
+    * each micro-batch of corpus docs screens against the standing
+    * benchmark shingle tables ([[DeconIndex]], built once at
+    * benchmark-land time, append/remove-refreshed on the benchmark's
+    * own release cadence). Per batch only the batch shingles; the
+    * index side broadcasts — benchmark text is never re-read. */
+  def deconProbeQuery(stream: Dataset[Doc],
+      index: DeconIndex.DeconIndex)(
+      onBatch: DataFrame => Unit): StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[Doc], _: Long) =>
+        onBatch(DeconIndex.deconProbeFromIndex(
+          index, batch.toDF(), "doc_id", "text"))
+      }
+      .start()
+
   /** foreachBatch driver: run each micro-batch through the gauntlet
     * against the frozen corpus and hand the decision frame to the
     * sink callback. The corpus HASH index is built and persisted
@@ -85,7 +102,7 @@ object CurationStream {
       }
       .start()
     val spark = corpus.sparkSession
-    spark.streams.addListener(
+    val listener =
       new org.apache.spark.sql.streaming.StreamingQueryListener {
         import org.apache.spark.sql.streaming.StreamingQueryListener._
         override def onQueryStarted(e: QueryStartedEvent): Unit = ()
@@ -95,7 +112,16 @@ object CurationStream {
             corpusHashes.unpersist(blocking = false)
             spark.streams.removeListener(this)
           }
-      })
+      }
+    spark.streams.addListener(listener)
+    // close the start→addListener race (r9 ADVICE): a query that
+    // terminated before the listener registered never receives its
+    // QueryTerminatedEvent — clean up inline in that case. (If the
+    // event DID also fire, the double-unpersist/remove are no-ops.)
+    if (!query.isActive) {
+      corpusHashes.unpersist(blocking = false)
+      spark.streams.removeListener(listener)
+    }
     query
   }
 }

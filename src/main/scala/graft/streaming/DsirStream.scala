@@ -80,14 +80,22 @@ object DsirStream {
     * table is B rows; no bucketing needed (it rides the driver as
     * literals at scoring time, never a join side). */
   def dsirWrite(spark: org.apache.spark.sql.SparkSession,
-      model: DsirModel, table: String): Unit = {
+      model: DsirModel, table: String,
+      maxBatch: Option[Long] = None): Unit = {
     import spark.implicits._
     (0 until model.nBuckets)
       .map(b => (b, model.ct(b), model.cr(b))).toDF("b", "ct", "cr")
       .write.format("parquet").mode("overwrite").saveAsTable(table)
+    // ONE ALTER carries every stamp, including the replay ledger's
+    // high-water (r9 ADVICE): a crash between saveAsTable and this
+    // statement leaves a table WITHOUT the version stamp, which
+    // dsirLoad/resume REFUSE — loud recovery, never a silent
+    // hw=-1 re-fold of batches the landed model already contains
+    val ledger = maxBatch
+      .map(hw => s", 'graft.dsir.maxbatch'='$hw'").getOrElse("")
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
       s"'graft.dsir.version'='$dsirVersion', " +
-      s"'graft.dsir.nbuckets'='${model.nBuckets}')")
+      s"'graft.dsir.nbuckets'='${model.nBuckets}'$ledger)")
   }
 
   /** Reattach a durable DSIR model written by [[dsirWrite]]. A table
@@ -207,10 +215,11 @@ final class DsirLoop(initial: DsirStream.DsirModel,
   def checkpointTo(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit = synchronized {
     refresh()
-    DsirStream.dsirWrite(spark, model, table)
     val hw = if (seen.isEmpty) highWater else math.max(highWater, seen.max)
-    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
-      s"'graft.dsir.maxbatch'='$hw')")
+    // high-water rides in dsirWrite's own stamp statement (r9 ADVICE
+    // closed the write→stamp crash window: an unstamped table now
+    // fails validation on resume instead of silently re-folding)
+    DsirStream.dsirWrite(spark, model, table, maxBatch = Some(hw))
   }
 }
 

@@ -99,7 +99,8 @@ object LmStream {
     * convention version are stamped as table properties and
     * validated both directions on load. */
   def lmWrite(model: LmModel, unigramTable: String, bigramTable: String,
-      prefixTable: String, buckets: Int = 16): Unit = {
+      prefixTable: String, buckets: Int = 16,
+      maxBatch: Option[Long] = None): Unit = {
     val spark = model.unigram.sparkSession
     def land(df: DataFrame, key: String, table: String): Unit =
       df.write.format("parquet").mode("overwrite")
@@ -107,11 +108,18 @@ object LmStream {
     land(model.unigram, "token_h", unigramTable)
     land(model.bigram, "bigram_h", bigramTable)
     land(model.prefix, "prefix_h", prefixTable)
+    // each table's stamps — including the replay ledger's high-water
+    // when checkpointing (r9 ADVICE) — land in ONE ALTER per table:
+    // a crash mid-sequence leaves some table without its version
+    // stamp, which lmLoad REFUSES loudly; there is no state where a
+    // loadable model carries folded batches but no ledger
+    val ledger = maxBatch
+      .map(hw => s", 'graft.lm.maxbatch'='$hw'").getOrElse("")
     Seq(unigramTable, bigramTable, prefixTable).foreach { t =>
       spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES (" +
         s"'graft.lm.version'='$lmVersion', " +
         s"'graft.lm.total'='${model.total}', " +
-        s"'graft.lm.vocab'='${model.vocab}')")
+        s"'graft.lm.vocab'='${model.vocab}'$ledger)")
     }
   }
 
@@ -300,13 +308,12 @@ final class LmLoop(initial: LmStream.LmModel, lambda: Double,
   def checkpointTo(unigramTable: String, bigramTable: String,
       prefixTable: String, buckets: Int = 16): Unit = synchronized {
     refresh()
-    LmStream.lmWrite(model, unigramTable, bigramTable, prefixTable, buckets)
-    val spark = model.unigram.sparkSession
     val hw = if (seen.isEmpty) highWater else math.max(highWater, seen.max)
-    Seq(unigramTable, bigramTable, prefixTable).foreach { t =>
-      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES (" +
-        s"'graft.lm.maxbatch'='$hw')")
-    }
+    // high-water rides in lmWrite's per-table stamp statements (r9
+    // ADVICE): no separate stamping pass, so no crash window where a
+    // loadable model lacks its ledger
+    LmStream.lmWrite(model, unigramTable, bigramTable, prefixTable,
+      buckets, maxBatch = Some(hw))
   }
 }
 

@@ -212,6 +212,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.filter(col("lang") === "small").count() === 1L)
   }
 
+  test("mixtureSample applies defaultRate to unlisted strata (r9 ADVICE)") {
+    // many docs in a stratum with NO target share: defaultRate=0 must
+    // drop them ALL (the old coalesce-around-least dead branch kept
+    // them at rate 1.0), and a listed stratum is untouched by default
+    val df = (1 to 50).map(i => ("zz", s"doc number $i unique $i", 100L))
+      .toDF("lang", "text", "n_chars")
+      .union(Seq(("en", "kept doc", 100L)).toDF("lang", "text", "n_chars"))
+    val out = Curation.mixtureSample(df, "lang", col("n_chars"), col("text"),
+      Map("en" -> 1.0), defaultRate = 0.0)
+    assert(out.filter(col("lang") === "zz").count() === 0L,
+      "unlisted stratum must sample at defaultRate, not 1.0")
+    assert(out.filter(col("lang") === "en").count() === 1L)
+    // and a mid default really thins (not 0, not all) on a larger pool
+    val mid = Curation.mixtureSample(df, "lang", col("n_chars"), col("text"),
+      Map("en" -> 1.0), defaultRate = 0.5)
+      .filter(col("lang") === "zz").count()
+    assert(mid > 0L && mid < 50L, s"defaultRate=0.5 kept $mid of 50")
+  }
+
   test("mixtureSample rejects out-of-range rates") {
     val df = Seq(("en", "x", 1L)).toDF("lang", "text", "n_chars")
     intercept[IllegalArgumentException] {

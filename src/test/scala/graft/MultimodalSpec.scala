@@ -261,6 +261,51 @@ class MultimodalSpec extends SparkSpec {
     assert(metas(21L).duration_ms === 2500L)
   }
 
+  test("multi-stream AVI: only the 'vids' stream's chunks become frames") {
+    // hand-build a 2-stream container (auds at index 0, vids at 1):
+    // '00wb' audio data and a bogus '00dc'-named chunk on the AUDIO
+    // stream must not reach the JPEG decoder; the real frames ride
+    // as '01dc' (r9 ADVICE: stream identity lives in the 2-digit id
+    // prefix, matched against the strh order)
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      cc(id) ++ le32(body.length.toLong) ++ body ++
+        (if ((body.length & 1) == 1) Array(0.toByte)
+         else Array.emptyByteArray)
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", cc(typ) ++ body)
+    val jpeg = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(solidFrame(24, 16, 200), "jpg", bos)
+      bos.toByteArray
+    }
+    val avih = chunk("avih",
+      le32(100000L) ++ le32(0) ++ le32(0) ++ le32(0x10L) ++ le32(2L) ++
+        le32(0) ++ le32(2L) ++ le32(0) ++ le32(24L) ++ le32(16L) ++
+        new Array[Byte](16))
+    def strh(typ: String): Array[Byte] =
+      chunk("strh", cc(typ) ++ cc(if (typ == "vids") "MJPG" else "pcm ") ++
+        new Array[Byte](48))
+    val hdrl = list("hdrl", avih ++
+      list("strl", strh("auds")) ++ list("strl", strh("vids")))
+    val movi = list("movi",
+      chunk("00wb", Array.fill(64)(7.toByte)) ++  // audio data
+        chunk("00dc", Array.fill(32)(9.toByte)) ++ // bogus: dc on auds
+        chunk("01dc", jpeg) ++ chunk("01dc", jpeg))
+    val body = cc("AVI ") ++ hdrl ++ movi
+    val avi = cc("RIFF") ++ le32(body.length.toLong) ++ body
+    val info = Multimodal.parseAvi(avi)
+    assert(info.trackTypes === Seq("auds", "vids"))
+    assert(info.frameChunks.length === 2,
+      s"audio-stream chunks leaked into the frame list: $info")
+    val frames = Multimodal.decodeAviMjpegFrames(avi, maxFrames = 10)
+    assert(frames.length === 2)
+    assert(frames.forall(f => f.getWidth === 24 && f.getHeight === 16))
+  }
+
   test("sampleFrames explodes each media row into n frame rows") {
     val media = Multimodal.syntheticMedia(spark, 5).toDF()
     val frames = Multimodal.sampleFrames(media, "payload", nFrames = 4)

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IndexTuning, Similarity}
+import graft.operators.IndexTuning.{IvfParams, ivfParamsFor, lshBitsFor}
+
+/** The index auto-retune loop: occupancy rules, the recall reading,
+  * and the full monitor→retune cycle — a landed IVF index is healthy
+  * on the corpus it saw, PROVABLY sags after drifting growth lands
+  * under its frozen quantizer, and the rule-driven retune restores
+  * recall. */
+class IndexTuningSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- the occupancy rules themselves ----
+
+  test("ivfParamsFor follows the √N rule with a constant probe fraction") {
+    assert(ivfParamsFor(0L) === IvfParams(1, 1))
+    assert(ivfParamsFor(10000L).nlists === 100)
+    assert(ivfParamsFor(1000000L).nlists === 1000)
+    // 100× corpus → 10× lists (√N), nprobe stays the same fraction
+    // (ceil'd: 100 lists → 13 probes, 1000 lists → 125)
+    val (small, big) = (ivfParamsFor(10000L), ivfParamsFor(1000000L))
+    assert(big.nlists === small.nlists * 10)
+    assert(small.nprobe === 13 && big.nprobe === 125)
+    // clamped at the ceiling
+    assert(ivfParamsFor(Long.MaxValue).nlists === (1 << 16))
+  }
+
+  test("lshBitsFor keeps expected bucket occupancy constant") {
+    // N/2^bits ≤ targetOccupancy, and bits is minimal for that
+    for (n <- Seq(100L, 1000L, 10000L, 1000000L); occ <- Seq(16L, 32L, 64L)) {
+      val b = lshBitsFor(n, occ)
+      assert(n.toDouble / (1L << b) <= occ, s"n=$n occ=$occ bits=$b")
+      assert(b == 1 || n.toDouble / (1L << (b - 1)) > occ,
+        s"bits not minimal: n=$n occ=$occ bits=$b")
+    }
+    // doubling the corpus costs exactly one bit
+    assert(lshBitsFor(2048L, 32L) === lshBitsFor(1024L, 32L) + 1)
+  }
+
+  // ---- the full loop on a landed index ----
+
+  private val dim = 4
+  private def unit(i: Int): Array[Double] =
+    Array.tabulate(dim)(j => if (i == j) 1.0 else 0.0)
+  private def normalize(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    v.map(_ / n)
+  }
+  private def mix(a: Array[Double], ca: Double, b: Array[Double],
+      cb: Double): Array[Double] =
+    normalize(Array.tabulate(dim)(j => ca * a(j) + cb * b(j)))
+
+  // land-time corpus: four tight clusters on the axes
+  private def corpusA = (for {
+    c <- 0 until 4
+    i <- 0 until 12
+  } yield {
+    val jitter = 0.06 * ((i % 5) - 2) / 2.0
+    (c * 100L + i, mix(unit(c), 1.0, unit((c + 1) % 4), jitter).toSeq)
+  }).toDF("vec_id", "embedding")
+
+  // the drifting growth: one coherent new cluster BETWEEN axes 0 and
+  // 1, spread across the frozen quantizer's cell boundary — δ runs
+  // −0.2…0.2, so half the cluster assigns to the e0 cell, half to e1
+  private def batchB = (0 until 40).map { i =>
+    val d = -0.2 + 0.4 * i / 39.0
+    (1000L + i, mix(unit(0), 1.0 + d, unit(1), 1.0 - d).toSeq)
+  }.toDF("vec_id", "embedding")
+
+  // audit: the B-cluster center (equidistant to both halves) plus one
+  // in-cluster A query — the slice a monitor would sample
+  private def auditB = Seq((9000L, mix(unit(0), 1.0, unit(1), 1.0).toSeq))
+    .toDF("vec_id", "embedding")
+  private def auditA = Seq((9001L, mix(unit(2), 1.0, unit(3), 0.02).toSeq))
+    .toDF("vec_id", "embedding")
+
+  test("monitor→retune: frozen quantizer sags under drift, rule-derived retune restores") {
+    dropTables("retune_ivf")
+    val landed = IvfParams(nlists = 4, nprobe = 1) // healthy at land time
+    val q0 = Similarity.kmeansCentroids(corpusA, "vec_id", "embedding",
+      landed.nlists, iters = 3,
+      init = Some(Similarity.kmeansPlusPlusInit(corpusA, "vec_id",
+        "embedding", landed.nlists, sampleSize = 64, seed = 7L)),
+      roundTo = Some(6))
+    Similarity.ivfIndexWrite(corpusA, "vec_id", "embedding", q0, "retune_ivf")
+
+    // healthy on the corpus it saw: the monitor reads ≥ target and the
+    // cycle no-ops (measurement is the only cost)
+    val healthy = IndexTuning.retuneIvf(spark, "retune_ivf", q0, corpusA,
+      auditA, "vec_id", "embedding", landed, targetRecall = 0.9, k = 5)
+    assert(!healthy.retuned, s"healthy index retuned: $healthy")
+    assert(healthy.recallBefore >= 0.9, s"land-time recall ${healthy.recallBefore}")
+
+    // growth lands under the FROZEN quantizer (the append contract)
+    Similarity.ivfIndexAppend(spark, "retune_ivf", batchB,
+      "vec_id", "embedding", q0)
+    val grown = corpusA.unionByName(batchB)
+
+    // the sag is real and measured: the B query's true top-5 straddles
+    // the two old cells the cluster was split across, nprobe=1 sees one
+    val sagged = IndexTuning.ivfIndexRecall(spark, "retune_ivf", q0,
+      grown, auditB, "vec_id", "embedding", landed.nprobe, k = 5)
+    assert(sagged < 0.75, s"expected the frozen index to sag, got $sagged")
+
+    // the loop: below target → re-derive from the √N rule at the NEW
+    // size, retrain, rebuild, re-measure
+    val report = IndexTuning.retuneIvf(spark, "retune_ivf", q0, grown,
+      auditB, "vec_id", "embedding", landed, targetRecall = 0.9, k = 5,
+      probeFrac = 0.25, iters = 3, sampleSize = 128, seed = 7L)
+    assert(report.retuned)
+    assert(report.n === 88L)
+    assert(report.after.nlists === ivfParamsFor(88L, probeFrac = 0.25).nlists)
+    assert(report.recallBefore === sagged)
+    assert(report.recallAfter >= 0.9,
+      s"retune failed to restore recall: $report")
+
+    // the rebuilt table serves the A slice too — retuning for the
+    // drift must not break the original region
+    val aAfter = IndexTuning.ivfIndexRecall(spark, "retune_ivf",
+      report.quantizer, grown, auditA, "vec_id", "embedding",
+      report.after.nprobe, k = 5)
+    assert(aAfter >= 0.9, s"retune regressed the original region: $aAfter")
+    dropTables("retune_ivf")
+  }
+}

@@ -88,7 +88,33 @@ object Layout {
     */
   def prunedRead(spark: SparkSession, path: String, manifest: DataFrame,
       column: String, lo: Column, hi: Column,
+      maxFiles: Int = 1000000): (DataFrame, Int, Int) =
+    scanPruned(spark, path, manifest, Seq((column, lo, hi)), maxFiles)
+
+  /** THE read path of the layout family (r10 — zorderWrite +
+    * fileStats wired into one scan): a multi-column range predicate
+    * pruned against the per-file min/max manifest, AND-composed —
+    * exactly the read a Z-ordered table exists to serve, since only
+    * a Z-layout gives per-file stats that are tight on BOTH
+    * dimensions at once (LayoutSpec measures it: the same 2-D box
+    * reads ~1 file from the Z-layout and most of the files from a
+    * 1-D sorted layout of the same data).
+    *
+    * Keeps a file iff EVERY range intersects its [min, max] on that
+    * column (a file missing any one range cannot hold a matching
+    * row), then applies the exact predicate to the survivors — the
+    * manifest prune is a superset guarantee, never a filter
+    * replacement. The file list is driver-side but ∝ #files (a
+    * manifest row per file — the same order Spark's own file index
+    * holds in memory); the data read is ∝ matching files only.
+    *
+    * @return (pruned frame, #files read, #files total) — counts let
+    *         callers log skipping effectiveness.
+    */
+  def scanPruned(spark: SparkSession, path: String, manifest: DataFrame,
+      ranges: Seq[(String, Column, Column)],
       maxFiles: Int = 1000000): (DataFrame, Int, Int) = {
+    require(ranges.nonEmpty, "scanPruned needs at least one range")
     val total = manifest.count().toInt
     // the collect is ∝ matching files; `maxFiles` is the guard rail
     // for degenerate manifests (a million-file table whose predicate
@@ -98,13 +124,28 @@ object Layout {
       s"manifest has $total files > maxFiles=$maxFiles; " +
         "read the table directly instead of via the pruned path list")
     val live = manifest
-      .filter(!(col(s"max_$column") < lo || col(s"min_$column") > hi))
+      .filter(ranges.map { case (c, lo, hi) =>
+        !(col(s"max_$c") < lo || col(s"min_$c") > hi)
+      }.reduce(_ && _))
       .select("file")
       .collect().map(_.getString(0))
+    val exact = ranges.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi
+    }.reduce(_ && _)
     val df =
       if (live.isEmpty) spark.read.parquet(path).filter(lit(false))
-      else spark.read.parquet(live.toIndexedSeq: _*)
-        .filter(col(column) >= lo && col(column) <= hi)
+      else spark.read.parquet(live.toIndexedSeq: _*).filter(exact)
     (df, live.length, total)
+  }
+
+  /** Land a Z-ordered table AND its manifest in one step — the
+    * write-side twin of [[scanPruned]], so the full layout loop is
+    * two calls: `landZordered(...)` at write time,
+    * `scanPruned(...)` per query. Returns the manifest (callers
+    * persist it next to the data and refresh on append). */
+  def landZordered(df: DataFrame, colA: String, colB: String, bits: Int,
+      nFiles: Int, path: String): DataFrame = {
+    zorderWrite(df, colA, colB, bits, nFiles, path)
+    fileStats(df.sparkSession, path, Seq(colA, colB))
   }
 }

@@ -69,4 +69,58 @@ class LayoutSpec extends SparkSpec {
     assert(r0 === 0 && none.count() === 0L)
     assert(none.columns.contains("o_orderkey"))
   }
+
+  test("scanPruned: the 2-D read path — files read track selectivity on the Z-layout") {
+    val orders = Tables.orders(spark, sfDir)
+    val nFiles = 16
+    val dir = tmp("scanpruned")
+    // land + manifest in one step (the write-side twin)
+    val manifest = Layout.landZordered(orders, "o_custkey", "o_totalprice",
+      bits = 4, nFiles, dir)
+
+    def box(loK: Long, hiK: Long, loP: Double, hiP: Double) =
+      Seq(("o_custkey", lit(loK), lit(hiK)),
+        ("o_totalprice", lit(loP), lit(hiP)))
+
+    // correctness first: pruned 2-D read ≡ full scan + filter
+    val (df, read, total) = Layout.scanPruned(spark, dir,
+      manifest, box(100L, 250L, 50000.0, 100000.0))
+    val expected = orders.filter(
+        col("o_custkey").between(100L, 250L) &&
+          col("o_totalprice").between(50000.0, 100000.0))
+      .select("o_orderkey").as[Long].collect().sorted.toSeq
+    assert(df.select("o_orderkey").as[Long].collect().sorted.toSeq === expected)
+    assert(total === nFiles)
+
+    // files read ∝ selectivity: the probe the SURVEY §6 entry records.
+    // A wider box must read at least as many files; the full-range box
+    // reads everything; the selective box skips most of the table.
+    val keyMax = orders.agg(max("o_custkey")).as[Long].head
+    val priceMax = orders.agg(max("o_totalprice")).as[Double].head
+    val readNarrow = read
+    val (_, readWide, _) = Layout.scanPruned(spark, dir,
+      manifest, box(0L, keyMax / 2, 0.0, priceMax / 2))
+    val (_, readAll, _) = Layout.scanPruned(spark, dir,
+      manifest, box(0L, keyMax, 0.0, priceMax))
+    assert(readNarrow <= readWide && readWide <= readAll,
+      s"files read not monotone in selectivity: $readNarrow/$readWide/$readAll")
+    assert(readAll === nFiles)
+    assert(readNarrow <= nFiles / 2,
+      s"selective 2-D box should skip most files, read $readNarrow/$nFiles")
+
+    // the same 2-D box against a 1-D layout reads MORE files — the
+    // measured reason zorderWrite exists
+    val sDir = tmp("scanpruned1d")
+    orders.repartitionByRange(nFiles, col("o_custkey"))
+      .sortWithinPartitions(col("o_custkey"))
+      .write.mode("overwrite").parquet(sDir)
+    val manifest1d = Layout.fileStats(spark, sDir,
+      Seq("o_custkey", "o_totalprice"))
+    val (df1, read1, _) = Layout.scanPruned(spark, sDir,
+      manifest1d, box(100L, 250L, 50000.0, 100000.0))
+    assert(df1.select("o_orderkey").as[Long].collect().sorted.toSeq === expected,
+      "both layouts must return the identical row set")
+    assert(readNarrow < read1,
+      s"z-layout read $readNarrow files, 1-D layout $read1 — no 2-D win")
+  }
 }

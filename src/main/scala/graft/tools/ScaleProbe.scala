@@ -803,6 +803,35 @@ object ScaleProbe {
           16, 4, 8, 16, 10).count()
       }
     }
+    // the CAPSTONE composition (r10 — r9 verdict item 7): every stage
+    // is probed individually above/elsewhere, this probes the WIRED
+    // funnel — pair-join+CC once, then scans/broadcast-probes over the
+    // shrinking survivor set with persisted boundaries. Expect ≤
+    // linear: the one super-linear-risk stage (the dedup pair join)
+    // is LSH/inverted-index-bucketed, and every downstream stage is a
+    // scan or a #strata-row aggregate.
+    locally {
+      def curate(docs: DataFrame): Long = {
+        val d = docs.select(col("doc_id"), col("text"),
+          concat(lit("l"), pmod(col("doc_id"), lit(3))).as("lang"),
+          concat(lit("src"), pmod(col("doc_id"), lit(4))).as("source"),
+          length(col("text")).cast("long").as("n_chars"))
+        val c = graft.operators.CuratePipeline.curate(
+          d, "doc_id", "text", "lang", "source", col("n_chars"),
+          benchSources = Seq("src0"), shingleK = 3, tau = 0.6,
+          minWords = 10, maxWords = 50000, minSentences = 0,
+          bias = -2.0, wLogTokens = 0.6, wStopDev = -6.0,
+          wTokenLen = 0.1, wPunct = -4.0,
+          maxTopTokenRatio = 0.12, maxDupTrigramRatio = 0.05,
+          deconN = 5, bloomBits = 1 << 22, bloomHashes = 3,
+          langShares = Map("l0" -> 0.4, "l1" -> 0.35), defaultRate = 0.6,
+          epochShares = Map("src1" -> 0.5, "src2" -> 0.3),
+          budgetFactor = 1.0, maxEpochs = 4.0,
+          nShards = 8, packBudget = 2048)
+        try c.packed.count() finally c.release()
+      }
+      probe("pipeline_curate") { curate(docs1) } { curate(docsN) }
+    }
     spark.stop()
   }
 }

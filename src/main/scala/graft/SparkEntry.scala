@@ -851,6 +851,15 @@ object SparkEntry {
       Curation.interpLogProb(t(s, dir, "documents"), "doc_id",
         Text.tokens(col("text")), lambda = interpLambda)),
 
+    // CCNet-style perplexity triage (r10): head/middle/tail buckets
+    // by interpolated-LM likelihood, cut at exact score quantiles —
+    // two percentile scalars broadcast back over the scored corpus,
+    // no global sort (the shape CCNet runs on Common Crawl)
+    "quality_perplexity" -> ((s, dir) =>
+      Curation.perplexityBuckets(t(s, dir, "documents"), "doc_id",
+        Text.tokens(col("text")), lambda = interpLambda,
+        headQ = 0.3, tailQ = 0.3)),
+
     // fixed-budget sequence packing per source shard (2048 tokens)
     "pack_sequences" -> ((s, dir) =>
       Curation.packSequences(t(s, dir, "documents"), "source", "doc_id",
@@ -889,6 +898,18 @@ object SparkEntry {
     "ann_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(
+        e.filter(col("vec_id") >= 8), e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5)
+    }),
+
+    // scalar-quantized (SQ8) top-k (r10): 1 byte/dim codes against
+    // per-dimension corpus [min,max], queries rank exact cosine over
+    // the DEQUANTIZED codes — the no-training compression point
+    // between flat and PQ; oracle mirrors the quantize/dequantize
+    // arithmetic term-for-term in list_transform
+    "ann_sq8" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.sq8TopK(
         e.filter(col("vec_id") >= 8), e.filter(col("vec_id") < 8),
         "vec_id", "embedding", k = 5)
     }),
@@ -1732,6 +1753,64 @@ object SparkEntry {
     * ±v[i] and both engines fold the same doubles in array order —
     * signatures agree bit-for-bit, then bucket join → distinct pair →
     * cosine rerank mirror the plan 1:1. */
+  /** Shared CTE chain of the interp-LM oracles, ending in
+    * `ilp(doc_id, n_bigrams, avg_logprob)` — lets the perplexity
+    * triage compose the score with its quantile thresholds in one
+    * statement. */
+  private def interpLmCtes: String =
+    s"""t AS (SELECT doc_id,
+                    list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x <> '') AS tk
+             FROM documents),
+         u AS (SELECT unnest(tk) AS token FROM t),
+         uf AS (SELECT token, count(*) AS ucnt FROM u GROUP BY 1),
+         tot AS (SELECT count(*) AS total FROM u),
+         b AS (SELECT doc_id, tk[i] AS prefix, tk[i] || ' ' || tk[i+1] AS bigram,
+                      tk[i+1] AS token
+               FROM t, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+               WHERE len(tk) >= 2),
+         bf AS (SELECT bigram, count(*) AS bcnt FROM b GROUP BY 1),
+         pf AS (SELECT prefix, count(*) AS pcnt FROM b GROUP BY 1),
+         ilp AS (
+           SELECT doc_id, count(*) AS n_bigrams,
+                  round(avg(ln($interpLambda * (bcnt / CAST(pcnt AS DOUBLE))
+                    + ${1.0 - interpLambda} * (ucnt / CAST(total AS DOUBLE)))), 4)
+                    AS avg_logprob
+           FROM b JOIN bf USING (bigram) JOIN pf USING (prefix)
+                  JOIN uf USING (token) CROSS JOIN tot
+           GROUP BY 1)"""
+
+  /** ann_sq8 oracle: per-dimension corpus [min,max] → the identical
+    * quantize/round/dequantize arithmetic in list_transform → exact
+    * cosine rank over the dequantized lists (the annTopkOracle rank
+    * shape). Span-0 dimensions guard the division and dequantize to
+    * the constant, exactly as the operator's when-branch. */
+  private def annSq8Oracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       mm AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+              FROM e, unnest(generate_series(1, 64)) AS g(i)
+              WHERE vec_id >= 8 GROUP BY 1),
+       mml AS (SELECT list(mn ORDER BY i) AS mns,
+                      list(mx - mn ORDER BY i) AS spans
+               FROM mm),
+       deq AS (SELECT vec_id,
+                 list_transform(generate_series(1, 64),
+                   i -> CASE WHEN spans[i] > 0
+                             THEN mns[i]
+                               + round((v[i] - mns[i]) / spans[i] * 255)
+                                 / 255.0 * spans[i]
+                             ELSE mns[i] END) AS dv
+               FROM e CROSS JOIN mml WHERE vec_id >= 8)
+       SELECT q.vec_id AS query_id,
+              CAST(row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.v, c.dv) DESC,
+                         c.vec_id) AS INTEGER) AS rnk,
+              c.vec_id AS neighbor_id
+       FROM (SELECT vec_id, v FROM e WHERE vec_id < 8) q
+       CROSS JOIN deq c
+       QUALIFY rnk <= 5"""
+
   private def annTopkOracle: String =
     """SELECT q.vec_id AS query_id,
               CAST(row_number() OVER (
@@ -3848,26 +3927,23 @@ object SparkEntry {
     // uses (shortest-repr round trip), so both engines mix with
     // bit-identical coefficients
     "text_interp_lm" ->
-      s"""WITH t AS (SELECT doc_id,
-                    list_filter(string_split_regex(trim(text), '\\s+'),
-                                x -> x <> '') AS tk
-             FROM documents),
-         u AS (SELECT unnest(tk) AS token FROM t),
-         uf AS (SELECT token, count(*) AS ucnt FROM u GROUP BY 1),
-         tot AS (SELECT count(*) AS total FROM u),
-         b AS (SELECT doc_id, tk[i] AS prefix, tk[i] || ' ' || tk[i+1] AS bigram,
-                      tk[i+1] AS token
-               FROM t, unnest(generate_series(1, len(tk) - 1)) AS g(i)
-               WHERE len(tk) >= 2),
-         bf AS (SELECT bigram, count(*) AS bcnt FROM b GROUP BY 1),
-         pf AS (SELECT prefix, count(*) AS pcnt FROM b GROUP BY 1)
-         SELECT doc_id, count(*) AS n_bigrams,
-                round(avg(ln($interpLambda * (bcnt / CAST(pcnt AS DOUBLE))
-                  + ${1.0 - interpLambda} * (ucnt / CAST(total AS DOUBLE)))), 4)
-                  AS avg_logprob
-         FROM b JOIN bf USING (bigram) JOIN pf USING (prefix)
-                JOIN uf USING (token) CROSS JOIN tot
-         GROUP BY 1""",
+      s"""WITH $interpLmCtes
+         SELECT doc_id, n_bigrams, avg_logprob FROM ilp""",
+
+    // quality_perplexity oracle: the interp-LM score chain reused,
+    // head/middle/tail thresholds as exact quantiles (quantile_cont =
+    // Spark's percentile, linear interpolation at p·(n−1)), CASE
+    // order head-then-tail mirroring the operator's when-chain
+    "quality_perplexity" ->
+      s"""WITH $interpLmCtes,
+         plc AS (SELECT quantile_cont(avg_logprob, 0.7) AS th,
+                        quantile_cont(avg_logprob, 0.3) AS tt
+                 FROM ilp)
+         SELECT doc_id, n_bigrams, avg_logprob,
+                CASE WHEN avg_logprob >= th THEN 'head'
+                     WHEN avg_logprob <= tt THEN 'tail'
+                     ELSE 'middle' END AS ppl_bucket
+         FROM ilp CROSS JOIN plc""",
 
     "text_bigram_lm" ->
       """WITH t AS (SELECT doc_id,
@@ -3940,6 +4016,7 @@ object SparkEntry {
          SELECT vec_a, vec_b FROM pairs""",
 
     "ann_topk" -> annTopkOracle,
+    "ann_sq8" -> annSq8Oracle,
 
     // recall@5 of the LSH index vs exact brute force, per query —
     // integer intersection counts (the index-quality monitoring loop;

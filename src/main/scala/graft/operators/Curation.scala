@@ -198,6 +198,41 @@ object Curation {
             lit(1.0 - lambda) * (col("ucnt") / col("total")))), 4).as("avg_logprob"))
   }
 
+  /** CCNet-style PERPLEXITY BUCKETING (r10): split the corpus into
+    * head / middle / tail by language-model likelihood — the classic
+    * web-corpus triage (CCNet trains a KenLM on Wikipedia and keeps
+    * the low-perplexity "head" as its cleanest slice; the tail is
+    * where boilerplate and gibberish live). The LM here is the
+    * engine's own interpolated bigram⊕unigram model
+    * ([[interpLogProb]] — at production scale the same shape with a
+    * reference-corpus-trained model via the frozen
+    * [[graft.streaming.LmStream]] scorer); higher avg log-prob =
+    * lower perplexity = head.
+    *
+    * Buckets cut at exact QUANTILE THRESHOLDS of the score, not at
+    * global ranks: head = score ≥ P(1−headQ), tail = score ≤
+    * P(tailQ), middle between — two percentile scalars from one
+    * aggregate, broadcast back, then a stateless per-row CASE. No
+    * global sort, no single-partition window: the shape survives a
+    * 100 TB corpus (at real scale the exact percentile swaps for
+    * percentile_approx — same plan). When the thresholds collide on
+    * a tiny or degenerate corpus the head branch wins, then tail —
+    * the CASE order the oracle mirrors. */
+  def perplexityBuckets(docs: DataFrame, idCol: String, tokens: Column,
+      lambda: Double, headQ: Double = 0.3, tailQ: Double = 0.3): DataFrame = {
+    require(headQ > 0 && tailQ > 0 && headQ + tailQ <= 1.0,
+      s"headQ=$headQ / tailQ=$tailQ must be positive with sum <= 1")
+    val lp = interpLogProb(docs, idCol, tokens, lambda)
+    val cuts = lp.agg(
+      expr(s"percentile(avg_logprob, ${1.0 - headQ})").as("__th"),
+      expr(s"percentile(avg_logprob, $tailQ)").as("__tt"))
+    lp.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_logprob"),
+        when(col("avg_logprob") >= col("__th"), "head")
+          .when(col("avg_logprob") <= col("__tt"), "tail")
+          .otherwise("middle").as("ppl_bucket"))
+  }
+
   /** THE bigram-row convention shared by [[interpLogProb]] and the
     * frozen-LM stream scorer ([[graft.streaming.LmStream]]): one
     * definition of tokenization (empty tokens removed, < 2-token docs

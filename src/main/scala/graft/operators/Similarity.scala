@@ -44,6 +44,58 @@ object Similarity {
       .select(col("query_id"), col("rnk").cast("int").as("rnk"), col("neighbor_id"))
   }
 
+  /** Scalar-quantization (SQ8) top-k — the THIRD compression point on
+    * the ANN memory/recall frontier (FAISS's IndexScalarQuantizer,
+    * between full-precision flat and PQ): every corpus vector stores
+    * as one byte per dimension (8× smaller than float64; at D=64 that
+    * is 64 bytes vs 512), quantized per-dimension against the
+    * corpus's [min, max] range, and queries score against the
+    * DEQUANTIZED codes — no codebook training at all, which is what
+    * makes SQ8 the default first compression step a serving stack
+    * reaches for before committing to PQ.
+    *
+    * Train = ONE per-dimension min/max aggregate (2·D doubles of
+    * driver state — broadcast-as-literal, the IVF-centroid pattern).
+    * Encode: code_d = round((x_d − min_d)/span_d · 255), a pure
+    * codegen'd projection, no shuffle. Score: dequantize in-row
+    * (x̂_d = min_d + code_d/255·span_d) and rank exact cosine against
+    * the broadcast queries — candidate generation scans codes only;
+    * at 100 TB this is the 8× scan-bytes win, composable under an IVF
+    * coarse layer exactly like PQ. A constant-dimension (span 0)
+    * stores code 0 and dequantizes to the constant. Determinism: the
+    * quantization arithmetic is mirrored term-for-term in the
+    * oracle's list_transform, and ranking ties break on neighbor id. */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val mm = c.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy("i").collect()
+    val params = array(mm.map { r =>
+      val mn = r.getDouble(1)
+      struct(lit(mn).as("mn"), lit(r.getDouble(2) - mn).as("s"))
+    }.toIndexedSeq: _*)
+    val codes = zip_with(col("v"), params, (x, p) =>
+      when(p("s") > lit(0.0),
+        round((x - p("mn")) / p("s") * lit(255.0), 0))
+        .otherwise(lit(0.0)))
+    val deq = c.select(col("neighbor_id"),
+      zip_with(codes, params, (cd, p) =>
+        p("mn") + cd / lit(255.0) * p("s")).as("dv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val scored = deq.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.cosine(col("qv"), col("dv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("int").as("rnk"),
+        col("neighbor_id"))
+  }
+
   /** IVF-flat approximate top-k: a coarse quantizer (here: a
     * deterministic sample of corpus vectors as centroids — at scale,
     * k-means centroids trained offline) partitions the corpus into

@@ -212,6 +212,64 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.filter(col("lang") === "small").count() === 1L)
   }
 
+  test("perplexityBuckets: threshold cuts totally order the buckets by score") {
+    // three LIKELIHOOD tiers by prefix branching: singleton-bigram
+    // docs score ln(λ·1+…) (the MLE-overconfidence ceiling the
+    // interpolation cushions), shared-prefix docs score lower the
+    // more ways their prefixes branch
+    val docs = (
+      (1 to 4).map(i => (i.toLong, // tier 1: every bigram unique
+        (0 until 10).map(j => s"u${i}_$j").mkString(" "))) ++
+      (5 to 9).map(i => (i.toLong, // tier 2: prefix 'y' branches per doc
+        s"y m${i}a y m${i}b y m${i}c")) ++
+      (10 to 13).map(i => (i.toLong, // tier 3: prefix 'x' branches corpus-wide
+        s"x t${i}a x t${i}b x t${i}c x t${i}d x t${i}e")) ++
+      Seq((15L, "too"), (16L, ""))) // <2 tokens: dropped, like interpLogProb
+      .toDF("doc_id", "text")
+    val out = Curation.perplexityBuckets(docs, "doc_id",
+        graft.functions.Text.tokens(col("text")), lambda = 0.8,
+        headQ = 0.3, tailQ = 0.3)
+      .select("doc_id", "avg_logprob", "ppl_bucket")
+      .as[(Long, Double, String)].collect()
+    assert(out.length === 13, "sub-2-token docs must drop, not bucket")
+    val byB = out.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byB.keySet === Set("head", "middle", "tail"), s"buckets: ${byB.keySet}")
+    // the quantile cut is a total order on score: min(head) ≥
+    // max(middle) ≥ min(middle) ≥ max(tail)
+    assert(byB("head").min >= byB("middle").max)
+    assert(byB("middle").min >= byB("tail").max)
+    // the singleton-bigram docs are the high-likelihood slice; the
+    // corpus-wide-branched docs are the tail
+    val bucketOf = out.map(r => r._1 -> r._3).toMap
+    assert((1 to 4).forall(i => bucketOf(i.toLong) == "head"),
+      s"singleton-bigram docs must head: $bucketOf")
+    assert((10 to 13).forall(i => bucketOf(i.toLong) == "tail"),
+      s"corpus-branched docs must tail: $bucketOf")
+    // deterministic
+    val again = Curation.perplexityBuckets(docs, "doc_id",
+        graft.functions.Text.tokens(col("text")), lambda = 0.8,
+        headQ = 0.3, tailQ = 0.3)
+      .select("doc_id", "avg_logprob", "ppl_bucket")
+      .as[(Long, Double, String)].collect()
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
+  test("perplexityBuckets fractions track the quantile knobs on a spread corpus") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Curation.perplexityBuckets(docs, "doc_id",
+        graft.functions.Text.tokens(col("text")), lambda = 0.8,
+        headQ = 0.25, tailQ = 0.25)
+      .groupBy("ppl_bucket").count()
+      .as[(String, Long)].collect().toMap
+    val n = out.values.sum.toDouble
+    // quantile cuts land the advertised mass within tie slack
+    assert(out("head") / n >= 0.15 && out("head") / n <= 0.45,
+      s"head fraction ${out("head") / n}")
+    assert(out("tail") / n >= 0.15 && out("tail") / n <= 0.45,
+      s"tail fraction ${out("tail") / n}")
+    assert(out.getOrElse("middle", 0L) > 0L)
+  }
+
   test("mixtureSample applies defaultRate to unlisted strata (r9 ADVICE)") {
     // many docs in a stratum with NO target share: defaultRate=0 must
     // drop them ALL (the old coalesce-around-least dead branch kept

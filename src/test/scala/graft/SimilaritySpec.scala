@@ -37,6 +37,39 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall@5 = $recall (approx ${approx.size} of ${exact.size})")
   }
 
+  test("sq8TopK: 1-byte quantization preserves the top-k on separated data") {
+    // dimensions with genuinely different ranges, plus a CONSTANT dim
+    // (span 0 — the division guard) riding along
+    val corpus = Seq(
+      (10L, Array(100.0f, 0.01f, 7.0f)),
+      (11L, Array(90.0f, 0.012f, 7.0f)),
+      (12L, Array(0.0f, 0.2f, 7.0f)),
+      (13L, Array(-80.0f, -0.05f, 7.0f)),
+      (14L, Array(-100.0f, -0.1f, 7.0f))).toDF("id", "vec")
+    val queries = Seq((1L, Array(95.0f, 0.011f, 7.0f))).toDF("id", "vec")
+    val sq = Similarity.sq8TopK(corpus, queries, "id", "vec", k = 3)
+      .orderBy("rnk").select("neighbor_id").as[Long].collect()
+    val exact = Similarity.bruteForceTopK(corpus, queries, "id", "vec", k = 3)
+      .orderBy("rnk").select("neighbor_id").as[Long].collect()
+    assert(sq === exact,
+      s"8-bit codes must keep well-separated ranks: ${sq.toSeq} vs ${exact.toSeq}")
+  }
+
+  test("sq8TopK recall@5 against brute force on real embeddings") {
+    val e = Tables.embeddings(spark, sfDir)
+    val corpus = e.filter(col("vec_id") >= 8)
+    val queries = e.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val sq = Similarity.sq8TopK(corpus, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // 8 bits/dim is a fine quantization: per-dim error ≤ span/510, so
+    // recall should be near-exact — far above what PQ's 4-bit-ish
+    // codes give on the same data
+    val recall = exact.intersect(sq).size.toDouble / exact.size
+    assert(recall >= 0.9, s"SQ8 recall@5 = $recall")
+  }
+
   test("ivfTopK with all lists probed equals brute force exactly") {
     val e = Tables.embeddings(spark, sfDir)
     val corpus = e.filter(col("vec_id") >= 8)

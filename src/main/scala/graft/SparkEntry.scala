@@ -1797,7 +1797,8 @@ object SparkEntry {
                  list_transform(generate_series(1, 64),
                    i -> CASE WHEN spans[i] > 0
                              THEN mns[i]
-                               + round((v[i] - mns[i]) / spans[i] * 255)
+                               + least(255, greatest(0,
+                                   round((v[i] - mns[i]) / spans[i] * 255)))
                                  / 255.0 * spans[i]
                              ELSE mns[i] END) AS dv
                FROM e CROSS JOIN mml WHERE vec_id >= 8)

@@ -342,6 +342,74 @@ case class CharGramBucketCounts(child: Expression, k: Int, buckets: Int)
     copy(child = newChild)
 }
 
+/** Pack an exact 0..255 code array into ONE binary value — the SQ8
+  * index's stored representation: 1 byte per dimension, 8× smaller
+  * than the float64 vector it encodes (64 bytes at D=64). The codes
+  * arrive as exact small integers in doubles (the quantizer's
+  * round()); anything outside [0, 255] is a caller bug and throws
+  * rather than silently wrapping. */
+case class Sq8Pack(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "sq8_pack"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val c = arr.getDouble(i)
+      if (c < 0.0 || c > 255.0)
+        throw new IllegalArgumentException(s"SQ8 code $c outside [0, 255] at dim $i")
+      out(i) = c.toInt.toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Dequantize a packed SQ8 code binary under the (literal)
+  * per-dimension ranges: x̂_d = min_d + code_d/255·span_d — the same
+  * left-assoc arithmetic as the in-plan zip_with form, so the
+  * serving path scores bit-identically to the inline operator. */
+case class Sq8Dequant(child: Expression, mins: Seq[Double], spans: Seq[Double])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(mins.length == spans.length,
+    s"mins/spans length mismatch: ${mins.length} vs ${spans.length}")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType, containsNull = false)
+  override def prettyName: String = "sq8_dequant"
+
+  @transient private lazy val mn = mins.toArray
+  @transient private lazy val sp = spans.toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    require(bytes.length == mn.length,
+      s"code width ${bytes.length} != range width ${mn.length}")
+    val out = new Array[Double](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      out(i) = mn(i) + (bytes(i) & 0xff) / 255.0 * sp(i)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Murmur-style 64-bit finalizer (the MinHashAgg.mix avalanche without
   * the permutation constant): xor-shift / multiply rounds with Java
   * long wrap semantics. A native expression rather than Column
@@ -697,6 +765,14 @@ object NativeFunctions {
   /** Column API for ShingleHashesAll (positional, non-deduplicating). */
   def shingle_hashes_all(text: Column, k: Int): Column =
     ColumnBridge.toColumn(ShingleHashesAll(ColumnBridge.toExpr(text), k))
+
+  /** Column API for Sq8Pack (0..255 code array → 1-byte/dim binary). */
+  def sq8_pack(codes: Column): Column =
+    ColumnBridge.toColumn(Sq8Pack(ColumnBridge.toExpr(codes)))
+
+  /** Column API for Sq8Dequant (code binary + literal ranges → array<double>). */
+  def sq8_dequant(code: Column, mins: Seq[Double], spans: Seq[Double]): Column =
+    ColumnBridge.toColumn(Sq8Dequant(ColumnBridge.toExpr(code), mins, spans))
 
   /** Column API for CharGramBucketCounts (string → length-B count vector). */
   def char_gram_bucket_counts(text: Column, k: Int, buckets: Int): Column =

@@ -67,22 +67,54 @@ object Similarity {
     * oracle's list_transform, and ranking ties break on neighbor id. */
   def sq8TopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("v"))
-    val mm = c.select(posexplode(col("v")).as(Seq("i", "x")))
+    val (mins, spans) = sq8Ranges(corpus, idCol, vecCol)
+    sq8Rank(sq8Dequantized(corpus, idCol, vecCol, mins, spans),
+      queries, idCol, vecCol, k)
+  }
+
+  /** The SQ8 "model": per-dimension [min, span] over the corpus —
+    * ONE aggregate, 2·D doubles of driver state. */
+  def sq8Ranges(corpus: DataFrame, idCol: String,
+      vecCol: String): (Array[Double], Array[Double]) = {
+    val mm = corpus
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "x")))
       .groupBy("i").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       .orderBy("i").collect()
-    val params = array(mm.map { r =>
-      val mn = r.getDouble(1)
-      struct(lit(mn).as("mn"), lit(r.getDouble(2) - mn).as("s"))
-    }.toIndexedSeq: _*)
-    val codes = zip_with(col("v"), params, (x, p) =>
-      when(p("s") > lit(0.0),
-        round((x - p("mn")) / p("s") * lit(255.0), 0))
-        .otherwise(lit(0.0)))
-    val deq = c.select(col("neighbor_id"),
-      zip_with(codes, params, (cd, p) =>
-        p("mn") + cd / lit(255.0) * p("s")).as("dv"))
+    (mm.map(_.getDouble(1)), mm.map(r => r.getDouble(2) - r.getDouble(1)))
+  }
+
+  /** The ONE definition of SQ8 encode (clamped — an out-of-range
+    * value under FROZEN ranges saturates, the FAISS SQ behavior):
+    * code_d = clamp(round((x_d − min_d)/span_d · 255), 0, 255),
+    * packed to 1 byte/dim by the native Sq8Pack. */
+  private def sq8CodeCol(v: Column, mins: Array[Double],
+      spans: Array[Double]): Column = {
+    val params = array(mins.indices.map(i =>
+      struct(lit(mins(i)).as("mn"), lit(spans(i)).as("s"))): _*)
+    graft.functions.expr.NativeFunctions.sq8_pack(
+      zip_with(v, params, (x, p) =>
+        when(p("s") > lit(0.0),
+          least(lit(255.0), greatest(lit(0.0),
+            round((x - p("mn")) / p("s") * lit(255.0), 0))))
+          .otherwise(lit(0.0))))
+  }
+
+  private def sq8Rows(src: DataFrame, idCol: String, vecCol: String,
+      mins: Array[Double], spans: Array[Double]): DataFrame =
+    src.select(col(idCol).as("neighbor_id"),
+      sq8CodeCol(col(vecCol).cast("array<double>"), mins, spans).as("code"))
+
+  /** Encode → decode through the SAME native pair the serving index
+    * uses, so inline top-k and index probe are equal by construction. */
+  private def sq8Dequantized(src: DataFrame, idCol: String, vecCol: String,
+      mins: Array[Double], spans: Array[Double]): DataFrame =
+    sq8Rows(src, idCol, vecCol, mins, spans)
+      .select(col("neighbor_id"),
+        graft.functions.expr.NativeFunctions
+          .sq8_dequant(col("code"), mins.toSeq, spans.toSeq).as("dv"))
+
+  private def sq8Rank(deq: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
     val scored = deq.crossJoin(broadcast(q))
@@ -94,6 +126,95 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk").cast("int").as("rnk"),
         col("neighbor_id"))
+  }
+
+  private def sq8Props(mins: Array[Double], spans: Array[Double]): Map[String, String] =
+    Map("dim" -> mins.length.toString,
+      "rfp" -> modelFingerprint(Seq(mins.length),
+        mins.iterator ++ spans.iterator))
+
+  /** Land an SQ8 index: one `code` BINARY column per vector — 1
+    * byte/dim, the 8× scan-bytes representation the operator's
+    * scaladoc promises — bucketed on id (the remove/append joins read
+    * pre-clustered buckets; probes scan codes flat). The quantization
+    * ranges travel as a fingerprint stamp (the ivfIndexWrite
+    * contract): codes are meaningless under any other ranges. */
+  def sq8IndexWrite(corpus: DataFrame, idCol: String, vecCol: String,
+      mins: Array[Double], spans: Array[Double], table: String,
+      buckets: Int = 16): Unit = {
+    sq8Rows(corpus, idCol, vecCol, mins, spans)
+      .write.format("parquet").mode("overwrite")
+      .bucketBy(buckets, "neighbor_id").sortBy("neighbor_id")
+      .saveAsTable(table)
+    stampProps(corpus.sparkSession, table, "sq8",
+      sq8Props(mins, spans) + ("buckets" -> buckets.toString))
+  }
+
+  /** Fraction of the batch's VALUES falling outside the stamped
+    * [min, min+span] ranges — the drift reading that decides whether
+    * frozen-range appends are still sound. */
+  def sq8RangeDriftFrac(batch: DataFrame, vecCol: String,
+      mins: Array[Double], spans: Array[Double]): Double = {
+    val params = array(mins.indices.map(i =>
+      struct(lit(mins(i)).as("mn"), lit(spans(i)).as("s"))): _*)
+    val out = batch.select(
+        aggregate(
+          zip_with(col(vecCol).cast("array<double>"), params, (x, p) =>
+            when(x < p("mn") || x > p("mn") + p("s"), 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("oob"),
+        size(col(vecCol)).cast("long").as("n"))
+      .agg(sum(col("oob")).as("oob"), sum(col("n")).as("n"))
+      .collect().head
+    if (out.isNullAt(1) || out.getLong(1) == 0L) 0.0
+    else out.getLong(0).toDouble / out.getLong(1)
+  }
+
+  /** CONTINUOUS INGESTION for the landed SQ8 index — the
+    * ivfIndexAppend contract PLUS a range-drift guard: quantization
+    * ranges are frozen at build time, so a batch whose values drift
+    * outside them would silently saturate to the range edge and
+    * distort every distance it participates in. Appends measure the
+    * batch's out-of-range fraction first and REFUSE above
+    * `maxDriftFrac` — the refusal message names the fix (re-derive
+    * ranges and rebuild: the [[IndexTuning]] retune posture, SQ8
+    * edition). Within tolerance, clamp-encode and insert
+    * (replay-idempotent; re-appends of removed ids re-admit). */
+  def sq8IndexAppend(spark: org.apache.spark.sql.SparkSession, table: String,
+      batch: DataFrame, idCol: String, vecCol: String,
+      mins: Array[Double], spans: Array[Double],
+      buckets: Int = 16, maxDriftFrac: Double = 0.0): Unit = {
+    requireProps(spark, table, "sq8", sq8Props(mins, spans))
+    val drift = sq8RangeDriftFrac(batch, vecCol, mins, spans)
+    require(drift <= maxDriftFrac,
+      f"batch drifts outside the stamped quantization ranges " +
+        f"($drift%.4f of values > maxDriftFrac=$maxDriftFrac%.4f): clamped " +
+        "codes would silently distort distances — re-derive the ranges " +
+        "and rebuild the index (the IndexTuning retune path)")
+    appendIndexRows(spark, table, sq8Rows(batch, idCol, vecCol, mins, spans),
+      buckets, bucketCol = "neighbor_id")
+  }
+
+  /** TAKEDOWN / compaction for the SQ8 index — the shared tombstone
+    * machinery (see [[ivfIndexRemove]] / [[ivfIndexCompact]]). */
+  def sq8IndexRemove(spark: org.apache.spark.sql.SparkSession, table: String,
+      ids: DataFrame, idCol: String): Unit =
+    removeIndexIds(spark, table, ids, idCol)
+
+  def sq8IndexCompact(spark: org.apache.spark.sql.SparkSession, table: String,
+      buckets: Int = 16): Unit =
+    compactIndexTable(spark, table, buckets, bucketCol = "neighbor_id")
+
+  /** Probe a persisted SQ8 index — result-identical to [[sq8TopK]]
+    * under the same ranges (the encode→pack→dequant path is literally
+    * the same native expressions), minus the encode pass. */
+  def sq8ProbeIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      mins: Array[Double], spans: Array[Double], k: Int): DataFrame = {
+    requireProps(spark, table, "sq8", sq8Props(mins, spans))
+    val deq = storedRows(spark, table).select(col("neighbor_id"),
+      graft.functions.expr.NativeFunctions
+        .sq8_dequant(col("code"), mins.toSeq, spans.toSeq).as("dv"))
+    sq8Rank(deq, queries, idCol, vecCol, k)
   }
 
   /** IVF-flat approximate top-k: a coarse quantizer (here: a
@@ -329,7 +450,8 @@ object Similarity {
     * so a refused append leaves the table and its tombstones
     * untouched — no partial commit to reason about. */
   private def appendIndexRows(spark: org.apache.spark.sql.SparkSession,
-      table: String, rows: DataFrame, buckets: Int): Unit =
+      table: String, rows: DataFrame, buckets: Int,
+      bucketCol: String = "cid"): Unit =
     indexMutationLock.synchronized {
       val ids = rows.select("neighbor_id").distinct()
       // stale-vector guard first: takedown-sized — compare each
@@ -356,7 +478,7 @@ object Similarity {
         .join(spark.table(table).select("neighbor_id"),
           Seq("neighbor_id"), "left_anti")
         .write.format("parquet").mode("append")
-        .bucketBy(buckets, "cid").sortBy("cid").saveAsTable(table)
+        .bucketBy(buckets, bucketCol).sortBy(bucketCol).saveAsTable(table)
       indexTombstones(spark, table).foreach { t =>
         val resurrected = t.join(ids, Seq("neighbor_id"), "left_semi")
         if (!resurrected.isEmpty) {
@@ -384,7 +506,8 @@ object Similarity {
     }
 
   private def compactIndexTable(spark: org.apache.spark.sql.SparkSession,
-      table: String, buckets: Int): Unit = indexMutationLock.synchronized {
+      table: String, buckets: Int,
+      bucketCol: String = "cid"): Unit = indexMutationLock.synchronized {
     indexTombstones(spark, table).foreach { tombs =>
       def esc(v: String) = v.replace("\\", "\\\\").replace("'", "\\'")
       val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
@@ -407,7 +530,7 @@ object Similarity {
         spark.sql(s"DROP TABLE IF EXISTS $tmp")
         spark.table(table).join(tombs, Seq("neighbor_id"), "left_anti")
           .write.format("parquet").mode("overwrite")
-          .bucketBy(physBuckets, "cid").sortBy("cid").saveAsTable(tmp)
+          .bucketBy(physBuckets, bucketCol).sortBy(bucketCol).saveAsTable(tmp)
         val kv = props.map { case (k, v) => s"'${esc(k)}'='${esc(v)}'" }.mkString(", ")
         if (kv.nonEmpty) spark.sql(s"ALTER TABLE $tmp SET TBLPROPERTIES ($kv)")
         // swap order keeps every crash window recoverable: rename the

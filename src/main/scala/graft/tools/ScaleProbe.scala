@@ -803,6 +803,29 @@ object ScaleProbe {
           16, 4, 8, 16, 10).count()
       }
     }
+    // r10 additions: perplexity triage = the interp-LM passes + one
+    // 2-scalar percentile agg + a broadcast CASE (expect ≈ the
+    // interp_lm probe's shape); SQ8 = one per-dim min/max agg + a
+    // codegen'd quantize/dequantize scan × a fixed broadcast query
+    // set (expect ≈ linear like the other ann scans)
+    probe("quality_perplexity") {
+      Curation.perplexityBuckets(docs1, "doc_id",
+        Text.tokens(col("text")), 0.8).count()
+    } {
+      Curation.perplexityBuckets(docsN, "doc_id",
+        Text.tokens(col("text")), 0.8).count()
+    }
+    locally {
+      val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val embN = spark.read.parquet(s"$tmp/embeddings")
+      val queries = emb1.orderBy("vec_id").limit(8)
+      probe("sq8_topk") {
+        Similarity.sq8TopK(emb1, queries, "vec_id", "embedding", 5).count()
+      } {
+        Similarity.sq8TopK(embN, queries, "vec_id", "embedding", 5).count()
+      }
+    }
     // the CAPSTONE composition (r10 — r9 verdict item 7): every stage
     // is probed individually above/elsewhere, this probes the WIRED
     // funnel — pair-join+CC once, then scans/broadcast-probes over the

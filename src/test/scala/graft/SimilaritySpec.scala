@@ -70,6 +70,80 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"SQ8 recall@5 = $recall")
   }
 
+  test("SQ8 index lifecycle: probe ≡ inline, append drift guard, remove/compact") {
+    dropTables("sq8_ix", "sq8_ix__tombstones")
+    val e = Tables.embeddings(spark, sfDir)
+    val corpus = e.filter(col("vec_id") >= 8)
+    val queries = e.filter(col("vec_id") < 8)
+    val (mins, spans) = Similarity.sq8Ranges(corpus, "vec_id", "embedding")
+
+    // landed probe ≡ inline operator (same native encode→pack→dequant)
+    Similarity.sq8IndexWrite(corpus, "vec_id", "embedding", mins, spans, "sq8_ix")
+    val inline = Similarity.sq8TopK(corpus, queries, "vec_id", "embedding", 5)
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    val probed = Similarity.sq8ProbeIndex(spark, "sq8_ix", queries,
+        "vec_id", "embedding", mins, spans, 5)
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(probed === inline)
+
+    // wrong ranges must hard-fail (codes are meaningless under them)
+    intercept[IllegalArgumentException] {
+      Similarity.sq8ProbeIndex(spark, "sq8_ix", queries,
+        "vec_id", "embedding", mins.map(_ + 1.0), spans, 5)
+    }
+
+    // append: an IN-RANGE batch lands and shows up in probes; a
+    // replayed append is a no-op
+    val inRange = corpus.limit(2)
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
+    Similarity.sq8IndexAppend(spark, "sq8_ix", inRange, "vec_id", "embedding",
+      mins, spans)
+    Similarity.sq8IndexAppend(spark, "sq8_ix", inRange, "vec_id", "embedding",
+      mins, spans)
+    assert(spark.table("sq8_ix").count() === corpus.count() + 2)
+
+    // the drift GUARD: values far outside the stamped ranges refuse
+    // (clamped codes would silently distort every distance)
+    val drifted = corpus.limit(2)
+      .select((col("vec_id") + 6000L).as("vec_id"),
+        transform(col("embedding").cast("array<double>"), x => x + lit(100.0))
+          .as("embedding"))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.sq8IndexAppend(spark, "sq8_ix", drifted,
+        "vec_id", "embedding", mins, spans)
+    }
+    assert(ex.getMessage.contains("drift"), ex.getMessage)
+    // measured drift on the shifted batch is total; in-range is zero
+    assert(Similarity.sq8RangeDriftFrac(drifted, "embedding", mins, spans) > 0.9)
+    assert(Similarity.sq8RangeDriftFrac(inRange, "embedding", mins, spans) === 0.0)
+
+    // remove tombstones immediately; compact is probe-invariant
+    Similarity.sq8IndexRemove(spark, "sq8_ix",
+      inRange.select("vec_id"), "vec_id")
+    val afterRemove = Similarity.sq8ProbeIndex(spark, "sq8_ix", queries,
+        "vec_id", "embedding", mins, spans, 5)
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(afterRemove === inline, "takedown must restore the pre-append view")
+    Similarity.sq8IndexCompact(spark, "sq8_ix")
+    val afterCompact = Similarity.sq8ProbeIndex(spark, "sq8_ix", queries,
+        "vec_id", "embedding", mins, spans, 5)
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(afterCompact === afterRemove)
+    dropTables("sq8_ix", "sq8_ix__tombstones")
+  }
+
+  test("SQ8 codes really are 1 byte/dim: the stored column is a D-byte binary") {
+    val e = Tables.embeddings(spark, sfDir)
+    val corpus = e.filter(col("vec_id") >= 8)
+    val (mins, spans) = Similarity.sq8Ranges(corpus, "vec_id", "embedding")
+    dropTables("sq8_sz")
+    Similarity.sq8IndexWrite(corpus, "vec_id", "embedding", mins, spans, "sq8_sz")
+    val lens = spark.table("sq8_sz")
+      .select(length(col("code"))).distinct().as[Int].collect()
+    assert(lens.toSeq === Seq(64), s"code widths: ${lens.toSeq}")
+    dropTables("sq8_sz")
+  }
+
   test("ivfTopK with all lists probed equals brute force exactly") {
     val e = Tables.embeddings(spark, sfDir)
     val corpus = e.filter(col("vec_id") >= 8)

@@ -88,7 +88,8 @@ object CuratePipeline {
       epochShares: Map[String, Double], budgetFactor: Double,
       maxEpochs: Double,
       nShards: Int, packBudget: Int,
-      persistStages: Boolean = true): Curated = {
+      persistStages: Boolean = true,
+      deconIndex: Option[DeconIndex.DeconIndex] = None): Curated = {
     // copies are folded into a synthetic unique id (uid = doc_id *
     // stride + copy) so downstream orderings stay total; the stride
     // bounds n_copies, which epochs clamps at maxEpochs (+1 for the
@@ -122,9 +123,21 @@ object CuratePipeline {
     // are dropped, and benchmark-source docs never train
     val isBench = col(srcCol).isin(benchSources.map(lit): _*)
     val corpus2 = d2.filter(!isBench)
-    val flaggedIds = Curation.contaminationFlagsBloom(
+    // with a STANDING benchmark index ([[DeconIndex]]) the filter
+    // re-aggregates from the stored distinct shingle hashes instead
+    // of re-shingling benchmark text — flag-identical (a Bloom bitset
+    // ORs, so occurrence multiplicity never changes a bit;
+    // spec-proven), which is why the oracle needs no second form
+    val flaggedIds = (deconIndex match {
+      case Some(ix) =>
+        require(ix.n == deconN,
+          s"standing decon index shingle width ${ix.n} != pipeline deconN $deconN")
+        DeconIndex.deconBloomFromIndex(ix, corpus2, idCol, textCol,
+          bloomBits, bloomHashes)
+      case None => Curation.contaminationFlagsBloom(
         corpus2, docs.filter(isBench), idCol, textCol,
         deconN, bloomBits, bloomHashes)
+    })
       .filter(col("flagged"))
       .select(col("doc_id").as(idCol))
     val d3 = stage(corpus2.join(flaggedIds, Seq(idCol), "left_anti"))

@@ -120,6 +120,54 @@ class CuratePipelineSpec extends SparkSpec {
           "from the shard hash")
   }
 
+  test("a standing decon index plugs into the funnel flag-identically") {
+    // the index is built ONCE from the benchmark slice (the
+    // deconIndexWrite land-time path); the pipeline then re-aggregates
+    // its Bloom from stored hashes instead of re-shingling benchmark
+    // text — identical packed output and funnel report
+    val ix = graft.operators.DeconIndex.deconIndexBuild(
+      docs.filter(col("source").isin("src0", "src1")), "doc_id", "text", 5)
+    val viaIndex = CuratePipeline.curate(
+      docs, "doc_id", "text", "lang", "source", col("n_chars"),
+      benchSources = Seq("src0", "src1"),
+      shingleK = 3, tau = 0.6,
+      minWords = 10, maxWords = 50000, minSentences = 0,
+      bias = -2.0, wLogTokens = 0.6, wStopDev = -6.0,
+      wTokenLen = 0.1, wPunct = -4.0,
+      maxTopTokenRatio = 0.12, maxDupTrigramRatio = 0.05,
+      deconN = 5, bloomBits = 1 << 22, bloomHashes = 3,
+      langShares = Map("en" -> 0.25, "de" -> 0.35), defaultRate = 0.6,
+      epochShares = Map("src0" -> 0.3, "src1" -> 0.2, "src2" -> 0.05),
+      budgetFactor = 1.0, maxEpochs = 4.0,
+      nShards = 8, packBudget = 2048,
+      deconIndex = Some(ix))
+    try {
+      val a = viaIndex.packed.collect().map(_.toString).sorted.toSeq
+      val b = cur.packed.collect().map(_.toString).sorted.toSeq
+      assert(a === b, "index-backed decon must be flag-identical")
+      // a width-mismatched index must refuse, not silently no-match
+      intercept[IllegalArgumentException] {
+        CuratePipeline.curate(
+          docs, "doc_id", "text", "lang", "source", col("n_chars"),
+          benchSources = Seq("src0", "src1"),
+          shingleK = 3, tau = 0.6,
+          minWords = 10, maxWords = 50000, minSentences = 0,
+          bias = -2.0, wLogTokens = 0.6, wStopDev = -6.0,
+          wTokenLen = 0.1, wPunct = -4.0,
+          maxTopTokenRatio = 0.12, maxDupTrigramRatio = 0.05,
+          deconN = 7, bloomBits = 1 << 22, bloomHashes = 3,
+          langShares = Map("en" -> 0.25), defaultRate = 0.6,
+          epochShares = Map("src2" -> 0.05),
+          budgetFactor = 1.0, maxEpochs = 4.0,
+          nShards = 8, packBudget = 2048,
+          deconIndex = Some(ix))
+      }
+    } finally {
+      viaIndex.release()
+      ix.release()
+    }
+  }
+
   test("release unpersists the stage caches") {
     cur.release()
     // the released frames must no longer hold storage

@@ -106,6 +106,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("perplexity triage: no global sort, thresholds broadcast over the scored corpus") {
+    val p = plan(graft.operators.Curation.perplexityBuckets(
+      Tables.documents(spark, sfDir), "doc_id",
+      graft.functions.Text.tokens(col("text")), lambda = 0.8))
+    // bucket assignment must be a broadcast compare, never a global
+    // sort or a single-partition rank window over the corpus
+    assert(!p.contains("Window"), s"rank window crept into the triage:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"quantile thresholds are not broadcast:\n$p")
+    // the only global (SinglePartition) exchanges feed the 2-scalar
+    // percentile / corpus-total aggregates — row counts ∝ groups, not docs
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("SQ8 scoring scans codes against broadcast queries; corpus never hash-shuffles before rank") {
+    val e = Tables.embeddings(spark, sfDir)
+    val p = plan(graft.operators.Similarity.sq8TopK(
+      e.filter(col("vec_id") >= 8), e.filter(col("vec_id") < 8),
+      "vec_id", "embedding", k = 5))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query side is not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"scoring join degenerated:\n$p")
+  }
+
   test("resample collapses events to buckets before any shuffle") {
     val p = plan(graft.operators.Events.resampleGrid(
       Tables.events(spark, sfDir), "user_id", "ts", "value", 3600L))

@@ -342,6 +342,45 @@ case class CharGramBucketCounts(child: Expression, k: Int, buckets: Int)
     copy(child = newChild)
 }
 
+/** Per-document DEFLATE compression ratio (compressed/raw bytes) —
+  * the Gopher/RefinedWeb-family quality signal the heuristic gates
+  * don't capture: machine-generated boilerplate and duplicated spans
+  * compress far below natural prose (ratio ≪ typical), while
+  * random/gibberish text compresses above it (ratio ≈ 1) — one score
+  * flags BOTH ends. Computed with the JDK's zlib at a fixed level so
+  * it is deterministic within a JVM generation; treated as a
+  * test-gated signal (no SQL engine replays DEFLATE), thresholds are
+  * corpus-calibrated like the C4/Gopher knobs. One pass, no shuffle;
+  * empty docs return 0.0 rather than dividing by zero. */
+case class DeflateRatio(child: Expression, level: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(level >= 1 && level <= 9, s"deflate level $level outside [1, 9]")
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "deflate_ratio"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[UTF8String].getBytes
+    if (raw.isEmpty) 0.0
+    else {
+      val d = new java.util.zip.Deflater(level, true)
+      try {
+        d.setInput(raw)
+        d.finish()
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        while (!d.finished()) total += d.deflate(buf)
+        total.toDouble / raw.length
+      } finally d.end()
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Pack an exact 0..255 code array into ONE binary value — the SQ8
   * index's stored representation: 1 byte per dimension, 8× smaller
   * than the float64 vector it encodes (64 bytes at D=64). The codes
@@ -765,6 +804,10 @@ object NativeFunctions {
   /** Column API for ShingleHashesAll (positional, non-deduplicating). */
   def shingle_hashes_all(text: Column, k: Int): Column =
     ColumnBridge.toColumn(ShingleHashesAll(ColumnBridge.toExpr(text), k))
+
+  /** Column API for DeflateRatio (text → compressed/raw byte ratio). */
+  def deflate_ratio(text: Column, level: Int = 6): Column =
+    ColumnBridge.toColumn(DeflateRatio(ColumnBridge.toExpr(text), level))
 
   /** Column API for Sq8Pack (0..255 code array → 1-byte/dim binary). */
   def sq8_pack(codes: Column): Column =

@@ -261,6 +261,32 @@ class MultimodalSpec extends SparkSpec {
     assert(metas(21L).duration_ms === 2500L)
   }
 
+  test("μ-law WAV decodes through the REAL converter path (not a stub)") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioSystem}
+    // synthesize PCM, transcode to 8-bit μ-law WAVE purely in-JVM,
+    // then decode through the SAME decodeWav every audio row takes —
+    // proving the telephony encodings ride the real converter, so the
+    // honest stub set stays exactly mp3/aac (native codecs)
+    val samples = Array.tabulate(4000)(i =>
+      0.6 * math.sin(2 * math.Pi * i / 50.0))
+    val pcm = Multimodal.encodeWavPcm16(samples, 8000f)
+    val in = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(pcm))
+    val ulawFmt = new AudioFormat(AudioFormat.Encoding.ULAW,
+      8000f, 8, 1, 1, 8000f, false)
+    val ulaw = AudioSystem.getAudioInputStream(ulawFmt, in)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ulaw, AudioFileFormat.Type.WAVE, bos)
+    val decoded = Multimodal.decodeWav(bos.toByteArray)
+    assert(decoded.length === samples.length)
+    // 8-bit companding tolerance: μ-law SNR ≈ 38 dB, |err| well under
+    // 0.05 on a 0.6-amplitude tone; a stubbed decode could not track
+    // the waveform sample-for-sample like this
+    val maxErr = decoded.zip(samples).map { case (a, b) =>
+      math.abs(a - b) }.max
+    assert(maxErr < 0.05, s"mu-law roundtrip error $maxErr")
+  }
+
   test("multi-stream AVI: only the 'vids' stream's chunks become frames") {
     // hand-build a 2-stream container (auds at index 0, vids at 1):
     // '00wb' audio data and a bogus '00dc'-named chunk on the AUDIO

@@ -86,4 +86,37 @@ class TextSpec extends SparkSpec {
       .as[Seq[Long]].collect().head
     assert(sh === Seq(expected))
   }
+
+  test("deflate ratio separates boilerplate, prose, and gibberish") {
+    // the Gopher/RefinedWeb compression signal: duplicated spans
+    // compress far below natural prose; high-entropy gibberish sits
+    // near (or above) ratio 1. Deterministic inputs, ordering + bound
+    // assertions (zlib's exact byte count is JDK detail, the SIGNAL
+    // is the ordering).
+    val boiler = "click here to subscribe now " * 40
+    val prose = "The quick brown fox jumps over the lazy dog while " +
+      "seventeen jurors deliberated quietly about the verdict, and " +
+      "outside the rain kept falling on the cobblestones of the old town."
+    val gibberish = {
+      var h = 1125899906842597L
+      val sb = new StringBuilder
+      (0 until 800).foreach { _ =>
+        h = h * 6364136223846793005L + 1442695040888963407L
+        sb.append(((h >>> 40).toInt & 0x3f + 48).toChar)
+      }
+      sb.toString
+    }
+    val out = Seq(("b", boiler), ("p", prose), ("g", gibberish))
+      .toDF("k", "text")
+      .select(col("k"), deflate_ratio(col("text")).as("r"))
+      .as[(String, Double)].collect().toMap
+    assert(out("b") < 0.2, s"boilerplate ratio ${out("b")}")
+    assert(out("b") < out("p") && out("p") < out("g"),
+      s"ordering violated: $out")
+    assert(out("g") > 0.5, s"gibberish ratio ${out("g")}")
+    // empty text guards the division
+    val z = Seq(("e", "")).toDF("k", "text")
+      .select(deflate_ratio(col("text"))).as[Double].collect().head
+    assert(z === 0.0)
+  }
 }

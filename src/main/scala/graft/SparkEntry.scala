@@ -361,6 +361,15 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", k = 3, tau = 0.6)),
 
+    // directed containment (r10): |S_in intersect S_out| / |S_in| >= 0.8
+    // catches NESTED duplication (a doc quoted whole inside a longer
+    // one) that symmetric Jaccard under-scores by construction; both
+    // directions derive from the same shared-count row, zero extra
+    // shuffles over the Jaccard operator
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 3, tauC = 0.8)),
+
     // 64 perms / 16 bands (r=4): candidate recall at j=0.7 is
     // 1-(1-0.7^4)^16 ≈ 0.99 at half the signature cost of 128 perms
     "dedup_minhash_lsh" -> ((s, dir) =>
@@ -3743,6 +3752,23 @@ object SparkEntry {
          JOIN sz za ON da = za.doc_id
          JOIN sz zb ON db = zb.doc_id
          WHERE round(c / (za.n + zb.n - c), 4) >= 0.6""",
+
+    // directed containment: both orientations off the SAME a<b
+    // shared-count CTE, each normalized by its inner side's pruned
+    // shingle-set size — the Jaccard CTE chain reused verbatim
+    "dedup_containment" ->
+      s"""WITH $jaccardCtes,
+         cb AS (SELECT da, db, c, za.n AS na, zb.n AS nb
+                FROM shared
+                JOIN sz za ON da = za.doc_id
+                JOIN sz zb ON db = zb.doc_id)
+         SELECT da AS doc_inner, db AS doc_outer,
+                round(c / na, 4) AS containment
+         FROM cb WHERE round(c / na, 4) >= 0.8
+         UNION ALL
+         SELECT db AS doc_inner, da AS doc_outer,
+                round(c / nb, 4) AS containment
+         FROM cb WHERE round(c / nb, 4) >= 0.8""",
 
     // duplicated-window spans via string windows (≡ positional window
     // hashes absent collisions — same convention as dedup_ngram_jaccard);

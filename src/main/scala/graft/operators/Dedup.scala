@@ -147,6 +147,63 @@ object Dedup {
     materialized
   }
 
+  /** Directed CONTAINMENT near-dup pairs — the asymmetric cousin of
+    * [[ngramJaccardPairs]]: c(inner→outer) = |S_inner ∩ S_outer| /
+    * |S_inner|. Jaccard misses NESTED duplication by construction (a
+    * short article quoted whole inside a long roundup has tiny
+    * |∩|/|∪| but containment ≈ 1 — the case web-corpus dedup actually
+    * meets: syndication wrappers, quote-posts, boilerplate-framed
+    * reprints). One row per ORDERED (doc_inner, doc_outer) pair with
+    * c ≥ `tauC`; doc_inner is the covered side — the candidate to
+    * drop or span-strip (compose with [[substringDupSpans]] for the
+    * partial-overlap form).
+    *
+    * Same scale machinery as the Jaccard operator, shared by
+    * construction: the pruned 8-byte-hash inverted index, the
+    * stats-derived √N hot-shingle cap, sizes from the PRUNED
+    * universe, one a<b bucket join — both directions derive from the
+    * single shared-count row, so containment costs ZERO extra
+    * shuffles over Jaccard. Same eager-persist caching contract. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, tauC: Double, maxDf: CapPolicy = CapPolicy.Auto): DataFrame = {
+    val dfCap = resolveCap(docs, maxDf)
+    val sh = docs
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.expr.NativeFunctions
+          .shingle_hashes(col(textCol), k)).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shPruned =
+      if (dfCap == Int.MaxValue) sh
+      else {
+        val hot = sh.groupBy("s").agg(count("*").as("df"))
+          .filter(col("df") > dfCap).select("s")
+        sh.join(broadcast(hot), Seq("s"), "left_anti")
+      }
+    val sizes = shPruned.groupBy("doc_id").agg(count("*").as("n_sh"))
+    val shared = shPruned.as("a")
+      .join(shPruned.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count("*").as("shared"))
+    val both = shared
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+    val out = both.select(col("doc_a").as("doc_inner"),
+        col("doc_b").as("doc_outer"),
+        round(col("shared") / col("n_a"), 4).as("containment"))
+      .unionByName(both.select(col("doc_b").as("doc_inner"),
+        col("doc_a").as("doc_outer"),
+        round(col("shared") / col("n_b"), 4).as("containment")))
+      .filter(col("containment") >= tauC)
+    val materialized = out.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    materialized.count()
+    sh.unpersist(blocking = false)
+    materialized
+  }
+
   /** MinHash signature over an in-row shingle array — used for
     * small-side/test paths. NOTE: higher-order functions evaluate
     * interpreted (no codegen); the operator path below uses the

@@ -27,6 +27,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((1L, 2L)))
   }
 
+  test("containmentPairs catches a NESTED duplicate symmetric Jaccard misses") {
+    // doc 1 is quoted WHOLE inside doc 2 (the syndication/quote-post
+    // case): containment(1→2) = 1.0, but the union is dominated by
+    // doc 2's extra text so Jaccard stays low
+    val inner = "the original short article body with its own twelve words exactly here"
+    val outer = "roundup preamble text introduces the piece and then quotes it " +
+      inner + " after which a long commentary follows with many further " +
+      "paragraphs of completely different discussion material and closing notes"
+    val docs = Seq((1L, inner), (2L, outer),
+      (3L, "unrelated third document content entirely"))
+      .toDF("doc_id", "text")
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, tau = 0.6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(jac.isEmpty, s"Jaccard unexpectedly caught the nested pair: ${jac.toSeq}")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", k = 3, tauC = 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(cont.map(r => (r._1, r._2)).toSeq === Seq((1L, 2L)),
+      s"containment must flag inner→outer only: ${cont.toSeq}")
+    assert(cont.head._3 === 1.0, s"whole-quote containment must be 1.0: ${cont.head}")
+    // direction matters: the outer doc is NOT contained in the inner
+    val reverse = cont.filter(r => r._1 == 2L)
+    assert(reverse.isEmpty)
+  }
+
   test("maxDf pruning drops only pairs held together by hot shingles") {
     val docs = Tables.documents(spark, sfDir)
     val unpruned = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, tau = 0.7)

@@ -689,6 +689,19 @@ object SparkEntry {
       Curation.kAnonymize(t(s, dir, "documents"), Seq("lang", "source"), k = 25)
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    // l-diversity (r10): the homogeneity-attack guard k-anonymity
+    // lacks — quasi-groups (source, size bucket) keep only if they
+    // carry >= 3 distinct langs (the sensitive column here); the
+    // gate suppresses a quarter of the corpus, so the arithmetic is
+    // live, not vacuous
+    "privacy_ldiv" -> ((s, dir) =>
+      Curation.lDiversify(
+        t(s, dir, "documents").withColumn("size_bucket",
+          floor(col("n_chars") / lit(100.0)).cast("long")),
+        Seq("source", "size_bucket"), "lang", l = 3)
+        .select(col("doc_id"), col("source"), col("size_bucket"),
+          col("lang"))),
+
     // C4-style cleaning flags: word-count bounds, >=2 sentences, no
     // curly braces / lorem-ipsum boilerplate
     "text_c4_filters" -> ((s, dir) =>
@@ -744,6 +757,20 @@ object SparkEntry {
       val isBench = col("source").isin("src0", "src1")
       Curation.contaminationFlags(
         docs.filter(!isBench), docs.filter(isBench), "doc_id", "text", k = 5)
+    }),
+
+    // the STANDING decon index's exact probe, driver-gated against
+    // the SAME oracle as decon_ngram — the stored-tables path must
+    // flag identically to the one-shot operator (index frames are
+    // benchmark-sized localCheckpoints, released by the context
+    // cleaner when the result frame drops)
+    "decon_index_probe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isBench = col("source").isin("src0", "src1")
+      val ix = graft.operators.DeconIndex.deconIndexBuild(
+        docs.filter(isBench), "doc_id", "text", n = 5)
+      graft.operators.DeconIndex.deconProbeFromIndex(
+        ix, docs.filter(!isBench), "doc_id", "text")
     }),
 
     // the INVERSE decon view: per benchmark doc, how much of it
@@ -2926,6 +2953,25 @@ object SparkEntry {
   }
 
   /** text_langid oracle (also a CTE of the eval gate). */
+  /** decon_ngram oracle — ALSO the decon_index_probe oracle: the
+    * standing benchmark index stores distinct shingle membership, so
+    * its exact probe is definitionally the same computation. */
+  private def deconNgramOracleSql: String =
+    """WITH toks AS (
+           SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, source,
+                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS s
+           FROM toks, unnest(generate_series(1, len(t) - 4)) AS u(i)),
+         bench AS (SELECT s, doc_id FROM sh WHERE source IN ('src0', 'src1')),
+         corpus AS (SELECT doc_id, s FROM sh WHERE source NOT IN ('src0', 'src1'))
+         SELECT c.doc_id,
+                count(DISTINCT c.s) AS n_shared_shingles,
+                count(DISTINCT b.doc_id) AS n_bench_docs
+         FROM corpus c JOIN bench b ON c.s = b.s
+         GROUP BY 1"""
+
   private def langidOracleSql: String =
     """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
                   FROM documents)
@@ -3669,6 +3715,20 @@ object SparkEntry {
          ON d.lang IS NOT DISTINCT FROM g.lang
         AND d.source IS NOT DISTINCT FROM g.source""",
 
+    // l-diversity: qualifying quasi-groups by DISTINCT sensitive
+    // count (count(DISTINCT) skips NULLs in both engines), broadcast
+    // membership back — the kanon shape with a diversity HAVING
+    "privacy_ldiv" ->
+      """WITH d AS (SELECT doc_id, source,
+                CAST(floor(n_chars / 100.0) AS BIGINT) AS size_bucket, lang
+         FROM documents),
+         g AS (SELECT source, size_bucket FROM d
+               GROUP BY 1, 2 HAVING count(DISTINCT lang) >= 3)
+         SELECT doc_id, d.source AS source, d.size_bucket AS size_bucket,
+                lang
+         FROM d JOIN g ON d.source IS NOT DISTINCT FROM g.source
+                      AND d.size_bucket IS NOT DISTINCT FROM g.size_bucket""",
+
     // arithmetic mirrored step-by-step (pow, share normalization,
     // K = min(w/q), rate = K*q/w left-assoc) so rates agree to the
     // ulp; zero-weight strata excluded from the normalization and
@@ -3702,21 +3762,10 @@ object SparkEntry {
     // docs; distinct STRING 5-grams here ≡ distinct shingle hashes in
     // the Spark plan (collision-free at these scales, same convention
     // as dedup_ngram_jaccard)
-    "decon_ngram" ->
-      """WITH toks AS (
-           SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
-           FROM documents),
-         sh AS (
-           SELECT DISTINCT doc_id, source,
-                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS s
-           FROM toks, unnest(generate_series(1, len(t) - 4)) AS u(i)),
-         bench AS (SELECT s, doc_id FROM sh WHERE source IN ('src0', 'src1')),
-         corpus AS (SELECT doc_id, s FROM sh WHERE source NOT IN ('src0', 'src1'))
-         SELECT c.doc_id,
-                count(DISTINCT c.s) AS n_shared_shingles,
-                count(DISTINCT b.doc_id) AS n_bench_docs
-         FROM corpus c JOIN bench b ON c.s = b.s
-         GROUP BY 1""",
+    "decon_ngram" -> deconNgramOracleSql,
+    // the standing-index probe must flag IDENTICALLY to the one-shot
+    // operator — same oracle, verbatim
+    "decon_index_probe" -> deconNgramOracleSql,
 
     // the same shingle universes aggregated per BENCH doc, zero-leak
     // docs kept via the LEFT JOIN

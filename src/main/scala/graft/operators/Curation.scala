@@ -568,6 +568,30 @@ object Curation {
       .drop(quasiCols.map(c => s"__g_$c"): _*)
   }
 
+  /** l-DIVERSITY (r10 — the companion guarantee to [[kAnonymize]]):
+    * k-anonymity bounds GROUP SIZE but a crowd of 25 that all share
+    * one sensitive value still leaks it (the homogeneity attack —
+    * Machanavajjhala et al. '07); this keeps only rows whose
+    * quasi-identifier group carries at least `l` DISTINCT values of
+    * the sensitive column. Same shape and scale story as kAnonymize:
+    * one group aggregate (map-side combine, output rows = #groups),
+    * the qualifying group list broadcast back, the corpus never
+    * shuffled. NULL sensitive values don't count toward diversity
+    * (countDistinct skips them in both engines); NULL quasi groups
+    * are matched null-safely like kAnonymize's. */
+  def lDiversify(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversify needs at least one quasi-identifier")
+    require(l >= 1, s"l $l must be >= 1")
+    val groups = df.groupBy(quasiCols.map(col): _*)
+      .agg(countDistinct(col(sensitiveCol)).as("__d"))
+      .filter(col("__d") >= l)
+      .select(quasiCols.map(c => col(c).as(s"__g_$c")): _*)
+    val cond = quasiCols.map(c => df(c) <=> groups(s"__g_$c")).reduce(_ && _)
+    df.join(broadcast(groups), cond)
+      .drop(quasiCols.map(c => s"__g_$c"): _*)
+  }
+
   /** Deterministic shard assignment + within-shard order — the
     * "global shuffle" a training corpus gets before packing: every
     * row lands in a content-hash shard (uniform, stateless,

@@ -212,6 +212,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.filter(col("lang") === "small").count() === 1L)
   }
 
+  test("lDiversify suppresses homogeneous groups k-anonymity would keep") {
+    // group A: 30 rows, ALL one sensitive value — k-anonymous at k=25
+    // yet fully leaking (the homogeneity attack); group B: 30 rows
+    // over 4 sensitive values; group C: diversity padded by NULLs,
+    // which must NOT count
+    val rows =
+      (1 to 30).map(i => (i.toLong, "A", "flu")) ++
+      (31 to 60).map(i => (i.toLong, "B", Seq("flu", "cold", "ok", "na")((i - 31) % 4))) ++
+      (61 to 90).map(i => (i.toLong, "C", if (i <= 88) "flu" else null))
+    val df = rows.toDF("id", "grp", "cond")
+    val kept = Curation.lDiversify(df, Seq("grp"), "cond", l = 2)
+      .select("grp").as[String].collect().toSet
+    assert(kept === Set("B"),
+      s"only the genuinely diverse group may survive, kept $kept")
+    // the same corpus passes kAnonymize at k=25 for A — the guarantee
+    // really is orthogonal
+    val anon = Curation.kAnonymize(df, Seq("grp"), k = 25)
+      .select("grp").as[String].collect().toSet
+    assert(anon === Set("A", "B", "C"))
+    // l=1 keeps everything with at least one non-null sensitive value
+    val loose = Curation.lDiversify(df, Seq("grp"), "cond", l = 1)
+      .select("grp").as[String].collect().toSet
+    assert(loose === Set("A", "B", "C"))
+  }
+
   test("perplexityBuckets: threshold cuts totally order the buckets by score") {
     // three LIKELIHOOD tiers by prefix branching: singleton-bigram
     // docs score ln(λ·1+…) (the MLE-overconfidence ceiling the

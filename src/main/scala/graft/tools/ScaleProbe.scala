@@ -808,6 +808,13 @@ object ScaleProbe {
     // interp_lm probe's shape); SQ8 = one per-dim min/max agg + a
     // codegen'd quantize/dequantize scan × a fixed broadcast query
     // set (expect ≈ linear like the other ann scans)
+    // containment shares the jaccard operator's machinery wholesale —
+    // expect the same at-or-below-linear band
+    probe("dedup_containment") {
+      Dedup.containmentPairs(docs1, "doc_id", "text", 3, 0.8).count()
+    } {
+      Dedup.containmentPairs(docsN, "doc_id", "text", 3, 0.8).count()
+    }
     probe("quality_perplexity") {
       Curation.perplexityBuckets(docs1, "doc_id",
         Text.tokens(col("text")), 0.8).count()

@@ -558,6 +558,14 @@ object SparkEntry {
       Curation.hashSplit(t(s, dir, "documents"), col("text"), buckets = 100, takeBuckets = 20)
         .select(col("doc_id"), col("bucket"))),
 
+    // LEAKAGE-FREE holdout: the 20% hash split hardened against
+    // near-dup leakage — train docs sharing a jaccard≥0.6 cluster
+    // with a test doc are quarantined as 'leaked' (a plain hash split
+    // trains on near-copies of its own eval set)
+    "sample_holdout" -> ((s, dir) =>
+      Curation.holdoutSplit(t(s, dir, "documents"), "doc_id", "text",
+        buckets = 100, testBuckets = 20, k = 3, tau = 0.6)),
+
     // per-stratum hash sampling: rebalance the corpus by keeping 10%
     // of English, 50% of every other language — stateless filter
     "sample_stratified" -> ((s, dir) =>
@@ -801,6 +809,13 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) =>
       Curation.repetitionStats(t(s, dir, "documents"), "doc_id", "text",
         maxTopTokenRatio = 0.12, maxDupTrigramRatio = 0.05)),
+
+    // cross-doc boilerplate: fraction of each doc's distinct
+    // 3-grams appearing in >= 3 docs corpus-wide (template/header
+    // text the within-doc repetition stats never see)
+    "quality_boilerplate" -> ((s, dir) =>
+      Curation.boilerplateStats(t(s, dir, "documents"), "doc_id", "text",
+        k = 3, dfMin = 3L)),
 
     // distributed Lloyd k-means over embeddings (ids-only output).
     // Hash-gated: centroids round to 6dp at each iteration edge, which
@@ -1188,6 +1203,29 @@ object SparkEntry {
         Text.tokenCount(col("text")).as("n_tokens"),
         size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0))).as("n_alpha"),
         size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_num"))),
+
+    // EXACT vocabulary construction (the tokenizer-training
+    // precursor the CMS approx_topk approximates): top-50 tokens by
+    // corpus count with rank and cumulative coverage share. Scale
+    // shape: map-side-combined (token,count) agg, then TakeOrdered
+    // top-k (per-partition heaps + a 50-row driver merge) — the
+    // rank/cum-sum window only ever sees the 50 survivors, never the
+    // vocabulary; the corpus total is a 1-row crossJoin.
+    "text_vocab" -> ((s, dir) => {
+      val cnt = t(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as("n"))
+      val tot = cnt.agg(sum(col("n")).as("__tot"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("token"))
+      cnt.orderBy(col("n").desc, col("token")).limit(50)
+        .withColumn("rank", row_number().over(w))
+        .withColumn("__cum", sum(col("n")).over(w))
+        .crossJoin(tot)
+        .select(col("token"), col("n"), col("rank"),
+          round(col("__cum") / col("__tot"), 6).as("cum_share"))
+    }),
 
     // quality_ok thresholds the UNROUNDED ratio (the oracle compares
     // the raw value to 0.5; rounding first would flip documents whose
@@ -3793,6 +3831,27 @@ object SparkEntry {
 
     "text_repetition" -> textRepetitionOracleSql,
 
+    // cross-doc boilerplate: distinct string 3-grams per doc (the
+    // Spark side's 8-byte shingle hashes group identically modulo
+    // ~|V|^2/2^64 collisions), df over docs, per-doc flagged share
+    "quality_boilerplate" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+           FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+         dfc AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+         agg AS (
+           SELECT doc_id, count(*) AS n_grams,
+                  sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS n_boiler
+           FROM sh JOIN dfc USING (s) GROUP BY 1)
+         SELECT d.doc_id,
+                CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+                CAST(coalesce(n_boiler, 0) AS BIGINT) AS n_boiler,
+                round(n_boiler * 1.0 / n_grams, 4) AS boiler_ratio
+         FROM documents d LEFT JOIN agg USING (doc_id)""",
+
     "dedup_ngram_jaccard" ->
       s"""WITH $jaccardCtes
          SELECT da AS doc_a, db AS doc_b,
@@ -3972,6 +4031,37 @@ object SparkEntry {
          FROM documents
          WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 20""",
 
+    // leakage-free holdout: the SAME jaccard-pair + min-label CC CTEs
+    // as dedup_clusters label each doc's cluster (singletons default
+    // to their own id); test = md5 bucket < 20; train docs in a
+    // cluster containing any test doc become 'leaked'
+    "sample_holdout" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         pairs AS (
+           SELECT da, db
+           FROM shared JOIN sz za ON da = za.doc_id JOIN sz zb ON db = zb.doc_id
+           WHERE round(c / (za.n + zb.n - c), 4) >= 0.6),
+         edges AS (
+           SELECT da AS src, db AS dst FROM pairs
+           UNION ALL SELECT db, da FROM pairs),
+         reach(node, lbl) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node),
+         clusters AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY 1),
+         lab AS (
+           SELECT d.doc_id,
+                  CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 20
+                    AS is_test,
+                  coalesce(c.cluster_id, d.doc_id) AS cl
+           FROM documents d LEFT JOIN clusters c ON d.doc_id = c.node),
+         contam AS (SELECT DISTINCT cl FROM lab WHERE is_test)
+         SELECT doc_id,
+                CASE WHEN is_test THEN 'test'
+                     WHEN cl IN (SELECT cl FROM contam) THEN 'leaked'
+                     ELSE 'train' END AS split
+         FROM lab""",
+
     "text_chunk" ->
       """WITH t AS (SELECT doc_id,
                            list_filter(string_split_regex(trim(text), '\s+'),
@@ -4117,6 +4207,24 @@ object SparkEntry {
                 CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INTEGER) AS n_alpha,
                 CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_num
          FROM documents""",
+
+    // exact vocab: (n DESC, token) is a total order, so the RANGE
+    // default window frame degenerates to ROWS in both engines and
+    // the cumulative sum is engine-agnostic
+    "text_vocab" ->
+      """WITH toks AS (
+           SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                     tok -> tok <> '')) AS token
+           FROM documents),
+         cnt AS (SELECT token, count(*) AS n FROM toks GROUP BY 1),
+         tot AS (SELECT sum(n) AS tot FROM cnt),
+         r AS (SELECT token, n,
+                      CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER)
+                        AS rank,
+                      sum(n) OVER (ORDER BY n DESC, token) AS cum
+               FROM cnt)
+         SELECT token, n, rank, round(cum * 1.0 / tot, 6) AS cum_share
+         FROM r, tot WHERE rank <= 50""",
 
     "text_quality" ->
       """WITH b AS (

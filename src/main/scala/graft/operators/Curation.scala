@@ -1191,4 +1191,93 @@ object Curation {
         row_number().over(Window.orderBy(col("bm25").desc, col("__id"))).cast("int"))
       .select(col("__id").as(idCol), col("rnk"), col("bm25"))
   }
+
+  /** Leakage-free train/test split: the content-hash holdout
+    * ([[hashBucket]] < testBuckets → test) HARDENED against near-dup
+    * leakage — any train-side doc sharing a near-dup cluster
+    * ([[Dedup.ngramJaccardPairs]] + [[Clusters.connectedComponents]])
+    * with a test doc is quarantined as `leaked` instead of trained
+    * on. A plain hash split leaks whenever the corpus contains
+    * near-copies (it always does): the copy hashes into train, the
+    * original into test, and eval measures memorization. The
+    * reference pipeline has no split discipline at all — its weekly
+    * snapshot is both input and evaluation (main_dag.py:242-262).
+    *
+    * One row per doc: (doc_id, split) with split ∈ {test, train,
+    * leaked}.
+    *
+    * Scale shape: the pair join + CC is the dedup pass a curation run
+    * already computes — in a real pipeline pass `clusters` from that
+    * run instead of recomputing. The labeling itself adds one
+    * broadcast of the CONTAMINATED cluster ids (bounded by the test
+    * fraction of clustered docs, not the corpus) over a map-side
+    * scan: zero extra full-corpus shuffles. */
+  def holdoutSplit(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int, testBuckets: Int, k: Int, tau: Double): DataFrame = {
+    val clusters = Clusters.connectedComponents(
+      Dedup.ngramJaccardPairs(docs, idCol, textCol, k, tau),
+      "doc_a", "doc_b")
+    holdoutSplitWithClusters(docs, idCol, textCol, buckets, testBuckets,
+      clusters)
+  }
+
+  /** [[holdoutSplit]] over a PRECOMPUTED cluster labeling (node,
+    * cluster_id) — the form a production run uses, reusing the dedup
+    * pass's output. Singletons may be absent from `clusters`; they
+    * default to their own id. */
+  def holdoutSplitWithClusters(docs: DataFrame, idCol: String,
+      textCol: String, buckets: Int, testBuckets: Int,
+      clusters: DataFrame): DataFrame = {
+    require(testBuckets > 0 && testBuckets < buckets,
+      s"testBuckets $testBuckets outside (0, $buckets)")
+    val lab = docs
+      .select(col(idCol).as("doc_id"),
+        (hashBucket(col(textCol), buckets) < testBuckets).as("__is_test"))
+      .join(clusters.select(col("node").as("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .withColumn("__cl", coalesce(col("cluster_id"), col("doc_id")))
+    val contaminated = lab.filter(col("__is_test"))
+      .select(col("__cl")).distinct()
+      .withColumn("__hit", lit(1))
+    lab.join(broadcast(contaminated), Seq("__cl"), "left")
+      .select(col("doc_id"),
+        when(col("__is_test"), lit("test"))
+          .when(col("__hit").isNotNull, lit("leaked"))
+          .otherwise(lit("train")).as("split"))
+  }
+
+  /** Cross-document boilerplate stats: for each doc, the fraction of
+    * its distinct word-k-grams whose corpus DOCUMENT FREQUENCY is ≥
+    * `dfMin` — the "how much of this page is template/header/footer
+    * text shared across the crawl" signal (RefinedWeb-style), the
+    * cross-doc complement of [[repetitionStats]] (which only sees
+    * within-doc loops). One row per doc: (doc_id, n_grams, n_boiler,
+    * boiler_ratio); docs shorter than k tokens carry n_grams = 0 and
+    * a NULL ratio.
+    *
+    * Scale shape: the in-row native ShingleHashes emits each doc's
+    * DISTINCT 8-byte k-gram hashes (no string shuffle), df is one
+    * (hash → count) aggregation, and the flag joins back on the same
+    * hash key — Catalyst reuses the hash partitioning between the
+    * groupBy and the join, so the whole operator is two shuffles over
+    * the shingle space plus one doc-keyed agg, all linear in corpus
+    * size. No driver-side state; the df table never needs to fit in
+    * memory (unlike a broadcast-set design, which caps the
+    * boilerplate vocabulary). */
+  def boilerplateStats(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, dfMin: Long): DataFrame = {
+    import graft.functions.expr.NativeFunctions.shingle_hashes
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(shingle_hashes(col(textCol), k)).as("s"))
+    val dfc = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val agg = sh.join(dfc, Seq("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= dfMin, 1L).otherwise(0L)).as("n_boiler"))
+    docs.select(col(idCol).as("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        round(col("n_boiler") / col("n_grams"), 4).as("boiler_ratio"))
+  }
 }

@@ -133,4 +133,109 @@ object IndexTuning {
       RetuneReport(n, current, before, retuned = true, next, after, q2)
     }
   }
+
+  // ---- the LSH pair family (the embedding-LSH dedup index) ----
+
+  final case class LshParams(bits: Int, tables: Int)
+
+  /** Outcome of one LSH monitor→retune cycle. */
+  final case class LshRetuneReport(n: Long, before: LshParams,
+      recallBefore: Double, retuned: Boolean, after: LshParams,
+      recallAfter: Double)
+
+  /** The collision-bound rule — the LSH twin of [[ivfParamsFor]]:
+    * smallest table count T with 1-(1-p)^T ≥ targetRecall, where
+    * p = (1 - θ/π)^bits (θ = acos τ) is the single-table
+    * sign-random-projection collision probability of a pair sitting
+    * AT the accept threshold — the hardest pair the index is
+    * contracted to find (Charikar '02; any pair above τ collides
+    * strictly more often). bits controls COST (bucket occupancy, via
+    * [[lshBitsFor]]); tables buy RECALL back at the chosen bits. */
+  def lshTablesFor(bits: Int, tau: Double, targetRecall: Double,
+      maxTables: Int = 64): Int = {
+    require(tau > -1.0 && tau < 1.0,
+      s"tau $tau outside (-1, 1)")
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall $targetRecall outside (0, 1)")
+    val p = math.pow(1.0 - math.acos(tau) / math.Pi, bits)
+    if (p <= 0.0) maxTables
+    else math.min(maxTables, math.max(1,
+      math.ceil(math.log1p(-targetRecall) / math.log1p(-p)).toInt))
+  }
+
+  /** PAIR recall of a standing embedding-LSH index on an audit
+    * slice: of the exact cosine-≥τ (corpus, audit) pairs, the
+    * fraction the index's banded probe surfaces — the emb_recall
+    * monitor as a reusable reading. Audit is SMALL and broadcast;
+    * the corpus is scanned once for truth and probed through the
+    * stored band table for the candidates — never self-joined. */
+  def lshIndexRecall(index: Dedup.EmbeddingLshIndex, audit: DataFrame,
+      idCol: String, vecCol: String, tau: Double,
+      probeRadius: Int = 0): Double = {
+    import graft.functions.Vectors
+    val a = audit.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val truth = index.vecs.crossJoin(broadcast(a))
+      .filter(col("id") =!= col("qid") &&
+        Vectors.cosine(col("v"), col("qv")) >= tau)
+      .select(col("id").as("vec_a"), col("qid").as("vec_b"))
+    val served = Dedup.embeddingProbe(index, audit, idCol, vecCol, tau,
+      probeRadius)
+    val hits = served.filter(col("vec_a") =!= col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), lit(1L).as("__hit"))
+    val r = truth.join(hits, Seq("vec_a", "vec_b"), "left")
+      .agg((sum(when(col("__hit").isNotNull, 1L).otherwise(0L))
+        / count(lit(1)).cast("double")).as("r"))
+      .collect()
+    served.unpersist(blocking = false)
+    if (r.isEmpty || r.head.isNullAt(0)) 1.0 // no true pairs: nothing sags
+    else r.head.getDouble(0)
+  }
+
+  /** One monitor→retune cycle over a DURABLE embedding-LSH index
+    * ([[Dedup.embeddingIndexWrite]] lifecycle) — [[retuneIvf]] for
+    * the pair family:
+    *
+    *  1. measure pair recall at the serving τ on the audit slice
+    *     under the CURRENT (bits, tables);
+    *  2. at or above `targetRecall` → no-op;
+    *  3. below → re-derive bits from the corpus's CURRENT size via
+    *     the occupancy rule ([[lshBitsFor]] — cost control first),
+    *     tables from the collision bound at those bits
+    *     ([[lshTablesFor]] — recall bought back), rebuild the saved
+    *     tables under the new family, and re-measure.
+    *
+    * Why recall sags at all for LSH (unlike IVF there is no frozen
+    * quantizer): appends land under the STAMPED hyperplane family at
+    * the bits chosen for land-time N. As N grows the occupancy rule
+    * wants more bits, but more bits per table cut the per-table
+    * collision probability — an operator who raises bits without
+    * re-deriving tables (or who landed tables for an easier τ) serves
+    * a sagging index. The loop makes the pair move atomic and
+    * rule-derived. Deterministic end to end (seeded hyperplanes). */
+  def retuneLsh(spark: SparkSession, vecsTable: String, bandTable: String,
+      corpus: DataFrame, audit: DataFrame, idCol: String, vecCol: String,
+      dim: Int, seed: Long, current: LshParams, tau: Double,
+      targetRecall: Double, targetOccupancy: Long = 32L,
+      maxTables: Int = 64, probeRadius: Int = 0,
+      buckets: Int = 16): LshRetuneReport = {
+    require(targetRecall > 0.0 && targetRecall < 1.0)
+    val ix = Dedup.embeddingIndexLoad(spark, vecsTable, bandTable,
+      dim, current.bits, current.tables, seed)
+    val before = lshIndexRecall(ix, audit, idCol, vecCol, tau, probeRadius)
+    if (before >= targetRecall)
+      LshRetuneReport(-1L, current, before, retuned = false, current, before)
+    else {
+      val n = corpus.count()
+      val bits2 = lshBitsFor(n, targetOccupancy)
+      val next = LshParams(bits2, lshTablesFor(bits2, tau, targetRecall,
+        maxTables))
+      Dedup.embeddingIndexWrite(corpus, idCol, vecCol, dim,
+        next.bits, next.tables, seed, vecsTable, bandTable, buckets)
+      val ix2 = Dedup.embeddingIndexLoad(spark, vecsTable, bandTable,
+        dim, next.bits, next.tables, seed)
+      val after = lshIndexRecall(ix2, audit, idCol, vecCol, tau, probeRadius)
+      LshRetuneReport(n, current, before, retuned = true, next, after)
+    }
+  }
 }

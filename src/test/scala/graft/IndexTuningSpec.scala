@@ -125,4 +125,84 @@ class IndexTuningSpec extends SparkSpec {
     assert(aAfter >= 0.9, s"retune regressed the original region: $aAfter")
     dropTables("retune_ivf")
   }
+
+  // ---- the LSH pair family ----
+
+  test("lshTablesFor satisfies the collision bound minimally and responds to bits") {
+    for (bits <- Seq(1, 2, 4, 8); tau <- Seq(0.5, 0.7, 0.9);
+         target <- Seq(0.8, 0.9, 0.95)) {
+      val t = IndexTuning.lshTablesFor(bits, tau, target, maxTables = 4096)
+      val p = math.pow(1.0 - math.acos(tau) / math.Pi, bits)
+      assert(1.0 - math.pow(1.0 - p, t) >= target - 1e-12,
+        s"bits=$bits tau=$tau target=$target t=$t misses the bound")
+      if (t > 1)
+        assert(1.0 - math.pow(1.0 - p, t - 1) < target,
+          s"bits=$bits tau=$tau target=$target t=$t not minimal")
+    }
+    // more bits per table → lower per-table collision → more tables
+    assert(IndexTuning.lshTablesFor(8, 0.7, 0.9, 4096) >
+      IndexTuning.lshTablesFor(2, 0.7, 0.9, 4096))
+  }
+
+  // LSH sag corpus: 60 deterministic pseudo-random unit vectors in
+  // dim 8, each with a partner at cosine EXACTLY 0.75 (just above
+  // the serving tau 0.7) — the hard pairs the index is contracted to
+  // find. At bits=8/tables=1 the per-table collision probability of
+  // such a pair is (1 - acos(.75)/π)^8 ≈ 0.12, so the single-table
+  // index provably misses most of them.
+  private val lshDim = 8
+  private def pseudo(i: Int): Array[Double] =
+    normalizeN(Array.tabulate(lshDim)(j => math.sin(1.0 + i * 7 + j * 3)))
+  private def normalizeN(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    v.map(_ / n)
+  }
+  private def lshCorpus = {
+    val cosT = 0.75
+    val rows = (0 until 60).flatMap { i =>
+      val v = pseudo(i)
+      val r = pseudo(i + 1000)
+      val dot = v.zip(r).map { case (a, b) => a * b }.sum
+      val u = normalizeN(r.zip(v).map { case (a, b) => a - dot * b })
+      val w = Array.tabulate(lshDim)(j =>
+        cosT * v(j) + math.sqrt(1 - cosT * cosT) * u(j))
+      Seq((i.toLong, v.toSeq), (10000L + i, w.toSeq))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("LSH monitor→retune: single-table index sags on threshold pairs, collision-bound retune restores") {
+    dropTables("retune_lsh_vecs", "retune_lsh_bands")
+    val corpus = lshCorpus
+    val audit = corpus.filter(col("vec_id") < 20) // 20 base vectors
+    val weak = IndexTuning.LshParams(bits = 8, tables = 1)
+    graft.operators.Dedup.embeddingIndexWrite(corpus, "vec_id", "embedding",
+      lshDim, weak.bits, weak.tables, seed = 42L,
+      "retune_lsh_vecs", "retune_lsh_bands")
+
+    val report = IndexTuning.retuneLsh(spark, "retune_lsh_vecs",
+      "retune_lsh_bands", corpus, audit, "vec_id", "embedding",
+      dim = lshDim, seed = 42L, current = weak, tau = 0.7,
+      targetRecall = 0.9, targetOccupancy = 32L)
+    assert(report.retuned, s"weak index did not trigger: $report")
+    assert(report.recallBefore < 0.6,
+      s"single-table index should sag on threshold pairs: $report")
+    assert(report.n === 120L)
+    // rule-derived family: bits from occupancy at N=120, tables from
+    // the collision bound at those bits
+    assert(report.after.bits === lshBitsFor(120L, 32L))
+    assert(report.after.tables ===
+      IndexTuning.lshTablesFor(report.after.bits, 0.7, 0.9))
+    assert(report.recallAfter >= 0.85,
+      s"retune failed to restore pair recall: $report")
+
+    // the rebuilt index clears the next monitor cycle (no-op path)
+    val cycle2 = IndexTuning.retuneLsh(spark, "retune_lsh_vecs",
+      "retune_lsh_bands", corpus, audit, "vec_id", "embedding",
+      dim = lshDim, seed = 42L, current = report.after, tau = 0.7,
+      targetRecall = 0.85, targetOccupancy = 32L)
+    assert(!cycle2.retuned, s"healthy index retuned: $cycle2")
+    assert(cycle2.recallBefore === report.recallAfter)
+    dropTables("retune_lsh_vecs", "retune_lsh_bands")
+  }
 }

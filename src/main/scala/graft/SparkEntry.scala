@@ -1584,17 +1584,24 @@ object SparkEntry {
     * use [[graft.operators.CuratePipeline.curate]] directly and own
     * release(). */
   private val curatedMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, String), graft.operators.CuratePipeline.Curated]()
+    (SparkSession, String), graft.operators.CuratePipeline.Curated]()
 
-  private def curatedFor(s: SparkSession, dir: String) =
-    curatedMemo.compute(
-      (String.valueOf(System.identityHashCode(s)), dir), (_, prev) => {
+  private def curatedFor(s: SparkSession, dir: String) = {
+    // keyed on the SparkSession INSTANCE (identity equality — the r10
+    // ADVICE fix: identityHashCode is not unique and can be reused
+    // after GC, resurrecting a Curated bound to a dead session).
+    // Entries whose session has stopped are evicted first: their
+    // cached boundaries died with the session, and the strong key
+    // reference would otherwise pin the dead session forever.
+    curatedMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    curatedMemo.compute((s, dir), (_, prev) => {
       if (prev != null && prev.isLive) prev
       else {
         if (prev != null) prev.release() // no-op unpersists when cleared
         curatedBuild(s, dir)
       }
     })
+  }
 
   private def curatedBuild(s: SparkSession, dir: String) =
     graft.operators.CuratePipeline.curate(

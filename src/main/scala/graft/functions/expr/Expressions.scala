@@ -331,7 +331,10 @@ case class CharGramBucketCounts(child: Expression, k: Int, buckets: Int)
         var h = 0L
         var w = 0
         while (w < k) { h = h * 31L + codes(i + w); w += 1 }
-        out((h % buckets).toInt) += 1L
+        // floorMod: the poly-31 fold is provably non-negative only for
+        // k <= 9 (0x10FFFF·31^8 < 2^63); a larger k may wrap the Long
+        // negative, and a plain % would then index out of bounds
+        out(java.lang.Math.floorMod(h, buckets.toLong).toInt) += 1L
         i += 1
       }
     }

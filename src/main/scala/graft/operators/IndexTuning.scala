@@ -122,12 +122,20 @@ object IndexTuning {
     else {
       val n = corpus.count()
       val next = ivfParamsFor(n, probeFrac)
+      // the init sample must dominate the RE-DERIVED nlists, not the
+      // caller's static default: at N ≳ 16.8M, √N exceeds 4096 and a
+      // fixed sample would hard-fail kmeansPlusPlusInit's
+      // sample ≥ k requirement exactly at the scale the loop targets
+      val sampleN = math.max(sampleSize, 4 * next.nlists)
       val q2 = Similarity.kmeansCentroids(corpus, idCol, vecCol,
         next.nlists, iters,
         init = Some(Similarity.kmeansPlusPlusInit(corpus, idCol, vecCol,
-          next.nlists, sampleSize, seed)),
+          next.nlists, sampleN, seed)),
         roundTo = roundTo)
-      Similarity.ivfIndexWrite(corpus, idCol, vecCol, q2, table)
+      // locked rebuild: drops any pending tombstone sibling (a stale
+      // tombstone would silently hide rebuilt rows whose ids were once
+      // removed) and excludes concurrent takedown/append interleaving
+      Similarity.ivfIndexRebuild(spark, table, corpus, idCol, vecCol, q2)
       val after = ivfIndexRecall(spark, table, q2, corpus, audit,
         idCol, vecCol, next.nprobe, k)
       RetuneReport(n, current, before, retuned = true, next, after, q2)

@@ -387,6 +387,35 @@ object Similarity {
       buckets: Int = 16): Unit =
     compactIndexTable(spark, table, buckets)
 
+  /** REBUILD a landed IVF index under a NEW quantizer (the retune
+    * path): overwrite the table from `corpus` — the caller's current
+    * truth, every row of which must be servable — then drop any
+    * pending tombstone sibling, because a stale tombstone would keep
+    * hiding rebuilt rows whose ids were once ivfIndexRemove'd (the
+    * exact reason [[ivfIndexCompact]] drops the sibling after its
+    * fold). Runs under the mutation lock so a concurrent
+    * takedown/append cannot interleave with the overwrite; drop-AFTER-
+    * overwrite keeps the crash windows safe (a crash between the two
+    * leaves takedowns over-applied until the retune re-runs, never
+    * removed ids resurrected). Re-buckets to the ORIGINAL stamped
+    * physical spec when the table already carries one (the compact
+    * convention — a silent re-bucketing would break later appends). */
+  def ivfIndexRebuild(spark: org.apache.spark.sql.SparkSession, table: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      quantizer: Array[Array[Double]], buckets: Int = 16): Unit =
+    indexMutationLock.synchronized {
+      val physBuckets =
+        if (spark.catalog.tableExists(table))
+          spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+            .collectFirst {
+              case r if r.getString(0) == "graft.ivf.buckets" =>
+                r.getString(1).toInt
+            }.getOrElse(buckets)
+        else buckets
+      ivfIndexWrite(corpus, idCol, vecCol, quantizer, table, physBuckets)
+      spark.sql(s"DROP TABLE IF EXISTS ${tombTable(table)}")
+    }
+
   /** Probe a persisted IVF index ([[ivfIndexWrite]]) — result-
     * identical to [[ivfTopK]] with the same quantizer (spec-proven),
     * minus the assignment pass. The caller's quantizer is validated

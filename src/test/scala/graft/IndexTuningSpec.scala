@@ -126,6 +126,44 @@ class IndexTuningSpec extends SparkSpec {
     dropTables("retune_ivf")
   }
 
+  test("retune rebuild clears pending tombstones — rebuilt rows serve again") {
+    dropTables("retune_ivf2")
+    val landed = IvfParams(nlists = 4, nprobe = 1)
+    val q0 = Similarity.kmeansCentroids(corpusA, "vec_id", "embedding",
+      landed.nlists, iters = 3,
+      init = Some(Similarity.kmeansPlusPlusInit(corpusA, "vec_id",
+        "embedding", landed.nlists, sampleSize = 64, seed = 7L)),
+      roundTo = Some(6))
+    Similarity.ivfIndexWrite(corpusA, "vec_id", "embedding", q0, "retune_ivf2")
+
+    // a takedown lands a tombstone sibling, then drift growth arrives
+    // under the frozen quantizer
+    Similarity.ivfIndexRemove(spark, "retune_ivf2",
+      Seq(0L).toDF("vec_id"), "vec_id")
+    assert(spark.catalog.tableExists("retune_ivf2__tombstones"))
+    Similarity.ivfIndexAppend(spark, "retune_ivf2", batchB,
+      "vec_id", "embedding", q0)
+
+    // the retune corpus is the caller's CURRENT truth and it contains
+    // vec_id 0 again (the takedown was upstream-reversed): the rebuild
+    // must serve it, which requires dropping the stale tombstone —
+    // sampleSize=1 also proves the init sample is derived from the
+    // re-computed nlists, not the caller's static floor
+    val grown = corpusA.unionByName(batchB)
+    val report = IndexTuning.retuneIvf(spark, "retune_ivf2", q0, grown,
+      auditB, "vec_id", "embedding", landed, targetRecall = 0.9, k = 5,
+      probeFrac = 0.25, iters = 3, sampleSize = 1, seed = 7L)
+    assert(report.retuned)
+    assert(!spark.catalog.tableExists("retune_ivf2__tombstones"),
+      "rebuild left the stale tombstone sibling in place")
+    val served = Similarity.ivfProbeIndex(spark, "retune_ivf2",
+      corpusA.filter(col("vec_id") === 0L), "vec_id", "embedding",
+      report.quantizer, report.after.nprobe, k = 1)
+    assert(served.filter(col("neighbor_id") === 0L).count() === 1L,
+      "once-removed id is still hidden after the rebuild")
+    dropTables("retune_ivf2")
+  }
+
   // ---- the LSH pair family ----
 
   test("lshTablesFor satisfies the collision bound minimally and responds to bits") {

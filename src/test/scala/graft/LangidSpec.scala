@@ -108,4 +108,20 @@ class LangidSpec extends SparkSpec {
     assert(conf.map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted
       === again.map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted)
   }
+
+  test("char_gram_bucket_counts survives k large enough to wrap the Long fold") {
+    // the poly-31 fold is non-negative only for k ≤ 9; at k=17 on a
+    // high-codepoint string the fold wraps negative and a plain %
+    // would index out of bounds — floorMod must keep every gram in
+    // [0, buckets) and the total equal to n-k+1
+    val s = "ჿ0ჿ1" * 20 // high-codepoint mix: 32 of the 64 grams fold negative
+    val out = Seq(Tuple1(s)).toDF("text")
+      .select(graft.functions.expr.NativeFunctions
+        .char_gram_bucket_counts(col("text"), 17, 16).as("c"))
+      .collect().head.getSeq[Long](0)
+    val n = s.codePointCount(0, s.length)
+    assert(out.forall(_ >= 0L))
+    assert(out.sum === (n - 17 + 1).toLong,
+      s"gram mass ${out.sum} != ${n - 16}")
+  }
 }

@@ -370,6 +370,21 @@ object SparkEntry {
       Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
         k = 3, tauC = 0.8)),
 
+    // content-defined chunking (r11): Rabin-style boundaries at word
+    // granularity (window w=4, expected chunk ≈ 8 words) — chunk
+    // hashes survive the prefix/infix edits that shift every
+    // fixed-stride window; no self-join, the groupBy on the 8-byte
+    // chunk hash IS the candidate structure
+    "dedup_cdc" -> ((s, dir) =>
+      Dedup.cdcDuplicateChunks(t(s, dir, "documents"), "doc_id", "text",
+        w = 4, modD = 8, minLen = 4)),
+
+    // the doc-level CDC duplication profile: fraction of each doc
+    // made of cross-document chunks — the thresholdable gate
+    "dedup_cdc_docs" -> ((s, dir) =>
+      Dedup.cdcDocStats(t(s, dir, "documents"), "doc_id", "text",
+        w = 4, modD = 8, minLen = 4)),
+
     // 64 perms / 16 bands (r=4): candidate recall at j=0.7 is
     // 1-(1-0.7^4)^16 ≈ 0.99 at half the signature cost of 128 perms
     "dedup_minhash_lsh" -> ((s, dir) =>
@@ -1970,6 +1985,50 @@ object SparkEntry {
            SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
            FROM ${p}sh a JOIN ${p}sh b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2)"""
+
+  /** CDC chunking replayed in HUGEINT mod-2^64 SQL — word hashes via
+    * the engine-wide token poly hash (seed 17), window/chunk folds
+    * via the shingle seed + mix multiplier, boundary where the w=4
+    * window fold ≡ D-1 (mod D). Yields CTE `cdc_chunks(doc_id, s,
+    * len, ch)` — one row per chunk, `ch` the unsigned chunk fold. */
+  private def cdcCtes: String = {
+    val T = BigInt(1) << 64
+    def u(l: Long): BigInt = BigInt(l) & ((BigInt(1) << 64) - 1)
+    val M = u(-7046029254386353131L) // ShingleHashes/CdcChunkHashes mix
+    val c0 = (BigInt(1125899906842597L) * M) % T // seed pre-multiplied
+    def mm(x: String): String =
+      s"((($x) % 4294967296) * $M::HUGEINT + " +
+        s"(((($x) >> 32) * $M::HUGEINT) % 4294967296) * 4294967296) % $T::HUGEINT"
+    val tokH = "list_transform(ts, t -> list_reduce(" +
+      "list_prepend(17::HUGEINT, list_transform(string_split(t, ''), c -> ord(c)::HUGEINT))," +
+      s"(a, b) -> (a * 31 + b) % $T::HUGEINT))"
+    val h1 = s"($c0::HUGEINT + th[i]) % $T::HUGEINT"
+    val h2 = s"(${mm(h1)} + th[i+1]) % $T::HUGEINT"
+    val h3 = s"(${mm(h2)} + th[i+2]) % $T::HUGEINT"
+    val h4 = s"(${mm(h3)} + th[i+3]) % $T::HUGEINT"
+    s"""cdc_toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ts
+       |  FROM documents),
+       |cdc_tokh AS (SELECT doc_id, $tokH AS th FROM cdc_toks),
+       |cdc_pos AS (
+       |  SELECT doc_id, p, th[p] AS wh
+       |  FROM cdc_tokh, unnest(generate_series(1, len(th))) AS u(p)),
+       |cdc_winb AS (
+       |  SELECT doc_id, i + 3 AS p,
+       |         CASE WHEN ($h4) % 8 = 7 THEN 1 ELSE 0 END AS b
+       |  FROM cdc_tokh, unnest(generate_series(1, len(th) - 3)) AS u(i)),
+       |cdc_seg AS (
+       |  SELECT r.doc_id, r.p, r.wh,
+       |         COALESCE(sum(w.b) OVER (PARTITION BY r.doc_id ORDER BY r.p
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+       |  FROM cdc_pos r LEFT JOIN cdc_winb w ON w.doc_id = r.doc_id AND w.p = r.p),
+       |cdc_chunks AS (
+       |  SELECT doc_id, s, count(*) AS len,
+       |         list_reduce(
+       |           list_prepend(1125899906842597::HUGEINT, list(wh ORDER BY p)),
+       |           (a, b) -> (${mm("a")} + b) % $T::HUGEINT) AS ch
+       |  FROM cdc_seg GROUP BY doc_id, s)""".stripMargin
+  }
 
   /** Shared CTE text for the LSH-blocked embedding-dedup oracles:
     * replays signature → (table, bucket) band → distinct candidate
@@ -3884,6 +3943,35 @@ object SparkEntry {
          SELECT db AS doc_inner, da AS doc_outer,
                 round(c / nb, 4) AS containment
          FROM cb WHERE round(c / nb, 4) >= 0.8""",
+
+    // content-defined chunking: the full word-hash → window-fold →
+    // boundary → per-chunk fold pipeline replayed in HUGEINT mod-2^64
+    // arithmetic; signed CAST at the output edge (the rolling_fp
+    // convention)
+    "dedup_cdc" ->
+      s"""WITH $cdcCtes
+         SELECT CAST(CASE WHEN ch >= 9223372036854775808::HUGEINT
+                          THEN ch - 18446744073709551616::HUGEINT
+                          ELSE ch END AS BIGINT) AS chunk_hash,
+                count(DISTINCT doc_id) AS n_docs,
+                count(*) AS n_occ,
+                min(doc_id) AS min_doc
+         FROM cdc_chunks WHERE len >= 4
+         GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""",
+
+    "dedup_cdc_docs" ->
+      s"""WITH $cdcCtes,
+         cdc_dup AS (SELECT ch FROM cdc_chunks WHERE len >= 4
+                     GROUP BY ch HAVING count(DISTINCT doc_id) >= 2)
+         SELECT c.doc_id,
+                count(*) AS n_chunks,
+                CAST(sum(CASE WHEN c.len >= 4 AND d.ch IS NOT NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+                round(CAST(sum(CASE WHEN c.len >= 4 AND d.ch IS NOT NULL
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+                      / count(*), 4) AS dup_ratio
+         FROM cdc_chunks c LEFT JOIN cdc_dup d ON c.ch = d.ch
+         GROUP BY 1""",
 
     // duplicated-window spans via string windows (≡ positional window
     // hashes absent collisions — same convention as dedup_ngram_jaccard);

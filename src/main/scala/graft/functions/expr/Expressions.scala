@@ -287,6 +287,80 @@ case class ShingleHashesAll(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** CONTENT-DEFINED CHUNKING of a string's token stream in one pass —
+  * the Rabin-style CDC primitive of storage dedup, applied at word
+  * granularity for corpus-level duplicated-passage detection: a chunk
+  * BOUNDARY falls after word i whenever the rolling window hash of
+  * the last `w` words satisfies `hash mod D == D-1` (D a power of
+  * two, expected chunk length ≈ D words). Because boundaries are
+  * decided by CONTENT, not position, an insertion or deletion only
+  * perturbs the chunks that overlap the edit — every chunk outside
+  * the edit window keeps its exact hash, which is what makes
+  * chunk-hash equality a near-dup signal robust to prefix/infix edits
+  * where fixed-stride windows ([[ShingleHashesAll]] spans) all shift.
+  *
+  * Output: array<struct<hash: long, len: int>> in chunk order — the
+  * poly fold (shingle seed/mix constants, mod 2^64) of each chunk's
+  * word hashes plus its word count. Tokenizer and word hash are
+  * [[TokenHashing.tokenPolyHashes]] (the engine-wide convention), so
+  * the whole pipeline replays in HUGEINT SQL. The window hash is
+  * recomputed per position (w multiplies — w is small); the first
+  * w-1 positions carry no window and cannot end a chunk; the final
+  * chunk always flushes. Empty/whitespace-only input → empty array. */
+case class CdcChunkHashes(child: Expression, w: Int, modD: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(w >= 1, s"window $w must be >= 1")
+  require(modD >= 2 && (modD & (modD - 1)) == 0,
+    s"boundary modulus $modD must be a power of two >= 2 (mask == unsigned mod)")
+
+  private val mask = (modD - 1).toLong
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("hash", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("len",
+          org.apache.spark.sql.types.IntegerType, nullable = false))),
+      containsNull = false)
+  override def prettyName: String = "cdc_chunk_hashes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val wh = TokenHashing.tokenPolyHashes(bytes)
+    val n = wh.size
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    val seed = 1125899906842597L
+    val mult = -7046029254386353131L
+    var ch = seed
+    var len = 0
+    var i = 0
+    while (i < n) {
+      ch = ch * mult + wh.get(i)
+      len += 1
+      var boundary = false
+      if (i >= w - 1) {
+        var rh = seed
+        var j = i - w + 1
+        while (j <= i) { rh = rh * mult + wh.get(j); j += 1 }
+        boundary = (rh & mask) == mask
+      }
+      if (boundary) {
+        out += org.apache.spark.sql.catalyst.InternalRow(ch, len)
+        ch = seed
+        len = 0
+      }
+      i += 1
+    }
+    if (len > 0) out += org.apache.spark.sql.catalyst.InternalRow(ch, len)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Exact char-k-gram hash-bucket COUNT VECTOR of a string in ONE
   * pass: walk the codepoints of the (already-lowercased) input,
   * poly-31-fold each window of k codepoints (max value for k=3 is
@@ -819,6 +893,10 @@ object NativeFunctions {
   /** Column API for Sq8Dequant (code binary + literal ranges → array<double>). */
   def sq8_dequant(code: Column, mins: Seq[Double], spans: Seq[Double]): Column =
     ColumnBridge.toColumn(Sq8Dequant(ColumnBridge.toExpr(code), mins, spans))
+
+  /** Column API for CdcChunkHashes (string → array<struct<hash,len>>). */
+  def cdc_chunk_hashes(text: Column, w: Int, modD: Int): Column =
+    ColumnBridge.toColumn(CdcChunkHashes(ColumnBridge.toExpr(text), w, modD))
 
   /** Column API for CharGramBucketCounts (string → length-B count vector). */
   def char_gram_bucket_counts(text: Column, k: Int, buckets: Int): Column =

@@ -204,6 +204,76 @@ object Dedup {
     materialized
   }
 
+  /** Exploded content-defined chunks of a corpus: one row per chunk,
+    * `(doc_id, chunk_hash, chunk_len)` — the
+    * [[graft.functions.expr.CdcChunkHashes]] primitive lifted to the
+    * relational layer. One corpus scan, explode per CHUNK (≈ D×
+    * fewer rows than a per-window explode), nothing shuffled yet —
+    * downstream consumers group on the 8-byte chunk hash. */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 4, modD: Int = 8): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.expr.NativeFunctions
+          .cdc_chunk_hashes(col(textCol), w, modD)).as("c"))
+      .select(col("doc_id"), col("c.hash").as("chunk_hash"),
+        col("c.len").as("chunk_len"))
+
+  /** Cross-document DUPLICATED chunks under content-defined chunking
+    * — the storage-dedup dial applied to corpus curation: a chunk
+    * hash shared by ≥2 documents marks a copied passage, and because
+    * boundaries are content-derived the detection survives the
+    * prefix/infix edits that shift every fixed-stride window.
+    * `minLen` suppresses short chunks (a small-vocabulary corpus
+    * duplicates 1-2-word chunks by chance; they carry no signal).
+    *
+    * Scale shape: scan → chunk-explode (≈ tokens/D rows) → one
+    * groupBy on the 8-byte hash. No self-join anywhere — the
+    * candidate structure IS the group, so cost is linear in corpus
+    * size regardless of duplication density (the inverted-index
+    * argument, one step cheaper). */
+  def cdcDuplicateChunks(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 4, modD: Int = 8, minLen: Int = 4): DataFrame =
+    cdcChunks(docs, idCol, textCol, w, modD)
+      .filter(col("chunk_len") >= minLen)
+      .groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("min_doc"))
+      .filter(col("n_docs") >= 2)
+
+  /** Per-document CDC duplication profile: how much of each document
+    * is made of chunks that also appear in OTHER documents —
+    * `dup_ratio` is the doc-level gate a curation pass thresholds on
+    * (the Lee et al. "fraction duplicated" signal at chunk
+    * granularity). `n_chunks` counts ALL chunks (the denominator a
+    * ratio needs); `n_dup` counts occurrences of ≥`minLen`-word
+    * chunks whose hash is cross-document duplicated. The duplicated-
+    * hash set joins back hash-to-hash (co-partitioned with the
+    * groupBy that built it), then one aggregation per doc. */
+  def cdcDocStats(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 4, modD: Int = 8, minLen: Int = 4): DataFrame = {
+    val chunks = cdcChunks(docs, idCol, textCol, w, modD)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupSet = chunks
+      .filter(col("chunk_len") >= minLen)
+      .groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("chunk_hash"), lit(1L).as("__dup"))
+    val out = chunks
+      .join(dupSet, Seq("chunk_hash"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__dup").isNotNull && col("chunk_len") >= minLen, 1L)
+          .otherwise(0L)).as("n_dup"))
+      .withColumn("dup_ratio", round(col("n_dup") / col("n_chunks"), 4))
+    val materialized = out.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    materialized.count()
+    chunks.unpersist(blocking = false)
+    materialized
+  }
+
   /** MinHash signature over an in-row shingle array — used for
     * small-side/test paths. NOTE: higher-order functions evaluate
     * interpreted (no codegen); the operator path below uses the

@@ -626,6 +626,30 @@ object SparkEntry {
         .select(col("node").as("suppkey"), round(col("rank"), 6).as("pagerank"))
     }),
 
+    // triangle census + local clustering coefficient (r11) over the
+    // HOT supplier co-occurrence graph: edges are pairs whose
+    // co-occurrence count clears the p95 of the pair-count
+    // distribution (the quantile is a 1-row agg collected to a
+    // literal — the trained-model-as-literals convention; the raw
+    // graph is near-complete on this synthetic corpus, and a triangle
+    // census of K_n measures nothing). Degree orientation bounds the
+    // wedge fan-out at O(m^1.5) — the plan survives hubs
+    "graph_triangles" -> ((s, dir) => {
+      val lo = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val pc = lo.as("a").join(lo.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_suppkey") < col("b.l_suppkey"))
+        .groupBy(col("a.l_suppkey").as("sa"), col("b.l_suppkey").as("sb"))
+        .agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val thr = pc.agg(expr("percentile(c, 0.95)")).collect()(0).getDouble(0)
+      val out = graft.operators.Graph.triangleCensus(
+        pc.filter(col("c") >= lit(thr)), "sa", "sb")
+      pc.unpersist(blocking = false)
+      out
+    }),
+
     // URL canonicalization dedup, oracle-gated end-to-end by the
     // synthesize-parse round trip (the xml_roundtrip pattern): build a
     // messy URL per order (case-jittered host, default port, tracking
@@ -3763,6 +3787,37 @@ object SparkEntry {
          ${iter(3)}
          SELECT node AS suppkey, round(r, 6) AS pagerank FROM r3"""
     },
+
+    // triangle census: the oracle counts each triangle once via the
+    // id-ordered a<b<c three-way join (orientation-independent — the
+    // plan's degree ordering is a pure execution strategy), then
+    // explodes corners for the per-node counts
+    "graph_triangles" ->
+      """WITH lo AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         pc AS (SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, count(*) AS c
+                FROM lo a JOIN lo b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+                GROUP BY 1, 2),
+         thr AS (SELECT quantile_cont(c, 0.95) AS t FROM pc),
+         e AS (SELECT sa AS u, sb AS v FROM pc, thr WHERE c >= t),
+         deg AS (SELECT node, count(*) AS degree FROM
+                   (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+                 GROUP BY 1),
+         tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c3
+                 FROM e e1 JOIN e e2 ON e2.u = e1.v
+                           JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         pn AS (SELECT node, count(*) AS tri_count FROM
+                  (SELECT a AS node FROM tri
+                   UNION ALL SELECT b FROM tri
+                   UNION ALL SELECT c3 FROM tri)
+                GROUP BY 1)
+         SELECT d.node, d.degree,
+                COALESCE(pn.tri_count, 0) AS tri_count,
+                CASE WHEN d.degree >= 2
+                     THEN round(2.0 * COALESCE(pn.tri_count, 0)
+                                / (d.degree * (d.degree - 1)), 6)
+                     ELSE 0.0 END AS clustering
+         FROM deg d LEFT JOIN pn ON d.node = pn.node""",
 
     "dedup_url" ->
       """WITH c AS (

@@ -127,4 +127,77 @@ object Graph {
     }
     ranks
   }
+
+  /** Per-node TRIANGLE census + local clustering coefficient over an
+    * undirected edge list — the community-structure / link-spam
+    * signal (a page whose neighborhood is clique-like is a link farm
+    * or a tight community; one whose neighbors never interconnect is
+    * a hub) and the canonical test of whether an engine can run a
+    * super-linear graph join WITHOUT the naive blowup.
+    *
+    * Degree orientation (Cohen '09 / MMDS ch.10): every edge is
+    * directed from its (degree, id)-smaller endpoint to the larger,
+    * making the orientation a TOTAL order — each triangle has exactly
+    * one apex (the node both its oriented edges leave), so counting
+    * wedges closed by an oriented edge counts each triangle once, no
+    * division by 3/6, and the oriented out-degree of ANY node — hubs
+    * included — is O(√m), which bounds the wedge fan-out at Σ
+    * outdeg² ≤ O(m^1.5) instead of the Σ deg² a hub-apex join
+    * suffers. All three legs are equi-joins on node keys (wedge
+    * build co-partitions on the apex, closure on the (x, y) pair) —
+    * no cross product anywhere, AQE free to pick broadcast sides.
+    *
+    * Input edges may be listed in either direction and with
+    * duplicates; self-loops are dropped, the list is canonicalized
+    * and deduped first. Returns one row per node:
+    * `(node, degree, tri_count, clustering)` where clustering =
+    * round(2·tri / (deg·(deg−1)), 6) and degree-1 nodes score 0. */
+  def triangleCensus(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges.select(
+        least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lower = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val o = e
+      .join(deg.select(col("node").as("u"), col("degree").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("degree").as("dv")), "v")
+      .select(
+        when(lower, col("u")).otherwise(col("v")).as("src"),
+        when(lower, col("v")).otherwise(col("u")).as("dst"),
+        when(lower, col("dv")).otherwise(col("du")).as("ddeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // wedges at each apex, ordered so the closing edge — if it exists
+    // — is oriented x→y by the SAME total order; the (x, y) equi-join
+    // against the oriented list closes them
+    val wedges = o.select(col("src"), col("dst").as("x"), col("ddeg").as("dx"))
+      .join(o.select(col("src"), col("dst").as("y"), col("ddeg").as("dy")), "src")
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+    val tris = wedges
+      .join(o.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
+      .select(col("src").as("n1"), col("x").as("n2"), col("y").as("n3"))
+    val perNode = tris
+      .select(explode(array(col("n1"), col("n2"), col("n3"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri_count"))
+    val out = deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("tri_count"), lit(0L)).as("tri_count"))
+      .withColumn("clustering",
+        when(col("degree") >= 2,
+          round(lit(2.0) * col("tri_count")
+            / (col("degree") * (col("degree") - lit(1))), 6))
+          .otherwise(lit(0.0)))
+    val materialized = out.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    materialized.count()
+    Seq(e, deg, o).foreach(_.unpersist(blocking = false))
+    materialized
+  }
 }

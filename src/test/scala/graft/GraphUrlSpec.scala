@@ -140,4 +140,40 @@ class GraphUrlSpec extends SparkSpec {
     val c = variants.toDF("u").select(Urls.canonicalize(col("u"))).as[String].collect().toSet
     assert(c === Set("https://www.shop1.com/cat/9?a=3&z=9"))
   }
+
+  test("triangle census hand-check: K4 minus an edge") {
+    // edges 12,13,14,23,24 (no 34): triangles {1,2,3} and {1,2,4}
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("a", "b")
+    val out = graft.operators.Graph.triangleCensus(e, "a", "b")
+    val rows = out.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(rows(1L) === ((3L, 2L, 0.666667)))
+    assert(rows(2L) === ((3L, 2L, 0.666667)))
+    assert(rows(3L) === ((2L, 1L, 1.0)))
+    assert(rows(4L) === ((2L, 1L, 1.0)))
+    out.unpersist()
+  }
+
+  test("triangle census canonicalizes: duplicates, reversals, self-loops") {
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 1L), (2L, 3L),
+      (2L, 2L)).toDF("a", "b")
+    val out = graft.operators.Graph.triangleCensus(messy, "a", "b")
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // one clean triangle on {1,2,3}, every node degree 2
+    assert(rows.toSet === Set((1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 1L)))
+    out.unpersist()
+  }
+
+  test("a star has no triangles and zero clustering at the hub") {
+    val star = (2L to 20L).map(i => (1L, i)).toDF("a", "b")
+    val out = graft.operators.Graph.triangleCensus(star, "a", "b")
+    assert(out.agg(sum("tri_count")).collect()(0).getLong(0) === 0L)
+    assert(out.filter(col("node") === 1L).select("clustering")
+      .collect()(0).getDouble(0) === 0.0)
+    // leaves have degree 1: clustering is defined as 0, not NaN/null
+    assert(out.filter(col("degree") === 1 && col("clustering") =!= 0.0).count() === 0L)
+    out.unpersist()
+  }
 }

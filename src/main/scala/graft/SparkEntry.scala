@@ -749,6 +749,19 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("size_bucket"),
           col("lang"))),
 
+    // t-closeness (r11): the skewness-attack guard — quasi-groups
+    // whose lang distribution drifts more than TV = 1/4 from the
+    // corpus distribution are suppressed; the gate is exact integer
+    // arithmetic (no float threshold), the reported tv is display-
+    // rounded. Live at both SFs (suppresses ~75% / ~1% of rows)
+    "privacy_tclose" -> ((s, dir) =>
+      Curation.tCloseness(
+        t(s, dir, "documents").withColumn("size_bucket",
+          floor(col("n_chars") / lit(100.0)).cast("long")),
+        Seq("source", "size_bucket"), "lang", tNum = 1, tDen = 4)
+        .select(col("doc_id"), col("source"), col("size_bucket"),
+          col("lang"), col("tv"))),
+
     // C4-style cleaning flags: word-count bounds, >=2 sentences, no
     // curly braces / lorem-ipsum boilerplate
     "text_c4_filters" -> ((s, dir) =>
@@ -3887,6 +3900,41 @@ object SparkEntry {
                 lang
          FROM d JOIN g ON d.source IS NOT DISTINCT FROM g.source
                       AND d.size_bucket IS NOT DISTINCT FROM g.size_bucket""",
+
+    // t-closeness: total-variation distance of each quasi-group's
+    // lang distribution from the corpus distribution, gated by the
+    // exact rational inequality tDen·num ≤ 2·tNum·g·n (num = the
+    // present-value |gc·n − cv·g| terms + missing-mass·g) — integer
+    // compares only; tv rounds at the display edge
+    "privacy_tclose" ->
+      """WITH d AS (SELECT doc_id, source,
+                CAST(floor(n_chars / 100.0) AS BIGINT) AS size_bucket, lang
+         FROM documents),
+         nn AS (SELECT * FROM d WHERE lang IS NOT NULL),
+         ct AS (SELECT count(*) AS n FROM nn),
+         vals AS (SELECT lang, count(*) AS cv FROM nn GROUP BY 1),
+         gv AS (SELECT source, size_bucket, lang, count(*) AS gc
+                FROM nn GROUP BY 1, 2, 3),
+         gn AS (SELECT source, size_bucket, sum(gc) AS g FROM gv GROUP BY 1, 2),
+         terms AS (SELECT gv.source, gv.size_bucket,
+                          abs(gv.gc * ct.n - vals.cv * gn.g) AS nm,
+                          vals.cv AS cv, gn.g AS g, ct.n AS n
+                   FROM gv
+                   JOIN vals ON gv.lang IS NOT DISTINCT FROM vals.lang
+                   JOIN gn ON gv.source IS NOT DISTINCT FROM gn.source
+                          AND gv.size_bucket IS NOT DISTINCT FROM gn.size_bucket
+                   CROSS JOIN ct),
+         grp AS (SELECT source, size_bucket,
+                        sum(nm) + (max(n) - sum(cv)) * max(g) AS num,
+                        max(g) AS g, max(n) AS n
+                 FROM terms GROUP BY 1, 2),
+         keep AS (SELECT source, size_bucket,
+                         round(num / (2.0 * g * n), 6) AS tv
+                  FROM grp WHERE 4 * num <= 2 * 1 * g * n)
+         SELECT d.doc_id, d.source AS source, d.size_bucket AS size_bucket,
+                d.lang, keep.tv
+         FROM d JOIN keep ON d.source IS NOT DISTINCT FROM keep.source
+                         AND d.size_bucket IS NOT DISTINCT FROM keep.size_bucket""",
 
     // arithmetic mirrored step-by-step (pow, share normalization,
     // K = min(w/q), rate = K*q/w left-assoc) so rates agree to the

@@ -592,6 +592,60 @@ object Curation {
       .drop(quasiCols.map(c => s"__g_$c"): _*)
   }
 
+  /** t-CLOSENESS (r11 — the third rung of the privacy ladder, Li et
+    * al. '07): [[lDiversify]] guards against homogeneity but a group
+    * can carry l distinct sensitive values and STILL be dominated by
+    * one rare value — the skewness attack. This keeps only rows whose
+    * quasi-group's sensitive-value distribution sits within total-
+    * variation distance t of the CORPUS distribution:
+    * TV = ½ Σ_v |p_group(v) − p_corpus(v)| over the corpus value
+    * universe (values a group lacks contribute p_corpus(v)/2 through
+    * the missing-mass term 1 − Σ_present p_corpus).
+    *
+    * The GATE is exact rational arithmetic, not floats: with group
+    * size g, corpus size n, per-value counts gc/cv, a group passes iff
+    *   tDen · (Σ_present |gc·n − cv·g| + (n − Σ_present cv)·g)
+    *     ≤ 2 · tNum · g · n
+    * — pure integer compares, so the suppression set is bit-stable
+    * across engines with no rounding-boundary risk (valid while
+    * 2·n² < 2^63; past ~2·10⁹ non-null rows swap the Long products
+    * for decimals). The reported `tv` column is the double ratio
+    * rounded to 6dp (display only — the filter never reads it).
+    *
+    * Scale shape (the kAnonymize contract): one (quasi, value)
+    * aggregate, the per-group size via a window over it (group-count
+    * sized, not corpus), the value universe and the 1-row corpus
+    * count broadcast, qualifying groups broadcast back — the corpus
+    * itself is never reshuffled. NULL sensitive values join neither
+    * distribution; NULL quasi keys group and re-join null-safely. */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, tNum: Long, tDen: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "tCloseness needs at least one quasi-identifier")
+    require(tDen >= 1 && tNum >= 0 && tNum <= tDen,
+      s"threshold $tNum/$tDen outside [0, 1]")
+    val nn = df.filter(col(sensitiveCol).isNotNull)
+    val vals = nn.groupBy(col(sensitiveCol)).agg(count(lit(1)).as("__cv"))
+      .crossJoin(broadcast(nn.agg(count(lit(1)).as("__ct"))))
+    val gv = nn.groupBy((quasiCols.map(col) :+ col(sensitiveCol)): _*)
+      .agg(count(lit(1)).as("__gc"))
+    val w = Window.partitionBy(quasiCols.map(col): _*)
+    val terms = gv.join(broadcast(vals), Seq(sensitiveCol))
+      .withColumn("__gn", sum(col("__gc")).over(w))
+    val groups = terms.groupBy(quasiCols.map(col): _*)
+      .agg(
+        sum(abs(col("__gc") * col("__ct") - col("__cv") * col("__gn")))
+          .as("__s"),
+        (first(col("__ct")) - sum(col("__cv"))).as("__miss"),
+        first(col("__gn")).as("__g"), first(col("__ct")).as("__n"))
+      .withColumn("__num", col("__s") + col("__miss") * col("__g"))
+      .filter(lit(tDen) * col("__num") <= lit(2L) * lit(tNum) * col("__g") * col("__n"))
+      .select(quasiCols.map(c => col(c).as(s"__g_$c")) :+
+        round(col("__num") / (lit(2.0) * col("__g") * col("__n")), 6).as("tv"): _*)
+    val cond = quasiCols.map(c => df(c) <=> groups(s"__g_$c")).reduce(_ && _)
+    df.join(broadcast(groups), cond)
+      .drop(quasiCols.map(c => s"__g_$c"): _*)
+  }
+
   /** Deterministic shard assignment + within-shard order — the
     * "global shuffle" a training corpus gets before packing: every
     * row lands in a content-hash shard (uniform, stateless,

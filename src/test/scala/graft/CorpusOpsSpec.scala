@@ -146,6 +146,46 @@ class CorpusOpsSpec extends SparkSpec {
       "a NULL combination seen >= k times is an anonymous crowd and must stay")
   }
 
+  // ---- tCloseness ----
+
+  test("tCloseness suppresses a skewed group l-diversity would pass") {
+    // corpus: 50/50 en/de overall; group "bal" mirrors it, group
+    // "skew" carries BOTH langs (l=2 diverse!) but 90/10 — TV = 0.4
+    val rows =
+      (1 to 45).map(i => (i.toLong, "bal", "en")) ++
+      (46 to 90).map(i => (i.toLong, "bal", "de")) ++
+      (91 to 135).map(i => (i.toLong, "skew", if (i <= 131) "en" else "de"))
+    val df = rows.toDF("doc_id", "grp", "lang")
+    // corpus: en 86/135, de 49/135; skew: en 41/45, de 4/45
+    // TV(skew) = ½(|41/45−86/135| + |4/45−49/135|) ≈ 0.274
+    val out = Curation.tCloseness(df, Seq("grp"), "lang", tNum = 1, tDen = 4)
+    val kept = out.select("grp").as[String].collect().toSet
+    assert(kept === Set("bal"),
+      s"skewed-but-diverse group must suppress, got $kept")
+    // and the balanced group keeps ALL its rows with the group tv
+    assert(out.count() === 90L)
+    val tvs = out.select("tv").distinct().as[Double].collect()
+    assert(tvs.length === 1 && tvs.head <= 0.25)
+  }
+
+  test("tCloseness missing-mass term and exact boundary equality") {
+    // corpus: en 30/40, de 10/40. "pure" (all-en, de absent) measures
+    // its missing de mass: TV = ½(|1−¾| + ¼) = 0.25 exactly; "mix"
+    // (50/50) also lands TV = ½(¼ + ¼) = 0.25 exactly
+    val rows = (1 to 20).map(i => (i.toLong, "pure", "en")) ++
+      (21 to 30).map(i => (i.toLong, "mix", "de")) ++
+      (31 to 40).map(i => (i.toLong, "mix", "en"))
+    val df = rows.toDF("doc_id", "grp", "lang")
+    // at t = 1/4 the rational gate holds with EQUALITY (tDen·num =
+    // 2·tNum·g·n = 1600) — boundary groups are kept, bit-stably
+    val at = Curation.tCloseness(df, Seq("grp"), "lang", tNum = 1, tDen = 4)
+    assert(at.select("grp").as[String].collect().toSet === Set("pure", "mix"))
+    assert(at.select("tv").distinct().as[Double].collect().toSeq === Seq(0.25))
+    // one notch tighter and both fall — no float fuzz at the edge
+    val under = Curation.tCloseness(df, Seq("grp"), "lang", tNum = 24, tDen = 100)
+    assert(under.count() === 0L)
+  }
+
   test("temperatureSample drops zero-weight strata deliberately, not via NaN") {
     val rows = (1 to 40).map(i => ("en", s"doc $i words", 100L)) ++
       (1 to 5).map(i => ("zz", s"empty $i", 0L))

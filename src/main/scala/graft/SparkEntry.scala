@@ -878,6 +878,22 @@ object SparkEntry {
       Similarity.kmeans(t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 8, iters = 3, roundTo = Some(6))),
 
+    // power-iteration PCA (r11): 3 unrolled iterations from the
+    // uniform unit start, iteration-edge 6dp rounding (the emb_kmeans
+    // trade), per-vector projection onto the dominant component as
+    // dot(v, pc) − dot(μ, pc) — the two folds the oracle mirrors
+    // term-for-term
+    "emb_pca" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (mu, pc, _) = Similarity.pcaTopComponent(e, "embedding", iters = 3)
+      var muDot = 0.0
+      var i = 0
+      while (i < pc.length) { muDot += mu(i) * pc(i); i += 1 }
+      e.select(col("vec_id"),
+        round(graft.functions.Vectors.dot(col("embedding"),
+          array(pc.map(lit).toIndexedSeq: _*)) - lit(muDot), 4).as("pc1"))
+    }),
+
     // top-3 characteristic terms per document by smoothed TF-IDF
     "text_tfidf" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -2140,6 +2156,47 @@ object SparkEntry {
        $steps,
        ${assign(iters + 1, s"cent$iters")}
        SELECT vec_id, cid AS cluster_id FROM a${iters + 1}"""
+  }
+
+  /** emb_pca oracle: 3 power iterations unrolled in SQL — centered
+    * rows (per-dim mean rounded 6dp), score s = xc·v_{t-1}
+    * (list_inner_product = the plan's native dot, array-order fold),
+    * sum vector u rounded 6dp at the iteration edge, normalization
+    * u/√(ul·ul) over the ROUNDED list (array-order fold again), and
+    * the final projection as dot(v, pc) − dot(μ, pc) — the exact two
+    * folds the plan computes, NOT the algebraically-equal dot(xc, pc)
+    * (distributing the subtraction lands different ulps). */
+  private def embPcaOracle: String = {
+    val iters = 3
+    val dim = 64
+    val v0 = Array.fill(dim)("0.125").mkString(", ") // round(1/√64, 6) exact
+    def sCte(n: Int): String =
+      if (n == 1)
+        s"s1 AS (SELECT vec_id, xc, list_inner_product(xc, [$v0]) AS s FROM c)"
+      else
+        s"s$n AS (SELECT vec_id, xc, list_inner_product(xc, vv) AS s " +
+          s"FROM c CROSS JOIN v${n - 1})"
+    def vCte(n: Int): String =
+      s"""x$n AS (SELECT s, generate_subscripts(xc, 1) AS pos, unnest(xc) AS x
+             FROM s$n),
+         u$n AS (SELECT pos, round(sum(x * s), 6) AS u FROM x$n GROUP BY pos),
+         ul$n AS (SELECT list(u ORDER BY pos) AS ul FROM u$n),
+         v$n AS (SELECT list_transform(ul,
+                   u -> round(u / sqrt(list_inner_product(ul, ul)), 6)) AS vv
+                 FROM ul$n)"""
+    val steps = (1 to iters).map(n => s"${sCte(n)},\n${vCte(n)}").mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       mx AS (SELECT generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e),
+       mu AS (SELECT pos, round(avg(x), 6) AS m FROM mx GROUP BY pos),
+       mul AS (SELECT list(m ORDER BY pos) AS ml FROM mu),
+       c AS (SELECT vec_id,
+                    list_transform(generate_series(1, $dim), i -> v[i] - ml[i]) AS xc
+             FROM e CROSS JOIN mul),
+       $steps
+       SELECT e.vec_id,
+              round(list_inner_product(e.v, vv)
+                    - list_inner_product(ml, vv), 4) AS pc1
+       FROM e CROSS JOIN v$iters CROSS JOIN mul"""
   }
 
   /** ann_ivf oracle: coarse-quantizer assignment (argmin via the
@@ -3410,6 +3467,7 @@ object SparkEntry {
     "ann_pq" -> annPqOracle,
     "ann_ivfpq" -> annIvfPqOracle,
     "emb_kmeans" -> embKmeansOracle,
+    "emb_pca" -> embPcaOracle,
     "approx_topk" -> annCmsOracle,
     "dedup_minhash_inc" -> minhashIncOracleSql,
 

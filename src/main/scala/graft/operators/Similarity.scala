@@ -665,6 +665,70 @@ object Similarity {
     cents
   }
 
+  /** POWER-ITERATION top principal component of an embedding corpus —
+    * the structure probe of embedding-space curation: a space
+    * dominated by one direction (a "rogue dimension" from a
+    * miscalibrated encoder, a language/domain axis) distorts every
+    * cosine downstream; you monitor the dominant component, project
+    * it out, or whiten against it before dedup/ANN.
+    *
+    * Deterministic and hash-gatable end to end (the emb_kmeans
+    * contract): the per-dim mean and every iteration's sum vector
+    * round at the iteration edge (distributed double summation is
+    * order-dependent at the ulp; a 1e-6 perturbation is far below
+    * component geometry), the start vector is the uniform unit
+    * literal, and normalization folds the ROUNDED sum vector in
+    * array order (list_inner_product parity both engines).
+    *
+    * Scale shape: per iteration, centering+scoring is one codegen'd
+    * projected pass (zip_with minus + native dot against literals),
+    * and the d-vector sum is posexplode → groupBy(pos) — (pos,
+    * partial) map-combined to d rows, never a corpus shuffle. Driver
+    * state is the d-vector per iteration — the kmeansCentroids
+    * "small model state" pattern.
+    *
+    * @return (mean, component, eigenScale): `component` unit-norm at
+    * `roundTo` dp; `eigenScale` = ‖Σ xc·(xc·v)‖ of the last
+    * iteration — the UNNORMALIZED covariance scale (×N vs the
+    * covariance eigenvalue), monotone in it, for monitoring. */
+  def pcaTopComponent(corpus: DataFrame, vecCol: String, iters: Int,
+      roundTo: Int = 6): (Array[Double], Array[Double], Double) = {
+    require(iters >= 1, s"iters $iters must be >= 1")
+    def rd(x: Double): Double = // Spark Round semantics for doubles
+      java.math.BigDecimal.valueOf(x)
+        .setScale(roundTo, java.math.RoundingMode.HALF_UP).doubleValue()
+    val vecs = corpus.select(col(vecCol).cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mean = vecs.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(round(avg(col("x")), roundTo).as("m"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    val d = mean.length
+    require(d > 0, "empty corpus: no dimensions to decompose")
+    val muL = array(mean.map(lit).toIndexedSeq: _*)
+    var comp = Array.fill(d)(rd(1.0 / math.sqrt(d.toDouble)))
+    var eigenScale = 0.0
+    for (_ <- 1 to iters) {
+      val vl = array(comp.map(lit).toIndexedSeq: _*)
+      val scored = vecs
+        .select(zip_with(col("v"), muL, (a, b) => a - b).as("xc"))
+        .withColumn("s", Vectors.dot(col("xc"), vl))
+      val u = scored
+        .select(col("s"), posexplode(col("xc")).as(Seq("pos", "x")))
+        .groupBy("pos").agg(round(sum(col("x") * col("s")), roundTo).as("u"))
+        .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+      // array-order fold — the list_inner_product association
+      var n2 = 0.0
+      var i = 0
+      while (i < d) { n2 += u(i) * u(i); i += 1 }
+      val nn = math.sqrt(n2)
+      require(nn > 0.0, "degenerate corpus: zero variance along every start direction")
+      eigenScale = nn
+      comp = u.map(x => rd(x / nn))
+    }
+    vecs.unpersist(blocking = false)
+    (mean, comp, eigenScale)
+  }
+
   /** Seeded k-means++ over a bounded deterministic sample: the
     * standard D²-weighted seeding (Arthur & Vassilvitskii '07) run
     * driver-side on `sampleSize` vectors picked by hash order

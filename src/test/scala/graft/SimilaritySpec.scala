@@ -572,4 +572,31 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Int, Long)].collect().toSet
     assert(run() === run())
   }
+
+  test("pcaTopComponent recovers a planted dominant direction") {
+    val dim = 8
+    val wRaw = Array(3.0, -1.0, 2.0, 0.5, -2.5, 1.5, 0.0, 1.0)
+    val wn = math.sqrt(wRaw.map(x => x * x).sum)
+    val w = wRaw.map(_ / wn)
+    // spread ±5 along w, deterministic noise ±0.05 elsewhere — one
+    // direction carries ~100× the variance of any other
+    val rows = (0 until 200).map { i =>
+      val s = -5.0 + 10.0 * i / 199.0
+      val v = Array.tabulate(dim)(j =>
+        s * w(j) + 0.05 * math.sin(i * 13 + j * 7))
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val (mu, pc, scale) = Similarity.pcaTopComponent(rows, "embedding", iters = 3)
+    assert(mu.length === dim && pc.length === dim)
+    // unit norm at the rounding precision
+    val n = math.sqrt(pc.map(x => x * x).sum)
+    assert(math.abs(n - 1.0) < 1e-4, s"component norm $n")
+    // alignment with the planted axis (sign-free)
+    val cos = math.abs(pc.zip(w).map { case (a, b) => a * b }.sum)
+    assert(cos > 0.999, s"|cos(component, planted)| = $cos")
+    assert(scale > 0.0)
+    // deterministic end to end
+    val (_, pc2, _) = Similarity.pcaTopComponent(rows, "embedding", iters = 3)
+    assert(pc.toSeq === pc2.toSeq)
+  }
 }

@@ -254,6 +254,39 @@ object ScaleProbe {
           edgesOf(Pipeline.pairCounts(liG, "l_orderkey", "l_suppkey", orN, "o_orderkey")),
           "src", "dst", 3).count()
       }
+      // triangle census on the thresholded co-occurrence graph: the
+      // suppkey shift makes the Nx corpus N disjoint copies of the 1x
+      // graph (same p95 per copy), so edges and triangles both scale
+      // Nx — the degree-ordered wedge join must track that linearly,
+      // not the m^1.5 worst case it is merely BOUNDED by
+      def hotEdges(li: DataFrame): DataFrame = {
+        val lo = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
+        val pc = lo.as("a").join(lo.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_suppkey") < col("b.l_suppkey"))
+          .groupBy(col("a.l_suppkey").as("sa"), col("b.l_suppkey").as("sb"))
+          .agg(count(lit(1)).as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val thr = pc.agg(expr("percentile(c, 0.95)")).collect()(0).getDouble(0)
+        val e = pc.filter(col("c") >= lit(thr))
+        pc.unpersist(blocking = false)
+        e
+      }
+      probe("graph_triangles") {
+        val r = graft.operators.Graph.triangleCensus(hotEdges(li1), "sa", "sb")
+        val n = r.count(); r.unpersist(); n
+      } {
+        val r = graft.operators.Graph.triangleCensus(hotEdges(liG), "sa", "sb")
+        val n = r.count(); r.unpersist(); n
+      }
+    }
+    // CDC dedup: replica-suffixed words give disjoint chunk spaces —
+    // chunks, groups and duplicated chunks all scale Nx; the plan is
+    // scan + explode + one hash groupBy, so the ratio must be ≈ linear
+    probe("dedup_cdc") {
+      Dedup.cdcDuplicateChunks(docs1, "doc_id", "text", 4, 8, 4).count()
+    } {
+      Dedup.cdcDuplicateChunks(docsN, "doc_id", "text", 4, 8, 4).count()
     }
     // per-stratum window with a rank cap: WindowGroupLimit must keep
     // the per-reducer work bounded as strata get N× hotter (copies

@@ -385,6 +385,21 @@ object SparkEntry {
       Dedup.cdcDocStats(t(s, dir, "documents"), "doc_id", "text",
         w = 4, modD = 8, minLen = 4)),
 
+    // incremental CDC: a 10% "incoming batch" probed against the
+    // standing chunk index of the remaining 90% corpus — only the
+    // batch is chunked, its hashes broadcast; the edit-robust twin of
+    // dedup_incremental at passage granularity
+    "dedup_cdc_inc" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val ix = graft.operators.CdcIndex.cdcIndexBuild(
+        d.filter(pmod(col("doc_id"), lit(10)) =!= 3), "doc_id", "text",
+        w = 4, modD = 8, minLen = 4)
+      val out = graft.operators.CdcIndex.cdcProbeFromIndex(ix,
+        d.filter(pmod(col("doc_id"), lit(10)) === 3), "doc_id", "text")
+      ix.release()
+      out
+    }),
+
     // 64 perms / 16 bands (r=4): candidate recall at j=0.7 is
     // 1-(1-0.7^4)^16 ≈ 0.99 at half the signature cost of 128 perms
     "dedup_minhash_lsh" -> ((s, dir) =>
@@ -4133,6 +4148,24 @@ object SparkEntry {
                       / count(*), 4) AS dup_ratio
          FROM cdc_chunks c LEFT JOIN cdc_dup d ON c.ch = d.ch
          GROUP BY 1""",
+
+    // incremental CDC: batch chunks vs the DISTINCT corpus chunk-hash
+    // set (the standing index's probe view), denominators over ALL
+    // batch chunks (the cdcDocStats convention)
+    "dedup_cdc_inc" ->
+      s"""WITH $cdcCtes,
+         cdc_corpus AS (SELECT DISTINCT ch FROM cdc_chunks
+                        WHERE doc_id % 10 <> 3 AND len >= 4),
+         cdc_batch AS (SELECT * FROM cdc_chunks WHERE doc_id % 10 = 3),
+         cdc_shared AS (SELECT b.doc_id, count(*) AS n_shared
+                        FROM cdc_batch b JOIN cdc_corpus c ON b.ch = c.ch
+                        WHERE b.len >= 4 GROUP BY 1)
+         SELECT t.doc_id, t.n_chunks,
+                CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
+                round(CAST(COALESCE(s.n_shared, 0) AS BIGINT)
+                      / t.n_chunks, 4) AS shared_ratio
+         FROM (SELECT doc_id, count(*) AS n_chunks FROM cdc_batch GROUP BY 1) t
+         LEFT JOIN cdc_shared s ON t.doc_id = s.doc_id""",
 
     // duplicated-window spans via string windows (≡ positional window
     // hashes absent collisions — same convention as dedup_ngram_jaccard);

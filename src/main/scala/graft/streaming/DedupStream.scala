@@ -145,6 +145,25 @@ object DedupStream {
       }
       .start()
 
+  /** Continuous CDC-chunk probe — passage-share at ingest (the
+    * streaming [[graft.operators.CdcIndex.cdcProbeFromIndex]]): each
+    * micro-batch's docs are chunked and their hashes broadcast into
+    * the standing chunk table; the corpus is never rescanned. Because
+    * chunk boundaries are content-defined, an arriving doc that
+    * embeds an indexed passage matches its interior chunks verbatim
+    * regardless of surrounding edits. Extends the streaming dedup
+    * family exact → MinHash → embedding → substring → CDC. */
+  def cdcProbeQuery(stream: Dataset[Doc],
+      index: graft.operators.CdcIndex.CdcIndex)
+      (onBatch: DataFrame => Unit): StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[Doc], _: Long) =>
+        val stats = graft.operators.CdcIndex.cdcProbeFromIndex(
+          index, batch.toDF(), "doc_id", "text")
+        try onBatch(stats) finally stats.unpersist(blocking = false)
+      }
+      .start()
+
   case class EmbDoc(vec_id: Long, embedding: Array[Double])
 
   /** Continuous EMBEDDING near-dup probe — the SemDeDup ingest shape:

@@ -91,4 +91,108 @@ class CdcSpec extends SparkSpec {
     assert(ratios(3L) === 0.0, s"clean doc scored ${ratios(3L)}")
     stats.unpersist()
   }
+
+  // ---- the standing index lifecycle ----
+
+  import graft.operators.CdcIndex
+
+  private def passage = words(30, 60)
+  private def corpusDocs = Seq(
+    (1L, (words(31, 40) ++ passage ++ words(32, 50)).mkString(" ")),
+    (2L, (words(33, 90) ++ passage).mkString(" ")),
+    (3L, words(34, 150).mkString(" "))).toDF("doc_id", "text")
+
+  private def chunkState(ix: CdcIndex.CdcIndex): Set[(Long, Long)] =
+    ix.chunks.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("CDC index: idempotent append, retraction re-derives, re-admission restores") {
+    val ix0 = CdcIndex.cdcIndexBuild(corpusDocs, "doc_id", "text")
+    val base = chunkState(ix0)
+    assert(base.nonEmpty && base.exists(_._2 >= 2L),
+      "planted passage must appear as shared chunks")
+
+    // replay-idempotent: re-delivering the same docs changes nothing
+    val ix1 = CdcIndex.cdcIndexAppend(ix0, corpusDocs, "doc_id", "text")
+    assert(chunkState(ix1) === base)
+
+    // retract doc 2: its exclusive chunks vanish, the shared passage
+    // chunks survive through doc 1 with their count re-derived to 1
+    val ix2 = CdcIndex.cdcIndexRemove(ix1, Seq(2L).toDF("doc_id"), "doc_id")
+    val afterRm = chunkState(ix2)
+    assert(afterRm.forall(_._2 === 1L), "no chunk should keep count 2")
+    assert(afterRm.map(_._1).subsetOf(base.map(_._1)))
+    assert(afterRm.size < base.size, "doc 2's exclusive chunks must vanish")
+
+    // re-admission: appending doc 2 back restores the exact state
+    val ix3 = CdcIndex.cdcIndexAppend(ix2,
+      corpusDocs.filter(col("doc_id") === 2L), "doc_id", "text")
+    assert(chunkState(ix3) === base)
+    ix3.release()
+  }
+
+  test("CDC probe flags an embedded passage; durable roundtrip guards params") {
+    dropTables("cdc_ix_chunks", "cdc_ix_members")
+    val ix = CdcIndex.cdcIndexBuild(corpusDocs, "doc_id", "text")
+    val batch = Seq(
+      (10L, (words(40, 25) ++ passage ++ words(41, 15)).mkString(" ")),
+      (11L, words(42, 100).mkString(" "))).toDF("doc_id", "text")
+    val probe = CdcIndex.cdcProbeFromIndex(ix, batch, "doc_id", "text")
+    val byDoc = probe.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(byDoc(10L)._2 >= 3L, s"embedded passage undetected: ${byDoc(10L)}")
+    assert(byDoc(10L)._3 > 0.0)
+    assert(byDoc(11L)._2 === 0L && byDoc(11L)._3 === 0.0)
+    probe.unpersist()
+
+    CdcIndex.cdcIndexWrite(ix, "cdc_ix_chunks", "cdc_ix_members")
+    val loaded = CdcIndex.cdcIndexLoad(spark, "cdc_ix_chunks",
+      "cdc_ix_members", w = 4, modD = 8, minLen = 4)
+    val probe2 = CdcIndex.cdcProbeFromIndex(loaded, batch, "doc_id", "text")
+    assert(probe2.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      === probe.collect().map(r => (r.getLong(0), r.getLong(2))).toSet)
+    probe2.unpersist()
+    // both guard directions: wrong param and unknown stamp both throw
+    intercept[IllegalArgumentException] {
+      CdcIndex.cdcIndexLoad(spark, "cdc_ix_chunks", "cdc_ix_members",
+        w = 5, modD = 8, minLen = 4)
+    }
+    spark.sql("ALTER TABLE cdc_ix_chunks SET TBLPROPERTIES " +
+      "('graft.cdc.futurePolicy'='x')")
+    intercept[IllegalArgumentException] {
+      CdcIndex.cdcIndexLoad(spark, "cdc_ix_chunks", "cdc_ix_members",
+        w = 4, modD = 8, minLen = 4)
+    }
+    ix.release()
+    dropTables("cdc_ix_chunks", "cdc_ix_members")
+  }
+
+  test("streamed CDC probes over batches ≡ the one-shot standing-index probe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.DedupStream
+    import graft.streaming.DedupStream.Doc
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+    val batchDocs = docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+      .select(col("doc_id"), col("text")).as[Doc].collect().sortBy(_.doc_id).toSeq
+    val ix = CdcIndex.cdcIndexBuild(corpus, "doc_id", "text")
+    val oneShot = CdcIndex.cdcProbeFromIndex(ix, batchDocs.toDF(),
+      "doc_id", "text")
+    val expected = oneShot.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    oneShot.unpersist()
+    assert(expected.exists(_._3 > 0L), "gate corpus should share chunks")
+
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    val mem = MemoryStream[Doc]
+    val q = DedupStream.cdcProbeQuery(mem.toDS(), ix) { stats =>
+      got ++= stats.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    try {
+      val size = math.max(1, batchDocs.size / 3)
+      batchDocs.grouped(size).foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally { q.stop(); ix.release() }
+    assert(got.toSet === expected)
+  }
 }

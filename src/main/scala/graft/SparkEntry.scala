@@ -1211,6 +1211,38 @@ object SparkEntry {
             .as("chars_per_piece"))
     }),
 
+    // WordPiece greedy encode (r11 — the THIRD tokenizer family next
+    // to BPE's merge replay and unigram's Viterbi): longest-match-
+    // first against a frequency-seeded vocab split by word-initial vs
+    // ##-continuation role, BERT's all-or-nothing [UNK] rule; the
+    // oracle replays the greedy loop as a recursive CTE
+    "text_wordpiece_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v = graft.operators.WordPiece.vocab(docs, "text",
+        maxLen = 3, topK = 200)
+      graft.operators.WordPiece.encodeWords(docs, "doc_id", "text", v)
+        .select(col("doc_id"), col("word"),
+          concat_ws("|", col("pieces")).as("pieces"))
+    }),
+
+    // WordPiece fertility/compression — directly comparable with
+    // text_bpe_eval and text_unigram_eval on the same corpus: the
+    // three-way tokenizer bake-off a data team actually runs
+    "text_wordpiece_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v = graft.operators.WordPiece.vocab(docs, "text",
+        maxLen = 3, topK = 200)
+      graft.operators.WordPiece.encodeWords(docs, "doc_id", "text", v)
+        .agg(count(lit(1)).as("n_words"),
+          sum(size(col("pieces"))).as("n_pieces"),
+          sum(length(col("word"))).as("n_chars"))
+        .select(col("n_words"), col("n_pieces"), col("n_chars"),
+          round(col("n_pieces") / col("n_words").cast("double"), 4)
+            .as("fertility"),
+          round(col("n_chars") / col("n_pieces").cast("double"), 4)
+            .as("chars_per_piece"))
+    }),
+
     // quality-classifier TRAINING, hash-gated end to end: 3 unrolled
     // gradient-descent iterations over exact/4dp-rounded text features
     // with a deterministic label (lang = 'en'); the mean gradient is
@@ -2679,6 +2711,103 @@ object SparkEntry {
        ${(1 to iters).map(viterbi).mkString(",\n")}"""
   }
 
+  /** WordPiece oracle machinery: the frequency-seeded role-split
+    * vocabulary, then the greedy longest-match loop replayed as a
+    * recursive CTE over DISTINCT words — per step the three candidate
+    * slices probe the vocab in their position's role, the longest hit
+    * wins (the WordPieceEncode while-loop verbatim), a miss marks the
+    * word failed → [UNK]. Yields `wp_e(wid, w, pieces)`. */
+  private def wordpieceCtes: String = {
+    val (maxLen, topK) = (3, 200)
+    s"""WITH RECURSIVE
+       wp_w0 AS (SELECT w, count(*) AS freq FROM (
+           SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+           FROM documents)
+         WHERE w <> '' GROUP BY w),
+       wp_init AS (
+         SELECT substr(w, 1, l) AS piece, 0 AS cont,
+                CAST(sum(freq) AS BIGINT) AS cnt
+         FROM wp_w0,
+              unnest(generate_series(1, least($maxLen, length(w)))) AS b(l)
+         GROUP BY 1, 2),
+       wp_cont AS (
+         SELECT substr(w, i, l) AS piece, 1 AS cont,
+                CAST(sum(freq) AS BIGINT) AS cnt
+         FROM wp_w0,
+              unnest(generate_series(2, length(w))) AS a(i),
+              unnest(generate_series(1, least($maxLen, length(w) - i + 1))) AS b(l)
+         GROUP BY 1, 2),
+       wp_all AS (SELECT * FROM wp_init UNION ALL SELECT * FROM wp_cont),
+       wp_top AS (SELECT piece, cont FROM wp_all
+                  ORDER BY cnt DESC, cont, piece LIMIT $topK),
+       wp_vocab AS (SELECT DISTINCT piece, cont FROM (
+           SELECT piece, cont FROM wp_top
+           UNION ALL
+           SELECT piece, cont FROM wp_all WHERE length(piece) = 1)),
+       wp_v0 AS (SELECT row_number() OVER (ORDER BY w) AS wid, w FROM wp_w0),
+       wp_g AS (
+         SELECT wid, w, 0 AS pos, []::VARCHAR[] AS pieces, FALSE AS failed
+         FROM wp_v0
+         UNION ALL
+         SELECT wid, w, pos + takel,
+                CASE WHEN takel = 0 THEN pieces
+                     WHEN pos = 0 THEN list_append(pieces, sp)
+                     ELSE list_append(pieces, '##' || sp) END,
+                takel = 0
+         FROM (
+           SELECT *,
+                  CASE WHEN len3 AND in3 THEN 3
+                       WHEN len2 AND in2 THEN 2
+                       WHEN in1 THEN 1 ELSE 0 END AS takel,
+                  CASE WHEN len3 AND in3 THEN s3
+                       WHEN len2 AND in2 THEN s2
+                       WHEN in1 THEN s1 END AS sp
+           FROM (
+             SELECT *,
+                    EXISTS(SELECT 1 FROM wp_vocab vv
+                           WHERE vv.piece = s1 AND vv.cont = cc) AS in1,
+                    EXISTS(SELECT 1 FROM wp_vocab vv
+                           WHERE vv.piece = s2 AND vv.cont = cc) AS in2,
+                    EXISTS(SELECT 1 FROM wp_vocab vv
+                           WHERE vv.piece = s3 AND vv.cont = cc) AS in3
+             FROM (
+               SELECT wid, w, pos, pieces, failed,
+                      substr(w, pos + 1, 1) AS s1,
+                      substr(w, pos + 1, 2) AS s2,
+                      substr(w, pos + 1, 3) AS s3,
+                      length(w) - pos >= 2 AS len2,
+                      length(w) - pos >= 3 AS len3,
+                      CASE WHEN pos = 0 THEN 0 ELSE 1 END AS cc
+               FROM wp_g WHERE pos < length(w) AND NOT failed) a) b) c),
+       wp_e AS (
+         SELECT wid, w,
+                CASE WHEN failed THEN ['[UNK]'] ELSE pieces END AS pieces
+         FROM wp_g
+         WHERE failed OR (NOT failed AND pos = length(w))),
+       wp_dw AS (
+         SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+         FROM documents)"""
+  }
+
+  private def wordpieceEncodeOracleSql: String =
+    s"""$wordpieceCtes
+       SELECT d.doc_id, d.word, array_to_string(e.pieces, '|') AS pieces
+       FROM wp_dw d JOIN wp_e e ON d.word = e.w
+       WHERE d.word <> ''"""
+
+  private def wordpieceEvalOracleSql: String =
+    s"""$wordpieceCtes,
+       wp_j AS (
+         SELECT len(e.pieces) AS np, length(d.word) AS nc
+         FROM wp_dw d JOIN wp_e e ON d.word = e.w
+         WHERE d.word <> '')
+       SELECT count(*) AS n_words,
+              CAST(sum(np) AS BIGINT) AS n_pieces,
+              CAST(sum(nc) AS BIGINT) AS n_chars,
+              round(sum(np) / CAST(count(*) AS DOUBLE), 4) AS fertility,
+              round(sum(nc) / CAST(sum(np) AS DOUBLE), 4) AS chars_per_piece
+       FROM wp_j"""
+
   /** text_unigram oracle: the final model table after `iters` hard-EM
     * rounds — exact piece counts + 6dp log-probs. */
   private def unigramOracleSql: String =
@@ -3474,6 +3603,8 @@ object SparkEntry {
     "text_unigram" -> unigramOracleSql,
     "text_unigram_encode" -> unigramEncodeOracleSql,
     "text_unigram_eval" -> unigramEvalOracleSql,
+    "text_wordpiece_encode" -> wordpieceEncodeOracleSql,
+    "text_wordpiece_eval" -> wordpieceEvalOracleSql,
     "quality_classifier_train" -> logregOracleSql,
     "quality_classifier_eval" -> logregEvalOracleSql,
     "approx_distinct" -> hllOracleSql,

@@ -804,6 +804,60 @@ case class BpeMergeStep(child: Expression, lhs: String, rhs: String)
   * strictly-greater replace, so ties go to the longer piece —
   * matching the oracle's CASE order exactly. A position no piece
   * covers falls back to its single codepoint at `unkLogp`. */
+/** WordPiece GREEDY encode of one word (Wu et al. '16 / BERT's
+  * tokenizer — the third tokenizer family next to BPE's merge replay
+  * and Unigram's Viterbi): at each position take the LONGEST vocab
+  * piece that matches, where position 0 consults the word-initial
+  * vocabulary and later positions the continuation vocabulary
+  * (emitted with the `##` marker). If NO piece matches at some
+  * position — not even a single character — the WHOLE word encodes
+  * to `[UNK]` (the BERT contract: unknown words are opaque, not
+  * partially split). Deterministic: longest-first is the only rule,
+  * no scores, no ties. */
+case class WordPieceEncode(child: Expression, initPieces: Seq[String],
+    contPieces: Seq[String], maxLen: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(maxLen >= 1, s"maxLen $maxLen must be >= 1")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "wordpiece_encode"
+
+  @transient private lazy val initSet: Set[String] = initPieces.toSet
+  @transient private lazy val contSet: Set[String] = contPieces.toSet
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val syms = BpeOps.codepointSyms(input.asInstanceOf[UTF8String].toString)
+    val n = syms.length
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[UTF8String])
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    var pos = 0
+    while (pos < n) {
+      val vocab = if (pos == 0) initSet else contSet
+      var l = math.min(maxLen, n - pos)
+      var hit: String = null
+      while (l >= 1 && hit == null) {
+        val piece = syms.slice(pos, pos + l).mkString
+        if (vocab.contains(piece)) hit = piece else l -= 1
+      }
+      if (hit == null)
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array(UTF8String.fromString("[UNK]")))
+      out += UTF8String.fromString(if (pos == 0) hit else "##" + hit)
+      pos += l
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class UnigramEncode(child: Expression, pieces: Seq[(String, Double)],
     maxLen: Int, unkLogp: Double)
     extends UnaryExpression
@@ -893,6 +947,12 @@ object NativeFunctions {
   /** Column API for Sq8Dequant (code binary + literal ranges → array<double>). */
   def sq8_dequant(code: Column, mins: Seq[Double], spans: Seq[Double]): Column =
     ColumnBridge.toColumn(Sq8Dequant(ColumnBridge.toExpr(code), mins, spans))
+
+  /** Column API for WordPieceEncode (word → greedy piece array). */
+  def wordpiece_encode(word: Column, initPieces: Seq[String],
+      contPieces: Seq[String], maxLen: Int): Column =
+    ColumnBridge.toColumn(WordPieceEncode(ColumnBridge.toExpr(word),
+      initPieces, contPieces, maxLen))
 
   /** Column API for CdcChunkHashes (string → array<struct<hash,len>>). */
   def cdc_chunk_hashes(text: Column, w: Int, modD: Int): Column =

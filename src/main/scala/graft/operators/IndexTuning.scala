@@ -142,6 +142,42 @@ object IndexTuning {
     }
   }
 
+  // ---- the SQ8 scalar-quantized index ----
+
+  /** Outcome of one SQ8 drift monitor→rebuild cycle. */
+  final case class Sq8RetuneReport(n: Long, driftBefore: Double,
+      retuned: Boolean, mins: Array[Double], spans: Array[Double],
+      driftAfter: Double)
+
+  /** SQ8's retune loop — the ACTION half of the range-drift guard
+    * [[Similarity.sq8IndexAppend]] enforces at ingest: each admitted
+    * batch was individually within `maxDriftFrac`, but tolerated
+    * drift ACCUMULATES — a corpus that slid past the frozen
+    * quantization ranges serves saturated codes whose distances are
+    * silently distorted. The cycle: measure the standing corpus's
+    * out-of-range fraction under the CURRENT ranges (the same reading
+    * the append guard takes, corpus-wide); at or under the threshold
+    * → no-op; above → re-derive ranges from the corpus ([[Similarity.sq8Ranges]]
+    * — one aggregate), REBUILD the index under them (locked,
+    * tombstones cleared — [[Similarity.sq8IndexRebuild]]), re-measure
+    * (0 by construction; reported, not assumed). Deterministic end to
+    * end — ranges are exact min/max, no sampling. */
+  def retuneSq8(spark: SparkSession, table: String, corpus: DataFrame,
+      idCol: String, vecCol: String, mins: Array[Double],
+      spans: Array[Double], maxDriftFrac: Double = 0.01): Sq8RetuneReport = {
+    require(maxDriftFrac >= 0.0 && maxDriftFrac < 1.0)
+    val before = Similarity.sq8RangeDriftFrac(corpus, vecCol, mins, spans)
+    if (before <= maxDriftFrac)
+      Sq8RetuneReport(-1L, before, retuned = false, mins, spans, before)
+    else {
+      val n = corpus.count()
+      val (m2, s2) = Similarity.sq8Ranges(corpus, idCol, vecCol)
+      Similarity.sq8IndexRebuild(spark, table, corpus, idCol, vecCol, m2, s2)
+      val after = Similarity.sq8RangeDriftFrac(corpus, vecCol, m2, s2)
+      Sq8RetuneReport(n, before, retuned = true, m2, s2, after)
+    }
+  }
+
   // ---- the LSH pair family (the embedding-LSH dedup index) ----
 
   final case class LshParams(bits: Int, tables: Int)

@@ -194,6 +194,21 @@ object Similarity {
       buckets, bucketCol = "neighbor_id")
   }
 
+  /** REBUILD the landed SQ8 index under NEW quantization ranges (the
+    * drift-retune path) — the [[ivfIndexRebuild]] contract: locked
+    * against concurrent takedown/append, re-bucketed to the stamped
+    * physical spec, tombstone sibling dropped AFTER the overwrite
+    * (stale tombstones would hide rebuilt rows whose ids were once
+    * removed). */
+  def sq8IndexRebuild(spark: org.apache.spark.sql.SparkSession, table: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      mins: Array[Double], spans: Array[Double], buckets: Int = 16): Unit =
+    indexMutationLock.synchronized {
+      val physBuckets = stampedBuckets(spark, table, "sq8", buckets)
+      sq8IndexWrite(corpus, idCol, vecCol, mins, spans, table, physBuckets)
+      spark.sql(s"DROP TABLE IF EXISTS ${tombTable(table)}")
+    }
+
   /** TAKEDOWN / compaction for the SQ8 index — the shared tombstone
     * machinery (see [[ivfIndexRemove]] / [[ivfIndexCompact]]). */
   def sq8IndexRemove(spark: org.apache.spark.sql.SparkSession, table: String,
@@ -404,17 +419,24 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       quantizer: Array[Array[Double]], buckets: Int = 16): Unit =
     indexMutationLock.synchronized {
-      val physBuckets =
-        if (spark.catalog.tableExists(table))
-          spark.sql(s"SHOW TBLPROPERTIES $table").collect()
-            .collectFirst {
-              case r if r.getString(0) == "graft.ivf.buckets" =>
-                r.getString(1).toInt
-            }.getOrElse(buckets)
-        else buckets
+      val physBuckets = stampedBuckets(spark, table, "ivf", buckets)
       ivfIndexWrite(corpus, idCol, vecCol, quantizer, table, physBuckets)
       spark.sql(s"DROP TABLE IF EXISTS ${tombTable(table)}")
     }
+
+  /** The physical bucket count a table was stamped with at write
+    * time, falling back to the caller's default for a fresh table —
+    * rebuilds must re-bucket to the ORIGINAL spec (the compact
+    * convention). */
+  private def stampedBuckets(spark: org.apache.spark.sql.SparkSession,
+      table: String, family: String, default: Int): Int =
+    if (spark.catalog.tableExists(table))
+      spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+        .collectFirst {
+          case r if r.getString(0) == s"graft.$family.buckets" =>
+            r.getString(1).toInt
+        }.getOrElse(default)
+    else default
 
   /** Probe a persisted IVF index ([[ivfIndexWrite]]) — result-
     * identical to [[ivfTopK]] with the same quantizer (spec-proven),

@@ -164,6 +164,55 @@ class IndexTuningSpec extends SparkSpec {
     dropTables("retune_ivf2")
   }
 
+  test("SQ8 drift monitor→rebuild: tolerated per-batch drift accumulates, retune restores") {
+    dropTables("retune_sq8")
+    def vecsOf(rows: Seq[(Long, Seq[Double])]) = rows.toDF("vec_id", "embedding")
+    // land-time corpus in [0,1]^4
+    val a = vecsOf((0 until 40).map(i =>
+      (i.toLong, Seq(0.1 + i / 40.0, 0.1 + (i % 7) / 7.0, 0.1 + (i % 11) / 11.0, 0.1 + (i % 5) / 5.0))))
+    val (mins, spans) = Similarity.sq8Ranges(a, "vec_id", "embedding")
+    Similarity.sq8IndexWrite(a, "vec_id", "embedding", mins, spans, "retune_sq8")
+    // a takedown leaves a tombstone the rebuild must clear
+    Similarity.sq8IndexRemove(spark, "retune_sq8", Seq(5L).toDF("vec_id"), "vec_id")
+    assert(spark.catalog.tableExists("retune_sq8__tombstones"))
+    // a drifting batch: dim 0 slides to [1.1, 1.4] — 25% of its values
+    // out of range, ADMITTED under a tolerant per-batch guard
+    val b = vecsOf((0 until 20).map(i =>
+      (100L + i, Seq(1.3 + 0.3 * i / 19.0, 0.1 + (i % 7) / 7.0, 0.1 + (i % 11) / 11.0, 0.1 + (i % 5) / 5.0))))
+    Similarity.sq8IndexAppend(spark, "retune_sq8", b, "vec_id", "embedding",
+      mins, spans, maxDriftFrac = 0.3)
+
+    // corpus-wide the tolerated drift accumulated past a tight SLO
+    val grown = a.unionByName(b) // vec_id 5 is back in the truth too
+    val rep = IndexTuning.retuneSq8(spark, "retune_sq8", grown,
+      "vec_id", "embedding", mins, spans, maxDriftFrac = 0.01)
+    assert(rep.retuned && rep.driftBefore > 0.01, s"no trigger: $rep")
+    assert(rep.driftAfter === 0.0)
+    assert(!spark.catalog.tableExists("retune_sq8__tombstones"),
+      "rebuild left the stale tombstone sibling")
+
+    // rebuilt index ≡ the inline operator under the re-derived ranges
+    // (sq8TopK derives its ranges from the same grown corpus), and the
+    // once-removed id serves again
+    val queries = vecsOf(Seq((900L, Seq(1.35, 0.5, 0.5, 0.5))))
+    val served = Similarity.sq8ProbeIndex(spark, "retune_sq8", queries,
+      "vec_id", "embedding", rep.mins, rep.spans, k = 5)
+      .select("rnk", "neighbor_id").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val inline = Similarity.sq8TopK(grown, queries, "vec_id", "embedding", k = 5)
+      .select("rnk", "neighbor_id").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(served === inline)
+    val self = Similarity.sq8ProbeIndex(spark, "retune_sq8",
+      a.filter(col("vec_id") === 5L), "vec_id", "embedding",
+      rep.mins, rep.spans, k = 1)
+    assert(self.filter(col("neighbor_id") === 5L).count() === 1L)
+
+    // the rebuilt index clears the next monitor cycle (no-op path)
+    val rep2 = IndexTuning.retuneSq8(spark, "retune_sq8", grown,
+      "vec_id", "embedding", rep.mins, rep.spans, maxDriftFrac = 0.01)
+    assert(!rep2.retuned && rep2.driftBefore === 0.0)
+    dropTables("retune_sq8")
+  }
+
   // ---- the LSH pair family ----
 
   test("lshTablesFor satisfies the collision bound minimally and responds to bits") {

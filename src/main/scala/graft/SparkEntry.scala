@@ -909,6 +909,23 @@ object SparkEntry {
           array(pc.map(lit).toIndexedSeq: _*)) - lit(muDot), 4).as("pc1"))
     }),
 
+    // the PCA monitor's second readout (r11): per-vector residual —
+    // what the dominant direction does NOT explain; low residual =
+    // the vector lives on the rogue axis
+    "emb_pca_residual" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (mu, pc, _) = Similarity.pcaTopComponent(e, "embedding", iters = 3)
+      Similarity.pcaResiduals(e, "vec_id", "embedding", mu, pc)
+    }),
+
+    // k-center greedy coreset (r11 — farthest-point sampling,
+    // Gonzalez '85 / Sener & Savarese '18): the diversity-selection
+    // dial next to DSIR's importance dial; every vector labeled with
+    // its nearest chosen center + exact squared distance
+    "sample_coreset" -> ((s, dir) =>
+      Similarity.kCenterCoreset(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8)._2),
+
     // top-3 characteristic terms per document by smoothed TF-IDF
     "text_tfidf" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -2213,7 +2230,27 @@ object SparkEntry {
     * the final projection as dot(v, pc) − dot(μ, pc) — the exact two
     * folds the plan computes, NOT the algebraically-equal dot(xc, pc)
     * (distributing the subtraction lands different ulps). */
-  private def embPcaOracle: String = {
+  private def embPcaOracle: String =
+    s"""$embPcaCtes
+       SELECT e.vec_id,
+              round(list_inner_product(e.v, vv)
+                    - list_inner_product(ml, vv), 4) AS pc1
+       FROM e CROSS JOIN v3 CROSS JOIN mul"""
+
+  /** emb_pca_residual oracle: score/residual from the SAME trained
+    * component, both folds over the per-element-centered xc (the
+    * iteration form — NOT algebraically redistributed). */
+  private def embPcaResidualOracle: String =
+    s"""$embPcaCtes
+       SELECT c.vec_id,
+              round(list_inner_product(c.xc, vv), 4) AS score,
+              round(sqrt(greatest(0.0,
+                list_inner_product(c.xc, c.xc)
+                - list_inner_product(c.xc, vv)
+                  * list_inner_product(c.xc, vv))), 4) AS residual
+       FROM c CROSS JOIN v3"""
+
+  private def embPcaCtes: String = {
     val iters = 3
     val dim = 64
     val v0 = Array.fill(dim)("0.125").mkString(", ") // round(1/√64, 6) exact
@@ -2239,11 +2276,47 @@ object SparkEntry {
        c AS (SELECT vec_id,
                     list_transform(generate_series(1, $dim), i -> v[i] - ml[i]) AS xc
              FROM e CROSS JOIN mul),
-       $steps
-       SELECT e.vec_id,
-              round(list_inner_product(e.v, vv)
-                    - list_inner_product(ml, vv), 4) AS pc1
-       FROM e CROSS JOIN v$iters CROSS JOIN mul"""
+       $steps"""
+  }
+
+  /** sample_coreset oracle: the k-center greedy trajectory unrolled —
+    * c1 = lowest id; each step keeps a running min-distance frame
+    * (least-chained, ≡ the plan's least fold) and picks the argmax
+    * (ORDER BY dm DESC, vec_id LIMIT 1 = the plan's TakeOrdered);
+    * assignment via the struct-min rule over the chosen centers with
+    * the identical |v|²+|c|²−2v·c fold order. */
+  private def coresetOracle: String = {
+    val k = 8
+    def lip(a: String, b: String) = s"list_inner_product($a, $b)"
+    def dist(v: String, c: String) =
+      s"(${lip(v, v)} + ${lip(c, c)} - 2 * ${lip(v, c)})"
+    val steps = (2 to k).map { t =>
+      val (dPrev, cPrev, dNew) = (s"d${t - 2}", s"c${t - 1}", s"d${t - 1}")
+      val prevFrame = if (t == 2)
+        s"""d1 AS (SELECT e.vec_id, e.v, ${dist("e.v", "c.v")} AS dm
+               FROM e CROSS JOIN c1 c),"""
+      else ""
+      s"""$prevFrame
+         c$t AS (SELECT vec_id, v FROM d${t - 1}
+                 ORDER BY dm DESC, vec_id LIMIT 1)""" +
+        (if (t < k)
+          s""",
+             d$t AS (SELECT d.vec_id, d.v,
+                            least(d.dm, ${dist("d.v", "c.v")}) AS dm
+                     FROM d${t - 1} d CROSS JOIN c$t c)"""
+        else "")
+    }.mkString(",\n")
+    val cents = (1 to k).map(t => s"SELECT vec_id AS cid, v FROM c$t")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+       $steps,
+       cents AS ($cents),
+       a AS (SELECT e.vec_id,
+                    min(struct_pack(d := ${dist("e.v", "cent.v")},
+                                    cid := cent.cid)) AS m
+             FROM e CROSS JOIN cents cent GROUP BY e.vec_id)
+       SELECT vec_id, m.cid AS center_id, round(m.d, 6) AS d2 FROM a"""
   }
 
   /** ann_ivf oracle: coarse-quantizer assignment (argmin via the
@@ -3614,6 +3687,8 @@ object SparkEntry {
     "ann_ivfpq" -> annIvfPqOracle,
     "emb_kmeans" -> embKmeansOracle,
     "emb_pca" -> embPcaOracle,
+    "emb_pca_residual" -> embPcaResidualOracle,
+    "sample_coreset" -> coresetOracle,
     "approx_topk" -> annCmsOracle,
     "dedup_minhash_inc" -> minhashIncOracleSql,
 

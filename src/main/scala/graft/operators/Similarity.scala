@@ -751,6 +751,81 @@ object Similarity {
     (mean, comp, eigenScale)
   }
 
+  /** Per-vector projection + RESIDUAL against a trained component
+    * ([[pcaTopComponent]]'s monitoring readout): `score` = xc·pc,
+    * `residual` = √max(0, |xc|² − score²) — how much of each vector
+    * the dominant direction does NOT explain. A low-residual vector
+    * lives on the rogue axis (encoder artifact candidates); residual
+    * distribution shifts are the drift signal the PCA monitor
+    * watches. One codegen'd pass, no shuffle; all folds array-order
+    * (oracle parity). */
+  def pcaResiduals(corpus: DataFrame, idCol: String, vecCol: String,
+      mean: Array[Double], comp: Array[Double]): DataFrame = {
+    val muL = array(mean.map(lit).toIndexedSeq: _*)
+    val vl = array(comp.map(lit).toIndexedSeq: _*)
+    corpus
+      .select(col(idCol),
+        zip_with(col(vecCol).cast("array<double>"), muL, (a, b) => a - b).as("xc"))
+      .select(col(idCol),
+        Vectors.dot(col("xc"), vl).as("__s"),
+        Vectors.dot(col("xc"), col("xc")).as("__n2"))
+      .select(col(idCol),
+        round(col("__s"), 4).as("score"),
+        round(sqrt(greatest(lit(0.0),
+          col("__n2") - col("__s") * col("__s"))), 4).as("residual"))
+  }
+
+  /** k-CENTER GREEDY coreset (farthest-point sampling — Gonzalez '85;
+    * the diversity-selection backbone of active learning / coreset
+    * data selection, Sener & Savarese '18): start from the lowest-id
+    * vector, then k−1 times add the vector FARTHEST from the chosen
+    * set (exact squared L2, ties to the lowest id). The chosen set is
+    * a 2-approximation of the optimal k-center cover — the subset a
+    * budgeted labeling/inspection pass should read first.
+    *
+    * Scale shape: each of the k steps is ONE projected aggregate over
+    * the corpus (distances against ≤k literal centers + TakeOrdered
+    * 1) — no shuffle, no cross join; driver state is k·dim doubles
+    * (the kmeansCentroids pattern). Deterministic end to end: exact
+    * double arithmetic in array-order folds, id tie-breaks — the
+    * whole trajectory replays in SQL (ann_topk raw-double precedent).
+    *
+    * @return (chosen (id, vector) in selection order,
+    *         assignment frame (vec_id, center_id, d2) — every vector
+    *         labeled with its nearest chosen center and the exact
+    *         squared distance rounded 6dp at the output edge). */
+  def kCenterCoreset(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): (IndexedSeq[(Long, Array[Double])], DataFrame) = {
+    require(k >= 1, s"k $k must be >= 1")
+    val vecs = corpus.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def d2To(c: Array[Double]): Column = {
+      var cDot = 0.0
+      var i = 0
+      while (i < c.length) { cDot += c(i) * c(i); i += 1 }
+      Vectors.dot(col("v"), col("v")) + lit(cDot) -
+        lit(2.0) * Vectors.dot(col("v"), array(c.map(lit).toIndexedSeq: _*))
+    }
+    val first = vecs.orderBy(col("vec_id")).limit(1).collect().head
+    val chosen = scala.collection.mutable.ArrayBuffer(
+      (first.getLong(0), first.getSeq[Double](1).toArray))
+    while (chosen.length < k) {
+      val dmin = chosen.map(c => d2To(c._2)).reduce(least(_, _))
+      val next = vecs.select(col("vec_id"), col("v"), dmin.as("__d"))
+        .orderBy(col("__d").desc, col("vec_id")).limit(1).collect().head
+      chosen += ((next.getLong(0), next.getSeq[Double](1).toArray))
+    }
+    val assign = vecs.select(col("vec_id"),
+        array_min(array(chosen.map { case (cid, c) =>
+          struct(d2To(c).as("d"), lit(cid).as("cid"))
+        }.toIndexedSeq: _*)).as("__m"))
+      .select(col("vec_id"), col("__m.cid").as("center_id"),
+        round(col("__m.d"), 6).as("d2"))
+    vecs.unpersist(blocking = false)
+    (chosen.toIndexedSeq, assign)
+  }
+
   /** Seeded k-means++ over a bounded deterministic sample: the
     * standard D²-weighted seeding (Arthur & Vassilvitskii '07) run
     * driver-side on `sampleSize` vectors picked by hash order

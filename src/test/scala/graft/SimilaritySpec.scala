@@ -598,5 +598,43 @@ class SimilaritySpec extends SparkSpec {
     // deterministic end to end
     val (_, pc2, _) = Similarity.pcaTopComponent(rows, "embedding", iters = 3)
     assert(pc.toSeq === pc2.toSeq)
+
+    // residuals: the planted direction explains almost everything —
+    // scores span the ±5 spread, residuals stay at the noise scale,
+    // and score² + residual² reassembles |xc|² (Pythagoras)
+    val res = Similarity.pcaResiduals(rows, "vec_id", "embedding", mu, pc)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(res.map(_._1).max > 4.0 && res.map(_._1).min < -4.0)
+    assert(res.map(_._2).max < 0.3, s"residual ${res.map(_._2).max}")
+    assert(res.forall { case (s2, r2) => r2 >= 0.0 && !r2.isNaN })
+  }
+
+  test("k-center greedy coreset covers every planted cluster before revisiting one") {
+    val dim = 6
+    // four tight clusters far apart + mild jitter
+    val centers = Seq(
+      Array(10.0, 0, 0, 0, 0, 0), Array(0.0, 10, 0, 0, 0, 0),
+      Array(0.0, 0, 10, 0, 0, 0), Array(0.0, 0, 0, 10, 0, 0))
+    val rows = (for {
+      c <- centers.indices
+      i <- 0 until 25
+    } yield {
+      val v = Array.tabulate(dim)(j =>
+        centers(c)(j) + 0.1 * math.sin(c * 31 + i * 7 + j * 3))
+      (c * 100L + i, v.toSeq)
+    }).toDF("vec_id", "embedding")
+    val (chosen, assign) = Similarity.kCenterCoreset(rows, "vec_id",
+      "embedding", k = 4)
+    // one center per planted cluster — farthest-point cannot revisit
+    assert(chosen.map(_._1 / 100L).toSet === Set(0L, 1L, 2L, 3L))
+    // the first pick is the deterministic lowest id
+    assert(chosen.head._1 === 0L)
+    // assignment recovers the planted partition exactly
+    val wrong = assign.filter(floor(col("vec_id") / 100) =!=
+      floor(col("center_id") / 100)).count()
+    assert(wrong === 0L, s"$wrong vectors assigned across clusters")
+    // and d2 is the exact squared distance to the OWN cluster's center
+    assert(assign.filter(col("d2") > 1.0).count() === 0L)
+    assign.unpersist()
   }
 }

@@ -940,6 +940,19 @@ object SparkEntry {
       Curation.bm25TopK(t(s, dir, "documents"), "doc_id", col("text"),
         terms = bm25Terms, k = 20)),
 
+    // exact positional PHRASE search (r11): the retrieval primitive
+    // bag-of-words BM25 cannot express — per-term postings filtered
+    // BEFORE the (doc, pos+offset) chain joins
+    "text_phrase_search" -> ((s, dir) =>
+      Curation.phraseSearch(t(s, dir, "documents"), "doc_id", "text",
+        Seq("row", "column", "sort"))),
+
+    // proximity variant: all terms within an 8-token window, any
+    // order — minimum span reported
+    "text_phrase_prox" -> ((s, dir) =>
+      Curation.proximitySearch(t(s, dir, "documents"), "doc_id", "text",
+        Seq("row", "column", "sort"), maxSpan = 8)),
+
     // CMS heavy hitters: top-20 tokens by Count-Min estimate (native
     // CmsAgg/CmsEstimate), candidates from a 20% hash-sample.
     // Rows-gated: sketch internals are engine-specific; never-under-
@@ -3667,6 +3680,42 @@ object SparkEntry {
     "quality_ensemble" -> qualityEnsembleOracleSql,
     "quality_report" -> qualityReportOracleSql,
     "text_bm25" -> bm25OracleSql,
+
+    // positional retrieval: 1-based positions over the filtered token
+    // list (identical to the plan's posexplode+1 over \s+ tokens)
+    "text_phrase_search" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'),
+                              t -> t <> '') AS ts
+           FROM documents),
+         pos AS (SELECT doc_id, i AS p, ts[i] AS w
+                 FROM toks, unnest(generate_series(1, len(ts))) AS u(i)),
+         st AS (SELECT a.doc_id, a.p
+                FROM pos a
+                JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+                JOIN pos c ON c.doc_id = a.doc_id AND c.p = a.p + 2
+                WHERE a.w = 'row' AND b.w = 'column' AND c.w = 'sort')
+         SELECT doc_id, count(*) AS n_matches, min(p) AS first_pos
+         FROM st GROUP BY 1""",
+
+    "text_phrase_prox" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'),
+                              t -> t <> '') AS ts
+           FROM documents),
+         pos AS (SELECT doc_id, i AS p, ts[i] AS w
+                 FROM toks, unnest(generate_series(1, len(ts))) AS u(i)),
+         combos AS (SELECT a.doc_id,
+                           greatest(a.p, b.p, c.p) - least(a.p, b.p, c.p) AS sp
+                    FROM pos a
+                    JOIN pos b ON b.doc_id = a.doc_id
+                    JOIN pos c ON c.doc_id = a.doc_id
+                    WHERE a.w = 'row' AND b.w = 'column' AND c.w = 'sort')
+         SELECT doc_id, min(sp) AS min_span
+         FROM combos GROUP BY 1 HAVING min(sp) <= 8""",
+
     "dedup_recall" -> dedupRecallOracleSql,
     "quality_ngram_train" -> ngramTrainOracleSql,
     "quality_ngram_eval" -> ngramEvalOracleSql,

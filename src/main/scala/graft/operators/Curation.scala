@@ -1212,6 +1212,61 @@ object Curation {
     * (idCol, rnk, bm25 4dp) with the rank on (rounded score desc, id)
     * so selection is stable across engines and retries.
     */
+  /** Positional inverted-index frame: one row per token occurrence,
+    * `(doc_id, p, w)` with 1-based positions — the shared base of the
+    * phrase/proximity retrieval operators (and the SQL oracle's
+    * generate_series positions, verbatim). */
+  private def positions(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.Text.tokens(col(textCol)))
+          .as(Seq("__p0", "w")))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"), (col("__p0") + lit(1)).as("p"), col("w"))
+
+  /** Exact PHRASE search over the positional index — the retrieval
+    * primitive BM25's bag-of-words scoring cannot express ("row
+    * column sort" as a contiguous run, not three loose terms). Each
+    * phrase term filters the position frame BEFORE joining (per-term
+    * selectivity is the pushdown — the rare term shrinks the join to
+    * its own postings), then terms chain on (doc_id, p + offset):
+    * co-partitioned equi-joins, never a cross product, the classic
+    * positional-intersection plan every search engine runs. Returns
+    * one row per matching doc: match count + first match position. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val pos = positions(docs, idCol, textCol)
+    val starts = phrase.zipWithIndex.map { case (term, i) =>
+      pos.filter(col("w") === term)
+        .select(col("doc_id"), (col("p") - lit(i)).as("p"))
+    }.reduce(_.join(_, Seq("doc_id", "p")))
+    starts.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"), min(col("p")).as("first_pos"))
+  }
+
+  /** PROXIMITY search: documents where ALL `terms` co-occur within a
+    * window of `maxSpan` tokens (any order) — the looser retrieval
+    * contract between phrase match and bag-of-words. Reports the
+    * MINIMUM span (max−min position over one occurrence of each
+    * term). The combination join is per-document and bounded by the
+    * per-doc term frequencies (rare terms again prune first); at
+    * 100 TB the same plan runs over the rarest term's postings. */
+  def proximitySearch(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], maxSpan: Int): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms, "terms must be distinct")
+    require(maxSpan >= terms.length - 1, s"maxSpan $maxSpan too small")
+    val pos = positions(docs, idCol, textCol)
+    val combos = terms.zipWithIndex.map { case (term, i) =>
+      pos.filter(col("w") === term).select(col("doc_id"), col("p").as(s"p$i"))
+    }.reduce(_.join(_, Seq("doc_id")))
+    val ps = terms.indices.map(i => col(s"p$i"))
+    combos
+      .withColumn("__span", greatest(ps: _*) - least(ps: _*))
+      .groupBy("doc_id").agg(min(col("__span")).as("min_span"))
+      .filter(col("min_span") <= maxSpan)
+  }
+
   def bm25TopK(docs: DataFrame, idCol: String, textCol: Column,
       terms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {

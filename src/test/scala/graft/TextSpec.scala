@@ -119,4 +119,28 @@ class TextSpec extends SparkSpec {
       .select(deflate_ratio(col("text"))).as[Double].collect().head
     assert(z === 0.0)
   }
+
+  test("phrase search finds overlapping contiguous runs with positions") {
+    val docs = Seq(
+      (1L, "a b a b a"),        // "a b a" matches at 1 and 3
+      (2L, "x a b y a z"),      // terms present but never contiguous
+      (3L, "a b a")).toDF("doc_id", "text")
+    val out = graft.operators.Curation
+      .phraseSearch(docs, "doc_id", "text", Seq("a", "b", "a"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out === Map(1L -> ((2L, 1)), 3L -> ((1L, 1))))
+  }
+
+  test("proximity search: any order within the window, minimal span, hard boundary") {
+    val docs = Seq(
+      (1L, "sort x x column x row"), // reversed order, span 5
+      (2L, "row x x x x x column x sort"), // span 8
+      (3L, "row x x x x x x column x sort"), // span 9 — outside
+      (4L, "row column x x x")).toDF("doc_id", "text") // missing 'sort'
+    val out = graft.operators.Curation
+      .proximitySearch(docs, "doc_id", "text",
+        Seq("row", "column", "sort"), maxSpan = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(1L -> 5, 2L -> 8))
+  }
 }

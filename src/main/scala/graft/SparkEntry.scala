@@ -665,6 +665,29 @@ object SparkEntry {
       out
     }),
 
+    // deterministic synchronous label propagation (r11): community
+    // detection over the SAME hot (p95-thresholded) supplier
+    // co-occurrence graph the triangle census reads — 3 fixed rounds,
+    // most-frequent-neighbor-label with min-label ties, every
+    // per-round shuffle keyed on a node id (co-partitioned on a real
+    // cluster). Oracle unrolls the 3 rounds as CTEs
+    "graph_lpa" -> ((s, dir) => {
+      val lo = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val pc = lo.as("a").join(lo.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_suppkey") < col("b.l_suppkey"))
+        .groupBy(col("a.l_suppkey").as("sa"), col("b.l_suppkey").as("sb"))
+        .agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val thr = pc.agg(expr("percentile(c, 0.95)")).collect()(0).getDouble(0)
+      val out = graft.operators.Graph.labelPropagation(
+        pc.filter(col("c") >= lit(thr)), "sa", "sb", iterations = 3)
+        .select(col("node").as("suppkey"), col("community"))
+      pc.unpersist(blocking = false)
+      out
+    }),
+
     // URL canonicalization dedup, oracle-gated end-to-end by the
     // synthesize-parse round trip (the xml_roundtrip pattern): build a
     // messy URL per order (case-jittered host, default port, tracking
@@ -702,6 +725,16 @@ object SparkEntry {
           col("text"), targetShares = Map("en" -> 0.25, "de" -> 0.35),
           defaultRate = 0.6)
         .select(col("doc_id"), col("lang"))),
+
+    // token-budget planner (r11): per-language available vs target
+    // tokens under a 100k budget with a 4-epoch repetition ceiling —
+    // one map-side-combined aggregate, shares as literal CASE
+    "sample_token_budget" -> ((s, dir) =>
+      Curation.tokenBudget(t(s, dir, "documents"), "lang",
+        Text.tokens(col("text")),
+        shares = Map("en" -> 0.3, "de" -> 0.2, "es" -> 0.2,
+          "fr" -> 0.2, "zh" -> 0.1),
+        totalBudget = 100000L, maxEpochs = 4.0)),
 
     // temperature-scaled mixture (alpha=0.5): output language shares
     // follow w^alpha normalization — low-resource languages
@@ -825,6 +858,21 @@ object SparkEntry {
           round(col("survivors") / col("n_docs").cast("double"), 4)
             .as("keep_rate"))),
 
+    // PSI drift monitor (r11): Laplace-smoothed population-stability
+    // index between the even and odd doc_id halves over fixed char-
+    // and token-count buckets — the standing data-quality monitor;
+    // shuffles move ≤ B rows per feature, totals are broadcast scalars
+    "quality_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Profile.driftPsi(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1),
+        Seq(
+          "chars" -> least(floor(col("n_chars") / lit(64)), lit(9)),
+          "tokens" -> least(floor(size(Text.tokens(col("text"))) / lit(16)), lit(9))),
+        nBuckets = 10)
+    }),
+
     // benchmark decontamination: docs from sources src0/src1 act as the
     // held-out eval set; corpus docs sharing any word-5-gram are flagged
     "decon_ngram" -> ((s, dir) => {
@@ -931,6 +979,13 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       Curation.tfidfTopTerms(d, "doc_id", Text.tokens(col("text")), k = 3)
     }),
+
+    // PMI collocations (r11): phrase-mining signal over unordered
+    // token pairs within a 2-position window; pairs generated IN-ROW
+    // (no positional self-join), min-count 5, corpus totals broadcast
+    "text_pmi" -> ((s, dir) =>
+      Curation.pmiCollocations(t(s, dir, "documents"), col("text"),
+        window = 2, minCount = 5L)),
 
     // BM25 (Lucene idf form) top-20 docs for a literal query bag —
     // the retrieval scorer of CCNet-style domain mining / RAG corpus
@@ -1681,6 +1736,17 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           col("ts").as("click_ts"), col("purchase_event_id"), col("purchase_ts"))
     }),
+
+    // MATCH_RECOGNIZE-style sequence pattern (r11): every view whose
+    // first strictly-later purchase lands within 30 min with no error
+    // strictly between — two forward as-of passes on the same user
+    // partitioning plus boundary filters; no per-key self-join
+    "events_pattern" -> ((s, dir) =>
+      Events.sequenceMatch(Tables.events(s, dir), "user_id", "ts",
+        "event_id", "event_type", startType = "view", endType = "purchase",
+        blockType = "error", windowSeconds = 1800L)
+        .select(col("user_id"), col("start_event_id"),
+          col("end_event_id"), col("gap_us"))),
 
     // same point-in-time semantics through the whole-operator path:
     // custom LogicalPlan → strategy → sort-based AsOfJoinExec (each
@@ -3679,6 +3745,45 @@ object SparkEntry {
     "emb_recall" -> embRecallOracleSql,
     "quality_ensemble" -> qualityEnsembleOracleSql,
     "quality_report" -> qualityReportOracleSql,
+
+    // PSI drift: every probability is built in DOUBLE from the first
+    // add (no DECIMAL detours), bucket spine from generate_series —
+    // empty buckets surface with their smoothed mass, not dropped
+    "quality_drift" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+                    len(string_split_regex(trim(text), '\s+')) AS n_toks,
+                    doc_id % 2 AS side
+             FROM documents),
+         b AS (SELECT side, 'chars' AS feature,
+                      least(CAST(floor(n_chars / 64) AS BIGINT), 9) AS bucket
+               FROM d
+               UNION ALL
+               SELECT side, 'tokens' AS feature,
+                      least(CAST(floor(n_toks / 16) AS BIGINT), 9) AS bucket
+               FROM d),
+         g AS (SELECT feature, bucket,
+                      count(*) FILTER (WHERE side = 0) AS nr0,
+                      count(*) FILTER (WHERE side = 1) AS nc0
+               FROM b GROUP BY 1, 2),
+         sp AS (SELECT f.feature, gs.bucket
+                FROM (SELECT 'chars' AS feature UNION ALL SELECT 'tokens') f
+                CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bucket) gs),
+         nr AS (SELECT count(*) AS nr FROM d WHERE side = 0),
+         nc AS (SELECT count(*) AS nc FROM d WHERE side = 1),
+         j AS (SELECT sp.feature, sp.bucket,
+                      COALESCE(nr0, 0) AS n_ref, COALESCE(nc0, 0) AS n_cur
+               FROM sp LEFT JOIN g
+                 ON sp.feature = g.feature AND sp.bucket = g.bucket),
+         p AS (SELECT feature, bucket, n_ref, n_cur,
+                      (CAST(n_ref AS DOUBLE) + 0.5) / (CAST(nr AS DOUBLE) + 5.0) AS pr,
+                      (CAST(n_cur AS DOUBLE) + 0.5) / (CAST(nc AS DOUBLE) + 5.0) AS pc
+               FROM j CROSS JOIN nr CROSS JOIN nc)
+         SELECT feature, bucket, n_ref, n_cur,
+                round(pr, 6) AS p_ref, round(pc, 6) AS p_cur,
+                round((pc - pr) * ln(pc / pr), 6) AS psi,
+                round(sum((pc - pr) * ln(pc / pr))
+                        OVER (PARTITION BY feature), 4) AS psi_total
+         FROM p""",
     "text_bm25" -> bm25OracleSql,
 
     // positional retrieval: 1-based positions over the filtered token
@@ -4160,6 +4265,40 @@ object SparkEntry {
                      ELSE 0.0 END AS clustering
          FROM deg d LEFT JOIN pn ON d.node = pn.node""",
 
+    // synchronous LPA, 3 rounds unrolled; argmax = row_number over
+    // (count DESC, label ASC) — the exact integer tiebreak the
+    // engine's max(struct(cnt, -label)) aggregate computes
+    "graph_lpa" ->
+      """WITH lo AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         pc AS (SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, count(*) AS c
+                FROM lo a JOIN lo b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+                GROUP BY 1, 2),
+         thr AS (SELECT quantile_cont(c, 0.95) AS t FROM pc),
+         e AS (SELECT sa AS u, sb AS v FROM pc, thr WHERE c >= t),
+         adj AS (SELECT u AS node, v AS nbr FROM e
+                 UNION ALL SELECT v AS node, u AS nbr FROM e),
+         l0 AS (SELECT DISTINCT node, node AS label FROM adj),
+         c1 AS (SELECT adj.node, l.label, count(*) AS c
+                FROM adj JOIN l0 l ON adj.nbr = l.node GROUP BY 1, 2),
+         l1 AS (SELECT node, label FROM (
+                  SELECT node, label, row_number() OVER (
+                    PARTITION BY node ORDER BY c DESC, label) AS rn FROM c1)
+                WHERE rn = 1),
+         c2 AS (SELECT adj.node, l.label, count(*) AS c
+                FROM adj JOIN l1 l ON adj.nbr = l.node GROUP BY 1, 2),
+         l2 AS (SELECT node, label FROM (
+                  SELECT node, label, row_number() OVER (
+                    PARTITION BY node ORDER BY c DESC, label) AS rn FROM c2)
+                WHERE rn = 1),
+         c3 AS (SELECT adj.node, l.label, count(*) AS c
+                FROM adj JOIN l2 l ON adj.nbr = l.node GROUP BY 1, 2),
+         l3 AS (SELECT node, label FROM (
+                  SELECT node, label, row_number() OVER (
+                    PARTITION BY node ORDER BY c DESC, label) AS rn FROM c3)
+                WHERE rn = 1)
+         SELECT node AS suppkey, label AS community FROM l3""",
+
     "dedup_url" ->
       """WITH c AS (
            SELECT o_orderkey,
@@ -4195,6 +4334,35 @@ object SparkEntry {
          FROM documents d JOIN r USING (lang)
          WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000
                < rate * 10000""",
+
+    // token-budget planner: share enters as DOUBLE before any
+    // arithmetic so every multiply/divide replays the engine's IEEE
+    // ops; sum(len()) cast to BIGINT (HUGEINT guard)
+    "sample_token_budget" ->
+      """WITH a AS (SELECT lang AS "group", count(*) AS n_docs,
+                    CAST(sum(len(string_split_regex(trim(text), '\s+')))
+                         AS BIGINT) AS n_tokens
+             FROM documents GROUP BY 1),
+         s AS (SELECT "group", n_docs, n_tokens,
+                      CAST(CASE "group" WHEN 'en' THEN 0.3 WHEN 'de' THEN 0.2
+                                        WHEN 'es' THEN 0.2 WHEN 'fr' THEN 0.2
+                                        WHEN 'zh' THEN 0.1 ELSE 0.0 END
+                           AS DOUBLE) AS share
+               FROM a),
+         x AS (SELECT *, CAST(floor(share * 100000) AS BIGINT) AS target_tokens
+               FROM s),
+         y AS (SELECT *, CAST(target_tokens AS DOUBLE) / n_tokens AS need
+               FROM x),
+         z AS (SELECT *,
+                      CAST(floor(least(need, 4.0) * n_tokens) AS BIGINT)
+                        AS alloc_tokens
+               FROM y)
+         SELECT "group", n_docs, n_tokens, share, target_tokens,
+                round(least(need, 4.0), 4) AS epochs, alloc_tokens,
+                CASE WHEN target_tokens > 0
+                     THEN round(CAST(alloc_tokens AS DOUBLE) / target_tokens, 4)
+                     ELSE 1.0 END AS fill_ratio
+         FROM z""",
 
     "decon_embedding" ->
       """WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
@@ -5097,6 +5265,34 @@ object SparkEntry {
                FROM tf JOIN dfx ON tf.token = dfx.token CROSS JOIN n)
          WHERE rnk <= 3""",
 
+    // PMI collocations: unordered pairs at distances 1 and 2 via the
+    // positional tk[i]/tk[i+d] replay (the bigram-LM pattern); pair
+    // and token totals stay BIGINT until the single double ratio
+    "text_pmi" ->
+      """WITH t AS (SELECT list_filter(string_split_regex(trim(text), '\s+'),
+                                x -> x <> '') AS tk
+             FROM documents),
+         prs AS (
+           SELECT least(tk[i], tk[i+1]) AS w1, greatest(tk[i], tk[i+1]) AS w2
+           FROM t, unnest(generate_series(1, len(tk) - 1)) AS u(i)
+           WHERE len(tk) >= 2
+           UNION ALL
+           SELECT least(tk[i], tk[i+2]) AS w1, greatest(tk[i], tk[i+2]) AS w2
+           FROM t, unnest(generate_series(1, len(tk) - 2)) AS u(i)
+           WHERE len(tk) >= 3),
+         cxy AS (SELECT w1, w2, count(*) AS n_cooc FROM prs GROUP BY 1, 2),
+         np AS (SELECT count(*) AS np FROM prs),
+         toks AS (SELECT unnest(tk) AS token FROM t),
+         uc AS (SELECT token, count(*) AS cx FROM toks GROUP BY 1),
+         nt AS (SELECT count(*) AS nt FROM toks)
+         SELECT w1, w2, n_cooc,
+                round(ln((CAST(n_cooc AS DOUBLE) * nt * nt)
+                         / (CAST(np AS DOUBLE) * c1.cx * c2.cx)), 4) AS pmi
+         FROM cxy JOIN uc c1 ON cxy.w1 = c1.token
+                  JOIN uc c2 ON cxy.w2 = c2.token
+         CROSS JOIN np CROSS JOIN nt
+         WHERE n_cooc >= 5""",
+
     "q18_asof_join" ->
       """WITH s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
                            max(event_id) AS signup_event_id
@@ -5124,6 +5320,33 @@ object SparkEntry {
                 pu.ts AS purchase_ts
          FROM c ASOF LEFT JOIN pu
            ON c.user_id = pu.user_id AND c.ts <= pu.ts""",
+
+    // first strictly-later purchase per view via QUALIFY row_number;
+    // the no-error-between guard is a correlated NOT EXISTS — an
+    // O(n²)-per-user replay the engine's two as-of passes avoid
+    "events_pattern" ->
+      """WITH v AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'view'),
+         p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                      min(event_id) AS event_id
+               FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         np AS (SELECT v.user_id, v.event_id AS start_event_id,
+                       v.ts AS start_ts, p.event_id AS end_event_id,
+                       p.ts AS end_ts
+                FROM v LEFT JOIN p
+                  ON p.user_id = v.user_id AND p.ts > v.ts
+                QUALIFY row_number() OVER (
+                  PARTITION BY v.event_id ORDER BY p.ts) = 1)
+         SELECT user_id, start_event_id, end_event_id,
+                epoch_us(end_ts) - epoch_us(start_ts) AS gap_us
+         FROM np
+         WHERE end_ts IS NOT NULL
+           AND epoch_us(end_ts) <= epoch_us(start_ts) + 1800 * 1000000
+           AND NOT EXISTS (
+             SELECT 1 FROM events e
+             WHERE e.event_type = 'error' AND e.user_id = np.user_id
+               AND CAST(e.ts AS TIMESTAMP) > np.start_ts
+               AND CAST(e.ts AS TIMESTAMP) < np.end_ts)""",
 
     "q28_asof_exec" ->
       """WITH pu AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -311,6 +311,105 @@ object Curation {
         round(col("tfidf"), 4).as("tfidf"))
   }
 
+  /** PMI collocations: pointwise mutual information over unordered
+    * token pairs co-occurring within `window` positions — the phrase
+    * mining / multi-word-expression signal (high-PMI pairs are the
+    * candidate merges for tokenizer vocabularies and the collocation
+    * features of quality classifiers).
+    *
+    * pmi(x,y) = ln( p(x,y) / (p(x)·p(y)) ) with p(x,y) = c(x,y)/P,
+    * p(x) = c(x)/T, over P total pair occurrences and T total tokens.
+    *
+    * Scale shape: pairs are generated IN-ROW (one `transform` over
+    * the token array per distance d ≤ window — positions, no
+    * self-join on doc id), so the only shuffles are the map-side-
+    * combined (pair → count) and (token → count) aggregates; the two
+    * corpus totals are 1-row aggregates cross-joined back (broadcast
+    * scalars). Output ∝ distinct pairs above `minCount`, never the
+    * corpus. The pair space is bounded by the min-count filter, not
+    * by sampling — nothing is silently dropped.
+    */
+  def pmiCollocations(docs: DataFrame, textCol: Column, window: Int,
+      minCount: Long): DataFrame = {
+    require(window >= 1, s"window $window must be >= 1")
+    require(minCount >= 1, s"minCount $minCount must be >= 1")
+    val tk = filter(graft.functions.Text.tokens(textCol), t => t =!= "")
+    val base = docs.select(tk.as("__tk"))
+    def pairsAt(d: Int): DataFrame = base
+      .filter(size(col("__tk")) > d)
+      .select(explode(transform(sequence(lit(1), size(col("__tk")) - d),
+        i => struct(
+          least(element_at(col("__tk"), i), element_at(col("__tk"), i + d)).as("w1"),
+          greatest(element_at(col("__tk"), i), element_at(col("__tk"), i + d)).as("w2"))))
+        .as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+    val pairs = (1 to window).map(pairsAt).reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cxy = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_cooc"))
+    val np = pairs.agg(count(lit(1)).as("__np"))
+    val toks = docs.select(explode(tk).as("token"))
+    val uc = toks.groupBy("token").agg(count(lit(1)).as("__cx"))
+    val nt = toks.agg(count(lit(1)).as("__nt"))
+    val out = cxy.filter(col("n_cooc") >= minCount)
+      .join(uc.select(col("token").as("w1"), col("__cx").as("__c1")), "w1")
+      .join(uc.select(col("token").as("w2"), col("__cx").as("__c2")), "w2")
+      .crossJoin(broadcast(np)).crossJoin(broadcast(nt))
+      .select(col("w1"), col("w2"), col("n_cooc"),
+        round(log((col("n_cooc").cast("double") * col("__nt") * col("__nt"))
+          / (col("__np").cast("double") * col("__c1") * col("__c2"))), 4)
+          .as("pmi"))
+    val materialized = out.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    materialized.count()
+    pairs.unpersist(blocking = false)
+    materialized
+  }
+
+  /** Token-budget planner: given per-group target SHARES of a total
+    * training-token budget, report what each group can actually
+    * supply — the first artifact any pretraining-data owner asks for
+    * ("do we have the tokens, and at how many epochs?").
+    *
+    * Per group: available docs/tokens, the target token count
+    * (⌊share × budget⌋), the epoch factor needed to hit it
+    * (target / available, capped at `maxEpochs` — the over-sampling
+    * ceiling beyond which repetition hurts), the tokens actually
+    * allocated under the cap, and the fill ratio (allocated /
+    * target). Groups not in `shares` get share 0 (excluded domains
+    * still report their available mass).
+    *
+    * One map-side-combined aggregate per group; shares enter as a
+    * literal CASE chain (trained-model-as-literals convention), so
+    * the whole report is a single-shuffle scan with output ∝ groups. */
+  def tokenBudget(docs: DataFrame, groupCol: String, tokens: Column,
+      shares: Map[String, Double], totalBudget: Long,
+      maxEpochs: Double = 4.0): DataFrame = {
+    require(totalBudget > 0, s"totalBudget $totalBudget must be > 0")
+    require(maxEpochs > 0.0, s"maxEpochs $maxEpochs must be > 0")
+    require(shares.values.forall(s => s >= 0.0 && s <= 1.0),
+      "shares must be in [0, 1]")
+    docs.groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n_docs"), sum(size(tokens)).as("n_tokens"))
+      .withColumn("share", shares.toSeq.sortBy(_._1)
+        .foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+          when(col("group") === k, lit(v)).otherwise(acc)
+        })
+      .withColumn("target_tokens",
+        floor(col("share") * totalBudget).cast("long"))
+      .withColumn("__need",
+        col("target_tokens").cast("double") / col("n_tokens"))
+      .withColumn("epochs", round(least(col("__need"), lit(maxEpochs)), 4))
+      .withColumn("alloc_tokens",
+        floor(least(col("__need"), lit(maxEpochs)) * col("n_tokens")).cast("long"))
+      .withColumn("fill_ratio",
+        when(col("target_tokens") > 0,
+          round(col("alloc_tokens").cast("double") / col("target_tokens"), 4))
+          .otherwise(lit(1.0)))
+      .select(col("group"), col("n_docs"), col("n_tokens"), col("share"),
+        col("target_tokens"), col("epochs"), col("alloc_tokens"),
+        col("fill_ratio"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any
     * word-k-gram with a benchmark/eval set (the training-data hygiene
     * step that keeps test questions out of the training corpus).

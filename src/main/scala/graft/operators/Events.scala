@@ -212,6 +212,63 @@ object Events {
     }.reduce(_ crossJoin _)
   }
 
+  /** MATCH_RECOGNIZE-style sequence pattern: for every `startType`
+    * event, the FIRST `endType` event of the same key STRICTLY after
+    * it and within `windowSeconds`, provided no `blockType` event
+    * falls strictly between the two — the "view → purchase within 30
+    * min with no error in between" conversion shape that funnels
+    * (min-ts chaining) cannot express, because here EVERY start
+    * instance matches independently and an intervening blocker kills
+    * exactly its own match.
+    *
+    * Built by composing the gated forward as-of join (q51 shape)
+    * twice — once against the end events, once against the blockers —
+    * then filtering: end within window, first-blocker-after-start not
+    * before the matched end. Strictly-after is exact integer
+    * arithmetic: the probe timestamp is start + 1 µs (event time is
+    * µs precision), so "earliest right ≥ probe" ≡ "earliest right >
+    * start" with no epsilon games. End events are pre-deduplicated to
+    * min event id per (key, ts) — the as-of contract — which is also
+    * the deterministic tie rule: the earliest end, smallest id first.
+    *
+    * Scale shape: two window passes partitioned by the SAME key (one
+    * shuffle each, no self-join blowup per key), then one equi-join
+    * of the two match frames on the start event id. Rows ∝ start
+    * events throughout. A blocker storm cannot fan out: only the
+    * FIRST blocker after each start is ever carried.
+    *
+    * @return (key, start_event_id, end_event_id, gap_us) — matches only.
+    */
+  def sequenceMatch(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, typeCol: String, startType: String, endType: String,
+      blockType: String, windowSeconds: Long): DataFrame = {
+    require(windowSeconds > 0, s"windowSeconds $windowSeconds must be > 0")
+    val starts = events.filter(col(typeCol) === startType)
+      .select(col(keyCol), col(idCol).as("start_event_id"),
+        col(tsCol).as("start_ts"),
+        // probe: strictly-after via +1 µs at exact µs precision
+        (col(tsCol) + expr("INTERVAL 1 MICROSECOND")).as(tsCol))
+    val ends = events.filter(col(typeCol) === endType)
+      .groupBy(col(keyCol), col(tsCol))
+      .agg(min(col(idCol)).as("end_event_id"))
+      .withColumn("end_ts", col(tsCol))
+    val blocks = events.filter(col(typeCol) === blockType)
+      .select(col(keyCol), col(tsCol)).distinct()
+      .withColumn("block_ts", col(tsCol))
+    val withEnd = asOfJoin(starts, ends, keyCol, tsCol,
+      Seq("end_event_id", "end_ts"), forward = true)
+    val withBlock = asOfJoin(withEnd, blocks, keyCol, tsCol,
+      Seq("block_ts"), forward = true)
+    withBlock
+      .filter(col("end_ts").isNotNull &&
+        unix_micros(col("end_ts")) <=
+          unix_micros(col("start_ts")) + windowSeconds * 1000000L &&
+        (col("block_ts").isNull || col("block_ts") >= col("end_ts")))
+      .select(col(keyCol), col("start_event_id"), col("end_event_id"),
+        (unix_micros(col("end_ts")) - unix_micros(col("start_ts")))
+          .as("gap_us"))
+  }
+
   /** Time-grid resample with forward fill: per key, a regular grid of
     * `stepSeconds` points spanning the key's observed range, each
     * point carrying the latest event value at-or-before it plus the

@@ -152,6 +152,68 @@ object Graph {
     * and deduped first. Returns one row per node:
     * `(node, degree, tri_count, clustering)` where clustering =
     * round(2·tri / (deg·(deg−1)), 6) and degree-1 nodes score 0. */
+  /** Synchronous label-propagation community detection (Raghavan '07,
+    * the GraphFrames/Pregel formulation) over an undirected edge
+    * list, made DETERMINISTIC so it can be oracle-replayed: every
+    * node starts labeled with its own id; each of the fixed
+    * `iterations` rounds relabels EVERY node simultaneously with the
+    * most frequent label among its neighbors, ties broken by the
+    * SMALLEST label. No randomized visit order, no asynchronous
+    * updates — the classic nondeterminism sources are removed, at the
+    * cost of the known synchronous-LPA oscillation on bipartite
+    * structures (which a fixed iteration cap bounds; callers wanting
+    * a fixpoint read successive rounds).
+    *
+    * Scale shape (the PageRank contract): the canonicalized edge list
+    * is symmetrized into an adjacency `(node, nbr)` frame and
+    * truncated ONCE; each round is one equi-join of the adjacency
+    * against the ∝|V| label frame on `nbr` + one groupBy(node, label)
+    * count + one argmax aggregate on `node` — every shuffle keys on a
+    * node id, so a real cluster co-partitions all three exchanges,
+    * and AQE broadcasts the label side when |V| allows. The argmax is
+    * a single `max(struct(cnt, -label))` aggregate (max count, then
+    * min label) — no window sort over the neighborhood counts.
+    * Lineage is truncated per round, so plan depth stays O(1) in
+    * `iterations`. Isolated nodes cannot occur (every node comes off
+    * an edge); a node always has ≥1 neighbor and always relabels.
+    *
+    * @param edges undirected edge list; either orientation, dups and
+    *              self-loops tolerated (canonicalized away).
+    * @return (node, community) — one row per distinct node.
+    */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations $iterations must be >= 1")
+    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    val e = edges.select(
+        least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val adj = truncate(
+      e.select(col("u").as("node"), col("v").as("nbr"))
+        .union(e.select(col("v").as("node"), col("u").as("nbr"))))
+    var labels = truncate(
+      adj.select(col("node")).distinct().withColumn("label", col("node")))
+    for (_ <- 1 to iterations) {
+      val counts = adj
+        .join(labels.select(col("node").as("nbr"), col("label")), "nbr")
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      // argmax(count) with min-label tiebreak as ONE aggregate:
+      // struct comparison is (count, -label) lexicographic, so the
+      // max has the largest count and, within it, the smallest label
+      val next = counts
+        .groupBy("node")
+        .agg(max(struct(col("__c"), (-col("label")).as("__nl"))).as("__m"))
+        .select(col("node"), (-col("__m.__nl")).as("label"))
+      labels = truncate(next)
+    }
+    labels.select(col("node"), col("label").as("community"))
+  }
+
   def triangleCensus(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
     val e = edges.select(
         least(col(aCol), col(bCol)).as("u"),

@@ -172,4 +172,57 @@ object Profile {
       .groupBy(floor((v - lo) / width).cast("long").as("bin"))
       .agg(count("*").as("n"))
   }
+
+  /** Population-stability-index drift report between a reference and
+    * a current corpus slice — the standing data-quality monitor that
+    * catches a pipeline regression (crawler change, filter bug,
+    * upstream format shift) BEFORE it poisons a training run. The
+    * industry reading: PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25
+    * broken.
+    *
+    * Each feature is a caller-supplied bucket expression mapping a
+    * row into [0, nBuckets). Per (feature, bucket):
+    * p = (count + α) / (N + α·B) (Laplace-smoothed so empty buckets
+    * stay finite), psi term = (p_cur − p_ref) · ln(p_cur / p_ref);
+    * `psi_total` repeats the feature's summed PSI on every row.
+    *
+    * Scale shape: each side makes ONE map-side-combined aggregate per
+    * feature over (feature, bucket) — the shuffle moves ≤ B rows per
+    * feature, never the corpus; side totals are 1-row aggregates
+    * cross-joined back; the bucket spine (features × B rows) is
+    * driver-built and broadcast. The psi window runs over B-row
+    * partitions of an already-tiny frame.
+    */
+  def driftPsi(ref: DataFrame, cur: DataFrame,
+      features: Seq[(String, Column)], nBuckets: Int,
+      alpha: Double = 0.5): DataFrame = {
+    require(features.nonEmpty, "driftPsi needs at least one feature")
+    require(nBuckets >= 2, s"nBuckets $nBuckets must be >= 2")
+    require(alpha > 0.0, s"alpha $alpha must be > 0")
+    val spark = ref.sparkSession
+    def sideCounts(df: DataFrame, out: String): DataFrame =
+      features.map { case (name, bucket) =>
+        df.select(lit(name).as("feature"), bucket.cast("long").as("bucket"))
+          .groupBy("feature", "bucket").agg(count(lit(1)).as(out))
+      }.reduce(_ unionByName _)
+    import spark.implicits._
+    val spine = features.map(_._1).toDF("feature")
+      .crossJoin(spark.range(nBuckets).select(col("id").as("bucket")))
+    val nr = ref.agg(count(lit(1)).as("__nr"))
+    val nc = cur.agg(count(lit(1)).as("__nc"))
+    val aB = alpha * nBuckets
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("feature")
+    spine
+      .join(sideCounts(ref, "n_ref"), Seq("feature", "bucket"), "left")
+      .join(sideCounts(cur, "n_cur"), Seq("feature", "bucket"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .crossJoin(broadcast(nr)).crossJoin(broadcast(nc))
+      .withColumn("__pr", (col("n_ref") + alpha) / (col("__nr") + aB))
+      .withColumn("__pc", (col("n_cur") + alpha) / (col("__nc") + aB))
+      .withColumn("__term", (col("__pc") - col("__pr")) * log(col("__pc") / col("__pr")))
+      .select(col("feature"), col("bucket"), col("n_ref"), col("n_cur"),
+        round(col("__pr"), 6).as("p_ref"), round(col("__pc"), 6).as("p_cur"),
+        round(col("__term"), 6).as("psi"),
+        round(sum(col("__term")).over(w), 4).as("psi_total"))
+  }
 }

@@ -229,6 +229,16 @@ object ScaleProbe {
       } {
         Events.madOutliers(evN, 3.5, approxAccuracy = Some(10000)).count()
       }
+      // N× users (per-copy offset): per-user event counts constant,
+      // so the two as-of window passes and the start-id join must all
+      // scale with the user fan-out, never per-user quadratically
+      probe("seq_pattern") {
+        Events.sequenceMatch(ev1, "user_id", "ts", "event_id",
+          "event_type", "view", "purchase", "error", 1800L).count()
+      } {
+        Events.sequenceMatch(evN, "user_id", "ts", "event_id",
+          "event_type", "view", "purchase", "error", 1800L).count()
+      }
     }
     // iterative fixpoint: SUPPLIER keys offset per copy, so each copy
     // is a disjoint component — nodes, edges, and per-iteration join
@@ -278,6 +288,16 @@ object ScaleProbe {
       } {
         val r = graft.operators.Graph.triangleCensus(hotEdges(liG), "sa", "sb")
         val n = r.count(); r.unpersist(); n
+      }
+      // LPA on the same N-disjoint-copy hot graph: per-round work is
+      // one adjacency join + two aggregates — must track edge growth
+      // linearly, with iteration count fixed
+      probe("graph_lpa") {
+        graft.operators.Graph.labelPropagation(
+          hotEdges(li1), "sa", "sb", iterations = 3).count()
+      } {
+        graft.operators.Graph.labelPropagation(
+          hotEdges(liG), "sa", "sb", iterations = 3).count()
       }
     }
     // CDC dedup: replica-suffixed words give disjoint chunk spaces —

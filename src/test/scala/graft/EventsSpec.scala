@@ -189,4 +189,66 @@ class EventsSpec extends SparkSpec {
       ("2024-01-01", 2L, 2L),
       ("2024-01-03", 1L, 3L)))
   }
+
+  // ---- sequenceMatch (MATCH_RECOGNIZE-style pattern) ----
+
+  private def seqEv(rows: Seq[(Long, Long, String, String)]) =
+    rows.map { case (id, u, tp, t0) => (id, u, tp, ts(t0)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+
+  private def matches(ev: org.apache.spark.sql.DataFrame,
+      windowSeconds: Long = 1800L) =
+    Events.sequenceMatch(ev, "user_id", "ts", "event_id", "event_type",
+        "view", "purchase", "error", windowSeconds)
+      .select(col("user_id"), col("start_event_id"), col("end_event_id"),
+        col("gap_us"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+  test("sequenceMatch: basic conversion, blocker kills its own match only") {
+    val ev = seqEv(Seq(
+      // user 1: view -> error -> purchase: blocked
+      (1L, 1L, "view", "2024-01-01 10:00:00"),
+      (2L, 1L, "error", "2024-01-01 10:10:00"),
+      (3L, 1L, "purchase", "2024-01-01 10:20:00"),
+      // user 2: clean view -> purchase within window
+      (4L, 2L, "view", "2024-01-01 10:00:00"),
+      (5L, 2L, "purchase", "2024-01-01 10:20:00"),
+      // user 3: purchase outside the 30-min window
+      (6L, 3L, "view", "2024-01-01 10:00:00"),
+      (7L, 3L, "purchase", "2024-01-01 10:40:00")))
+    assert(matches(ev) === Set((2L, 4L, 5L, 1200L * 1000000L)))
+  }
+
+  test("sequenceMatch boundaries: strictly-after start, window edge inclusive, blocker at end ts allowed") {
+    val ev = seqEv(Seq(
+      // purchase at EXACTLY the view ts: not strictly after -> no match
+      (1L, 1L, "view", "2024-01-01 10:00:00"),
+      (2L, 1L, "purchase", "2024-01-01 10:00:00"),
+      // purchase at exactly start + window: inclusive edge -> match
+      (3L, 2L, "view", "2024-01-01 10:00:00"),
+      (4L, 2L, "purchase", "2024-01-01 10:30:00"),
+      // error at EXACTLY the purchase ts: not strictly between -> match
+      (5L, 3L, "view", "2024-01-01 10:00:00"),
+      (6L, 3L, "error", "2024-01-01 10:15:00"),
+      (7L, 3L, "purchase", "2024-01-01 10:15:00")))
+    // user 3's first purchase after the view is at 10:15 with the
+    // error at the same instant — allowed (strictly-between guard)
+    assert(matches(ev) === Set(
+      (2L, 3L, 4L, 1800L * 1000000L),
+      (3L, 5L, 7L, 900L * 1000000L)))
+  }
+
+  test("sequenceMatch: every start matches independently; same-ts purchases pick min id") {
+    val ev = seqEv(Seq(
+      // two views, one purchase: BOTH convert (funnel would chain mins)
+      (1L, 1L, "view", "2024-01-01 10:00:00"),
+      (2L, 1L, "view", "2024-01-01 10:05:00"),
+      (5L, 1L, "purchase", "2024-01-01 10:10:00"),
+      (4L, 1L, "purchase", "2024-01-01 10:10:00"), // same ts, smaller id wins
+      // a later second purchase is NOT re-matched (first-after only)
+      (6L, 1L, "purchase", "2024-01-01 10:20:00")))
+    assert(matches(ev) === Set(
+      (1L, 1L, 4L, 600L * 1000000L),
+      (1L, 2L, 4L, 300L * 1000000L)))
+  }
 }

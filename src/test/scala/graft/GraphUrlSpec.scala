@@ -176,4 +176,63 @@ class GraphUrlSpec extends SparkSpec {
     assert(out.filter(col("degree") === 1 && col("clustering") =!= 0.0).count() === 0L)
     out.unpersist()
   }
+
+  // ---- label propagation ----
+
+  /** Independent driver-side synchronous LPA with the same
+    * deterministic rules: start = own id, relabel everyone each round
+    * to the most frequent neighbor label, ties to the smallest. */
+  private def lpaReference(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    val adj = (canon ++ canon.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var labels = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to iters) {
+      labels = adj.map { case (v, nbrs) =>
+        val counts = nbrs.groupBy(labels).view.mapValues(_.size)
+        val best = counts.maxBy { case (l, c) => (c.toLong, -l) }
+        v -> best._1
+      }
+    }
+    labels
+  }
+
+  private def lpaRun(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    graft.operators.Graph.labelPropagation(
+        edges.toDF("a", "b"), "a", "b", iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("labelPropagation: two cliques with a bridge settle into two communities") {
+    val cliqueA = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val cliqueB = Seq((10L, 11L), (10L, 12L), (11L, 12L))
+    val edges = cliqueA ++ cliqueB ++ Seq((3L, 10L))
+    for (iters <- Seq(1, 2, 4)) {
+      assert(lpaRun(edges, iters) === lpaReference(edges, iters), s"iters=$iters")
+    }
+    // after enough rounds each triangle agrees on one label and the
+    // two sides disagree with each other
+    val fin = lpaRun(edges, 4)
+    assert(Set(fin(1L), fin(2L)).size === 1)
+    assert(Set(fin(10L), fin(11L)).size === 1)
+    assert(fin(1L) !== fin(11L))
+  }
+
+  test("labelPropagation matches the reference on a pseudo-random graph") {
+    // deterministic LCG edge sample over 30 nodes
+    var s = 12345L
+    def next(): Long = { s = (s * 6364136223846793005L + 1442695040888963407L); (s >>> 33) % 30 }
+    val edges = (1 to 120).map(_ => (next(), next())).filter(e => e._1 != e._2)
+    for (iters <- Seq(1, 3)) {
+      assert(lpaRun(edges, iters) === lpaReference(edges, iters), s"iters=$iters")
+    }
+  }
+
+  test("labelPropagation canonicalizes dups/reversals/self-loops and breaks ties to the min label") {
+    val messy = Seq((2L, 1L), (1L, 2L), (2L, 2L), (3L, 1L), (2L, 3L))
+    val clean = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    assert(lpaRun(messy, 2) === lpaRun(clean, 2))
+    // triangle round 1: every node sees its two neighbors' ids once
+    // each — tie, so everyone takes the SMALLER neighbor id
+    assert(lpaRun(clean, 1) === Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
 }

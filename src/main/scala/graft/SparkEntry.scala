@@ -1900,8 +1900,8 @@ object SparkEntry {
        |         min(CASE WHEN x >= 9223372036854775808::HUGEINT
        |                  THEN x - $T::HUGEINT ELSE x END) AS slot
        |  FROM m5 GROUP BY 1, 2),
-       |sigs AS (SELECT doc_id, list(slot ORDER BY i) AS sig FROM slots GROUP BY 1),
-       |cand AS (
+       |sigs AS MATERIALIZED (SELECT doc_id, list(slot ORDER BY i) AS sig FROM slots GROUP BY 1),
+       |cand AS MATERIALIZED (
        |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
        |         round(($eqSum) / 64.0, 4) AS est_jaccard
        |  FROM sigs sa JOIN sigs sb ON $pairCond
@@ -2174,10 +2174,10 @@ object SparkEntry {
                  FROM $rel),
          ${p}hot AS (SELECT s FROM ${p}sh0 CROSS JOIN ${p}cap
                  GROUP BY s, c HAVING count(*) > c),
-         ${p}sh AS (SELECT doc_id, s FROM ${p}sh0
+         ${p}sh AS MATERIALIZED (SELECT doc_id, s FROM ${p}sh0
                     WHERE s NOT IN (SELECT s FROM ${p}hot)),
-         ${p}sz AS (SELECT doc_id, count(*) AS n FROM ${p}sh GROUP BY 1),
-         ${p}shared AS (
+         ${p}sz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM ${p}sh GROUP BY 1),
+         ${p}shared AS MATERIALIZED (
            SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
            FROM ${p}sh a JOIN ${p}sh b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2)"""
@@ -2710,12 +2710,17 @@ object SparkEntry {
     * encode table (training applies each learned merge to the vocab
     * as it goes — exactly what encoding a vocab word replays). */
   private def bpeWithPrefix(iters: Int): String = {
+    // v$n / r$n are MATERIALIZED (r12): r$n sits in f${n}'s recurring
+    // term and v$n seeds round n+1 — DuckDB 1.0's default inlining
+    // re-planned the whole previous-round recursion per level, the
+    // same cost cliff the unigram oracle hit (318 s → <1 s fixed).
     def round(n: Int): String =
       s"""pc$n AS (SELECT syms[i] AS lhs, syms[i+1] AS rhs, sum(freq) AS cnt
            FROM v${n - 1}, unnest(generate_series(1, len(syms) - 1)) AS u(i)
            GROUP BY 1, 2),
-         r$n AS (SELECT lhs, rhs, CAST(cnt AS BIGINT) AS cnt FROM pc$n
-                 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         r$n AS MATERIALIZED (
+           SELECT lhs, rhs, CAST(cnt AS BIGINT) AS cnt FROM pc$n
+           ORDER BY cnt DESC, lhs, rhs LIMIT 1),
          f$n AS (
            SELECT wid, w, 1 AS i, [syms[1]] AS acc, syms, freq FROM v${n - 1}
            UNION ALL
@@ -2725,15 +2730,17 @@ object SparkEntry {
                   ELSE list_append(f.acc, f.syms[f.i + 1]) END,
              f.syms, f.freq
            FROM f$n f CROSS JOIN r$n r WHERE f.i < len(f.syms)),
-         v$n AS (SELECT wid, w, acc AS syms, freq FROM f$n WHERE i = len(syms))"""
+         v$n AS MATERIALIZED (
+           SELECT wid, w, acc AS syms, freq FROM f$n WHERE i = len(syms))"""
     s"""WITH RECURSIVE
-       w0 AS (
+       w0 AS MATERIALIZED (
          SELECT w, count(*) AS freq FROM (
            SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
            FROM documents)
          WHERE w <> '' GROUP BY w),
-       v0 AS (SELECT row_number() OVER (ORDER BY w) AS wid, w,
-                     string_split(w, '') AS syms, freq FROM w0),
+       v0 AS MATERIALIZED (
+         SELECT row_number() OVER (ORDER BY w) AS wid, w,
+                string_split(w, '') AS syms, freq FROM w0),
        ${(1 to iters).map(round).mkString(",\n")}"""
   }
 
@@ -2788,7 +2795,19 @@ object SparkEntry {
     * strictly-greater replacement (the `c3 >= c2 AND c3 >= c1` CASE),
     * single-codepoint fallback at the shared unk floor. All dp values
     * are sums of 6dp-rounded decimals accumulated in the same order
-    * as the native expression, so comparisons agree bit-for-bit. */
+    * as the native expression, so comparisons agree bit-for-bit.
+    *
+    * COST SHAPE (r12): every model CTE is `AS MATERIALIZED` and the
+    * per-position piece lookups are LEFT JOINs against it, not
+    * correlated scalar subqueries. DuckDB 1.0 inlines CTEs by
+    * default, so a correlated `(SELECT logp FROM m2 ...)` inside the
+    * e3 recursion re-planned the ENTIRE m2←e2←m1←e1 chain per
+    * recursion level — the r11 driver sweep measured 318 s for this
+    * one oracle at sf0.01 and the artifact timed out empty. The
+    * materialized-join form is the same DP bit-for-bit and runs in
+    * <1 s. (Materializing alone without de-correlating trips a
+    * DuckDB 1.0 wrong-result on correlated subqueries over
+    * materialized CTEs inside recursion — hence joins, not hints.) */
   private def unigramWithPrefix(iters: Int): String = {
     val maxLen = 3
     val seedTopK = 200
@@ -2813,39 +2832,42 @@ object SparkEntry {
                        ELSE list_append(p0, s1) END,
                   v0, p0, v1, p1
            FROM (
-             SELECT *,
-                    v0 + coalesce((SELECT logp FROM $m WHERE piece = s1),
-                                  CAST($unk AS DOUBLE)) AS c1,
-                    CASE WHEN s2 IS NOT NULL
-                         THEN v1 + (SELECT logp FROM $m WHERE piece = s2) END AS c2,
-                    CASE WHEN s3 IS NOT NULL
-                         THEN v2 + (SELECT logp FROM $m WHERE piece = s3) END AS c3
+             SELECT a.*,
+                    a.v0 + coalesce(j1.logp, CAST($unk AS DOUBLE)) AS c1,
+                    CASE WHEN a.s2 IS NOT NULL
+                         THEN a.v1 + j2.logp END AS c2,
+                    CASE WHEN a.s3 IS NOT NULL
+                         THEN a.v2 + j3.logp END AS c3
              FROM (
                SELECT *, syms[i + 1] AS s1,
                       CASE WHEN i >= 1
                            THEN array_to_string(syms[i:i + 1], '') END AS s2,
                       CASE WHEN i >= 2
                            THEN array_to_string(syms[i - 1:i + 1], '') END AS s3
-               FROM e$n WHERE i < len(syms)) a) b),
-         c$n AS (
+               FROM e$n WHERE i < len(syms)) a
+             LEFT JOIN $m j1 ON j1.piece = a.s1
+             LEFT JOIN $m j2 ON j2.piece = a.s2
+             LEFT JOIN $m j3 ON j3.piece = a.s3) b),
+         c$n AS MATERIALIZED (
            SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
            FROM (SELECT freq, unnest(p0) AS piece FROM e$n
                  WHERE i = len(syms))
            GROUP BY 1),
-         m$n AS (
+         m$n AS MATERIALIZED (
            SELECT piece, cnt,
                   round(ln(cnt / (SELECT sum(cnt) FROM c$n)::DOUBLE), 6) AS logp
            FROM c$n)"""
     }
     s"""WITH RECURSIVE
-       w0 AS (
+       w0 AS MATERIALIZED (
          SELECT w, count(*) AS freq FROM (
            SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
            FROM documents)
          WHERE w <> '' GROUP BY w),
-       v0 AS (SELECT row_number() OVER (ORDER BY w) AS wid, w,
-                     string_split(w, '') AS syms, freq FROM w0),
-       sub0 AS (
+       v0 AS MATERIALIZED (
+         SELECT row_number() OVER (ORDER BY w) AS wid, w,
+                string_split(w, '') AS syms, freq FROM w0),
+       sub0 AS MATERIALIZED (
          SELECT substr(w, i, l) AS piece, CAST(sum(freq) AS BIGINT) AS cnt
          FROM w0,
               unnest(generate_series(1, length(w))) AS a(i),
@@ -2853,13 +2875,14 @@ object SparkEntry {
          GROUP BY 1),
        top0 AS (SELECT piece, cnt FROM sub0
                 ORDER BY cnt DESC, piece LIMIT $seedTopK),
-       seed AS (SELECT DISTINCT piece, cnt FROM (
+       seed AS MATERIALIZED (SELECT DISTINCT piece, cnt FROM (
                   SELECT piece, cnt FROM top0
                   UNION ALL
                   SELECT piece, cnt FROM sub0 WHERE length(piece) = 1)),
-       m0 AS (SELECT piece, cnt,
-                     round(ln(cnt / (SELECT sum(cnt) FROM seed)::DOUBLE), 6) AS logp
-              FROM seed),
+       m0 AS MATERIALIZED (
+         SELECT piece, cnt,
+               round(ln(cnt / (SELECT sum(cnt) FROM seed)::DOUBLE), 6) AS logp
+         FROM seed),
        ${(1 to iters).map(viterbi).mkString(",\n")}"""
   }
 
@@ -3724,7 +3747,7 @@ object SparkEntry {
   private def dedupRecallOracleSql: String =
     s"""WITH ${minhashCandCtes("sa.doc_id < sb.doc_id")},
        |${jaccardCtesFor("documents", "j")},
-       |truth AS (
+       |truth AS MATERIALIZED (
        |  SELECT da, db FROM jshared
        |  JOIN jsz za ON da = za.doc_id
        |  JOIN jsz zb ON db = zb.doc_id

@@ -541,20 +541,26 @@ object SparkEntry {
 
     // INCREMENTAL connected components: the standing cluster state a
     // continuous-ingestion dedup keeps. Old labeling = CC over the
-    // standing corpus's pairs; new edges (any pair touching a new
-    // doc) merge through the frontier-sized QUOTIENT graph (labels as
-    // nodes) and a single remap join — never a full recompute. The
-    // oracle replays BOTH pair computations and runs the recursive CC
-    // over their union, so the gate proves incremental ≡ from-scratch
+    // pairs internal to the standing corpus; new edges (any pair
+    // touching a new doc) merge through the frontier-sized QUOTIENT
+    // graph (labels as nodes) and a single remap join — never a full
+    // recompute. The pair set is derived ONCE and persisted — the two
+    // arms are FILTERS of it (r12 verdict item 2: the entry used to
+    // re-run the whole shingle-index build per arm, benching the
+    // equivalence proof instead of the operator) — and since
+    // old∪new = ALL pairs, the oracle is the from-scratch recursive
+    // CC over the full pair set: hash equality proves
+    // incremental ≡ recompute, the same gate at half the derivation
     "dedup_clusters_inc" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val oldDocs = docs.filter(pmod(col("doc_id"), lit(10)) =!= 3)
-      val oldPairs = Dedup.ngramJaccardPairs(oldDocs, "doc_id", "text", k = 3, tau = 0.6)
-      val labels = Clusters.connectedComponents(oldPairs, "doc_a", "doc_b")
-      val newPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, tau = 0.6)
-        .filter(pmod(col("doc_a"), lit(10)) === 3 ||
-          pmod(col("doc_b"), lit(10)) === 3)
-      Clusters.incrementalComponents(labels, newPairs, "doc_a", "doc_b")
+      val allPairs = Dedup.ngramJaccardPairs(
+          t(s, dir, "documents"), "doc_id", "text", k = 3, tau = 0.6)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val newA = pmod(col("doc_a"), lit(10)) === 3
+      val newB = pmod(col("doc_b"), lit(10)) === 3
+      val labels = Clusters.connectedComponents(
+        allPairs.filter(!newA && !newB), "doc_a", "doc_b")
+      Clusters.incrementalComponents(labels, allPairs.filter(newA || newB),
+          "doc_a", "doc_b")
         .select(col("node").as("doc_id"), col("cluster_id"))
     }),
 
@@ -649,21 +655,8 @@ object SparkEntry {
     // graph is near-complete on this synthetic corpus, and a triangle
     // census of K_n measures nothing). Degree orientation bounds the
     // wedge fan-out at O(m^1.5) — the plan survives hubs
-    "graph_triangles" -> ((s, dir) => {
-      val lo = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
-      val pc = lo.as("a").join(lo.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_suppkey") < col("b.l_suppkey"))
-        .groupBy(col("a.l_suppkey").as("sa"), col("b.l_suppkey").as("sb"))
-        .agg(count(lit(1)).as("c"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val thr = pc.agg(expr("percentile(c, 0.95)")).collect()(0).getDouble(0)
-      val out = graft.operators.Graph.triangleCensus(
-        pc.filter(col("c") >= lit(thr)), "sa", "sb")
-      pc.unpersist(blocking = false)
-      out
-    }),
+    "graph_triangles" -> ((s, dir) =>
+      graft.operators.Graph.triangleCensus(hotSupplierGraph(s, dir), "sa", "sb")),
 
     // deterministic synchronous label propagation (r11): community
     // detection over the SAME hot (p95-thresholded) supplier
@@ -671,22 +664,10 @@ object SparkEntry {
     // most-frequent-neighbor-label with min-label ties, every
     // per-round shuffle keyed on a node id (co-partitioned on a real
     // cluster). Oracle unrolls the 3 rounds as CTEs
-    "graph_lpa" -> ((s, dir) => {
-      val lo = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
-      val pc = lo.as("a").join(lo.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_suppkey") < col("b.l_suppkey"))
-        .groupBy(col("a.l_suppkey").as("sa"), col("b.l_suppkey").as("sb"))
-        .agg(count(lit(1)).as("c"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val thr = pc.agg(expr("percentile(c, 0.95)")).collect()(0).getDouble(0)
-      val out = graft.operators.Graph.labelPropagation(
-        pc.filter(col("c") >= lit(thr)), "sa", "sb", iterations = 3)
-        .select(col("node").as("suppkey"), col("community"))
-      pc.unpersist(blocking = false)
-      out
-    }),
+    "graph_lpa" -> ((s, dir) =>
+      graft.operators.Graph.labelPropagation(hotSupplierGraph(s, dir), "sa", "sb",
+          iterations = 3)
+        .select(col("node").as("suppkey"), col("community"))),
 
     // URL canonicalization dedup, oracle-gated end-to-end by the
     // synthesize-parse round trip (the xml_roundtrip pattern): build a
@@ -1781,6 +1762,40 @@ object SparkEntry {
     "pipeline_report" -> ((s, dir) => curatedFor(s, dir).report)
   )
 
+  /** HOT supplier co-occurrence graph shared by graph_triangles and
+    * graph_lpa: undirected `(sa, sb)` edges (sa < sb) whose
+    * co-occurrence count (orders containing both suppliers) clears
+    * the p95 of the pair-count distribution — the raw graph is
+    * near-complete on this synthetic corpus, and a census of K_n
+    * measures nothing; the quantile is a 1-row agg collected to a
+    * literal (the trained-model-as-literals convention).
+    *
+    * Derivation is the q2_pair_counts shape, NOT a lineitem
+    * self-join: members are gathered per order once (`collect_set`,
+    * map-side partial agg — it also dedupes, so no upstream
+    * distinct) and the a < b pairs are generated in-row from the
+    * sorted array by the native single-pass [[graft.functions.expr.SortedPairs]]
+    * — the fact table is shuffled ONCE on the set key instead of
+    * three times (distinct + both join sides), the formulation the
+    * repo measured 1.75× faster at 10× (SURVEY §6). The pair frame
+    * is persisted for the two passes (quantile, then filter);
+    * per-pair counts are identical to the self-join's by
+    * construction, so both gates' hashes are unchanged. */
+  private def hotSupplierGraph(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.expr.NativeFunctions.sorted_pairs
+    val pc = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_suppkey"))).as("__ms"))
+      .select(explode(sorted_pairs(col("__ms"))).as("__p"))
+      .groupBy(col("__p.a").as("sa"), col("__p.b").as("sb"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val thr = pc.agg(expr("percentile(c, 0.95)")).collect()(0).getDouble(0)
+    val out = pc.filter(col("c") >= lit(thr)).select(col("sa"), col("sb"))
+    pc.unpersist(blocking = false)
+    out
+  }
+
   /** Memoized pipeline instance per (session, dir) — a REAL memo (r9
     * verdict fixed the SURVEY claim): pipeline_report after
     * pipeline_curate reuses the SAME persisted stage boundaries
@@ -1814,7 +1829,7 @@ object SparkEntry {
     })
   }
 
-  private def curatedBuild(s: SparkSession, dir: String) =
+  private[graft] def curatedBuild(s: SparkSession, dir: String) =
     graft.operators.CuratePipeline.curate(
         t(s, dir, "documents"), "doc_id", "text", "lang", "source",
         col("n_chars"), benchSources = Seq("src0", "src1"),
@@ -4703,25 +4718,18 @@ object SparkEntry {
            SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node)
          SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1""",
 
-    // incremental CC vs the from-scratch recursive CC over the UNION
-    // of the old-corpus pair set and the full-corpus pairs touching a
-    // new doc — each pair family re-derived with its own sqrt(N) cap
+    // incremental CC's gate: the Spark side folds CC(old-internal
+    // pairs) + pairs-touching-new through the quotient graph; since
+    // those two arms partition the FULL pair set, the oracle is the
+    // from-scratch recursive CC over all pairs (identical to
+    // dedup_clusters' derivation) — hash equality proves
+    // incremental ≡ recompute without replaying the pair build twice
     "dedup_clusters_inc" ->
-      s"""WITH RECURSIVE
-         old_docs AS (SELECT * FROM documents WHERE doc_id % 10 <> 3),
-         ${jaccardCtesFor("old_docs", "o_")},
-         ${jaccardCtesFor("documents", "")},
-         o_pairs AS (
-           SELECT da, db
-           FROM o_shared JOIN o_sz za ON da = za.doc_id
-                         JOIN o_sz zb ON db = zb.doc_id
-           WHERE round(c / (za.n + zb.n - c), 4) >= 0.6),
-         n_pairs AS (
+      s"""WITH RECURSIVE $jaccardCtes,
+         pairs AS (
            SELECT da, db
            FROM shared JOIN sz za ON da = za.doc_id JOIN sz zb ON db = zb.doc_id
-           WHERE round(c / (za.n + zb.n - c), 4) >= 0.6
-             AND (da % 10 = 3 OR db % 10 = 3)),
-         pairs AS (SELECT da, db FROM o_pairs UNION SELECT da, db FROM n_pairs),
+           WHERE round(c / (za.n + zb.n - c), 4) >= 0.6),
          edges AS (
            SELECT da AS src, db AS dst FROM pairs
            UNION ALL SELECT db, da FROM pairs),

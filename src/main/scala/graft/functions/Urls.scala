@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
   * ports, tracking params, fragments, trailing slashes) must collapse
   * to one key BEFORE content dedup ever runs.
   *
-  * Pure Column regex/array ops (RE2-compatible patterns, no UDF). The
-  * param filter/sort uses array higher-order functions — interpreted,
-  * not codegen'd, but over per-row arrays of a handful of params; the
-  * scan stays one pass.
+  * [[canonicalize]] is the native single-pass
+  * [[graft.functions.expr.UrlCanonicalize]] expression (codegen'd, one
+  * scan per row). [[canonicalizeColumns]] keeps the original Column
+  * regex/array formulation — ~10 regex engines per row, the 3.4×-over-
+  * oracle constant the r12 bench flagged — as the executable contract
+  * the native path is property-spec'd against (UrlCanonSpec).
   */
 object Urls {
 
@@ -26,8 +28,14 @@ object Urls {
   /** Canonical form: lowercase scheme+host, default port stripped,
     * trailing path slashes collapsed (root stays "/"), tracking
     * params dropped, surviving params sorted, fragment dropped.
+    * Native single-pass scan; output identical to [[canonicalizeColumns]].
     */
-  def canonicalize(url: Column): Column = {
+  def canonicalize(url: Column): Column =
+    graft.functions.expr.NativeFunctions.url_canonicalize(url)
+
+  /** The original 8-regex Column formulation of [[canonicalize]] —
+    * retained as the property-spec reference for the native path. */
+  def canonicalizeColumns(url: Column): Column = {
     val sch = lower(regexp_extract(url, scheme, 1))
     val hostport = lower(regexp_extract(url, schemeNc + "([^/?#]*)", 1))
     val host = when(sch === "http", regexp_replace(hostport, ":80$", ""))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions with code generation — for hot-path
@@ -913,6 +913,167 @@ case class UnigramEncode(child: Expression, pieces: Seq[(String, Double)],
     copy(child = newChild)
 }
 
+/** Single-pass URL canonicalization — lowercase scheme+host, default
+  * port stripped (:80 for http, :443 for https), trailing path
+  * slashes collapsed (root stays "/"), tracking params (the utm_
+  * prefix family, fbclid, gclid, ref_src) dropped, surviving params sorted
+  * (UTF-8 binary order, = code-point order), fragment dropped.
+  *
+  * Replaces [[graft.functions.Urls.canonicalizeColumns]]'s chain of
+  * 8 regex Column ops: each regexp_extract/regexp_replace/rlike runs
+  * its own NFA over the row, so the chain pays ~10 pattern engines
+  * per URL where one left-to-right scan suffices (the r12 bench
+  * measured the chain 3.4× over the DuckDB oracle's vectorized RE2 —
+  * a per-row CPU constant, no scale risk, but why pay it). The
+  * output contract is EXACTLY the Column form's — including its
+  * degenerate no-scheme behavior ("://" + "/" skeleton) and
+  * first-'?'-anywhere query detection — property-spec'd equal on
+  * adversarial inputs (UrlCanonSpec). ASCII chars lowercase via the
+  * fast path; non-ASCII falls back to String.toLowerCase, the same
+  * route UTF8String.toLowerCase takes.
+  *
+  * Codegen emits one static call — the expression stays inside the
+  * enclosing WholeStageCodegen span (no CodegenFallback row boxing).
+  */
+case class UrlCanonicalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "url_canonicalize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UrlCanonicalize.canon(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expr.UrlCanonicalize.canon($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object UrlCanonicalize {
+
+  private def isAlpha(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  private def isSchemeChar(c: Char): Boolean =
+    isAlpha(c) || (c >= '0' && c <= '9') || c == '+' || c == '.' || c == '-'
+
+  private def lowerAscii(s: String): String = {
+    var i = 0
+    var ascii = true
+    while (ascii && i < s.length) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (!ascii) s.toLowerCase // the UTF8String.toLowerCase non-ASCII route
+    else {
+      val b = new java.lang.StringBuilder(s.length)
+      i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        b.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+        i += 1
+      }
+      b.toString
+    }
+  }
+
+  /** `^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref_src)=` — the
+    * [[graft.functions.Urls.trackingParamPattern]] contract, scanned. */
+  private def isTracking(p: String): Boolean = {
+    if (p.startsWith("fbclid=") || p.startsWith("gclid=") || p.startsWith("ref_src=")) true
+    else if (p.startsWith("utm_")) {
+      var i = 4
+      while (i < p.length && {
+        val c = p.charAt(i)
+        isAlpha(c) || (c >= '0' && c <= '9') || c == '_'
+      }) i += 1
+      i < p.length && p.charAt(i) == '='
+    } else false
+  }
+
+  // UTF-8 binary order == code-point lexicographic order (what
+  // array_sort does on strings); String.compareTo is UTF-16-unit
+  // order, which misorders supplementary characters
+  private def cpCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  def canon(u: UTF8String): UTF8String = {
+    val s = u.toString
+    val n = s.length
+    // scheme: ^[A-Za-z][A-Za-z0-9+.-]*:// — the class excludes ':',
+    // so the maximal run must be followed by "://" exactly
+    var schemeEnd = -1
+    if (n > 0 && isAlpha(s.charAt(0))) {
+      var i = 1
+      while (i < n && isSchemeChar(s.charAt(i))) i += 1
+      if (s.regionMatches(i, "://", 0, 3)) schemeEnd = i
+    }
+    val sch = if (schemeEnd < 0) "" else lowerAscii(s.substring(0, schemeEnd))
+    var hostport = ""
+    var rawPath = ""
+    if (schemeEnd >= 0) {
+      var i = schemeEnd + 3
+      val hostStart = i
+      while (i < n && { val c = s.charAt(i); c != '/' && c != '?' && c != '#' }) i += 1
+      hostport = lowerAscii(s.substring(hostStart, i))
+      val pathStart = i
+      while (i < n && { val c = s.charAt(i); c != '?' && c != '#' }) i += 1
+      rawPath = s.substring(pathStart, i)
+    }
+    val host =
+      if (sch == "http" && hostport.endsWith(":80"))
+        hostport.substring(0, hostport.length - 3)
+      else if (sch == "https" && hostport.endsWith(":443"))
+        hostport.substring(0, hostport.length - 4)
+      else hostport
+    var pe = rawPath.length
+    while (pe > 0 && rawPath.charAt(pe - 1) == '/') pe -= 1
+    val path = if (pe == 0) "/" else rawPath.substring(0, pe)
+    // query: first '?' ANYWHERE (the \?([^#]*) contract), to '#'/end
+    val qMark = s.indexOf('?')
+    val rawQ =
+      if (qMark < 0) ""
+      else {
+        val h = s.indexOf('#', qMark + 1)
+        if (h < 0) s.substring(qMark + 1) else s.substring(qMark + 1, h)
+      }
+    val out = new java.lang.StringBuilder(n)
+    out.append(sch).append("://").append(host).append(path)
+    if (!rawQ.isEmpty) {
+      val params = new java.util.ArrayList[String](8)
+      var st = 0
+      var i = 0
+      while (i <= rawQ.length) {
+        if (i == rawQ.length || rawQ.charAt(i) == '&') {
+          if (i > st) {
+            val p = rawQ.substring(st, i)
+            if (!isTracking(p)) params.add(p)
+          }
+          st = i + 1
+        }
+        i += 1
+      }
+      if (!params.isEmpty) {
+        params.sort((a: String, b: String) => cpCompare(a, b))
+        out.append('?')
+        var k = 0
+        while (k < params.size) {
+          if (k > 0) out.append('&')
+          out.append(params.get(k))
+          k += 1
+        }
+      }
+    }
+    UTF8String.fromString(out.toString)
+  }
+}
+
 object NativeFunctions {
   /** Column API for HammingDistance. */
   def hamming_distance(a: Column, b: Column): Column =
@@ -970,6 +1131,10 @@ object NativeFunctions {
   /** Column API for Avalanche64 (murmur-style 64-bit finalizer). */
   def avalanche64(c: Column): Column =
     ColumnBridge.toColumn(Avalanche64(ColumnBridge.toExpr(c)))
+
+  /** Column API for UrlCanonicalize (messy URL → canonical form). */
+  def url_canonicalize(c: Column): Column =
+    ColumnBridge.toColumn(UrlCanonicalize(ColumnBridge.toExpr(c)))
 
   /** Column API for BpeEncode (word string → subword array). */
   def bpe_encode(word: Column, rules: Seq[(String, String)]): Column =

@@ -32,10 +32,26 @@ import org.apache.spark.sql.functions._
   */
 object Clusters {
 
-  /** @return (node, cluster_id) for every node appearing in `pairs`,
+  /** @param truncateEvery lineage-truncation cadence (the pagerank
+    *        knob): 1 (default) materializes every round — right for
+    *        corpus-sized graphs, where re-executing a round to serve
+    *        the convergence count would be expensive; k>1 checkpoints
+    *        every k-th round and lets the in-between convergence
+    *        counts re-execute ≤ k rounds of joins from the last
+    *        checkpoint — right for FRONTIER-sized graphs (the
+    *        incremental fold's quotient CC), where each skipped
+    *        eager materialization saves a whole driver-scheduled job
+    *        and the recompute is a few hundred rows. Plan depth stays
+    *        ≤ k (bounded). Forced to 1 under a reliable checkpoint
+    *        dir: the generation-deletion bookkeeping assumes each
+    *        round's frame is file-backed before its parent is
+    *        deleted, and on a real cluster per-round truncation is
+    *        what you want anyway.
+    * @return (node, cluster_id) for every node appearing in `pairs`,
     *         cluster_id = min node id of the component. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, truncateEvery: Int = 1): DataFrame = {
+    require(truncateEvery >= 1, s"truncateEvery $truncateEvery must be >= 1")
     val sc = pairs.sparkSession.sparkContext
     val reliable = sc.getCheckpointDir.isDefined
     lazy val ckptPath = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
@@ -68,6 +84,7 @@ object Clusters {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
+      val doTrunc = reliable || (iter + 1) % truncateEvery == 0
       // neighbor min
       val nbMin = e.join(labels, e("dst") === labels("node"))
         .groupBy(col("src").as("nb_node"))
@@ -77,24 +94,36 @@ object Clusters {
           least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id"))).as("mid"))
       // dense near-dup clusters converge in ≤2 plain rounds — pay for
       // the pointer-jumping self-join only once a long chain is the
-      // plausible remaining shape. prop is materialized BEFORE the
-      // self-join so the propagate join runs once, not twice.
+      // plausible remaining shape. In truncating rounds prop is
+      // materialized BEFORE the self-join so the propagate join runs
+      // once, not twice; in frugal (k>1) rounds the double execution
+      // of a frontier-sized chain is cheaper than the extra job.
       val (stepped, stepFiles) =
         if (iter < 2) (prop, Set.empty[String])
-        else {
+        else if (doTrunc) {
           val (p, pf) = truncate(prop)
           val jump = p.select(col("node").as("j_node"), col("mid").as("j_mid"))
           (p.join(jump, col("mid") === col("j_node"), "left")
             .select(col("node"), col("old_cluster"),
               least(col("mid"), coalesce(col("j_mid"), col("mid"))).as("mid")), pf)
+        } else {
+          val jump = prop.select(col("node").as("j_node"), col("mid").as("j_mid"))
+          (prop.join(jump, col("mid") === col("j_node"), "left")
+            .select(col("node"), col("old_cluster"),
+              least(col("mid"), coalesce(col("j_mid"), col("mid"))).as("mid")),
+            Set.empty[String])
         }
-      val (next, nextFiles) = truncate(stepped.select(col("node"),
+      val stepOut = stepped.select(col("node"),
         col("mid").as("cluster_id"),
-        (col("mid") < col("old_cluster")).as("chg")))
-      // next is materialized: the previous generation (and this
-      // round's jump intermediate) is no longer referenced
-      delete(liveFiles ++ stepFiles)
-      liveFiles = nextFiles
+        (col("mid") < col("old_cluster")).as("chg"))
+      val (next, nextFiles) =
+        if (doTrunc) truncate(stepOut) else (stepOut, Set.empty[String])
+      if (doTrunc) {
+        // next is materialized: the previous generation (and this
+        // round's jump intermediate) is no longer referenced
+        delete(liveFiles ++ stepFiles)
+        liveFiles = nextFiles
+      }
       changed = next.filter(col("chg")).count()
       labels = next.drop("chg")
       iter += 1
@@ -247,7 +276,12 @@ object Clusters {
       .join(resolved.select(col("node").as("dst"), col("lbl").as("lb")), "dst")
       .filter(col("la") =!= col("lb"))
       .select(col("la"), col("lb"))
-    val merged = connectedComponents(clusterEdges, "la", "lb", maxIter)
+    // frontier-sized by contract → frugal truncation cadence: the
+    // convergence counts re-execute ≤3 rounds of joins over frontier
+    // rows, cheaper than an eager materialization job per round
+    // (forced back to per-round under a reliable checkpoint dir)
+    val merged = connectedComponents(clusterEdges, "la", "lb", maxIter,
+        truncateEvery = 3)
       .select(col("node").as("old_lbl"), col("cluster_id").as("new_lbl"))
     val newSelf = seen.filter(col("cluster_id").isNull)
       .select(col("node"), col("node").as("cluster_id"))

@@ -152,68 +152,6 @@ object Graph {
     * and deduped first. Returns one row per node:
     * `(node, degree, tri_count, clustering)` where clustering =
     * round(2·tri / (deg·(deg−1)), 6) and degree-1 nodes score 0. */
-  /** Synchronous label-propagation community detection (Raghavan '07,
-    * the GraphFrames/Pregel formulation) over an undirected edge
-    * list, made DETERMINISTIC so it can be oracle-replayed: every
-    * node starts labeled with its own id; each of the fixed
-    * `iterations` rounds relabels EVERY node simultaneously with the
-    * most frequent label among its neighbors, ties broken by the
-    * SMALLEST label. No randomized visit order, no asynchronous
-    * updates — the classic nondeterminism sources are removed, at the
-    * cost of the known synchronous-LPA oscillation on bipartite
-    * structures (which a fixed iteration cap bounds; callers wanting
-    * a fixpoint read successive rounds).
-    *
-    * Scale shape (the PageRank contract): the canonicalized edge list
-    * is symmetrized into an adjacency `(node, nbr)` frame and
-    * truncated ONCE; each round is one equi-join of the adjacency
-    * against the ∝|V| label frame on `nbr` + one groupBy(node, label)
-    * count + one argmax aggregate on `node` — every shuffle keys on a
-    * node id, so a real cluster co-partitions all three exchanges,
-    * and AQE broadcasts the label side when |V| allows. The argmax is
-    * a single `max(struct(cnt, -label))` aggregate (max count, then
-    * min label) — no window sort over the neighborhood counts.
-    * Lineage is truncated per round, so plan depth stays O(1) in
-    * `iterations`. Isolated nodes cannot occur (every node comes off
-    * an edge); a node always has ≥1 neighbor and always relabels.
-    *
-    * @param edges undirected edge list; either orientation, dups and
-    *              self-loops tolerated (canonicalized away).
-    * @return (node, community) — one row per distinct node.
-    */
-  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
-      iterations: Int): DataFrame = {
-    require(iterations >= 1, s"iterations $iterations must be >= 1")
-    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
-    def truncate(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
-    val e = edges.select(
-        least(col(aCol), col(bCol)).as("u"),
-        greatest(col(aCol), col(bCol)).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-    val adj = truncate(
-      e.select(col("u").as("node"), col("v").as("nbr"))
-        .union(e.select(col("v").as("node"), col("u").as("nbr"))))
-    var labels = truncate(
-      adj.select(col("node")).distinct().withColumn("label", col("node")))
-    for (_ <- 1 to iterations) {
-      val counts = adj
-        .join(labels.select(col("node").as("nbr"), col("label")), "nbr")
-        .groupBy(col("node"), col("label"))
-        .agg(count(lit(1)).as("__c"))
-      // argmax(count) with min-label tiebreak as ONE aggregate:
-      // struct comparison is (count, -label) lexicographic, so the
-      // max has the largest count and, within it, the smallest label
-      val next = counts
-        .groupBy("node")
-        .agg(max(struct(col("__c"), (-col("label")).as("__nl"))).as("__m"))
-        .select(col("node"), (-col("__m.__nl")).as("label"))
-      labels = truncate(next)
-    }
-    labels.select(col("node"), col("label").as("community"))
-  }
-
   def triangleCensus(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
     val e = edges.select(
         least(col(aCol), col(bCol)).as("u"),
@@ -261,5 +199,106 @@ object Graph {
     materialized.count()
     Seq(e, deg, o).foreach(_.unpersist(blocking = false))
     materialized
+  }
+
+  /** Synchronous label-propagation community detection (Raghavan '07,
+    * the GraphFrames/Pregel formulation) over an undirected edge
+    * list, made DETERMINISTIC so it can be oracle-replayed: every
+    * node starts labeled with its own id; each round relabels EVERY
+    * node simultaneously with the most frequent label among its
+    * neighbors, ties broken by the SMALLEST label. No randomized
+    * visit order, no asynchronous updates — the classic
+    * nondeterminism sources are removed.
+    *
+    * Termination (the PageRank tolerance pattern, r11 verdict item
+    * 7): `iterations` is the CAP, and the loop also stops early when
+    * (a) no label changed — a fixpoint, every later round is
+    * identical — or (b) the labeling equals the one from TWO rounds
+    * ago: the known synchronous-LPA period-2 oscillation on
+    * bipartite structures, which would otherwise flip forever. In
+    * the oscillation case the returned frame is the one the cap
+    * would have produced (parity of the remaining rounds), so the
+    * result is ALWAYS exactly the fixed-`iterations` unroll — early
+    * stop changes cost, never output (the oracle-replay contract).
+    * Both checks ride ONE extra ∝|V| co-partitioned join per round,
+    * the same legitimate fixpoint-control driver read as
+    * connectedComponents' changed-count. `onRound` observes
+    * (round, changedCount) — production monitoring and spec hook.
+    *
+    * Scale shape (the PageRank contract): the canonicalized edge list
+    * is symmetrized into an adjacency `(node, nbr)` frame and
+    * truncated ONCE; each round is one equi-join of the adjacency
+    * against the ∝|V| label frame on `nbr` + one groupBy(node, label)
+    * count + one argmax aggregate on `node` — every shuffle keys on a
+    * node id, so a real cluster co-partitions all three exchanges,
+    * and AQE broadcasts the label side when |V| allows. The argmax is
+    * a single `max(struct(cnt, -label))` aggregate (max count, then
+    * min label) — no window sort over the neighborhood counts.
+    * Lineage is truncated per round, so plan depth stays O(1) in
+    * `iterations`. Isolated nodes cannot occur (every node comes off
+    * an edge); a node always has ≥1 neighbor and always relabels.
+    *
+    * @param edges undirected edge list; either orientation, dups and
+    *              self-loops tolerated (canonicalized away).
+    * @return (node, community) — one row per distinct node.
+    */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+      iterations: Int,
+      onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
+    require(iterations >= 1, s"iterations $iterations must be >= 1")
+    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    val e = edges.select(
+        least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val adj = truncate(
+      e.select(col("u").as("node"), col("v").as("nbr"))
+        .union(e.select(col("v").as("node"), col("u").as("nbr"))))
+    var labels = truncate(
+      adj.select(col("node")).distinct().withColumn("label", col("node")))
+    var prev: DataFrame = null // labeling two rounds back (oscillation probe)
+    var result: DataFrame = null
+    var i = 0
+    while (i < iterations && result == null) {
+      i += 1
+      val counts = adj
+        .join(labels.select(col("node").as("nbr"), col("label")), "nbr")
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      // argmax(count) with min-label tiebreak as ONE aggregate:
+      // struct comparison is (count, -label) lexicographic, so the
+      // max has the largest count and, within it, the smallest label
+      val next = truncate(counts
+        .groupBy("node")
+        .agg(max(struct(col("__c"), (-col("label")).as("__nl"))).as("__m"))
+        .select(col("node"), (-col("__m.__nl")).as("label")))
+      // one probe job measures both stops: changed vs last round
+      // (fixpoint) and diffs vs two rounds ago (period-2 cycle). All
+      // frames share the node set, so inner joins lose nothing.
+      val joined = next.select(col("node"), col("label").as("__n"))
+        .join(labels.select(col("node"), col("label").as("__p1")), "node")
+      val probe =
+        if (prev == null)
+          joined.withColumn("__p2", lit(null).cast(next.schema("label").dataType))
+        else joined.join(prev.select(col("node"), col("label").as("__p2")), "node")
+      val row = probe.agg(
+        sum(when(col("__n") =!= col("__p1"), 1L).otherwise(0L)).as("__chg"),
+        sum(when(col("__n") === col("__p2"), 0L).otherwise(1L)).as("__osc"))
+        .collect()(0)
+      val changed = row.getLong(0)
+      onRound(i, changed)
+      if (changed == 0L) result = next // fixpoint: rounds i..cap identical
+      else if (prev != null && row.getLong(1) == 0L) {
+        // period-2 oscillation: next == labels(i-2), so the cap's
+        // labeling is `next` when the remaining round count is even,
+        // else the current `labels` — return exactly that
+        result = if ((iterations - i) % 2 == 0) next else labels
+      } else { prev = labels; labels = next }
+    }
+    if (result == null) result = labels
+    result.select(col("node"), col("label").as("community"))
   }
 }

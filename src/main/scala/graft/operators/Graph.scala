@@ -113,8 +113,12 @@ object Graph {
       tolerance match {
         case Some(eps) =>
           // delta needs next materialized anyway — truncate every
-          // iteration in this mode (the barrier IS the delta read)
-          val mat = truncate(next)
+          // iteration in this mode, LAZILY: the checkpoint is marked
+          // and the delta-read job itself computes, caches, and
+          // lineage-truncates the frame (one action per iteration,
+          // not a truncation job plus the delta job)
+          val mat = if (reliable) next.checkpoint(false)
+            else next.localCheckpoint(false)
           val delta = mat
             .join(ranks.select(col("node"), col("rank").as("__prev")), "node")
             .agg(sum(abs(col("rank") - col("__prev")))).collect()(0).getDouble(0)
@@ -271,10 +275,15 @@ object Graph {
       // argmax(count) with min-label tiebreak as ONE aggregate:
       // struct comparison is (count, -label) lexicographic, so the
       // max has the largest count and, within it, the smallest label
-      val next = truncate(counts
+      // LAZY truncation fused with the stop-probe (the Clusters r13
+      // pattern): the probe job below computes `next`, caches it, and
+      // truncates its lineage in one driver-scheduled action
+      val nextRaw = counts
         .groupBy("node")
         .agg(max(struct(col("__c"), (-col("label")).as("__nl"))).as("__m"))
-        .select(col("node"), (-col("__m.__nl")).as("label")))
+        .select(col("node"), (-col("__m.__nl")).as("label"))
+      val next = if (reliable) nextRaw.checkpoint(false)
+        else nextRaw.localCheckpoint(false)
       // one probe job measures both stops: changed vs last round
       // (fixpoint) and diffs vs two rounds ago (period-2 cycle). All
       // frames share the node set, so inner joins lose nothing.

@@ -286,26 +286,32 @@ object Graph {
         else nextRaw.localCheckpoint(false)
       // one probe job measures both stops: changed vs last round
       // (fixpoint) and diffs vs two rounds ago (period-2 cycle). All
-      // frames share the node set, so inner joins lose nothing.
-      val joined = next.select(col("node"), col("label").as("__n"))
-        .join(labels.select(col("node"), col("label").as("__p1")), "node")
-      val probe =
-        if (prev == null)
-          joined.withColumn("__p2", lit(null).cast(next.schema("label").dataType))
-        else joined.join(prev.select(col("node"), col("label").as("__p2")), "node")
-      val row = probe.agg(
-        sum(when(col("__n") =!= col("__p1"), 1L).otherwise(0L)).as("__chg"),
-        sum(when(col("__n") === col("__p2"), 0L).otherwise(1L)).as("__osc"))
-        .collect()(0)
-      val changed = row.getLong(0)
-      onRound(i, changed)
-      if (changed == 0L) result = next // fixpoint: rounds i..cap identical
-      else if (prev != null && row.getLong(1) == 0L) {
-        // period-2 oscillation: next == labels(i-2), so the cap's
-        // labeling is `next` when the remaining round count is even,
-        // else the current `labels` — return exactly that
-        result = if ((iterations - i) % 2 == 0) next else labels
-      } else { prev = labels; labels = next }
+      // frames share the node set, so inner joins lose nothing. The
+      // FINAL round skips the probe — the loop exits regardless, so
+      // the read could save nothing (next still materializes lazily
+      // on consumption).
+      if (i == iterations) { prev = labels; labels = next }
+      else {
+        val joined = next.select(col("node"), col("label").as("__n"))
+          .join(labels.select(col("node"), col("label").as("__p1")), "node")
+        val probe =
+          if (prev == null)
+            joined.withColumn("__p2", lit(null).cast(next.schema("label").dataType))
+          else joined.join(prev.select(col("node"), col("label").as("__p2")), "node")
+        val row = probe.agg(
+          sum(when(col("__n") =!= col("__p1"), 1L).otherwise(0L)).as("__chg"),
+          sum(when(col("__n") === col("__p2"), 0L).otherwise(1L)).as("__osc"))
+          .collect()(0)
+        val changed = row.getLong(0)
+        onRound(i, changed)
+        if (changed == 0L) result = next // fixpoint: rounds i..cap identical
+        else if (prev != null && row.getLong(1) == 0L) {
+          // period-2 oscillation: next == labels(i-2), so the cap's
+          // labeling is `next` when the remaining round count is even,
+          // else the current `labels` — return exactly that
+          result = if ((iterations - i) % 2 == 0) next else labels
+        } else { prev = labels; labels = next }
+      }
     }
     if (result == null) result = labels
     result.select(col("node"), col("label").as("community"))

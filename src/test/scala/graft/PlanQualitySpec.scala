@@ -91,6 +91,42 @@ class PlanQualitySpec extends SparkSpec {
       s"more shuffles than collect_set/year-join/pair-agg need:\n$p")
   }
 
+  test("hot co-occurrence graph derivation shuffles the fact once (no self-join)") {
+    // the shared graph_triangles/graph_lpa derivation (r13): the raw
+    // pair-count frame before the quantile threshold — collect_set
+    // per order + in-row SortedPairs explosion, NOT lineitem⋈lineitem
+    import graft.functions.expr.NativeFunctions.sorted_pairs
+    val p = plan(Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_suppkey"))).as("__ms"))
+      .select(explode(sorted_pairs(col("__ms"))).as("__p"))
+      .groupBy(col("__p.a").as("sa"), col("__p.b").as("sb"))
+      .agg(count(lit(1)).as("c")))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastHashJoin"),
+      s"pair derivation joined instead of gathering in-row:\n$p")
+    // set-key gather + pair agg: two hash exchanges, nothing more
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"more shuffles than collect_set + pair-agg need:\n$p")
+  }
+
+  test("url canonicalization stays inside whole-stage codegen (no fallback boxing)") {
+    val df = Tables.orders(spark, sfDir)
+      .select(graft.functions.Urls.canonicalize(
+        concat(lit("https://H.com:443/p/?b=1&utm_source=x&a="),
+          col("o_orderkey").cast("string"))).as("u"))
+      .groupBy(col("u")).agg(count(lit(1)))
+    // AQE only shows codegen spans in the FINAL plan, and only the
+    // frame's OWN execution finalizes it (count() plans separately);
+    // the *(n) prefix marks an operator inside WholeStageCodegen
+    // span n — a CodegenFallback expression would leave its Project
+    // unstarred outside any span
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[url_canonicalize""".r.findFirstIn(p).isDefined,
+      s"url_canonicalize's Project is outside whole-stage codegen:\n$p")
+  }
+
   test("bloom decon never shuffles or joins the corpus (broadcast filter, in-row probe)") {
     val docs = Tables.documents(spark, sfDir)
     val isBench = col("source").isin("src0", "src1")

@@ -61,6 +61,38 @@ class UrlCanonSpec extends SparkSpec {
     assert(c("https://h/p?utm_source") === "https://h/p?utm_source")
   }
 
+  test("native ≡ regex on randomized URL-grammar strings (60 cases, batched)") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    // grammar biased toward the canonicalizer's decision points:
+    // scheme casing/absence, default ports, slash runs, tracking-
+    // lookalike params, empty params, fragments, stray '?'/'#'
+    val scheme = Gen.oneOf("http", "HTTP", "https", "HTTPS", "ftp", "a+b-c.d", "")
+    val host = Gen.oneOf("H.com", "h.com", "WWW.Shop3.COM", "h", "")
+    val port = Gen.oneOf("", ":80", ":443", ":8080", ":")
+    val seg = Gen.oneOf("", "/", "//", "/a", "/a/", "/a//b///", "/cat/x")
+    val param = Gen.oneOf("", "a=1", "B=2", "utm_source=x", "utm_=q", "utm-x=1",
+      "fbclid=z", "fbclidx=1", "gclid", "ref_src=t", "=v", "a==b", "a")
+    val query = Gen.listOfN(3, param).map(_.mkString("&"))
+    val frag = Gen.oneOf("", "#f", "#a?b", "#")
+    val urlGen = for {
+      s <- scheme; sep <- Gen.oneOf("://", ":/", "//", "")
+      h <- host; p <- port; pa <- seg
+      qm <- Gen.oneOf("", "?"); q <- query; f <- frag
+    } yield s"$s$sep$h$p$pa$qm$q$f"
+    val prop = Prop.forAll(Gen.listOfN(30, urlGen)) { urls =>
+      val both = urls.toDF("u").select(
+          Urls.canonicalize(col("u")).as("n"),
+          Urls.canonicalizeColumns(col("u")).as("r"))
+        .as[(String, String)].collect()
+      val bad = urls.zip(both).filter { case (_, (n, r)) => n != r }
+      if (bad.nonEmpty) System.err.println(s"diverged: $bad")
+      bad.isEmpty
+    }
+    val res = ScTest.check(ScTest.Parameters.default
+      .withMinSuccessfulTests(60).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("null URL stays null through the native expression") {
     val out = Seq[String](null).toDF("u")
       .select(Urls.canonicalize(col("u"))).collect()

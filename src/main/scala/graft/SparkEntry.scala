@@ -1472,6 +1472,30 @@ object SparkEntry {
         graft.functions.expr.NativeFunctions
           .rolling_hash(Text.canonicalize(col("text"))).as("fp64"))),
 
+    // HTML text extraction (r13): the raw-crawl→text step that runs
+    // BEFORE every quality gate. Gated the dedup_url way: per doc a
+    // full page is SYNTHESIZED (head with title/style/script, nav
+    // boilerplate carrying the source, h1, the text split into <p>
+    // paragraphs at " spark " boundaries), the native HtmlText scan
+    // extracts, and the oracle derives the expected title and body
+    // DIRECTLY from the base columns — any extraction defect (kept
+    // script payload, leaked nav, broken whitespace collapse)
+    // hash-mismatches. Stateless map, no shuffle beyond the scan.
+    "text_extract_html" -> ((s, dir) => {
+      import graft.functions.Html
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><head><title>doc "), id,
+        lit("</title><style>p{margin:0}</style><script>track("), id,
+        lit(");</script></head><body><nav>Home | "), col("source"),
+        lit("</nav><h1>"), col("lang"), lit(" doc</h1><p>"),
+        regexp_replace(col("text"), " spark ", "</p>\n<p>"),
+        lit("</p>\n</body></html>"))
+      t(s, dir, "documents").select(col("doc_id"),
+        Html.titleFromHtml(html).as("title"),
+        Html.textFromHtml(html).as("body"))
+    }),
+
     // ---- §2d events ----
     "q15_event_windows" -> ((s, dir) => Events.hourlyByType(Tables.events(s, dir))),
 
@@ -5009,6 +5033,23 @@ object SparkEntry {
                         c -> CAST(ord(c) AS HUGEINT))),
                     (a, b) -> (a * 31 + b) % CAST('18446744073709551616' AS HUGEINT)) AS fp_u
            FROM documents)""",
+
+    // html extraction, gated by independent derivation (the dedup_url
+    // pattern): expected title/body come from the BASE columns, never
+    // from replaying the extractor — the synthesize→extract round
+    // trip must invert exactly. " spark " → paragraph-break
+    // substitution on the Spark side comes back as a single space
+    // (tag → space, collapse), so the oracle's direct form is a plain
+    // non-overlapping global replace; both engines' regex engines
+    // continue after each match, so overlap semantics agree
+    "text_extract_html" ->
+      """SELECT doc_id,
+                'doc ' || CAST(doc_id AS VARCHAR) AS title,
+                trim(regexp_replace(
+                  'doc ' || CAST(doc_id AS VARCHAR) || ' ' || lang ||
+                    ' doc ' || regexp_replace(text, ' spark ', ' ', 'g'),
+                  '\s+', ' ', 'g')) AS body
+         FROM documents""",
 
     // argmax of per-language stopword hits; ties resolve to the
     // lexicographically greatest language in BOTH engines (struct max

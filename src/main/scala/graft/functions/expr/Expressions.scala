@@ -1074,6 +1074,134 @@ object UrlCanonicalize {
   }
 }
 
+/** Single-pass HTML-to-text extraction — the raw-crawl→text step a
+  * training-data pipeline runs before any quality gate: drop
+  * script/style payloads and nav boilerplate, strip remaining tags,
+  * collapse whitespace.
+  *
+  * The executable contract is the regex Column chain
+  * [[graft.functions.Html.textFromHtmlColumns]] (each step an
+  * oracle-replayable RE2-compatible pattern):
+  *   1. `(?s)<script[^>]*>.*?</script>` → " "  (then style, nav)
+  *   2. `<[^>]*>` → " "
+  *   3. `\s+` → " ", trim.
+  * This expression is the fused one-scan form, property-spec'd equal
+  * (HtmlSpec) — including the chain's edge behaviors: an UNCLOSED
+  * script/style/nav container keeps its body (only the open tag
+  * strips), a '<' with no '>' stays literal text, close tags match
+  * lowercase-exactly ("</script>", no spaces). Container matching is
+  * first-close non-greedy, lowercase tag names only — the
+  * synthesize-parse gates control casing; real crawl HTML would be
+  * lowercased upstream.
+  *
+  * Codegen is one static call — stays inside the enclosing
+  * WholeStageCodegen span (the UrlCanonicalize pattern).
+  */
+case class HtmlText(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "html_text"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlText.extract(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expr.HtmlText.extract($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HtmlText {
+
+  // the java \s class (non-UNICODE_CHARACTER_CLASS): space, tab, LF,
+  // VT, FF, CR — RE2's \s is the same ASCII set, so the collapse
+  // pass replays in DuckDB
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\u000b' || c == '\f'
+
+  /** One global pass of `(?s)<name[^>]*>.*?</name>` → " " as a
+    * left-to-right scan: a match at a position needs "<name", then a
+    * '>' (attrs cannot contain '>'), then the FIRST "</name>" after
+    * it (non-greedy); a position where any piece is missing is not a
+    * match start and the char passes through — exactly the
+    * Matcher.find/appendReplacement walk, so each pass is
+    * mechanically equivalent to its regex. */
+  private def dropContainers(s: String, name: String): String = {
+    val close = "</" + name + ">"
+    val n = s.length
+    val out = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      var matched = false
+      if (s.charAt(i) == '<' && s.regionMatches(i + 1, name, 0, name.length)) {
+        var gt = -1
+        var m = i + 1 + name.length
+        while (gt < 0 && m < n) { if (s.charAt(m) == '>') gt = m else m += 1 }
+        if (gt >= 0) {
+          val c = s.indexOf(close, gt + 1)
+          if (c >= 0) { out.append(' '); i = c + close.length; matched = true }
+        }
+      }
+      if (!matched) { out.append(s.charAt(i)); i += 1 }
+    }
+    out.toString
+  }
+
+  /** `<[^>]*>` → " ", same walk: '<' with a later '>' is a tag, '<'
+    * with none stays literal text. */
+  private def dropTags(s: String): String = {
+    val n = s.length
+    val out = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      if (s.charAt(i) == '<') {
+        var gt = -1
+        var m = i + 1
+        while (gt < 0 && m < n) { if (s.charAt(m) == '>') gt = m else m += 1 }
+        if (gt >= 0) { out.append(' '); i = gt + 1 }
+        else { out.append('<'); i += 1 }
+      } else { out.append(s.charAt(i)); i += 1 }
+    }
+    out.toString
+  }
+
+  /** `\s+` → " " then trim — runs collapse to one space; after the
+    * collapse the ends can only be single spaces, so the space-only
+    * trim of Spark/DuckDB `trim()` finishes the job. */
+  private def collapseWs(s: String): String = {
+    val n = s.length
+    val out = new java.lang.StringBuilder(n)
+    var pendingSpace = false
+    var emitted = false
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (isWs(c)) pendingSpace = emitted
+      else {
+        if (pendingSpace) { out.append(' '); pendingSpace = false }
+        out.append(c); emitted = true
+      }
+      i += 1
+    }
+    out.toString
+  }
+
+  /** The five chain passes, fused per pass but sequenced exactly as
+    * the Column form sequences its regexes (pass order matters on
+    * pathological overlaps — a container opened inside another tag's
+    * attributes resolves identically). */
+  def extract(u: UTF8String): UTF8String = {
+    var s = u.toString
+    s = dropContainers(s, "script")
+    s = dropContainers(s, "style")
+    s = dropContainers(s, "nav")
+    s = dropTags(s)
+    UTF8String.fromString(collapseWs(s))
+  }
+}
+
 object NativeFunctions {
   /** Column API for HammingDistance. */
   def hamming_distance(a: Column, b: Column): Column =
@@ -1135,6 +1263,10 @@ object NativeFunctions {
   /** Column API for UrlCanonicalize (messy URL → canonical form). */
   def url_canonicalize(c: Column): Column =
     ColumnBridge.toColumn(UrlCanonicalize(ColumnBridge.toExpr(c)))
+
+  /** Column API for HtmlText (raw HTML → boilerplate-stripped text). */
+  def html_text(c: Column): Column =
+    ColumnBridge.toColumn(HtmlText(ColumnBridge.toExpr(c)))
 
   /** Column API for BpeEncode (word string → subword array). */
   def bpe_encode(word: Column, rules: Seq[(String, String)]): Column =

@@ -269,12 +269,15 @@ object ScaleProbe {
       // graph (same p95 per copy), so edges and triangles both scale
       // Nx — the degree-ordered wedge join must track that linearly,
       // not the m^1.5 worst case it is merely BOUNDED by
+      // the r13 shipped derivation (SparkEntry.hotSupplierGraph):
+      // collect_set per order + in-row SortedPairs — one fact shuffle
       def hotEdges(li: DataFrame): DataFrame = {
-        val lo = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
-        val pc = lo.as("a").join(lo.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_suppkey") < col("b.l_suppkey"))
-          .groupBy(col("a.l_suppkey").as("sa"), col("b.l_suppkey").as("sb"))
+        import graft.functions.expr.NativeFunctions.sorted_pairs
+        val pc = li
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_suppkey"))).as("__ms"))
+          .select(explode(sorted_pairs(col("__ms"))).as("__p"))
+          .groupBy(col("__p.a").as("sa"), col("__p.b").as("sb"))
           .agg(count(lit(1)).as("c"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val thr = pc.agg(expr("percentile(c, 0.95)")).collect()(0).getDouble(0)

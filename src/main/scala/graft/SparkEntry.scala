@@ -1496,6 +1496,32 @@ object SparkEntry {
         Html.textFromHtml(html).as("body"))
     }),
 
+    // link extraction + canonicalization (r13): the crawl-frontier
+    // step — hrefs scanned out of raw markup, each canonicalized by
+    // the native UrlCanonicalize path. Same gate shape: two messy
+    // anchors are synthesized per page (case/default-port/tracking/
+    // trailing-slash/fragment jitter) and the oracle derives each
+    // expected canonical DIRECTLY from the base columns — a defect in
+    // either the href scan or the canonicalizer hash-mismatches.
+    // Stateless map + in-row explode (2 rows/doc), no shuffle.
+    "text_extract_links" -> ((s, dir) => {
+      import graft.functions.Urls
+      val id = col("doc_id")
+      val html = concat(
+        lit("<html><body><p>see <a href=\"HTTPS://WWW.Shop"),
+        (id % 7).cast("string"),
+        lit(".COM:443/item/"), (id % 50).cast("string"),
+        lit("/?utm_campaign=x&q="), col("lang"),
+        lit("#frag\">here</a> and <a href=\"http://cdn.site"),
+        (id % 3).cast("string"),
+        lit(".net:80/a//\">img</a></p></body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(regexp_extract_all(html, lit("href=\"([^\"]+)\""), lit(1))))
+        .select(col("doc_id"), (col("pos") + 1).cast("int").as("link_pos"),
+          Urls.canonicalize(col("col")).as("canonical_url"))
+    }),
+
     // ---- §2d events ----
     "q15_event_windows" -> ((s, dir) => Events.hourlyByType(Tables.events(s, dir))),
 
@@ -5049,6 +5075,20 @@ object SparkEntry {
                   'doc ' || CAST(doc_id AS VARCHAR) || ' ' || lang ||
                     ' doc ' || regexp_replace(text, ' spark ', ' ', 'g'),
                   '\s+', ' ', 'g')) AS body
+         FROM documents""",
+
+    // link extraction, gated by independent derivation: each anchor's
+    // canonical form is rebuilt from base columns (jitter removed by
+    // construction), never by replaying the extractor/canonicalizer
+    "text_extract_links" ->
+      """SELECT doc_id, CAST(1 AS INTEGER) AS link_pos,
+                'https://www.shop' || CAST(doc_id % 7 AS VARCHAR) ||
+                '.com/item/' || CAST(doc_id % 50 AS VARCHAR) ||
+                '?q=' || lang AS canonical_url
+         FROM documents
+         UNION ALL
+         SELECT doc_id, CAST(2 AS INTEGER),
+                'http://cdn.site' || CAST(doc_id % 3 AS VARCHAR) || '.net/a'
          FROM documents""",
 
     // argmax of per-language stopword hits; ties resolve to the

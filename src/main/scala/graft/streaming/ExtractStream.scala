@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Html, Urls}
+
+/** Streaming twin of the extraction family (text_extract_html /
+  * text_extract_links): raw crawled pages arrive as a stream, text
+  * and outlinks leave as streams. Both transforms are STATELESS
+  * per-row maps — append mode, no watermark, no state store — so
+  * they compose with any upstream source, never block on event time,
+  * and are exactly the batch Columns run by the gated queries
+  * (parity spec: ExtractStreamSpec feeds the same pages in
+  * micro-batches and asserts set-equality with the batch plans).
+  *
+  * Scale shape: this is the front of the continuous-ingestion
+  * pipeline — extraction happens ONCE per fetched page at ingest,
+  * and every downstream standing-index probe (dedup, decon, quality)
+  * consumes the extracted text, never the markup.
+  */
+object ExtractStream {
+
+  /** A fetched page: id + raw markup. */
+  final case class Page(doc_id: Long, html: String)
+
+  /** (doc_id, title, body) per page — the text_extract_html twin. */
+  def extractStream(pages: Dataset[Page]): DataFrame =
+    pages.select(col("doc_id"),
+      Html.titleFromHtml(col("html")).as("title"),
+      Html.textFromHtml(col("html")).as("body"))
+
+  /** (doc_id, link_pos, canonical_url) per href — the
+    * text_extract_links twin; in-row explode keeps it stateless. */
+  def linkStream(pages: Dataset[Page]): DataFrame =
+    pages
+      .select(col("doc_id"),
+        posexplode(regexp_extract_all(col("html"),
+          lit("href=\"([^\"]+)\""), lit(1))))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("link_pos"),
+        Urls.canonicalize(col("col")).as("canonical_url"))
+}

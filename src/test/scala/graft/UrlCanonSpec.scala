@@ -36,7 +36,11 @@ class UrlCanonSpec extends SparkSpec {
     "", "h", "h?a=1", "://x", "notaurl?utm_source=1&b=2", "9http://h/p",
     "http:/h/p", "http//h/p", "https:///p?x=1",
     // case in params is preserved (only scheme/host lowercase)
-    "HTTPS://H/P?B=2&a=1", "https://h/UPPER/Path?Key=Val")
+    "HTTPS://H/P?B=2&a=1", "https://h/UPPER/Path?Key=Val",
+    // non-ASCII hosts/paths: the native lowercase fallback must ride
+    // the same route as Spark lower() (incl. Turkish İ, Cyrillic)
+    "http://ÜBER.example/É?Ω=1", "https://ШОП.рф:443/Путь/",
+    "http://İstanbul.example/ı", "ftp://ΣΕΛΙΔΑ.gr/ΑΒ")
 
   test("native canonicalize ≡ the regex Column formulation on adversarial URLs") {
     val df = adversarial.toDF("u")

@@ -107,9 +107,12 @@ object Bench {
       val cost = entryCost(k, v)
       if (budget >= cost) { compact += (k -> v); budget -= cost }
     }
+    // a SPARK_GRAFT_ONLY subset run must never clobber the committed
+    // full artifact: default its output to a sibling file instead
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "bench_subset.json" else "bench_full.json")
     println(jsonLine(compact.toSeq.sortBy(_._1),
-      s""""n_queries":${results.size},"queries_full":"bench_full.json","queries_shown":${compact.size},"""))
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+      s""""n_queries":${results.size},"queries_full":"$outPath","queries_shown":${compact.size},"""))
     try {
       val w = new java.io.PrintWriter(new java.io.File(outPath), "UTF-8")
       try w.println(jsonLine(results, "")) finally w.close()

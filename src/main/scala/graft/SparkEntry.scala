@@ -1841,7 +1841,13 @@ object SparkEntry {
       .agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val thr = pc.agg(expr("percentile(c, 0.95)")).collect()(0).getDouble(0)
+    // materialize the (small) thresholded edge frame WHILE pc is
+    // still cached — unpersisting first would hand the consumer a
+    // lazy filter whose whole pair derivation recomputes (the r13
+    // review catch); the eager localCheckpoint also truncates
+    // lineage, so census/LPA never re-reach the fact table
     val out = pc.filter(col("c") >= lit(thr)).select(col("sa"), col("sb"))
+      .localCheckpoint(true)
     pc.unpersist(blocking = false)
     out
   }
@@ -5074,7 +5080,7 @@ object SparkEntry {
                 trim(regexp_replace(
                   'doc ' || CAST(doc_id AS VARCHAR) || ' ' || lang ||
                     ' doc ' || regexp_replace(text, ' spark ', ' ', 'g'),
-                  '\s+', ' ', 'g')) AS body
+                  '[ \t\n\x0B\f\r]+', ' ', 'g')) AS body
          FROM documents""",
 
     // link extraction, gated by independent derivation: each anchor's

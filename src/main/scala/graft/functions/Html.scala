@@ -32,7 +32,11 @@ object Html {
     val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
     val noNav = regexp_replace(noStyle, "(?s)<nav[^>]*>.*?</nav>", " ")
     val noTags = regexp_replace(noNav, "<[^>]*>", " ")
-    trim(regexp_replace(noTags, "\\s+", " "))
+    // explicit class, not \s: java \s includes \x0B but RE2's (the
+    // oracle engine's) does not — the explicit set means the SAME
+    // characters collapse in Spark, in the native scan, and in the
+    // DuckDB replay
+    trim(regexp_replace(noTags, "[ \\t\\n\\x0B\\f\\r]+", " "))
   }
 
   /** First `<title>…</title>` payload (empty when absent) — the

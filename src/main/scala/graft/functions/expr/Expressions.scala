@@ -1084,7 +1084,9 @@ object UrlCanonicalize {
   * oracle-replayable RE2-compatible pattern):
   *   1. `(?s)<script[^>]*>.*?</script>` → " "  (then style, nav)
   *   2. `<[^>]*>` → " "
-  *   3. `\s+` → " ", trim.
+  *   3. `[ \t\n\x0B\f\r]+` → " ", trim (explicit class — RE2's
+  *      \s lacks VT, java's has it; spelling the set keeps Spark,
+  *      the native scan, and the DuckDB oracle identical).
   * This expression is the fused one-scan form, property-spec'd equal
   * (HtmlSpec) — including the chain's edge behaviors: an UNCLOSED
   * script/style/nav container keeps its body (only the open tag
@@ -1116,8 +1118,9 @@ case class HtmlText(child: Expression) extends UnaryExpression {
 object HtmlText {
 
   // the java \s class (non-UNICODE_CHARACTER_CLASS): space, tab, LF,
-  // VT, FF, CR — RE2's \s is the same ASCII set, so the collapse
-  // pass replays in DuckDB
+  // VT, FF, CR. NOT RE2's \s (which lacks VT) — the Column chain and
+  // the oracle spell the set as an explicit [ \t\n\x0B\f\r] class
+  // so all three engines collapse the same characters
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\u000b' || c == '\f'
 
@@ -1167,7 +1170,7 @@ object HtmlText {
     out.toString
   }
 
-  /** `\s+` → " " then trim — runs collapse to one space; after the
+  /** `[ \t\n\x0B\f\r]+` → " " then trim — runs collapse to one space; after the
     * collapse the ends can only be single spaces, so the space-only
     * trim of Spark/DuckDB `trim()` finishes the job. */
   private def collapseWs(s: String): String = {

@@ -302,10 +302,12 @@ object Graph {
           sum(when(col("__n") =!= col("__p1"), 1L).otherwise(0L)).as("__chg"),
           sum(when(col("__n") === col("__p2"), 0L).otherwise(1L)).as("__osc"))
           .collect()(0)
-        val changed = row.getLong(0)
+        // an EMPTY graph (no edges survive canonicalization) sums to
+        // NULL — that's a zero-node fixpoint, not an NPE
+        val changed = if (row.isNullAt(0)) 0L else row.getLong(0)
         onRound(i, changed)
         if (changed == 0L) result = next // fixpoint: rounds i..cap identical
-        else if (prev != null && row.getLong(1) == 0L) {
+        else if (prev != null && !row.isNullAt(1) && row.getLong(1) == 0L) {
           // period-2 oscillation: next == labels(i-2), so the cap's
           // labeling is `next` when the remaining round count is even,
           // else the current `labels` — return exactly that

@@ -281,7 +281,10 @@ object ScaleProbe {
           .agg(count(lit(1)).as("c"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val thr = pc.agg(expr("percentile(c, 0.95)")).collect()(0).getDouble(0)
-        val e = pc.filter(col("c") >= lit(thr))
+        // materialize while cached (the SparkEntry.hotSupplierGraph
+        // contract) — else the timed probe blocks pay a derivation
+        // recompute and measure the wrong thing
+        val e = pc.filter(col("c") >= lit(thr)).localCheckpoint(true)
         pc.unpersist(blocking = false)
         e
       }

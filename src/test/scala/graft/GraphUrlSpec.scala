@@ -261,6 +261,13 @@ class GraphUrlSpec extends SparkSpec {
     assert(lpaReference(k22, 3) === lpaReference(k22, 5))
   }
 
+  test("labelPropagation on an empty/self-loop-only graph returns an empty frame") {
+    // the stop-probe sums over an empty frame (NULL) — must read as a
+    // zero-node fixpoint, not an NPE (r13 review catch)
+    assert(lpaRun(Seq.empty[(Long, Long)], 3) === Map.empty)
+    assert(lpaRun(Seq((5L, 5L), (7L, 7L)), 3) === Map.empty)
+  }
+
   test("labelPropagation canonicalizes dups/reversals/self-loops and breaks ties to the min label") {
     val messy = Seq((2L, 1L), (1L, 2L), (2L, 2L), (3L, 1L), (2L, 3L))
     val clean = Seq((1L, 2L), (1L, 3L), (2L, 3L))

@@ -11,6 +11,19 @@ import org.apache.spark.sql.SparkSession
   * JVM warmup. Each query is then timed twice at the target SF and the
   * faster run is reported (min-of-2 suppresses ambient host-contention
   * spikes; this VM shows 3-4× wall-clock swings on identical code).
+  *
+  * PAIRED ROWS (r13 verdict item 3): pipeline_report is timed
+  * immediately after pipeline_curate WITHOUT the cache clear between
+  * them, so the family pays the funnel ONCE per rep and report
+  * measures what it costs in real use — the aggregate pass over
+  * curate's persisted stage boundaries. Every other query keeps the
+  * full per-query isolation (clearCache after each), which outranks
+  * flattering any single row; the pair is the one case where the
+  * memo IS the operator's contract, so isolating the two rows from
+  * each other measured a composition that cannot occur in use. A
+  * SPARK_GRAFT_ONLY subset naming report without curate still runs
+  * report standalone (full funnel) — the pairing is positional, not
+  * a hidden dependency.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -26,49 +39,69 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
-    // untimed warmup at the smallest SF: codegen + JIT, not data
-    queries.foreach { case (name, fn) =>
-      try fn(spark, warmDir).count()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
+    // group the queries into RUN UNITS: singletons, except a paired
+    // follower that runs inside its predecessor's unit (cache NOT
+    // cleared between the members, cleared after the unit)
+    val pairedAfter = Map("pipeline_report" -> "pipeline_curate")
+    val units = queries.foldLeft(Vector.empty[Vector[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]]) {
+      case (acc, q @ (name, _))
+          if acc.nonEmpty && pairedAfter.get(name).contains(acc.last.last._1) =>
+        acc.init :+ (acc.last :+ q)
+      case (acc, q) => acc :+ Vector(q)
+    }
+
+    // untimed warmup at the smallest SF: codegen + JIT, not data —
+    // in unit order so the paired memo path is the one compiled
+    units.foreach { unit =>
+      unit.foreach { case (name, fn) =>
+        try fn(spark, warmDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
+      }
       spark.catalog.clearCache()
     }
 
-    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOne(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        clear: Boolean): Double = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       val dt = (System.nanoTime() - t0) / 1e9
       // operators may materialize intermediates; drop them so later
-      // queries aren't charged their memory. MEASUREMENT ARTIFACT
-      // (documented, SURVEY §6): this also invalidates SparkEntry's
-      // curatedFor memo between queries, so pipeline_curate and
-      // pipeline_report EACH pay the full funnel here — in real use
-      // (and in Verify-within-one-query) report reuses curate's
-      // persisted stage boundaries and costs one aggregate. Keeping
-      // the clearCache is deliberate: per-query isolation outranks
-      // flattering the two pipeline rows, and exempting the memo
-      // would let its cached frames distort every later query.
-      spark.catalog.clearCache()
+      // queries aren't charged their memory — except INSIDE a paired
+      // unit, where the follower's contract is exactly that reuse
+      if (clear) spark.catalog.clearCache()
       // a failed query must not masquerade as a fast one
       if (ok) dt else -1.0
     }
 
-    val results = queries.map { case (name, fn) =>
-      // min over the successful runs; -1.0 only when BOTH runs failed.
-      // When the two runs disagree >3x, one of them hit an ambient
-      // host-contention spike (this VM shows 10-20x outliers on
-      // sub-second queries) — take one tie-breaking third run.
-      val runs = Seq(timeOne(name, fn), timeOne(name, fn)).filter(_ >= 0)
-      val best =
-        if (runs.isEmpty) -1.0
-        else if (runs.size == 2 && runs.max / runs.min > 3.0) {
-          val c = timeOne(name, fn)
-          if (c >= 0) math.min(runs.min, c) else runs.min
-        } else runs.min
-      name -> best
+    def runUnit(unit: Vector[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]): Vector[Double] =
+      unit.zipWithIndex.map { case ((name, fn), i) =>
+        timeOne(name, fn, clear = i == unit.size - 1)
+      }
+
+    val results: Seq[(String, Double)] = units.flatMap { unit =>
+      // min over the successful runs per member; -1.0 only when BOTH
+      // runs failed. When any member's two runs disagree >3x, one hit
+      // an ambient host-contention spike (this VM shows 10-20x
+      // outliers on sub-second queries) — take one tie-breaking third
+      // run of the whole unit (members are timed together, so the
+      // unit is the re-run granularity).
+      val r1 = runUnit(unit)
+      val r2 = runUnit(unit)
+      val disagree = unit.indices.exists { i =>
+        r1(i) >= 0 && r2(i) >= 0 &&
+          math.max(r1(i), r2(i)) / math.min(r1(i), r2(i)) > 3.0
+      }
+      val r3 = if (disagree) Some(runUnit(unit)) else None
+      unit.indices.map { i =>
+        val runs = (Seq(r1(i), r2(i)) ++ r3.map(_(i))).filter(_ >= 0)
+        unit(i)._1 -> (if (runs.isEmpty) -1.0 else runs.min)
+      }
     }
+
     def jsonLine(entries: Seq[(String, Double)], extra: String): String = {
       val qs = entries.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
@@ -83,7 +116,7 @@ object Bench {
     // (BENCH_r05/r06 `parsed: null`). So stdout carries a COMPACT line
     // guaranteed to parse — every failed query, then the slowest
     // queries at ms precision until a ~1500-byte budget is spent —
-    // while the complete full-precision map goes to bench_full.json
+    // while the complete full-precision map goes to the artifact file
     // (committed, and named in this line's `queries_full`).
     // 3dp-rounded doubles are PRINTED with an explicit bounded format
     // (rint(v*1000)/1000 can render a binary tail like
@@ -107,10 +140,20 @@ object Bench {
       val cost = entryCost(k, v)
       if (budget >= cost) { compact += (k -> v); budget -= cost }
     }
-    // a SPARK_GRAFT_ONLY subset run must never clobber the committed
-    // full artifact: default its output to a sibling file instead
+    // ARTIFACT WRITE-PROTECTION (r13 verdict item 2, twice-hit failure
+    // mode): bench_full.json is the committed artifact of record — a
+    // run in an arbitrary (possibly contended) window must not clobber
+    // it. A SPARK_GRAFT_ONLY subset run goes to bench_subset.json;
+    // a full run writes bench_full.json only when the file is absent
+    // or SPARK_GRAFT_BENCH_FORCE=1 (the deliberate refresh), and
+    // otherwise lands in bench_full.latest.json (gitignored) — so a
+    // driver-initiated run always leaves git status clean.
+    val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (only.isDefined) "bench_subset.json" else "bench_full.json")
+      if (only.isDefined) "bench_subset.json"
+      else if (force || !new java.io.File("bench_full.json").exists())
+        "bench_full.json"
+      else "bench_full.latest.json")
     println(jsonLine(compact.toSeq.sortBy(_._1),
       s""""n_queries":${results.size},"queries_full":"$outPath","queries_shown":${compact.size},"""))
     try {

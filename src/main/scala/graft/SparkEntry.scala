@@ -559,9 +559,15 @@ object SparkEntry {
       val newB = pmod(col("doc_b"), lit(10)) === 3
       val labels = Clusters.connectedComponents(
         allPairs.filter(!newA && !newB), "doc_a", "doc_b")
-      Clusters.incrementalComponents(labels, allPairs.filter(newA || newB),
-          "doc_a", "doc_b")
+      // materialize the fold result so the cached pair index can be
+      // released INSIDE the entry — the returned frame must not keep
+      // a session-lifetime cache alive behind the caller's back
+      val out = Clusters.incrementalComponents(labels,
+          allPairs.filter(newA || newB), "doc_a", "doc_b")
         .select(col("node").as("doc_id"), col("cluster_id"))
+        .localCheckpoint(true)
+      allPairs.unpersist(blocking = false)
+      out
     }),
 
     // substring-level dedup: maximal duplicated 20-token spans across
@@ -1522,6 +1528,33 @@ object SparkEntry {
           Urls.canonicalize(col("col")).as("canonical_url"))
     }),
 
+    // charset sniff + decode repair (r14): real crawls are not clean
+    // UTF-8 — this is the byte→text step BEFORE extraction. Gate
+    // trick: five byte-mangling regimes are synthesized per order
+    // (UTF-8+BOM / plain UTF-8 / latin-1 / UTF-16(BE BOM) / ASCII
+    // with a meta charset declaration) and the oracle derives BOTH
+    // the expected charset name and the decoded text DIRECTLY from
+    // the base columns (the round trip must invert exactly) — a BOM
+    // left unstripped, a missed meta, or a wrong fallback
+    // hash-mismatches. Stateless single-pass scan, stays in codegen.
+    "text_charset" -> ((s, dir) => {
+      import graft.functions.expr.NativeFunctions.{charset_decode, charset_sniff}
+      val m = col("o_orderkey") % 5
+      val accented = concat(lit("Café à "), lower(col("o_orderpriority")),
+        lit(" ü"), (col("o_orderkey") % 100).cast("string"))
+      val metaHtml = concat(
+        lit("<html><head><meta charset=\"windows-1252\"></head><body>meta page "),
+        (col("o_orderkey") % 100).cast("string"), lit("</body></html>"))
+      val raw = when(m === 0, concat(unhex(lit("EFBBBF")), encode(accented, "UTF-8")))
+        .when(m === 1, encode(accented, "UTF-8"))
+        .when(m === 2, encode(accented, "ISO-8859-1"))
+        .when(m === 3, encode(accented, "UTF-16"))
+        .otherwise(encode(metaHtml, "UTF-8"))
+      t(s, dir, "orders").select(col("o_orderkey"),
+        charset_sniff(raw).as("charset"),
+        charset_decode(raw).as("text"))
+    }),
+
     // ---- §2d events ----
     "q15_event_windows" -> ((s, dir) => Events.hourlyByType(Tables.events(s, dir))),
 
@@ -1831,7 +1864,7 @@ object SparkEntry {
     * is persisted for the two passes (quantile, then filter);
     * per-pair counts are identical to the self-join's by
     * construction, so both gates' hashes are unchanged. */
-  private def hotSupplierGraph(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def hotSupplierGraph(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.expr.NativeFunctions.sorted_pairs
     val pc = t(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
@@ -3862,16 +3895,21 @@ object SparkEntry {
          sp AS (SELECT f.feature, gs.bucket
                 FROM (SELECT 'chars' AS feature UNION ALL SELECT 'tokens') f
                 CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bucket) gs),
-         nr AS (SELECT count(*) AS nr FROM d WHERE side = 0),
-         nc AS (SELECT count(*) AS nc FROM d WHERE side = 1),
          j AS (SELECT sp.feature, sp.bucket,
                       COALESCE(nr0, 0) AS n_ref, COALESCE(nc0, 0) AS n_cur
                FROM sp LEFT JOIN g
                  ON sp.feature = g.feature AND sp.bucket = g.bucket),
+         -- denominators = per-feature SUMS of the bucket counts (the
+         -- r12-fixed operator contract: what the numerators counted
+         -- is what the totals divide by), NOT whole-side row counts —
+         -- they coincide here only because these bucket expressions
+         -- never yield NULL/out-of-range (r13 advice)
          p AS (SELECT feature, bucket, n_ref, n_cur,
-                      (CAST(n_ref AS DOUBLE) + 0.5) / (CAST(nr AS DOUBLE) + 5.0) AS pr,
-                      (CAST(n_cur AS DOUBLE) + 0.5) / (CAST(nc AS DOUBLE) + 5.0) AS pc
-               FROM j CROSS JOIN nr CROSS JOIN nc)
+                      (CAST(n_ref AS DOUBLE) + 0.5)
+                        / (CAST(sum(n_ref) OVER (PARTITION BY feature) AS DOUBLE) + 5.0) AS pr,
+                      (CAST(n_cur AS DOUBLE) + 0.5)
+                        / (CAST(sum(n_cur) OVER (PARTITION BY feature) AS DOUBLE) + 5.0) AS pc
+               FROM j)
          SELECT feature, bucket, n_ref, n_cur,
                 round(pr, 6) AS p_ref, round(pc, 6) AS p_cur,
                 round((pc - pr) * ln(pc / pr), 6) AS psi,
@@ -5096,6 +5134,26 @@ object SparkEntry {
          SELECT doc_id, CAST(2 AS INTEGER),
                 'http://cdn.site' || CAST(doc_id % 3 AS VARCHAR) || '.net/a'
          FROM documents""",
+
+    // charset sniff/decode, gated by independent derivation: the
+    // expected charset name AND decoded text are CASE expressions
+    // over base columns — the oracle never touches a byte, so the
+    // synthesize→sniff→decode round trip must invert exactly
+    "text_charset" ->
+      """SELECT o_orderkey,
+                CASE o_orderkey % 5
+                  WHEN 0 THEN 'utf-8-bom'
+                  WHEN 1 THEN 'utf-8'
+                  WHEN 2 THEN 'windows-1252'
+                  WHEN 3 THEN 'utf-16be-bom'
+                  ELSE 'windows-1252' END AS charset,
+                CASE WHEN o_orderkey % 5 = 4
+                  THEN '<html><head><meta charset="windows-1252"></head><body>meta page '
+                       || CAST(o_orderkey % 100 AS VARCHAR) || '</body></html>'
+                  ELSE 'Café à ' || lower(o_orderpriority) || ' ü'
+                       || CAST(o_orderkey % 100 AS VARCHAR)
+                END AS text
+         FROM orders""",
 
     // argmax of per-language stopword hits; ties resolve to the
     // lexicographically greatest language in BOTH engines (struct max

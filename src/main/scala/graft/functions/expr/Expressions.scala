@@ -1271,6 +1271,14 @@ object NativeFunctions {
   def html_text(c: Column): Column =
     ColumnBridge.toColumn(HtmlText(ColumnBridge.toExpr(c)))
 
+  /** Column API for CharsetSniff (raw fetched bytes → charset name). */
+  def charset_sniff(c: Column): Column =
+    ColumnBridge.toColumn(CharsetSniff(ColumnBridge.toExpr(c)))
+
+  /** Column API for CharsetDecode (raw fetched bytes → repaired text). */
+  def charset_decode(c: Column): Column =
+    ColumnBridge.toColumn(CharsetDecode(ColumnBridge.toExpr(c)))
+
   /** Column API for BpeEncode (word string → subword array). */
   def bpe_encode(word: Column, rules: Seq[(String, String)]): Column =
     ColumnBridge.toColumn(BpeEncode(ColumnBridge.toExpr(word), rules))

@@ -2,6 +2,75 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+/** Single-task min-root union-find over Long node ids — the in-memory
+  * strategy [[Clusters.connectedComponents]] dispatches to when the
+  * MEASURED edge count fits one task (the AQE-broadcast reasoning
+  * applied to a fixpoint: when the whole graph provably fits one
+  * task's memory, one linear union-find pass replaces the entire
+  * distributed convergence loop and its per-round driver actions).
+  *
+  * Open-addressed (linear probing, splitmix64-mixed) and PRESIZED
+  * from the measured edge count, so it never rehashes; path-halving
+  * find. Unions attach the larger root under the smaller, so the
+  * invariant "root = min id of its set" holds at every step and the
+  * emitted labels match the distributed min-label loop EXACTLY
+  * (property-spec'd against it on random graphs).
+  */
+private[graft] final class LongUnionFind(expectedNodes: Int) {
+  private val EMPTY = Long.MinValue
+  private val cap: Int = {
+    var c = 16
+    while (c < expectedNodes.max(1) * 2L && c < (1 << 30)) c <<= 1
+    c
+  }
+  private val mask = cap - 1
+  private val keys = Array.fill[Long](cap)(EMPTY)
+  private val parent = new Array[Int](cap)
+  private var n = 0
+
+  private def idx(k: Long): Int = {
+    require(k != EMPTY, "node id Long.MinValue is reserved")
+    // splitmix64 finalizer: ids are typically sequential — spread them
+    var h = k
+    h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
+    h ^= h >>> 27; h *= 0x94d049bb133111ebL
+    h ^= h >>> 31
+    var i = h.toInt & mask
+    while (true) {
+      val cur = keys(i)
+      if (cur == k) return i
+      if (cur == EMPTY) {
+        require(n < cap - 1, s"LongUnionFind presized for $expectedNodes " +
+          s"nodes overflowed — edge count exceeded the threshold contract")
+        keys(i) = k; parent(i) = i; n += 1
+        return i
+      }
+      i = (i + 1) & mask
+    }
+    -1 // unreachable
+  }
+
+  private def find(s0: Int): Int = {
+    var s = s0
+    while (parent(s) != s) { parent(s) = parent(parent(s)); s = parent(s) }
+    s
+  }
+
+  def union(a: Long, b: Long): Unit = {
+    val ra = find(idx(a))
+    val rb = find(idx(b))
+    if (ra != rb) {
+      if (keys(ra) <= keys(rb)) parent(rb) = ra else parent(ra) = rb
+    }
+  }
+
+  /** (node, min id of its component) for every id ever seen. */
+  def labels: Iterator[(Long, Long)] =
+    Iterator.range(0, cap).filter(i => keys(i) != EMPTY)
+      .map(i => (keys(i), keys(find(i))))
+}
 
 /** Connected components over a near-duplicate pair list — the step
   * that turns pairwise dedup output into dedup decisions (keep one
@@ -32,25 +101,46 @@ import org.apache.spark.sql.functions._
   */
 object Clusters {
 
+  /** Symmetrized-edge-row count at or below which the single-task
+    * union-find strategy replaces the distributed loop (2²¹ rows =
+    * ~1M undirected pairs ⇒ ≤2M distinct nodes ⇒ ≤96 MB of presized
+    * arrays in the one task — comfortably inside any sane executor).
+    * The count is MEASURED on the already-materialized edge frame
+    * (one cheap job over checkpointed blocks), so the dispatch is a
+    * runtime fact, not a guess — above it the loop runs unchanged. */
+  val defaultLocalEdgeThreshold: Long = 1L << 21
+
   /** @param truncateEvery lineage-truncation cadence (the pagerank
     *        knob): 1 (default) materializes every round — right for
     *        corpus-sized graphs, where re-executing a round to serve
     *        the convergence count would be expensive; k>1 checkpoints
     *        every k-th round and lets the in-between convergence
-    *        counts re-execute ≤ k rounds of joins from the last
-    *        checkpoint — right for FRONTIER-sized graphs (the
-    *        incremental fold's quotient CC), where each skipped
-    *        eager materialization saves a whole driver-scheduled job
-    *        and the recompute is a few hundred rows. Plan depth stays
-    *        ≤ k (bounded). Forced to 1 under a reliable checkpoint
-    *        dir: the generation-deletion bookkeeping assumes each
-    *        round's frame is file-backed before its parent is
-    *        deleted, and on a real cluster per-round truncation is
-    *        what you want anyway.
+    *        counts re-execute the joins since the last checkpoint —
+    *        right for FRONTIER-sized graphs (the incremental fold's
+    *        quotient CC), where each skipped eager materialization
+    *        saves a whole driver-scheduled job and the recompute is a
+    *        few hundred rows. NOTE the recompute is not linear in the
+    *        skipped rounds: each un-truncated jump round references
+    *        its parent TWICE (propagate + self-join), so a
+    *        convergence count can re-execute up to 2^(k-1) copies of
+    *        the last checkpointed chain — bounded and cheap at the
+    *        default k≤3 on frontier-sized graphs, but do not raise k
+    *        on deep chains. Plan depth stays ≤ k (bounded). Forced
+    *        to 1 under a reliable checkpoint dir: the
+    *        generation-deletion bookkeeping assumes each round's
+    *        frame is file-backed before its parent is deleted, and
+    *        on a real cluster per-round truncation is what you want
+    *        anyway.
+    * @param localEdgeThreshold symmetrized-edge-row count at or below
+    *        which the measured graph is handed to ONE task's
+    *        union-find instead of the convergence loop (see
+    *        [[defaultLocalEdgeThreshold]]); 0 disables the local
+    *        strategy (scale probes pin the distributed path with it).
     * @return (node, cluster_id) for every node appearing in `pairs`,
     *         cluster_id = min node id of the component. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 50, truncateEvery: Int = 1): DataFrame = {
+      maxIter: Int = 50, truncateEvery: Int = 1,
+      localEdgeThreshold: Long = defaultLocalEdgeThreshold): DataFrame = {
     require(truncateEvery >= 1, s"truncateEvery $truncateEvery must be >= 1")
     val sc = pairs.sparkSession.sparkContext
     val reliable = sc.getCheckpointDir.isDefined
@@ -78,6 +168,53 @@ object Clusters {
     val (e, eFiles) = truncate(
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
+
+    // ADAPTIVE STRATEGY PICK — the broadcast-join decision applied to
+    // a fixpoint. The convergence loop costs one driver action (plus
+    // its AQE exchange jobs) per round; a graph that provably fits
+    // one task needs none of that — one linear union-find pass over
+    // the materialized edge blocks IS the fixpoint (DuckDB's
+    // recursive CTE runs the same computation in-process; matching
+    // it when the data is measured-tiny is honest adaptivity, not a
+    // shortcut — the loop below is what runs at corpus scale, and
+    // the scale probes pin it via localEdgeThreshold = 0). The count
+    // reads blocks the eager truncation just materialized.
+    val nodeType = e.schema("src").dataType
+    val integral = nodeType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    if (localEdgeThreshold > 0 && integral) {
+      val edgeCount = e.count()
+      if (edgeCount <= localEdgeThreshold) {
+        import e.sparkSession.implicits._
+        val expectedNodes = math.min(edgeCount, 1L << 28).toInt
+        val out = e
+          .select(col("src").cast("long"), col("dst").cast("long"))
+          .as[(Long, Long)]
+          .coalesce(1) // no exchange: one task fetches the blocks
+          .mapPartitions { it =>
+            val uf = new LongUnionFind(expectedNodes)
+            it.foreach { case (a, b) => uf.union(a, b) }
+            uf.labels
+          }
+          .toDF("node", "cluster_id")
+          .select(col("node").cast(nodeType).as("node"),
+            col("cluster_id").cast(nodeType).as("cluster_id"))
+        // non-reliable mode: stay lazy — re-execution reads the
+        // localCheckpointed blocks and union-find is deterministic.
+        // Reliable mode: land the labels as the one surviving
+        // snapshot so the edge generation can be deleted (the loop's
+        // contract: at return only the final labels remain on disk).
+        return if (!reliable) out
+        else {
+          val cp = out.checkpoint(true)
+          delete(eFiles)
+          cp
+        }
+      }
+    }
+
     var (labels, liveFiles) = truncate(
       e.select(col("src").as("node")).distinct()
         .withColumn("cluster_id", col("node")))
@@ -124,6 +261,14 @@ object Clusters {
       // two (reliable mode writes its checkpoint files in the
       // follow-up job Spark schedules automatically — bookkeeping
       // reads the dir around the action either way)
+      // reliable mode persists the frame BEFORE marking the lazy
+      // checkpoint: the changed-count job fills the cache and the
+      // checkpoint-write job (scheduled inside the same action) reads
+      // it back, so the value the count observed and the bytes on
+      // disk come from ONE execution — min-labels are deterministic
+      // either way, but the shared-execution form is the contract the
+      // pagerank tolerance branch (FP sums) needs, kept identical here
+      if (doTrunc && reliable) stepOut.persist()
       val next =
         if (!doTrunc) stepOut
         else if (reliable) stepOut.checkpoint(false)
@@ -137,6 +282,9 @@ object Clusters {
           if (reliable) listDir() -- before else Set.empty[String]
         delete(liveFiles ++ stepFiles)
         liveFiles = nextFiles
+        // checkpoint files exist (doCheckpoint runs inside the count
+        // action) — the cached blocks are redundant now
+        if (reliable) stepOut.unpersist(blocking = false)
       }
       labels = next.drop("chg")
       iter += 1
@@ -266,7 +414,8 @@ object Clusters {
     *        micro-batch. */
   def incrementalComponents(labels: DataFrame, newPairs: DataFrame,
       aCol: String, bCol: String, maxIter: Int = 50,
-      extraNodes: Option[DataFrame] = None): DataFrame = {
+      extraNodes: Option[DataFrame] = None,
+      localEdgeThreshold: Long = defaultLocalEdgeThreshold): DataFrame = {
     val lab = labels.select(col("node"), col("cluster_id"))
     val edges = newPairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val endpoints = edges.select(col("src").as("node"))
@@ -294,7 +443,7 @@ object Clusters {
     // rows, cheaper than an eager materialization job per round
     // (forced back to per-round under a reliable checkpoint dir)
     val merged = connectedComponents(clusterEdges, "la", "lb", maxIter,
-        truncateEvery = 3)
+        truncateEvery = 3, localEdgeThreshold = localEdgeThreshold)
       .select(col("node").as("old_lbl"), col("cluster_id").as("new_lbl"))
     val newSelf = seen.filter(col("cluster_id").isNull)
       .select(col("node"), col("node").as("cluster_id"))

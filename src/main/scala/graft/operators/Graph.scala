@@ -116,12 +116,21 @@ object Graph {
           // iteration in this mode, LAZILY: the checkpoint is marked
           // and the delta-read job itself computes, caches, and
           // lineage-truncates the frame (one action per iteration,
-          // not a truncation job plus the delta job)
+          // not a truncation job plus the delta job). Reliable mode
+          // persists FIRST so the delta job fills the cache and the
+          // checkpoint-write job reads it back — rank sums are FP,
+          // whose shuffle-order can differ between executions, so the
+          // value the delta measured and the bytes on disk must come
+          // from ONE execution
+          if (reliable) next.persist()
           val mat = if (reliable) next.checkpoint(false)
             else next.localCheckpoint(false)
           val delta = mat
             .join(ranks.select(col("node"), col("rank").as("__prev")), "node")
             .agg(sum(abs(col("rank") - col("__prev")))).collect()(0).getDouble(0)
+          // checkpoint files exist (doCheckpoint runs inside the
+          // delta action) — the cached blocks are redundant now
+          if (reliable) next.unpersist(blocking = false)
           onIteration(i, delta)
           ranks = mat
           if (delta < eps) converged = true
@@ -246,9 +255,16 @@ object Graph {
     *              self-loops tolerated (canonicalized away).
     * @return (node, community) — one row per distinct node.
     */
+  /** The default (no-op) round observer — a stable reference so the
+    * adaptive dispatch can detect "nobody is watching the rounds"
+    * (a custom observer pins the distributed loop, whose per-round
+    * driver reads are what the observer observes). */
+  val NoRound: (Int, Long) => Unit = (_, _) => ()
+
   def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
       iterations: Int,
-      onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
+      onRound: (Int, Long) => Unit = NoRound,
+      localEdgeThreshold: Long = Clusters.defaultLocalEdgeThreshold): DataFrame = {
     require(iterations >= 1, s"iterations $iterations must be >= 1")
     val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
     def truncate(df: DataFrame): DataFrame =
@@ -261,6 +277,37 @@ object Graph {
     val adj = truncate(
       e.select(col("u").as("node"), col("v").as("nbr"))
         .union(e.select(col("v").as("node"), col("u").as("nbr"))))
+
+    // ADAPTIVE STRATEGY PICK (the Clusters.connectedComponents r14
+    // contract): when the MEASURED symmetrized adjacency fits one
+    // task, the synchronous rounds run in-memory in that task — same
+    // argmax semantics, same fixpoint/oscillation stops, same
+    // cap-parity output (property-spec'd ≡ the loop across caps) —
+    // instead of paying one driver action + exchange jobs per round.
+    // A custom onRound pins the loop (the observer watches its
+    // per-round driver reads); scale probes pin it with threshold 0.
+    val nodeType = adj.schema("node").dataType
+    val integral = nodeType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    if (integral && (onRound eq NoRound) && localEdgeThreshold > 0 &&
+        adj.count() <= localEdgeThreshold) {
+      import adj.sparkSession.implicits._
+      val iters = iterations
+      val out = adj
+        .select(col("node").cast("long"), col("nbr").cast("long"))
+        .as[(Long, Long)]
+        .coalesce(1) // no exchange: one task fetches the blocks
+        .mapPartitions(it => Graph.lpaLocal(it, iters))
+        .toDF("node", "community")
+        .select(col("node").cast(nodeType).as("node"),
+          col("community").cast(nodeType).as("community"))
+      return out
+    }
     var labels = truncate(
       adj.select(col("node")).distinct().withColumn("label", col("node")))
     var prev: DataFrame = null // labeling two rounds back (oscillation probe)
@@ -317,5 +364,75 @@ object Graph {
     }
     if (result == null) result = labels
     result.select(col("node"), col("label").as("community"))
+  }
+
+  /** Single-task synchronous LPA over a symmetrized (node, nbr)
+    * adjacency — the in-memory strategy [[labelPropagation]]
+    * dispatches to below the edge threshold. Mirrors the distributed
+    * loop EXACTLY: every node relabels to its most frequent neighbor
+    * label (min label on count ties) each round; stops at the cap, at
+    * a fixpoint, or at a period-2 oscillation with cap-parity output.
+    */
+  private[graft] def lpaLocal(rows: Iterator[(Long, Long)],
+      iterations: Int): Iterator[(Long, Long)] = {
+    val src = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    rows.foreach(src += _)
+    val idOf = new java.util.HashMap[Long, Int]()
+    src.foreach { case (u, _) =>
+      if (!idOf.containsKey(u)) idOf.put(u, idOf.size())
+    }
+    val n = idOf.size()
+    if (n == 0) return Iterator.empty
+    val ids = new Array[Long](n)
+    idOf.forEach((k, v) => ids(v) = k)
+    // CSR adjacency
+    val deg = new Array[Int](n)
+    src.foreach { case (u, _) => deg(idOf.get(u)) += 1 }
+    val off = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val fill = off.clone()
+    val nbr = new Array[Long](src.length)
+    src.foreach { case (u, v) => val s = idOf.get(u); nbr(fill(s)) = v; fill(s) += 1 }
+
+    var cur = ids.clone() // label(node) = node id initially
+    var prev: Array[Long] = null
+    val lbl = new java.util.HashMap[Long, Int]()
+    val curOf = new java.util.HashMap[Long, Long]()
+    var round = 0
+    var result: Array[Long] = null
+    while (round < iterations && result == null) {
+      round += 1
+      curOf.clear()
+      i = 0
+      while (i < n) { curOf.put(ids(i), cur(i)); i += 1 }
+      val next = new Array[Long](n)
+      var changed = 0L
+      i = 0
+      while (i < n) {
+        lbl.clear()
+        var bestC = 0
+        var bestL = Long.MaxValue
+        var j = off(i)
+        while (j < off(i + 1)) {
+          val l = curOf.get(nbr(j))
+          val c = lbl.merge(l, 1, (a, b) => a + b)
+          if (c > bestC || (c == bestC && l < bestL)) { bestC = c; bestL = l }
+          j += 1
+        }
+        next(i) = bestL
+        if (next(i) != cur(i)) changed += 1
+        i += 1
+      }
+      if (round == iterations) cur = next
+      else if (changed == 0) result = next // fixpoint
+      else if (prev != null && java.util.Arrays.equals(next, prev)) {
+        // period-2 oscillation: return the cap-parity labeling
+        result = if ((iterations - round) % 2 == 0) next else cur
+      } else { prev = cur; cur = next }
+    }
+    if (result == null) result = cur
+    val res = result
+    Iterator.range(0, n).map(k => (ids(k), res(k)))
   }
 }

@@ -102,12 +102,19 @@ object ScaleProbe {
     } {
       Curation.tfidfTopTerms(docsN, "doc_id", Text.tokens(col("text")), 3).count()
     }
+    // localEdgeThreshold = 0 pins the DISTRIBUTED loop: this probe
+    // exists to prove the convergence loop's scaling (the path the
+    // adaptive dispatch takes above the threshold at corpus scale) —
+    // the single-task union-find the default would pick here is
+    // trivially linear and would measure nothing
     probe("dedup_clusters") {
       Clusters.connectedComponents(
-        Dedup.ngramJaccardPairs(docs1, "doc_id", "text", 3, 0.6), "doc_a", "doc_b").count()
+        Dedup.ngramJaccardPairs(docs1, "doc_id", "text", 3, 0.6), "doc_a", "doc_b",
+        localEdgeThreshold = 0).count()
     } {
       Clusters.connectedComponents(
-        Dedup.ngramJaccardPairs(docsN, "doc_id", "text", 3, 0.6), "doc_a", "doc_b").count()
+        Dedup.ngramJaccardPairs(docsN, "doc_id", "text", 3, 0.6), "doc_a", "doc_b",
+        localEdgeThreshold = 0).count()
     }
     probe("dedup_substring") {
       Dedup.substringDupSpans(docs1, "doc_id", "text", 20).count()
@@ -298,12 +305,17 @@ object ScaleProbe {
       // LPA on the same N-disjoint-copy hot graph: per-round work is
       // one adjacency join + two aggregates — must track edge growth
       // linearly, with iteration count fixed
+      // threshold 0 pins the distributed per-round joins — the path
+      // that runs at corpus scale (the adaptive in-task strategy the
+      // default picks here is trivially linear)
       probe("graph_lpa") {
         graft.operators.Graph.labelPropagation(
-          hotEdges(li1), "sa", "sb", iterations = 3).count()
+          hotEdges(li1), "sa", "sb", iterations = 3,
+          localEdgeThreshold = 0).count()
       } {
         graft.operators.Graph.labelPropagation(
-          hotEdges(liG), "sa", "sb", iterations = 3).count()
+          hotEdges(liG), "sa", "sb", iterations = 3,
+          localEdgeThreshold = 0).count()
       }
     }
     // CDC dedup: replica-suffixed words give disjoint chunk spaces —
@@ -615,11 +627,19 @@ object ScaleProbe {
         val t0 = System.nanoTime(); val n = f
         ((System.nanoTime() - t0) / 1e9, n)
       }
-      t(Clusters.incrementalComponents(lab1, frontier, "src", "dst").count()) // warm
-      val (ti1, ni1) = t(Clusters.incrementalComponents(lab1, frontier, "src", "dst").count())
-      val (tiN, niN) = t(Clusters.incrementalComponents(labN, frontier, "src", "dst").count())
+      // threshold 0 pins the distributed quotient-CC/loop path: the
+      // probe proves the LOOP's corpus-size independence — the
+      // adaptive single-task dispatch (the default, which a
+      // frontier-sized quotient graph always takes in production)
+      // would be flat by construction and prove nothing
+      t(Clusters.incrementalComponents(lab1, frontier, "src", "dst",
+        localEdgeThreshold = 0).count()) // warm
+      val (ti1, ni1) = t(Clusters.incrementalComponents(lab1, frontier, "src", "dst",
+        localEdgeThreshold = 0).count())
+      val (tiN, niN) = t(Clusters.incrementalComponents(labN, frontier, "src", "dst",
+        localEdgeThreshold = 0).count())
       val (tfN, _) = t(Clusters.connectedComponents(
-        edgesN.union(frontier), "src", "dst").count())
+        edgesN.union(frontier), "src", "dst", localEdgeThreshold = 0).count())
       println(f"[scaleprobe] clusters_inc           1x: $ti1%6.2f s ($ni1%8d rows)  " +
         f"${mult}x: $tiN%6.2f s ($niN%8d rows)  ratio: ${tiN / ti1}%5.1f (linear=$mult)")
       println(f"[scaleprobe] clusters_inc_vs_full   inc@${mult}x: $tiN%6.2f s  " +

@@ -39,19 +39,30 @@ class EntrySpec extends SparkSpec {
     // when the oracle run died, and nothing failed loudly. Pin the
     // newest committed artifact to ≥166 gated entries, every one with
     // err:null — a dead oracle run now fails the suite, not the judge.
-    val arts = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+    // r13 advice: resolve the repo root from a STABLE anchor (walk up
+    // from user.dir to the dir holding build.sbt + SURVEY.md) so a
+    // non-root cwd cannot silently assume()-skip the guard, and parse
+    // the JSON instead of regex-counting the writer's formatting.
+    val start = new java.io.File(sys.props("user.dir")).getAbsoluteFile
+    val root = Iterator.iterate(start)(_.getParentFile).takeWhile(_ != null)
+      .find(d => new java.io.File(d, "build.sbt").exists() &&
+        new java.io.File(d, "SURVEY.md").exists())
+    assert(root.isDefined, s"repo root (build.sbt + SURVEY.md) not found above $start")
+    val arts = Option(root.get.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.matches("CORRECTNESS_r\\d+\\.json"))
     assume(arts.nonEmpty, "no committed CORRECTNESS artifact yet (round 1)")
     val newest = arts.maxBy(f => f.getName.replaceAll("\\D+", "").toInt)
-    val text = {
-      val src = scala.io.Source.fromFile(newest, "UTF-8")
-      try src.mkString finally src.close()
-    }
-    val entries = "\"rows_match\"".r.findAllIn(text).size
-    assert(entries >= 166,
-      s"${newest.getName}: $entries gated entries (expected >= 166) — empty/truncated artifact")
-    val cleanErrs = "\"err\": null".r.findAllIn(text).size
-    assert(cleanErrs == entries,
-      s"${newest.getName}: ${entries - cleanErrs} entries carry a non-null err")
+    // jackson-databind ships with Spark — a real parse, not substring
+    // counting that the writer's whitespace could defeat
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(newest)
+    assert(node.isObject, s"${newest.getName}: top level is not a JSON object")
+    val names = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(node.fieldNames()).asScala.toSeq
+    val gated = names.filter(n => node.get(n).has("rows_match"))
+    assert(gated.size >= 166,
+      s"${newest.getName}: ${gated.size} gated entries (expected >= 166) — empty/truncated artifact")
+    val dirty = gated.filter(n => !node.get(n).get("err").isNull)
+    assert(dirty.isEmpty,
+      s"${newest.getName}: entries with non-null err: ${dirty.take(5).mkString(", ")}")
   }
 }

@@ -261,6 +261,29 @@ class GraphUrlSpec extends SparkSpec {
     assert(lpaReference(k22, 3) === lpaReference(k22, 5))
   }
 
+  test("labelPropagation: local strategy ≡ distributed loop across odd/even caps") {
+    // the r14 adaptive dispatch must be output-invisible on every
+    // stop shape: the K_{2,2} period-2 oscillator (cycle detection ×
+    // cap parity, caps 5-9 — r13 verdict item 8), the bridged-clique
+    // fixpoint, and a pseudo-random graph still mid-flight at the cap
+    val k22 = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+    val cliques = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+    var s = 999L
+    def next(): Long = { s = (s * 6364136223846793005L + 1442695040888963407L); (s >>> 33) % 25 }
+    val rand = (1 to 90).map(_ => (next(), next())).filter(e => e._1 != e._2)
+    for (edges <- Seq(k22, cliques, rand); iters <- 5 to 9) {
+      val local = graft.operators.Graph.labelPropagation(
+          edges.toDF("a", "b"), "a", "b", iters)
+        .as[(Long, Long)].collect().toMap
+      val loop = graft.operators.Graph.labelPropagation(
+          edges.toDF("a", "b"), "a", "b", iters, localEdgeThreshold = 0)
+        .as[(Long, Long)].collect().toMap
+      assert(local === loop, s"strategies diverged at cap $iters")
+      assert(local === lpaReference(edges, iters), s"cap $iters vs unroll")
+    }
+  }
+
   test("labelPropagation on an empty/self-loop-only graph returns an empty frame") {
     // the stop-probe sums over an empty frame (NULL) — must read as a
     // zero-node fixpoint, not an NPE (r13 review catch)

@@ -297,6 +297,92 @@ object Clusters {
     labels
   }
 
+  /** Alternating large-star/small-star connected components (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC
+    * '14) — the round-count A/B ALTERNATIVE to [[connectedComponents]]'
+    * pointer-jumping loop, kept as a first-class strategy so the two
+    * can be measured against each other on any graph shape (CcAb;
+    * results in SURVEY §6).
+    *
+    * Each iteration runs two deterministic relabelings over the
+    * canonical (u < v) edge set:
+    *   - LARGE-STAR: every node u computes m = min(Γ(u) ∪ {u}) and
+    *     connects each STRICTLY LARGER neighbor v > u to m;
+    *   - SMALL-STAR: every node y owns its smaller neighbors
+    *     N = {x : (x, y), x < y}, computes m = min(N), and connects
+    *     y and each x ∈ N \ {m} to m.
+    * Both are one groupBy-min + one self-join + distinct — every
+    * shuffle keys on a node id. The edge set only ever shrinks
+    * toward stars rooted at component minima; convergence = the
+    * (count, xor-of-hashes) signature of the edge set repeating,
+    * read in the same action that materializes the round (the lazy
+    * checkpoint fusion contract). O(log² n) rounds worst case.
+    *
+    * Output contract identical to [[connectedComponents]]:
+    * (node, cluster_id = component min), property-spec'd equal. */
+  def connectedComponentsStars(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    def truncate(df: DataFrame): DataFrame = df.localCheckpoint(false)
+    var e = pairs.select(
+        least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    // all nodes (children converge onto roots; roots self-label)
+    val nodes = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)).as("n"),
+        // bit_xor: order-free, overflow-free set digest (ANSI-safe
+        // where a sum of 64-bit hashes would throw)
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("h")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = signature(e)
+    var iter = 0
+    var done = sig._1 == 0L // empty edge set is already converged
+    while (!done && iter < maxIter) {
+      iter += 1
+      // LARGE-STAR: min over the symmetrized neighborhood, larger
+      // neighbors re-home to it
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u").as("c"), least(col("u"), col("mv")).as("m"))
+      val ls = truncate(sym.join(mins, col("u") === col("c"))
+        .filter(col("v") > col("u"))
+        .select(least(col("m"), col("v")).as("u"),
+          greatest(col("m"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct())
+      // SMALL-STAR: each node y re-homes its smaller neighbors (and
+      // itself) to their min
+      val sMins = ls.groupBy(col("v").as("y")).agg(min("u").as("m"))
+      val joined = ls.join(sMins, col("v") === col("y"))
+      val ss = truncate(
+        joined.select(col("m").as("u"), col("v")) // y → m
+          .union(joined.filter(col("u") =!= col("m"))
+            .select(col("m").as("u"), col("u").as("v"))) // x → m, x ≠ m
+          .filter(col("u") =!= col("v"))
+          .distinct())
+      val newSig = signature(ss) // one action: materializes + reads
+      e = ss
+      if (newSig == sig) done = true else sig = newSig
+    }
+    require(done || iter < maxIter,
+      s"connectedComponentsStars did not converge in $maxIter rounds")
+    // converged edge set is stars (root, child): children label to
+    // their root, roots (and only roots) are absent from the v side
+    nodes.join(e.select(col("v").as("node"), col("u").as("lbl")),
+        Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("lbl"), col("node")).as("cluster_id"))
+  }
+
   /** Format version of the durable cluster-state tables. Bump if the
     * labeling contract itself changes (e.g. representative choice);
     * stamped at write, validated on load. */

@@ -39,4 +39,24 @@ object ExtractStream {
           lit("href=\"([^\"]+)\""), lit(1))))
       .select(col("doc_id"), (col("pos") + 1).cast("int").as("link_pos"),
         Urls.canonicalize(col("col")).as("canonical_url"))
+
+  /** A fetched page BEFORE decoding: id + the raw bytes a crawl
+    * actually delivers (the [[graft.sources.Warc]] response body). */
+  final case class RawPage(doc_id: Long, raw: Array[Byte])
+
+  /** Byte-level ingest twin (r14): charset sniff + decode repair
+    * fused in front of the extraction — the full crawl front
+    * (bytes → repaired text → title/body) as ONE stateless per-row
+    * map, so a WARC-fed stream needs no separate decode hop and no
+    * mis-decoded page can poison downstream standing indexes. Same
+    * contract as extractStream over
+    * [[graft.functions.expr.CharsetDecode]]'s output (parity spec:
+    * mangled bytes across micro-batches ≡ the batch columns). */
+  def ingestStream(pages: Dataset[RawPage]): DataFrame = {
+    import graft.functions.expr.NativeFunctions.charset_decode
+    val html = charset_decode(col("raw"))
+    pages.select(col("doc_id"),
+      Html.titleFromHtml(html).as("title"),
+      Html.textFromHtml(html).as("body"))
+  }
 }

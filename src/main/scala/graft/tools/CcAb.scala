@@ -92,6 +92,31 @@ object CcAb {
           f"jobs=$jobs%3d  rows=$n")
       }
     }
+
+    // DISTRIBUTED-strategy A/B (the r13 verdict's named ask): the
+    // pointer-jumping min-label loop vs Kiveris large-star/small-star
+    // alternation, on the real dedup pair graph (dense tiny clusters)
+    // and on deep chains (pointer jumping's designed-for shape).
+    // Timed as pure CC over a pre-materialized edge frame — the pair
+    // derivation is shared cost, not part of the strategy choice.
+    import spark.implicits._
+    val realPairs = pairs.localCheckpoint(true)
+    val chain = (1L until 4096L).map(i => (i, i + 1))
+      .toDF("doc_a", "doc_b").localCheckpoint(true)
+    for ((gname, g) <- Seq("dedup-pairs" -> realPairs, "chain4096" -> chain);
+         r <- 1 to reps;
+         (arm, run) <- Seq[(String, DataFrame => DataFrame)](
+           "pj-loop" -> (d => Clusters.connectedComponents(d, "doc_a", "doc_b",
+             localEdgeThreshold = 0)),
+           "lsstars" -> (d => Clusters.connectedComponentsStars(d, "doc_a", "doc_b")))) {
+      jobs = 0
+      val t0 = System.nanoTime()
+      val n = run(g).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      println(f"[cc-ab] cc:$gname%-16s $arm%-7s rep$r: $dt%6.2f s  " +
+        f"jobs=$jobs%3d  rows=$n")
+    }
     spark.stop()
   }
 }

@@ -326,6 +326,56 @@ object ScaleProbe {
     } {
       Dedup.cdcDuplicateChunks(docsN, "doc_id", "text", 4, 8, 4).count()
     }
+    // extraction family (r14, r13 verdict item 7): stateless per-row
+    // scans with no shuffle — synthesize the gated queries' page
+    // shape per doc, then extract. Must track ≈ linear (per-row CPU
+    // only; the replica suffixes grow each page's text N-fold in
+    // aggregate but each ROW stays the same size, so wall time is
+    // pure row-count scaling)
+    locally {
+      import graft.functions.{Html, Urls}
+      def page(d: DataFrame): DataFrame = d.select(col("doc_id"), concat(
+        lit("<html><head><title>doc "), col("doc_id").cast("string"),
+        lit("</title><script>t()</script></head><body><nav>Home</nav><p>"),
+        col("text"),
+        lit("</p><a href=\"HTTPS://S"), (col("doc_id") % 7).cast("string"),
+        lit(".COM:443/p/?utm_a=1&q=1#f\">x</a><a href=\"http://c"),
+        (col("doc_id") % 3).cast("string"),
+        lit(".net:80/a//\">y</a></body></html>")).as("html"))
+      probe("text_extract_html") {
+        page(docs1).select(col("doc_id"),
+          Html.titleFromHtml(col("html")),
+          Html.textFromHtml(col("html"))).count()
+      } {
+        page(docsN).select(col("doc_id"),
+          Html.titleFromHtml(col("html")),
+          Html.textFromHtml(col("html"))).count()
+      }
+      probe("text_extract_links") {
+        page(docs1)
+          .select(col("doc_id"), posexplode(regexp_extract_all(col("html"),
+            lit("href=\"([^\"]+)\""), lit(1))))
+          .select(Urls.canonicalize(col("col"))).count()
+      } {
+        page(docsN)
+          .select(col("doc_id"), posexplode(regexp_extract_all(col("html"),
+            lit("href=\"([^\"]+)\""), lit(1))))
+          .select(Urls.canonicalize(col("col"))).count()
+      }
+      import graft.functions.expr.NativeFunctions.{charset_decode, charset_sniff}
+      def mangled(d: DataFrame): DataFrame = d.select(
+        when(col("doc_id") % 3 === 0,
+          encode(col("text"), "ISO-8859-1"))
+          .when(col("doc_id") % 3 === 1, encode(col("text"), "UTF-16"))
+          .otherwise(encode(col("text"), "UTF-8")).as("raw"))
+      probe("text_charset") {
+        mangled(docs1).select(charset_sniff(col("raw")),
+          charset_decode(col("raw"))).count()
+      } {
+        mangled(docsN).select(charset_sniff(col("raw")),
+          charset_decode(col("raw"))).count()
+      }
+    }
     // per-stratum window with a rank cap: WindowGroupLimit must keep
     // the per-reducer work bounded as strata get N× hotter (copies
     // share the same #strata, so each stratum grows N×)

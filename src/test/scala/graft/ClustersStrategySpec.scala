@@ -18,6 +18,10 @@ class ClustersStrategySpec extends SparkSpec {
         localEdgeThreshold = 0)
       .as[(Long, Long)].collect().toMap
     assert(local === loop)
+    // the Kiveris large-star/small-star alternative must agree too
+    val stars = Clusters.connectedComponentsStars(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(stars === loop, "large-star/small-star diverged from the loop")
   }
 
   test("local union-find ≡ distributed loop on seeded random graphs") {
@@ -71,6 +75,15 @@ class ClustersStrategySpec extends SparkSpec {
     val loop = Clusters.connectedComponents(pairs, "a", "b",
       localEdgeThreshold = 5).as[(Long, Long)].collect().toMap
     assert(loop === (1L to 11L).map(_ -> 1L).toMap)
+  }
+
+  test("large-star/small-star: empty set and a deep chain converge correctly") {
+    assert(Clusters.connectedComponentsStars(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").count() === 0L)
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("a", "b")
+    val out = Clusters.connectedComponentsStars(chain, "a", "b", maxIter = 20)
+      .as[(Long, Long)].collect()
+    assert(out.length === 200 && out.forall(_._2 == 1L))
   }
 
   test("local path is deterministic across executions") {

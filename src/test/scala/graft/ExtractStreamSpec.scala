@@ -42,6 +42,36 @@ class ExtractStreamSpec extends SparkSpec {
     assert(batch.exists(_.contains("doc 3|doc 3 h3 alpha 3 beta x y")))
   }
 
+  test("ingestStream: mangled bytes → repaired text → extraction ≡ batch, across micro-batches") {
+    // three charset regimes per page family: latin-1 bytes (invalid
+    // UTF-8 → cp1252 fallback), UTF-16 with BOM, plain UTF-8
+    val raws: Seq[ExtractStream.RawPage] = pages.map { p =>
+      val mangledHtml = p.html.replace("alpha", "Café à")
+      val bytes = (p.doc_id % 3) match {
+        case 0 => mangledHtml.getBytes("ISO-8859-1")
+        case 1 => mangledHtml.getBytes("UTF-16")
+        case _ => mangledHtml.getBytes("UTF-8")
+      }
+      ExtractStream.RawPage(p.doc_id, bytes)
+    }
+    val batch = raws.toDF()
+      .select(col("doc_id"),
+        Html.titleFromHtml(
+          graft.functions.expr.NativeFunctions.charset_decode(col("raw"))).as("title"),
+        Html.textFromHtml(
+          graft.functions.expr.NativeFunctions.charset_decode(col("raw"))).as("body"))
+      .collect().map(_.mkString("|")).toSet
+    val mem = MemoryStream[ExtractStream.RawPage]
+    val q = ExtractStream.ingestStream(mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("ing_par").start()
+    try raws.grouped(7).foreach { b => mem.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    val streamed = spark.table("ing_par").collect().map(_.mkString("|")).toSet
+    assert(streamed === batch)
+    // the accents survived every byte regime (decode really repaired)
+    assert(streamed.exists(_.contains("Café à 3")))
+  }
+
   test("linkStream ≡ the batch link extraction, canonicalized, across micro-batches") {
     val batch = pages.toDF()
       .select(col("doc_id"),

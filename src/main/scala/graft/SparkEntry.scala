@@ -1555,6 +1555,61 @@ object SparkEntry {
         charset_decode(raw).as("text"))
     }),
 
+    // robots.txt evaluation (r14, RFC 9309): the crawl-politeness
+    // gate beside URL canonicalization. Six regimes per order
+    // exercise group selection (specific agent group present or only
+    // *, case-insensitive token match), wildcard + $-anchored rules,
+    // longest-match precedence with allow-on-tie, and the no-match
+    // default — the oracle derives path AND verdict directly from
+    // the construction (m ∉ {1,4} ⇔ allowed)
+    "crawl_robots" -> ((s, dir) => {
+      import graft.functions.expr.NativeFunctions.robots_allowed
+      val m = col("o_orderkey") % 6
+      val base = lit("User-agent: *\nDisallow: /private/*\n" +
+        "Allow: /private/pub$\nDisallow: /tmp\n")
+      val spec = lit("User-agent: graftbot\nAllow: /private/\n" +
+        "Disallow: /secret/\n\n")
+      val robots = when(m >= 3, concat(spec, base)).otherwise(base)
+      val k = (col("o_orderkey") % 10).cast("string")
+      val path = when(m === 0, concat(lit("/public/page"), k))
+        .when(m === 1, concat(lit("/private/x"), k))
+        .when(m === 2, lit("/private/pub"))
+        .when(m === 3, concat(lit("/private/x"), k))
+        .when(m === 4, concat(lit("/secret/x"), k))
+        .otherwise(concat(lit("/tmp"), k))
+      t(s, dir, "orders").select(col("o_orderkey"), path.as("path"),
+        robots_allowed(robots, path, "GraftBot").as("allowed"))
+    }),
+
+    // Unicode-script profile (r14): the langid complement — which
+    // WRITING SYSTEM is a doc in (routes tokenizer + langid model
+    // family before any model runs). Explicit BMP codepoint ranges,
+    // spelled identically in both engines, so the counts are a real
+    // independent recount, not a construction replay; per-doc
+    // non-latin suffixes make every script class non-trivial
+    "text_script" -> ((s, dir) => {
+      val suffix = when(col("doc_id") % 5 === 1, lit(" Привет мир"))
+        .when(col("doc_id") % 5 === 2, lit(" 你好世界"))
+        .when(col("doc_id") % 5 === 3, lit(" مرحبا بالعالم"))
+        .when(col("doc_id") % 5 === 4, lit(" こんにちは"))
+        .otherwise(lit(""))
+      val txt = concat(col("text"), suffix)
+      val counts = Text.scriptCounts(txt)
+        .map { case (n, c) => n -> c.cast("long") }
+      // first-listed max wins ties (strict-> fold; 'none' when empty)
+      val (domName, domCnt) = counts.foldLeft((lit("none"), lit(0L))) {
+        case ((bn, bc), (n, c)) =>
+          (when(c > bc, lit(n)).otherwise(bn), when(c > bc, c).otherwise(bc))
+      }
+      val total = counts.map(_._2).reduce(_ + _)
+      t(s, dir, "documents").select(
+        col("doc_id") +:
+        counts.map { case (n, c) => c.as(s"n_$n") } :+
+        domName.as("dominant_script") :+
+        when(total > 0, round(domCnt.cast("double") / total, 6))
+          .otherwise(lit(0.0)).as("script_frac"): _*)
+    }),
+
     // ---- §2d events ----
     "q15_event_windows" -> ((s, dir) => Events.hourlyByType(Tables.events(s, dir))),
 
@@ -5154,6 +5209,65 @@ object SparkEntry {
                        || CAST(o_orderkey % 100 AS VARCHAR)
                 END AS text
          FROM orders""",
+
+    // robots evaluation, gated by independent derivation: the regime
+    // index alone decides the verdict (m ∉ {1,4} ⇔ allowed), so any
+    // defect in group selection, glob matching, $-anchoring or
+    // longest-match precedence flips a row and hash-mismatches
+    "crawl_robots" ->
+      """SELECT o_orderkey,
+                CASE o_orderkey % 6
+                  WHEN 0 THEN '/public/page' || CAST(o_orderkey % 10 AS VARCHAR)
+                  WHEN 1 THEN '/private/x' || CAST(o_orderkey % 10 AS VARCHAR)
+                  WHEN 2 THEN '/private/pub'
+                  WHEN 3 THEN '/private/x' || CAST(o_orderkey % 10 AS VARCHAR)
+                  WHEN 4 THEN '/secret/x' || CAST(o_orderkey % 10 AS VARCHAR)
+                  ELSE '/tmp' || CAST(o_orderkey % 10 AS VARCHAR)
+                END AS path,
+                o_orderkey % 6 NOT IN (1, 4) AS allowed
+         FROM orders""",
+
+    // script profile: a REAL independent recount — both engines count
+    // characters in the same explicit BMP ranges over the same
+    // synthesized text (first-listed max wins dominant ties)
+    "text_script" ->
+      """WITH t AS (
+           SELECT doc_id, text || CASE doc_id % 5
+                    WHEN 1 THEN ' Привет мир'
+                    WHEN 2 THEN ' 你好世界'
+                    WHEN 3 THEN ' مرحبا بالعالم'
+                    WHEN 4 THEN ' こんにちは'
+                    ELSE '' END AS txt
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+                  length(regexp_replace(txt, '[^A-Za-z\x{00C0}-\x{00D6}\x{00D8}-\x{00F6}\x{00F8}-\x{00FF}]', '', 'g')) AS n_latin,
+                  length(regexp_replace(txt, '[^\x{0400}-\x{04FF}]', '', 'g')) AS n_cyrillic,
+                  length(regexp_replace(txt, '[^\x{0370}-\x{03FF}]', '', 'g')) AS n_greek,
+                  length(regexp_replace(txt, '[^\x{0600}-\x{06FF}]', '', 'g')) AS n_arabic,
+                  length(regexp_replace(txt, '[^\x{4E00}-\x{9FFF}]', '', 'g')) AS n_cjk,
+                  length(regexp_replace(txt, '[^\x{3040}-\x{30FF}]', '', 'g')) AS n_kana,
+                  length(regexp_replace(txt, '[^\x{AC00}-\x{D7AF}]', '', 'g')) AS n_hangul
+           FROM t),
+         g AS (SELECT *,
+                      greatest(n_latin, n_cyrillic, n_greek, n_arabic,
+                               n_cjk, n_kana, n_hangul) AS mx,
+                      n_latin + n_cyrillic + n_greek + n_arabic
+                        + n_cjk + n_kana + n_hangul AS tot
+               FROM c)
+         SELECT doc_id, n_latin, n_cyrillic, n_greek, n_arabic,
+                n_cjk, n_kana, n_hangul,
+                CASE WHEN tot = 0 THEN 'none'
+                     WHEN n_latin >= mx THEN 'latin'
+                     WHEN n_cyrillic >= mx THEN 'cyrillic'
+                     WHEN n_greek >= mx THEN 'greek'
+                     WHEN n_arabic >= mx THEN 'arabic'
+                     WHEN n_cjk >= mx THEN 'cjk'
+                     WHEN n_kana >= mx THEN 'kana'
+                     ELSE 'hangul' END AS dominant_script,
+                CASE WHEN tot = 0 THEN 0.0
+                     ELSE round(CAST(mx AS DOUBLE) / tot, 6) END AS script_frac
+         FROM g""",
 
     // argmax of per-language stopword hits; ties resolve to the
     // lexicographically greatest language in BOTH engines (struct max

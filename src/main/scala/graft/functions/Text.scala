@@ -78,6 +78,32 @@ object Text {
     "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "dans"),
     "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不"))
 
+  /** Unicode-script profile: per-script character counts over
+    * EXPLICIT BMP codepoint ranges — spelled as ranges (not \p{Is...}
+    * classes) so Spark's java.util.regex and the oracle's RE2 count
+    * the identical character sets regardless of their Unicode table
+    * versions. The langid complement: langid asks "which language",
+    * this asks "which writing system" — the first-pass router of a
+    * multilingual crawl (script decides tokenizer + langid model
+    * family before any model runs). Latin excludes × (U+00D7) and ÷
+    * (U+00F7), the two non-letters inside Latin-1's letter block. */
+  val scriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-z\\u00C0-\\u00D6\\u00D8-\\u00F6\\u00F8-\\u00FF",
+    "cyrillic" -> "\\u0400-\\u04FF",
+    "greek" -> "\\u0370-\\u03FF",
+    "arabic" -> "\\u0600-\\u06FF",
+    "cjk" -> "\\u4E00-\\u9FFF",
+    "kana" -> "\\u3040-\\u30FF",
+    "hangul" -> "\\uAC00-\\uD7AF")
+
+  /** (script, count) columns for [[scriptRanges]]: one negated-class
+    * regexp_replace + length per script (all-BMP ranges, so char
+    * counts agree across engines). */
+  def scriptCounts(text: Column): Seq[(String, Column)] =
+    scriptRanges.map { case (name, cls) =>
+      name -> length(regexp_replace(text, s"[^$cls]", ""))
+    }
+
   /** Heuristic language ID: argmax of stopword hits per language;
     * "und" (undetermined) when no dictionary hits at all. */
   def langId(text: Column): Column = {

@@ -1271,6 +1271,12 @@ object NativeFunctions {
   def html_text(c: Column): Column =
     ColumnBridge.toColumn(HtmlText(ColumnBridge.toExpr(c)))
 
+  /** Column API for RobotsAllowed (robots.txt payload + path → may
+    * `agent` fetch it, per RFC 9309). */
+  def robots_allowed(robots: Column, path: Column, agent: String): Column =
+    ColumnBridge.toColumn(RobotsAllowed(
+      ColumnBridge.toExpr(robots), ColumnBridge.toExpr(path), agent))
+
   /** Column API for CharsetSniff (raw fetched bytes → charset name). */
   def charset_sniff(c: Column): Column =
     ColumnBridge.toColumn(CharsetSniff(ColumnBridge.toExpr(c)))

@@ -88,9 +88,17 @@ object Charsets {
   }
 
   def decode(b: Array[Byte]): UTF8String = sniffName(b) match {
-    // valid-UTF-8 payloads pass through untouched (zero re-encode)
-    case "utf-8" => UTF8String.fromBytes(b)
-    case "utf-8-bom" => UTF8String.fromBytes(b, 3, b.length - 3)
+    // valid payloads pass through untouched (zero re-encode) — but
+    // ONLY after validation: the utf-8 verdict can come from a BOM
+    // or a meta label on bytes that are NOT valid UTF-8, and a
+    // zero-copy there would smuggle invalid bytes into the engine
+    // instead of repairing them to U+FFFD
+    case "utf-8" =>
+      if (validUtf8(b)) UTF8String.fromBytes(b)
+      else decodeWith(b, 0, "UTF-8")
+    case "utf-8-bom" =>
+      if (validUtf8(b, 3)) UTF8String.fromBytes(b, 3, b.length - 3)
+      else decodeWith(b, 3, "UTF-8")
     case "utf-16be-bom" => decodeWith(b, 2, "UTF-16BE")
     case "utf-16le-bom" => decodeWith(b, 2, "UTF-16LE")
     case name => decodeWith(b, 0, name)
@@ -175,8 +183,8 @@ object Charsets {
   /** Strict RFC 3629 UTF-8 validation: overlong encodings, UTF-16
     * surrogates (U+D800-DFFF) and code points above U+10FFFF all
     * reject. */
-  private[graft] def validUtf8(b: Array[Byte]): Boolean = {
-    var i = 0
+  private[graft] def validUtf8(b: Array[Byte], from: Int = 0): Boolean = {
+    var i = from
     val n = b.length
     while (i < n) {
       val c = b(i) & 0xFF

@@ -69,6 +69,16 @@ class CharsetSpec extends SparkSpec {
     val broken = utf8("<meta charset=utf-8>Caf") ++ Array(0xE9.toByte) ++ utf8("!")
     assert(Charsets.sniffName(broken) === "utf-8")
     assert(Charsets.decode(broken).toString.contains("Caf�!"))
+    // the INVARIANT behind the repair: whatever the input bytes, the
+    // decoded UTF8String's backing bytes are valid UTF-8 — a meta-
+    // or BOM-driven utf-8 verdict must never zero-copy invalid bytes
+    // into the engine (they'd poison every downstream comparison)
+    val bomBroken = Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++
+      utf8("ok") ++ Array(0xC0, 0xAF).map(_.toByte) // BOM + overlong '/'
+    for (bytes <- Seq(broken, bomBroken, utf8("fine"), "é".getBytes("ISO-8859-1"))) {
+      assert(Charsets.validUtf8(Charsets.decode(bytes).getBytes),
+        s"decode emitted invalid UTF-8 for ${bytes.toSeq}")
+    }
   }
 
   test("column API: sniff + decode are codegen'd and null-safe") {

@@ -224,6 +224,22 @@ class PlanQualitySpec extends SparkSpec {
     } finally sIdx.release()
   }
 
+  test("adaptive CC/LPA local path: Coalesce(1) over the checkpointed scan, zero exchanges") {
+    // the r14 single-task strategy's whole point is NO per-round
+    // driver actions and NO shuffle: the plan must be exactly
+    // scan → Coalesce 1 → MapPartitions (a repartition(1) here would
+    // silently reintroduce an exchange)
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val cc = plan(graft.operators.Clusters.connectedComponents(pairs, "a", "b"))
+    assert(cc.contains("Coalesce 1"), s"local CC lost its single-task coalesce:\n$cc")
+    assert(cc.contains("MapPartitions"), s"local CC lost its union-find kernel:\n$cc")
+    assert(!cc.contains("Exchange"), s"local CC plan shuffles:\n$cc")
+    val lpa = plan(graft.operators.Graph.labelPropagation(pairs, "a", "b", 3))
+    assert(lpa.contains("Coalesce 1") && lpa.contains("MapPartitions") &&
+      !lpa.contains("Exchange"), s"local LPA plan regressed:\n$lpa")
+  }
+
   test("external sink collapse prunes rank>1 below the shuffle (WindowGroupLimit)") {
     // the latest-version-per-key collapse must not move every delta
     // row through the exchange when only the per-key winner survives —

@@ -106,8 +106,12 @@ object Clusters {
     * ~1M undirected pairs ⇒ ≤2M distinct nodes ⇒ ≤96 MB of presized
     * arrays in the one task — comfortably inside any sane executor).
     * The count is MEASURED on the already-materialized edge frame
-    * (one cheap job over checkpointed blocks), so the dispatch is a
-    * runtime fact, not a guess — above it the loop runs unchanged. */
+    * (one job over checkpointed blocks), so the dispatch is a
+    * runtime fact, not a guess — above it the loop runs unchanged.
+    * The probe costs ≤ half a round at ANY scale (the loop reads the
+    * same blocks twice per round, and runs ~log₂(diameter)+2
+    * rounds), so even a corpus-sized graph pays ~5% for the
+    * possibility of skipping the whole loop. */
   val defaultLocalEdgeThreshold: Long = 1L << 21
 
   /** @param truncateEvery lineage-truncation cadence (the pagerank
@@ -164,10 +168,16 @@ object Clusters {
     def delete(files: Set[String]): Unit =
       files.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
 
-    // undirected: propagate both ways
-    val (e, eFiles) = truncate(
-      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
+    // undirected: propagate both ways. Non-reliable mode marks the
+    // checkpoint LAZILY — the dispatch count below (or the first
+    // round) materializes + lineage-truncates in the SAME action
+    // (the r13 fusion applied to the edge frame: one driver action,
+    // not a truncation job plus a count job). Reliable mode keeps
+    // the eager form — the file bookkeeping needs the write fenced.
+    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val (e, eFiles) =
+      if (reliable) truncate(sym) else (sym.localCheckpoint(false), Set.empty[String])
 
     // ADAPTIVE STRATEGY PICK — the broadcast-join decision applied to
     // a fixpoint. The convergence loop costs one driver action (plus

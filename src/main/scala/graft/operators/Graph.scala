@@ -274,9 +274,12 @@ object Graph {
         greatest(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-    val adj = truncate(
-      e.select(col("u").as("node"), col("v").as("nbr"))
-        .union(e.select(col("v").as("node"), col("u").as("nbr"))))
+    // non-reliable mode marks the checkpoint lazily: the dispatch
+    // count (or round 1) materializes + truncates in one action (the
+    // r13 fusion applied to the adjacency frame)
+    val adjRaw = e.select(col("u").as("node"), col("v").as("nbr"))
+      .union(e.select(col("v").as("node"), col("u").as("nbr")))
+    val adj = if (reliable) truncate(adjRaw) else adjRaw.localCheckpoint(false)
 
     // ADAPTIVE STRATEGY PICK (the Clusters.connectedComponents r14
     // contract): when the MEASURED symmetrized adjacency fits one

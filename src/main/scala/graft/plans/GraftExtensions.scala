@@ -4,9 +4,10 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expr.{BloomAgg, BloomContainsAny, CmsAgg, CmsEstimate,
-  DotProduct, HammingDistance, MinHashAgg, RollingHash, ShingleHashes,
-  ShingleHashesAll, SimHashAgg}
+import graft.functions.expr.{BloomAgg, BloomContainsAny, CharsetDecode,
+  CharsetSniff, CmsAgg, CmsEstimate, DotProduct, HammingDistance, HtmlText,
+  MinHashAgg, RobotsAllowed, RollingHash, ShingleHashes, ShingleHashesAll,
+  SimHashAgg, UrlCanonicalize}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so `spark.sql("SELECT
@@ -50,9 +51,53 @@ object GraftExtensions {
     }
   }
 
+  /** Foldable string literal → String, with a clear error. */
+  private def constString(name: String, arg: String, e: Expression): String = {
+    def bad(why: String) = throw new IllegalArgumentException(s"$name: $arg $why")
+    if (!e.foldable) bad("must be a constant string, got a non-literal")
+    e.eval(null) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => bad(s"must be a constant string, got $other (${e.dataType.simpleString})")
+    }
+  }
+
   /** (identifier, info, builder) triples — shared by the
     * withExtensions path and live-session registration. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    // the r14 extraction/crawl scalar family — SQL parity with the
+    // Column API (the sketch aggregates below set the precedent: a
+    // SQL-only user gets the same engine surface)
+    (FunctionIdentifier("url_canonicalize"),
+      info("url_canonicalize", "url_canonicalize(url) - canonical dedup-key form of a messy URL"),
+      (children: Seq[Expression]) => {
+        arity("url_canonicalize(url)", children, 1)
+        UrlCanonicalize(children.head)
+      }),
+    (FunctionIdentifier("html_text"),
+      info("html_text", "html_text(html) - boilerplate-stripped page text"),
+      (children: Seq[Expression]) => {
+        arity("html_text(html)", children, 1)
+        HtmlText(children.head)
+      }),
+    (FunctionIdentifier("charset_sniff"),
+      info("charset_sniff", "charset_sniff(bytes) - detected charset of raw fetched bytes"),
+      (children: Seq[Expression]) => {
+        arity("charset_sniff(bytes)", children, 1)
+        CharsetSniff(children.head)
+      }),
+    (FunctionIdentifier("charset_decode"),
+      info("charset_decode", "charset_decode(bytes) - charset-repaired text of raw fetched bytes"),
+      (children: Seq[Expression]) => {
+        arity("charset_decode(bytes)", children, 1)
+        CharsetDecode(children.head)
+      }),
+    (FunctionIdentifier("robots_allowed"),
+      info("robots_allowed", "robots_allowed(robots_txt, path, agent) - RFC 9309 fetch permission"),
+      (children: Seq[Expression]) => {
+        arity("robots_allowed(robots_txt, path, agent)", children, 3)
+        RobotsAllowed(children(0), children(1),
+          constString("robots_allowed(robots_txt, path, agent)", "agent", children(2)))
+      }),
     (FunctionIdentifier("hamming_distance"),
       info("hamming_distance", "hamming_distance(a, b) - bit distance of two int64 signatures"),
       (children: Seq[Expression]) => {

@@ -130,6 +130,28 @@ class SourcesSpec extends SparkSpec {
     assert(r.getInt(4) === 3) // positional: ab, ba, ab — duplicates kept
     assert(r.getInt(5) === 2) // deduped sibling
 
+    // the r14 extraction/crawl scalar family from SQL text
+    val x = spark.sql(
+      """SELECT url_canonicalize('HTTPS://A.COM:443/x/?utm_a=1&q=2#f') AS u,
+                html_text('<p>hi <b>there</b></p><script>x()</script>') AS t,
+                charset_sniff(encode('plain', 'UTF-8')) AS cs,
+                charset_decode(encode('Café', 'ISO-8859-1')) AS cd,
+                robots_allowed('User-agent: *\nDisallow: /x\n', '/x/1', 'bot') AS ra,
+                robots_allowed('User-agent: *\nDisallow: /x\n', '/y', 'bot') AS rb""")
+      .collect().head
+    assert(x.getString(0) === "https://a.com/x?q=2")
+    assert(x.getString(1) === "hi there")
+    assert(x.getString(2) === "utf-8")
+    assert(x.getString(3) === "Café")
+    assert(!x.getBoolean(4) && x.getBoolean(5))
+    // a non-literal agent must fail loudly, not silently misgroup
+    // (a column reference — foldable expressions like concat of
+    // literals legitimately fold to a constant and are accepted)
+    val err = intercept[Exception](spark.sql(
+      """SELECT robots_allowed('User-agent: *', '/x', c)
+         FROM (SELECT 'bot' AS c)""").collect())
+    assert(err.getMessage.contains("agent") || err.getMessage.contains("constant"))
+
     // sketch aggregates + probes, end-to-end from SQL text
     Seq((1L, 10L), (2L, 10L), (3L, 20L)).toDF("id", "h")
       .createOrReplaceTempView("sketch_in")

@@ -118,8 +118,15 @@ object Dedup {
     // describe the same shingle space or Jaccard is biased low and
     // true near-dup pairs get silently dropped
     val sizes = shPruned.groupBy("doc_id").agg(count("*").as("n_sh"))
+    // shuffled-hash, not sort-merge, for the index self-join (r14
+    // same-JVM A/B: 1.8-2.3 s -> 1.1-1.5 s on the full stage): both
+    // sides are already hash-partitioned on s, the sorts are pure
+    // overhead, and the build side is SAFE by construction - the
+    // df-cap bounds per-key fan-out and per-partition build memory is
+    // index/shuffle.partitions (the usual sizing knob); AQE's skew
+    // split covers shuffled-hash joins too
     val shared = shPruned.as("a")
-      .join(shPruned.as("b"),
+      .join(shPruned.as("b").hint("shuffle_hash"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count("*").as("shared"))
@@ -180,8 +187,15 @@ object Dedup {
         sh.join(broadcast(hot), Seq("s"), "left_anti")
       }
     val sizes = shPruned.groupBy("doc_id").agg(count("*").as("n_sh"))
+    // shuffled-hash, not sort-merge, for the index self-join (r14
+    // same-JVM A/B: 1.8-2.3 s -> 1.1-1.5 s on the full stage): both
+    // sides are already hash-partitioned on s, the sorts are pure
+    // overhead, and the build side is SAFE by construction - the
+    // df-cap bounds per-key fan-out and per-partition build memory is
+    // index/shuffle.partitions (the usual sizing knob); AQE's skew
+    // split covers shuffled-hash joins too
     val shared = shPruned.as("a")
-      .join(shPruned.as("b"),
+      .join(shPruned.as("b").hint("shuffle_hash"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count("*").as("shared"))

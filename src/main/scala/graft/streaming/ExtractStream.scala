@@ -44,6 +44,30 @@ object ExtractStream {
     * actually delivers (the [[graft.sources.Warc]] response body). */
   final case class RawPage(doc_id: Long, raw: Array[Byte])
 
+  /** A frontier candidate: a discovered link plus the target host's
+    * robots.txt payload (joined on by the frontier enrichment —
+    * robots is per-host state, kilobytes, broadcast at scale). */
+  final case class FrontierLink(url: String, robots: String)
+
+  /** Crawl-frontier gate (r14): canonicalize each discovered URL and
+    * evaluate the host's robots.txt for `agent` — the politeness +
+    * dedup-key step between link extraction and the fetch queue, as
+    * one stateless per-row map (append mode, no state store). Emits
+    * (canonical_url, allowed); the caller keeps allowed=true rows
+    * and dedups on the canonical key downstream. */
+  def frontierStream(links: Dataset[FrontierLink], agent: String): DataFrame = {
+    import graft.functions.expr.NativeFunctions.robots_allowed
+    val canonical = Urls.canonicalize(col("url"))
+    // the rule path is the URL's path+query (robots matches from the
+    // first octet after the authority) — derived from the CANONICAL
+    // form so equivalent messy spellings gate identically
+    val path = regexp_replace(canonical, "^[a-z0-9+.-]+://[^/]*", "")
+    links.select(
+      canonical.as("canonical_url"),
+      robots_allowed(col("robots"),
+        when(path === "", lit("/")).otherwise(path), agent).as("allowed"))
+  }
+
   /** Byte-level ingest twin (r14): charset sniff + decode repair
     * fused in front of the extraction — the full crawl front
     * (bytes → repaired text → title/body) as ONE stateless per-row

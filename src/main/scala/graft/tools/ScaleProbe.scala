@@ -375,6 +375,25 @@ object ScaleProbe {
         mangled(docsN).select(charset_sniff(col("raw")),
           charset_decode(col("raw"))).count()
       }
+      // robots + script profile (r14): both stateless per-row scans —
+      // same ≈linear expectation as the rest of the family
+      import graft.functions.expr.NativeFunctions.robots_allowed
+      val robotsTxt = lit("User-agent: *\nDisallow: /private/*\n" +
+        "Allow: /private/pub$\nDisallow: /tmp\n")
+      def paths(d: DataFrame): DataFrame = d.select(
+        concat(lit("/private/x"), (col("doc_id") % 97).cast("string")).as("p"))
+      probe("crawl_robots") {
+        paths(docs1).select(robots_allowed(robotsTxt, col("p"), "bot")).count()
+      } {
+        paths(docsN).select(robots_allowed(robotsTxt, col("p"), "bot")).count()
+      }
+      probe("text_script") {
+        docs1.select(graft.functions.Text.scriptCounts(col("text"))
+          .map(_._2): _*).count()
+      } {
+        docsN.select(graft.functions.Text.scriptCounts(col("text"))
+          .map(_._2): _*).count()
+      }
     }
     // per-stratum window with a rank cap: WindowGroupLimit must keep
     // the per-reducer work bounded as strata get N× hotter (copies

@@ -77,6 +77,22 @@ class ClustersStrategySpec extends SparkSpec {
     assert(loop === (1L to 11L).map(_ -> 1L).toMap)
   }
 
+  test("local union-find ≡ distributed loop at 2k nodes / 5k edges") {
+    // bigger-graph insurance for the single-task kernel: mixed
+    // component shapes (random edges create giant + medium + small
+    // components and singleton-free isolates), compared exactly
+    val rnd = new scala.util.Random(2024)
+    val pairs = Seq.fill(5000)(
+      (rnd.nextInt(2000).toLong, rnd.nextInt(2000).toLong)).toDF("a", "b")
+    val local = Clusters.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val loop = Clusters.connectedComponents(pairs, "a", "b",
+        localEdgeThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local === loop)
+    assert(local.size > 1500, "graph too sparse to exercise anything")
+  }
+
   test("large-star/small-star: empty set and a deep chain converge correctly") {
     assert(Clusters.connectedComponentsStars(
       Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").count() === 0L)

@@ -72,6 +72,36 @@ class ExtractStreamSpec extends SparkSpec {
     assert(streamed.exists(_.contains("Café à 3")))
   }
 
+  test("frontierStream: canonicalize + robots gate ≡ batch, across micro-batches") {
+    val robots = "User-agent: *\nDisallow: /private/*\nAllow: /private/pub$\n"
+    val links: Seq[ExtractStream.FrontierLink] = (0L until 20L).map { i =>
+      val url = (i % 4) match {
+        case 0 => s"HTTPS://A.COM:443/public/$i?utm_x=1"
+        case 1 => s"https://a.com/private/x$i"
+        case 2 => "https://a.com/private/pub"
+        case _ => s"https://A.com/Private/$i" // case-SENSITIVE path survives
+      }
+      ExtractStream.FrontierLink(url, robots)
+    }
+    val batch = links.toDF()
+      .select(graft.functions.Urls.canonicalize(col("url")).as("u"))
+      .collect().map(_.getString(0))
+    val mem = MemoryStream[ExtractStream.FrontierLink]
+    val q = ExtractStream.frontierStream(mem.toDS(), "bot").writeStream
+      .outputMode("append").format("memory").queryName("fr_par").start()
+    try links.grouped(6).foreach { b => mem.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    val got = spark.table("fr_par").collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got.size === batch.distinct.size)
+    assert(got("https://a.com/public/4") === true)
+    assert(got("https://a.com/private/x1") === false, "Disallow /private/* gates")
+    assert(got("https://a.com/private/pub") === true, "$-anchored Allow wins")
+    // URL canonicalization lowercases the HOST, not the path — the
+    // mixed-case /Private path does NOT match the /private rule
+    assert(got("https://a.com/Private/3") === true)
+  }
+
   test("linkStream ≡ the batch link extraction, canonicalized, across micro-batches") {
     val batch = pages.toDF()
       .select(col("doc_id"),

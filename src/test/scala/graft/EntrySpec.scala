@@ -28,9 +28,9 @@ class EntrySpec extends SparkSpec {
     // coverage floor: a refactor that silently drops registered
     // queries (or their oracles) must fail loudly here, not at the
     // driver's gate
-    assert(SparkEntry.queries.size >= 166,
+    assert(SparkEntry.queries.size >= 171,
       s"query count regressed: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size >= 166,
+    assert(SparkEntry.oracleSql.size >= 171,
       s"oracle count regressed: ${SparkEntry.oracleSql.size}")
   }
 

@@ -164,6 +164,33 @@ class WarcSpec extends SparkSpec {
       ("Café page", "Café page Voilà ü l")))
   }
 
+  test("truncated and malformed segments fail loudly, not silently short") {
+    // a segment cut mid-block must throw (framing is Content-Length;
+    // silently dropping the tail would under-count a crawl), and a
+    // non-WARC payload must be rejected at the version line
+    // cut mid-block: the Content-Length framing detects the short read
+    val r2start = segment.indexOfSlice("WARC/1.0".getBytes("UTF-8"), 1)
+    val cutMidBlock = segment.take(segment.length - 10)
+    val p1 = writeTmp("cut.warc", cutMidBlock)
+    val e1 = intercept[org.apache.spark.SparkException] {
+      Warc.read(spark, p1.toString).collect()
+    }
+    assert(e1.toString.contains("truncated"), s"unexpected failure: $e1")
+    // cut mid-headers: the missing Content-Length is equally fatal
+    val cutMidHeaders = segment.take(r2start + 40)
+    val p1b = writeTmp("cuth.warc", cutMidHeaders)
+    val e1b = intercept[org.apache.spark.SparkException] {
+      Warc.read(spark, p1b.toString).collect()
+    }
+    assert(e1b.toString.contains("Content-Length") ||
+      e1b.toString.contains("truncated"), s"unexpected failure: $e1b")
+    val p2 = writeTmp("junk.warc", "HTTP/1.1 200 OK\r\n\r\nnope".getBytes("UTF-8"))
+    val e2 = intercept[org.apache.spark.SparkException] {
+      Warc.read(spark, p2.toString).collect()
+    }
+    assert(e2.toString.contains("WARC") || e2.getMessage.contains("WARC"))
+  }
+
   test("readCdx: CommonCrawl-shape index lines surface the record byte ranges") {
     val lines = Seq(
       """com,a)/x 20260102030406 {"url": "https://a.com/x/", "mime": "text/html", "status": "200", "digest": "SHA", "length": "512", "offset": "340", "filename": "seg.warc.gz"}""",

@@ -1555,6 +1555,35 @@ object SparkEntry {
         charset_decode(raw).as("text"))
     }),
 
+    // host-level link graph (r14): the extraction→graph handoff — a
+    // crawl's per-page outlinks rolled up to (src_host, dst_host,
+    // n_links), the edge list host-level PageRank / spam analysis
+    // consume. Hrefs scanned from synthesized markup, canonicalized
+    // by the native path, host extracted from the CANONICAL form
+    // (case/port jitter collapses), then one groupBy — the q2 pair
+    // shape over URLs. The oracle derives both hosts DIRECTLY from
+    // base columns and re-aggregates, so a scan, canonicalization or
+    // host-extraction defect shifts a count and hash-mismatches.
+    "crawl_hostgraph" -> ((s, dir) => {
+      import graft.functions.Urls
+      val id = col("doc_id")
+      val html = concat(
+        lit("<html><body><a href=\"HTTPS://WWW.Shop"), (id % 7).cast("string"),
+        lit(".COM:443/item/"), (id % 50).cast("string"),
+        lit("/?utm_campaign=x&q="), col("lang"),
+        lit("#frag\">here</a><a href=\"http://cdn.site"), (id % 3).cast("string"),
+        lit(".net:80/a//\">img</a></body></html>"))
+      val srcHost = concat(lit("src"), (id % 5).cast("string"), lit(".org"))
+      t(s, dir, "documents")
+        .select(srcHost.as("src_host"),
+          explode(regexp_extract_all(html, lit("href=\"([^\"]+)\""), lit(1))).as("href"))
+        .select(col("src_host"),
+          regexp_extract(Urls.canonicalize(col("href")),
+            "^[a-z0-9+.-]+://([^/]*)", 1).as("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(count(lit(1)).as("n_links"))
+    }),
+
     // robots.txt evaluation (r14, RFC 9309): the crawl-politeness
     // gate beside URL canonicalization. Six regimes per order
     // exercise group selection (specific agent group present or only
@@ -5209,6 +5238,22 @@ object SparkEntry {
                        || CAST(o_orderkey % 100 AS VARCHAR)
                 END AS text
          FROM orders""",
+
+    // host graph, gated by independent derivation + REAL
+    // re-aggregation: both target hosts come straight from the
+    // doc_id modulos (jitter removed by construction), then DuckDB
+    // groups the same edges itself
+    "crawl_hostgraph" ->
+      """WITH l AS (
+           SELECT 'src' || CAST(doc_id % 5 AS VARCHAR) || '.org' AS src_host,
+                  'www.shop' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS dst_host
+           FROM documents
+           UNION ALL
+           SELECT 'src' || CAST(doc_id % 5 AS VARCHAR) || '.org',
+                  'cdn.site' || CAST(doc_id % 3 AS VARCHAR) || '.net'
+           FROM documents)
+         SELECT src_host, dst_host, count(*) AS n_links
+         FROM l GROUP BY 1, 2""",
 
     // robots evaluation, gated by independent derivation: the regime
     // index alone decides the verdict (m ∉ {1,4} ⇔ allowed), so any

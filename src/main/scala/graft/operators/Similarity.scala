@@ -512,7 +512,7 @@ object Similarity {
       indexTombstones(spark, table).foreach { t =>
         val resurrected = t.join(ids, Seq("neighbor_id"), "left_semi")
         if (!resurrected.isEmpty) {
-          val cols = rows.columns.sorted.map(col(_))
+          val cols = rows.columns.sorted.toIndexedSeq.map(col(_))
           def rowHash(df: DataFrame, name: String) =
             df.join(resurrected, Seq("neighbor_id"), "left_semi")
               .select(col("neighbor_id"), hash(cols: _*).as(name))

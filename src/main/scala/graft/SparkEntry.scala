@@ -1564,25 +1564,22 @@ object SparkEntry {
     // shape over URLs. The oracle derives both hosts DIRECTLY from
     // base columns and re-aggregates, so a scan, canonicalization or
     // host-extraction defect shifts a count and hash-mismatches.
-    "crawl_hostgraph" -> ((s, dir) => {
-      import graft.functions.Urls
-      val id = col("doc_id")
-      val html = concat(
-        lit("<html><body><a href=\"HTTPS://WWW.Shop"), (id % 7).cast("string"),
-        lit(".COM:443/item/"), (id % 50).cast("string"),
-        lit("/?utm_campaign=x&q="), col("lang"),
-        lit("#frag\">here</a><a href=\"http://cdn.site"), (id % 3).cast("string"),
-        lit(".net:80/a//\">img</a></body></html>"))
-      val srcHost = concat(lit("src"), (id % 5).cast("string"), lit(".org"))
-      t(s, dir, "documents")
-        .select(srcHost.as("src_host"),
-          explode(regexp_extract_all(html, lit("href=\"([^\"]+)\""), lit(1))).as("href"))
-        .select(col("src_host"),
-          regexp_extract(Urls.canonicalize(col("href")),
-            "^[a-z0-9+.-]+://([^/]*)", 1).as("dst_host"))
-        .groupBy("src_host", "dst_host")
-        .agg(count(lit(1)).as("n_links"))
-    }),
+    "crawl_hostgraph" -> ((s, dir) => hostLinkGraph(s, dir)),
+
+    // host-level WEIGHTED PageRank (r14): the crawl-quality signal
+    // over the hostgraph above — edge weights are the link counts, so
+    // rank flows proportionally to how often a host links out (the
+    // web formulation; the unweighted operator treats 1 link and
+    // 1000 links identically). Target hosts never link out: genuine
+    // danglers, redistribution on. Weights are data-dependent (the
+    // per-(src,dst) counts vary with the corpus), so the oracle's
+    // 3-round weighted unroll is a real recomputation, not a replay
+    // of constants.
+    "crawl_hostrank" -> ((s, dir) =>
+      graft.operators.Graph.pagerank(hostLinkGraph(s, dir),
+          "src_host", "dst_host", iterations = 3, truncateEvery = 3,
+          danglingRedistribution = true, weightCol = Some("n_links"))
+        .select(col("node").as("host"), round(col("rank"), 6).as("pagerank"))),
 
     // robots.txt evaluation (r14, RFC 9309): the crawl-politeness
     // gate beside URL canonicalization. Six regimes per order
@@ -1967,6 +1964,32 @@ object SparkEntry {
       .localCheckpoint(true)
     pc.unpersist(blocking = false)
     out
+  }
+
+  /** Host-level link graph shared by crawl_hostgraph and
+    * crawl_hostrank: per-doc markup synthesized from base columns
+    * (two messy anchors), hrefs scanned, canonicalized by the native
+    * path, HOST extracted from the canonical form (case/port jitter
+    * collapses by construction), one map-side-combined groupBy to
+    * (src_host, dst_host, n_links). */
+  private[graft] def hostLinkGraph(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Urls
+    val id = col("doc_id")
+    val html = concat(
+      lit("<html><body><a href=\"HTTPS://WWW.Shop"), (id % 7).cast("string"),
+      lit(".COM:443/item/"), (id % 50).cast("string"),
+      lit("/?utm_campaign=x&q="), col("lang"),
+      lit("#frag\">here</a><a href=\"http://cdn.site"), (id % 3).cast("string"),
+      lit(".net:80/a//\">img</a></body></html>"))
+    val srcHost = concat(lit("src"), (id % 5).cast("string"), lit(".org"))
+    t(s, dir, "documents")
+      .select(srcHost.as("src_host"),
+        explode(regexp_extract_all(html, lit("href=\"([^\"]+)\""), lit(1))).as("href"))
+      .select(col("src_host"),
+        regexp_extract(Urls.canonicalize(col("href")),
+          "^[a-z0-9+.-]+://([^/]*)", 1).as("dst_host"))
+      .groupBy("src_host", "dst_host")
+      .agg(count(lit(1)).as("n_links"))
   }
 
   /** Memoized pipeline instance per (session, dir) — a REAL memo (r9
@@ -5254,6 +5277,43 @@ object SparkEntry {
            FROM documents)
          SELECT src_host, dst_host, count(*) AS n_links
          FROM l GROUP BY 1, 2""",
+
+    // weighted PageRank with dangling redistribution, 3 unrolled
+    // iterations: r_{k+1} = (1-d)/N + d*(Σ r_k(u)·w/W(u) + D_k/N) —
+    // weights are the data-dependent link counts, W(u) their per-src
+    // sums; 6dp round absorbs double summation-order noise
+    "crawl_hostrank" -> {
+      def iter(k: Int): String =
+        s"""d$k AS (SELECT coalesce(sum(r), 0.0) AS dm FROM r${k - 1}
+                    WHERE node NOT IN (SELECT src FROM ow)),
+           i$k AS (SELECT e.dst AS node, sum(rr.r * e.w / ow.outw) AS infl
+                   FROM e JOIN r${k - 1} rr ON e.src = rr.node
+                        JOIN ow ON e.src = ow.src
+                   GROUP BY 1),
+           r$k AS (SELECT nodes.node,
+                          0.15 / n + 0.85 * (coalesce(infl, 0.0) + dm / n) AS r
+                   FROM nodes LEFT JOIN i$k ON nodes.node = i$k.node
+                        CROSS JOIN d$k CROSS JOIN nv)"""
+      s"""WITH l AS (
+           SELECT 'src' || CAST(doc_id % 5 AS VARCHAR) || '.org' AS src_host,
+                  'www.shop' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS dst_host
+           FROM documents
+           UNION ALL
+           SELECT 'src' || CAST(doc_id % 5 AS VARCHAR) || '.org',
+                  'cdn.site' || CAST(doc_id % 3 AS VARCHAR) || '.net'
+           FROM documents),
+         e AS (SELECT src_host AS src, dst_host AS dst,
+                      CAST(count(*) AS DOUBLE) AS w
+               FROM l GROUP BY 1, 2),
+         ow AS (SELECT src, sum(w) AS outw FROM e GROUP BY 1),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         nv AS (SELECT count(*) AS n FROM nodes),
+         r0 AS (SELECT node, 1.0 / n AS r FROM nodes CROSS JOIN nv),
+         ${iter(1)},
+         ${iter(2)},
+         ${iter(3)}
+         SELECT node AS host, round(r, 6) AS pagerank FROM r3"""
+    },
 
     // robots evaluation, gated by independent derivation: the regime
     // index alone decides the verdict (m ∉ {1,4} ⇔ allowed), so any

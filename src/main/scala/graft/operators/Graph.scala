@@ -47,12 +47,23 @@ object Graph {
     *
     * @return (node, rank) — one row per distinct node in `edges`.
     */
+  /** @param weightCol optional POSITIVE edge-weight column — the
+    *        weighted formulation rankₖ₊₁(v) = (1−d)/N + d·Σ
+    *        rankₖ(u)·w(u,v)/W(u), W(u) = Σ out-weights of u (a web
+    *        host graph's edges carry link counts). None (the
+    *        default) is the classic unweighted form — implemented as
+    *        weight 1.0, so outputs are bit-identical to the original
+    *        (sum of exact 1.0s = the count). Non-positive weights
+    *        are dropped up front: a zero-weight edge is a non-edge,
+    *        and a src left with no positive out-edges is a genuine
+    *        dangler. */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, damping: Double = 0.85,
       truncateEvery: Int = 1,
       danglingRedistribution: Boolean = false,
       tolerance: Option[Double] = None,
-      onIteration: (Int, Double) => Unit = (_, _) => ()): DataFrame = {
+      onIteration: (Int, Double) => Unit = (_, _) => (),
+      weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1, s"iterations $iterations must be >= 1")
     require(damping > 0.0 && damping < 1.0, s"damping $damping outside (0, 1)")
     require(truncateEvery >= 1, s"truncateEvery $truncateEvery must be >= 1")
@@ -69,11 +80,15 @@ object Graph {
     // join input AND node set) derives from the materialized blocks,
     // so an expensive upstream edge derivation (pair explosion,
     // dedup) runs exactly once, not once per consumer
-    val e = truncate(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
-    // (src, dst, outdeg): the per-iteration join input, materialized
-    // once. count("*") over src = outdegree (parallel edges count,
-    // as in the matrix formulation).
-    val deg = e.groupBy("src").agg(count("*").as("__outdeg"))
+    val w = weightCol.map(col(_).cast("double")).getOrElse(lit(1.0))
+    val e = truncate(edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("__w"))
+      .filter(col("__w") > 0.0))
+    // (src, dst, w, outw): the per-iteration join input, materialized
+    // once. sum(w) over src = out-weight (= outdegree when
+    // unweighted: the sum of exact 1.0s IS the count, so the classic
+    // form's values are unchanged).
+    val deg = e.groupBy("src").agg(sum("__w").as("__outw"))
     val ew = truncate(e.join(deg, "src"))
     val nodes = truncate(
       e.select(col("src").as("node"))
@@ -90,7 +105,7 @@ object Graph {
     while (i < iterations && !converged) {
       i += 1
       val inflow = ew.join(ranks, ew("src") === ranks("node"))
-        .select(col("dst"), (col("rank") / col("__outdeg")).as("__c"))
+        .select(col("dst"), (col("rank") * col("__w") / col("__outw")).as("__c"))
         .groupBy("dst").agg(sum("__c").as("__in"))
       val next =
         if (!danglingRedistribution)

@@ -261,6 +261,38 @@ class GraphUrlSpec extends SparkSpec {
     assert(lpaReference(k22, 3) === lpaReference(k22, 5))
   }
 
+  test("weighted pagerank: rank follows edge weight; unweighted ≡ weight-1; mass conserves") {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    // a links to b 3× as strongly as to c: b must outrank c, and
+    // with dangling redistribution total mass stays exactly 1
+    val weighted = Seq(("a", "b", 3.0), ("a", "c", 1.0))
+      .toDF("src", "dst", "w")
+    val r = graft.operators.Graph.pagerank(weighted, "src", "dst",
+        iterations = 3, danglingRedistribution = true,
+        weightCol = Some("w"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("b") > r("c"), s"weight ignored: $r")
+    assert(math.abs(r.values.sum - 1.0) < 1e-9, s"mass not conserved: $r")
+    // weight-1 column ≡ the unweighted default, value for value
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
+      .toDF("src", "dst")
+    val unw = graft.operators.Graph.pagerank(edges, "src", "dst", iterations = 3)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val w1 = graft.operators.Graph.pagerank(
+        edges.withColumn("w", org.apache.spark.sql.functions.lit(1.0)),
+        "src", "dst", iterations = 3, weightCol = Some("w"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(unw === w1)
+    // non-positive weights are dropped: a zero-weight-only src is a
+    // dangler, not a divide-by-zero
+    val zeros = Seq(("a", "b", 1.0), ("b", "c", 0.0)).toDF("src", "dst", "w")
+    val rz = graft.operators.Graph.pagerank(zeros, "src", "dst",
+        iterations = 2, danglingRedistribution = true, weightCol = Some("w"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(rz.keySet === Set("a", "b"), s"zero-weight edge leaked nodes: $rz")
+    assert(rz.values.forall(v => !v.isNaN && !v.isInfinite))
+  }
+
   test("labelPropagation: local strategy ≡ distributed loop across odd/even caps") {
     // the r14 adaptive dispatch must be output-invisible on every
     // stop shape: the K_{2,2} period-2 oscillator (cycle detection ×

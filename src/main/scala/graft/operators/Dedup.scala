@@ -16,6 +16,15 @@ import graft.functions.{Text, Vectors}
   */
 object Dedup {
 
+  /** Corpus-size bar for [[embeddingPairsLsh]]'s single-task
+    * dispatch ([[LshLocal]]) — the vector analogue of
+    * [[Clusters.defaultLocalEdgeThreshold]]. 2^12 vectors × 64 dims
+    * is ~2 MB of doubles and ≤ ~1M bucket-mate cosine verifies at
+    * the default (bits=4, tables=8) — well under one task's scan
+    * budget, while sf1's 20k-vector corpus (and anything bigger)
+    * already takes the distributed path. */
+  val defaultLocalVecThreshold: Long = 1L << 12
+
   /** Stats-derived hot-key cap — the cbo_stats wiring for the dedup
     * family: `max(50, ceil(sqrt(N)))` where N is the corpus row
     * count. Rationale: a bucket (shingle posting list, blocking
@@ -1121,7 +1130,39 @@ object Dedup {
     */
   def embeddingPairsLsh(embeddings: DataFrame, idCol: String, vecCol: String,
       dim: Int, bits: Int, tables: Int, seed: Long, tau: Double,
-      probeRadius: Int = 0): DataFrame = {
+      probeRadius: Int = 0,
+      localVecThreshold: Long = defaultLocalVecThreshold): DataFrame = {
+    // adaptive strategy (the Clusters.connectedComponents pattern):
+    // a measured-tiny corpus dispatches to one task — the distributed
+    // plan's 9 driver jobs are pure orchestration at that size, and
+    // the single-task kernel reproduces the output exactly (spec).
+    // Threshold 0 pins the distributed path (scale probes do).
+    val idType = embeddings.schema(idCol).dataType
+    val integralId = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType
+    // sizeInBytes pre-gate: the confirming count() only runs when the
+    // plan's own size estimate says "possibly tiny" (generous 4 KB/row
+    // bound), so a 100 TB corpus never pays a dispatch scan — the
+    // estimate is free and only ever OVER-estimates (filters keep
+    // their child's size absent CBO stats), which errs distributed.
+    val maybeTiny = embeddings.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      BigInt(localVecThreshold) * 4096
+    if (localVecThreshold > 0 && integralId && maybeTiny &&
+        embeddings.count() <= localVecThreshold) {
+      val spark = embeddings.sparkSession
+      import spark.implicits._
+      val out = embeddings
+        .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+        .as[(Long, Array[Double])]
+        .coalesce(1)
+        .mapPartitions(it =>
+          LshLocal.pairRows(it, dim, bits, tables, seed, tau, probeRadius))
+        .toDF("vec_a", "vec_b")
+        .select(col("vec_a").cast(idType), col("vec_b").cast(idType))
+      val materialized = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      materialized.count()
+      return materialized
+    }
     val e = embeddings.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("n2", Vectors.normSq(col("v"))) // norm once per row, not per pair

@@ -20,7 +20,8 @@ object EmbAb {
 
     def run(): Long = {
       val p = Dedup.embeddingPairsLsh(emb, "vec_id", "embedding",
-        dim = 64, bits = 4, tables = 8, seed = 42L, tau = 0.4)
+        dim = 64, bits = 4, tables = 8, seed = 42L, tau = 0.4,
+        localVecThreshold = 0) // pin: this A/B measures the distributed plan
       val n = p.count()
       spark.catalog.clearCache()
       n

@@ -469,10 +469,14 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$tmp/embeddings_lsh")
       val embDN = spark.read.parquet(s"$tmp/embeddings_lsh")
       val bitsN = 4 + (math.log(mult.toDouble) / math.log(2.0)).round.toInt
+      // localVecThreshold = 0 pins the distributed path — the probe
+      // measures the scale plan, not the tiny-corpus dispatch
       probe("embedding_lsh") {
-        Dedup.embeddingPairsLsh(emb1, "vec_id", "embedding", 64, 4, 8, 42L, 0.4).count()
+        Dedup.embeddingPairsLsh(emb1, "vec_id", "embedding", 64, 4, 8, 42L, 0.4,
+          localVecThreshold = 0).count()
       } {
-        Dedup.embeddingPairsLsh(embDN, "vec_id", "embedding", 64, bitsN, 8, 42L, 0.4).count()
+        Dedup.embeddingPairsLsh(embDN, "vec_id", "embedding", 64, bitsN, 8, 42L, 0.4,
+          localVecThreshold = 0).count()
       }
     }
     // conservation-corrected pagerank on the DIRECTED pair graph

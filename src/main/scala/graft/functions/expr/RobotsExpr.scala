@@ -125,7 +125,13 @@ object Robots {
     var bestAllow = true
     rulesFor(robots, agent).foreach { r =>
       if (pathMatches(r.pattern, path)) {
-        val len = r.pattern.length
+        // precedence = octet count of the PATH PATTERN (RFC 9309
+        // §2.2.2): a trailing '$' anchor is match syntax, not a path
+        // octet, so it must not outrank an equally-long prefix rule
+        val len =
+          if (r.pattern.nonEmpty && r.pattern.charAt(r.pattern.length - 1) == '$')
+            r.pattern.length - 1
+          else r.pattern.length
         if (len > bestLen || (len == bestLen && r.allow && !bestAllow)) {
           bestLen = len; bestAllow = r.allow
         }

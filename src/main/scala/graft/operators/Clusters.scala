@@ -333,15 +333,19 @@ object Clusters {
   def connectedComponentsStars(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50): DataFrame = {
     def truncate(df: DataFrame): DataFrame = df.localCheckpoint(false)
-    var e = pairs.select(
-        least(col(aCol), col(bCol)).as("u"),
-        greatest(col(aCol), col(bCol)).as("v"))
+    val canon = pairs.select(
+      least(col(aCol), col(bCol)).as("u"),
+      greatest(col(aCol), col(bCol)).as("v"))
+    var e = canon
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
-    // all nodes (children converge onto roots; roots self-label)
-    val nodes = e.select(col("u").as("node"))
-      .union(e.select(col("v").as("node")))
+    // all nodes (children converge onto roots; roots self-label) —
+    // derived from the UNFILTERED pair set, so a node appearing only
+    // in self-loop pairs still self-labels, exactly as
+    // connectedComponents emits it
+    val nodes = canon.select(col("u").as("node"))
+      .union(canon.select(col("v").as("node")))
       .distinct()
       .localCheckpoint(true)
     def signature(df: DataFrame): (Long, Long) = {

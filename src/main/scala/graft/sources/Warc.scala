@@ -116,7 +116,11 @@ object Warc {
       .filter(col("urlkey") =!= "")
       .select(
         col("urlkey"),
-        to_timestamp(col("ts_raw"), "yyyyMMddHHmmss").as("capture_ts"),
+        // CDX capture times are UTC by spec; an explicit zone in the
+        // parse pattern pins them to UTC on ANY session timezone
+        // (a bare to_timestamp would shift on non-UTC sessions)
+        to_timestamp(concat(col("ts_raw"), lit("Z")), "yyyyMMddHHmmssXXX")
+          .as("capture_ts"),
         col(s"$blob.url").as("url"),
         col(s"$blob.mime").as("mime"),
         col(s"$blob.status").cast("int").as("status"),
@@ -124,6 +128,62 @@ object Warc {
         col(s"$blob.length").cast("long").as("length"),
         col(s"$blob.offset").cast("long").as("offset"),
         col(s"$blob.filename").as("filename"))
+  }
+
+  /** CDX-driven random-access record fetch: read ONLY the
+    * (offset, length) byte range each CDX row names — never the
+    * enclosing segment. This is the capability a CDX index exists
+    * for at 100 TB: re-reading one captured page costs one ~10 KB
+    * positioned read instead of scanning (and decompressing) a ~1 GB
+    * member-gzip segment; a `.warc.gz` member starts exactly at the
+    * CDX offset, so seek + inflate is exact by construction.
+    *
+    * Input: any frame with `filename`/`offset`/`length` columns
+    * ([[readCdx]]'s shape, possibly filtered — the point is fetching
+    * a SELECTED subset). Fetches are repartitioned on filename and
+    * offset-sorted within partitions, so each task opens a segment
+    * at most once and seeks strictly forward; reads use the
+    * positioned-read API (thread-safe, no stream state).
+    *
+    * Records parse byte-identically to a full [[read]] scan of the
+    * segment (spec-gated), except `path` labels the fetched file
+    * resolved against `baseDir`.
+    */
+  def fetchRecords(cdx: DataFrame, baseDir: String): Dataset[WarcRecord] = {
+    val spark = cdx.sparkSession
+    import spark.implicits._
+    // Configuration is a Writable, not Serializable; the public
+    // SerializableWritable wrapper ships the DRIVER's Hadoop conf to
+    // tasks (credentials, fs.* settings) instead of reloading
+    // defaults executor-side
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.SerializableWritable(
+        spark.sparkContext.hadoopConfiguration))
+    cdx.select(col("filename").cast("string").as("filename"),
+        col("offset").cast("long").as("offset"),
+        col("length").cast("long").as("length"))
+      .repartition(col("filename"))
+      .sortWithinPartitions(col("filename"), col("offset"))
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        var curName: String = null
+        var curIn: org.apache.hadoop.fs.FSDataInputStream = null
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => if (curIn != null) curIn.close()))
+        it.flatMap { case (fname, off, len) =>
+          require(len > 0 && len <= Int.MaxValue,
+            s"CDX record length $len out of range for $fname@$off")
+          val p = new org.apache.hadoop.fs.Path(baseDir, fname)
+          if (fname != curName) {
+            if (curIn != null) curIn.close()
+            curIn = p.getFileSystem(confBc.value.value).open(p)
+            curName = fname
+          }
+          val buf = new Array[Byte](len.toInt)
+          curIn.readFully(off, buf) // positioned read: no seek state
+          parse(p.toString, buf)
+        }
+      }
   }
 
   // ---- framing parser (single file, single task) ----

@@ -46,6 +46,15 @@ class ClustersStrategySpec extends SparkSpec {
     both((chain ++ star ++ cliqueA ++ cliqueB ++ mess).toDF("a", "b"))
   }
 
+  test("a node appearing ONLY in self-loop pairs self-labels on every path") {
+    // 9999 has no real edge — all three strategies must still emit it
+    val pairs = Seq((1L, 2L), (9999L, 9999L)).toDF("a", "b")
+    both(pairs)
+    val out = Clusters.connectedComponentsStars(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(out.get(9999L) === Some(9999L))
+  }
+
   test("descending-id chain labels to the min (union-by-min depth path)") {
     // ids inserted largest-root-first exercises the attach-under-min
     // invariant where union-by-rank would have attached the other way

@@ -76,6 +76,16 @@ class RobotsSpec extends SparkSpec {
     assert(allow("garbage without colons\n%%%\n", "/x"))
   }
 
+  test("precedence counts pattern octets, not the '$' anchor (RFC 9309 §2.2.2)") {
+    // '/abc$' and '/abc' are the SAME octet count (4): the exact-tie
+    // rule (least restrictive wins) must apply, not anchor-length +1
+    assert(allow("User-agent: *\nDisallow: /abc$\nAllow: /abc\n", "/abc"))
+    // sanity: one more real octet still outranks
+    assert(!allow("User-agent: *\nDisallow: /abcd\nAllow: /abc\n", "/abcd"))
+    // and the anchored rule still wins where it is genuinely longer
+    assert(!allow("User-agent: *\nDisallow: /abc/x$\nAllow: /abc\n", "/abc/x"))
+  }
+
   test("column API evaluates inside codegen") {
     import org.apache.spark.sql.functions._
     import graft.functions.expr.NativeFunctions.robots_allowed

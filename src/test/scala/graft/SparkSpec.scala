@@ -31,5 +31,15 @@ trait SparkSpec extends AnyFunSuite {
 }
 
 object SparkSpec {
-  lazy val session: SparkSession = Sessions.build(4, appName = "graft-test")
+  lazy val session: SparkSession = {
+    val s = Sessions.build(4, appName = "graft-test")
+    // specs drive streams with addData + processAllAvailable and then
+    // stop(); the engine's self-triggered NO-DATA batches race that
+    // stop and abort mid-commit, spraying benign-but-ERROR-level
+    // CANNOT_WRITE_STATE_STORE traces over green runs. Timeout/
+    // watermark progress the suites rely on still fires in data
+    // batches (the TTL spec passes with this off — asserted there).
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    s
+  }
 }

@@ -209,4 +209,76 @@ class WarcSpec extends SparkSpec {
     assert(r0.getAs[Long]("length") === 512L)
     assert(r0.getAs[String]("filename") === "seg.warc.gz")
   }
+
+  test("capture_ts parses as UTC regardless of session timezone") {
+    val line =
+      """com,a)/x 20260102030406 {"url": "https://a.com/x/", "mime": "text/html", "status": "200", "digest": "SHA", "length": "512", "offset": "340", "filename": "seg.warc.gz"}"""
+    val p = writeTmp("idx_tz.cdx", line.getBytes("UTF-8"))
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      val ts = Warc.readCdx(spark, p.toString)
+        .select("capture_ts").collect()(0).getTimestamp(0)
+      assert(ts.toInstant.toString === "2026-01-02T03:04:06Z")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
+  test("fetchRecords: CDX byte ranges pull single records ≡ the full scan") {
+    // the 6-record segment as one member-gzip file, with the exact
+    // (offset, length) of every member — what a CDX indexer records
+    val members = Seq(
+      warcRecord("warcinfo", "", "2026-01-02T03:04:05Z",
+        "application/warc-fields", "software: graft-test\r\n".getBytes("UTF-8")),
+      warcRecord("request", "https://a.com/x/", "2026-01-02T03:04:06Z",
+        "application/http; msgtype=request",
+        "GET /x/ HTTP/1.1\r\n\r\n".getBytes("UTF-8")),
+      warcRecord("response", "https://a.com/x/", "2026-01-02T03:04:06Z",
+        "application/http; msgtype=response",
+        httpBlock(200, "text/html; charset=ISO-8859-1", htmlCp1252)),
+      warcRecord("response", "http://b.net/y", "2026-01-02T03:05:00Z",
+        "application/http; msgtype=response",
+        httpBlock(200, "text/html", htmlUtf8)),
+      warcRecord("response", "https://a.com/gone", "2026-01-02T03:06:00Z",
+        "application/http; msgtype=response",
+        httpBlock(404, "text/html", "<html>gone</html>".getBytes("UTF-8"))),
+      warcRecord("response", "https://a.com/img", "2026-01-02T03:07:00Z",
+        "application/http; msgtype=response",
+        httpBlock(200, "image/png", Array[Byte](1, 2, 3))))
+    val gzMembers = members.map(m => gzipMembers(Seq(m)))
+    val offsets = gzMembers.scanLeft(0L)(_ + _.length)
+    val segPath = writeTmp("seg_ra.warc.gz", gzMembers.reduce(_ ++ _))
+
+    val full = Warc.read(spark, segPath.toString).collect()
+      .map(r => (r.warc_type, r.record_id, r.target_uri, r.warc_date,
+        r.content_type, r.content.toSeq))
+
+    // fetch a SELECTED subset (records 2 and 4) without scanning
+    val picks = Seq(2, 4)
+    val cdx = picks.map(i =>
+        ("seg_ra.warc.gz", offsets(i), gzMembers(i).length.toLong))
+      .toDF("filename", "offset", "length")
+    val fetched = Warc.fetchRecords(cdx, segPath.getParent.toString).collect()
+      .map(r => (r.warc_type, r.record_id, r.target_uri, r.warc_date,
+        r.content_type, r.content.toSeq))
+
+    assert(fetched.toSet === picks.map(full).toSet)
+    assert(fetched.length === picks.length)
+  }
+
+  test("fetchRecords on a plain (uncompressed) segment") {
+    val members = Seq(
+      warcRecord("response", "https://a.com/x/", "2026-01-02T03:04:06Z",
+        "application/http; msgtype=response",
+        httpBlock(200, "text/html", htmlUtf8)),
+      warcRecord("response", "http://b.net/y", "2026-01-02T03:05:00Z",
+        "application/http; msgtype=response",
+        httpBlock(200, "text/html", htmlUtf8)))
+    val offsets = members.scanLeft(0L)(_ + _.length)
+    val segPath = writeTmp("seg_plain_ra.warc", members.reduce(_ ++ _))
+    val cdx = Seq(("seg_plain_ra.warc", offsets(1), members(1).length.toLong))
+      .toDF("filename", "offset", "length")
+    val got = Warc.fetchRecords(cdx, segPath.getParent.toString).collect()
+    assert(got.length === 1)
+    assert(got(0).target_uri === "http://b.net/y")
+  }
 }

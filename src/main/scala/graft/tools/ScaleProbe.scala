@@ -394,6 +394,44 @@ object ScaleProbe {
         docsN.select(graft.functions.Text.scriptCounts(col("text"))
           .map(_._2): _*).count()
       }
+      // host link graph + weighted host rank (r15, r14 verdict item
+      // 8): the N× arm scales HOSTS with the corpus too (more docs ↔
+      // more hosts on a real crawl), so both the explode+groupBy scan
+      // AND the rank loop's graph grow — expectation stays ≈linear
+      // (scan ∝ docs, pagerank ∝ edges ∝ hosts)
+      def hostGraph(d: DataFrame, hostMult: Int): DataFrame = {
+        val id = col("doc_id")
+        val html = concat(
+          lit("<html><body><a href=\"HTTPS://WWW.Shop"),
+          (id % (7 * hostMult)).cast("string"),
+          lit(".COM:443/item/"), (id % 50).cast("string"),
+          lit("/?utm_campaign=x&q=z#frag\">here</a><a href=\"http://cdn.site"),
+          (id % (3 * hostMult)).cast("string"),
+          lit(".net:80/a//\">img</a></body></html>"))
+        d.select(concat(lit("src"), (id % (5 * hostMult)).cast("string"),
+            lit(".org")).as("src_host"),
+            explode(regexp_extract_all(html, lit("href=\"([^\"]+)\""),
+              lit(1))).as("href"))
+          .select(col("src_host"),
+            regexp_extract(Urls.canonicalize(col("href")),
+              "^[a-z0-9+.-]+://([^/]*)", 1).as("dst_host"))
+          .groupBy("src_host", "dst_host")
+          .agg(count(lit(1)).as("n_links"))
+      }
+      probe("crawl_hostgraph") {
+        hostGraph(docs1, 1).count()
+      } {
+        hostGraph(docsN, mult).count()
+      }
+      probe("crawl_hostrank") {
+        graft.operators.Graph.pagerank(hostGraph(docs1, 1),
+          "src_host", "dst_host", iterations = 3, truncateEvery = 3,
+          danglingRedistribution = true, weightCol = Some("n_links")).count()
+      } {
+        graft.operators.Graph.pagerank(hostGraph(docsN, mult),
+          "src_host", "dst_host", iterations = 3, truncateEvery = 3,
+          danglingRedistribution = true, weightCol = Some("n_links")).count()
+      }
     }
     // per-stratum window with a rank cap: WindowGroupLimit must keep
     // the per-reducer work bounded as strata get N× hotter (copies

@@ -111,12 +111,19 @@ object Dedup {
     // odds over a shingle vocabulary are ~|V|²/2^64 — immaterial).
     // The index is persisted: it feeds both self-join sides and both
     // size lookups, and without an explicit persist Catalyst re-scans
-    // + re-shingles the corpus four times.
+    // + re-shingles the corpus four times. MATERIALIZED EAGERLY:
+    // persist alone is lazy, and AQE launches the downstream exchange
+    // stages (hot-df, both join sides, sizes) as concurrent jobs that
+    // would each race to compute the not-yet-cached scan+shingle
+    // partition ("Block already exists" warnings = k redundant corpus
+    // scans of the operator's most expensive stage); one count() pays
+    // the scan exactly once and every exchange reads the cache.
     val sh = docs
       .select(col(idCol).as("doc_id"),
         explode(graft.functions.expr.NativeFunctions
           .shingle_hashes(col(textCol), k)).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count()
     val shPruned =
       if (dfCap == Int.MaxValue) sh
       else {
@@ -188,6 +195,9 @@ object Dedup {
         explode(graft.functions.expr.NativeFunctions
           .shingle_hashes(col(textCol), k)).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager materialization: see ngramJaccardPairs — without it AQE's
+    // concurrent exchange jobs each re-run the corpus scan+shingle
+    sh.count()
     val shPruned =
       if (dfCap == Int.MaxValue) sh
       else {
@@ -213,12 +223,17 @@ object Dedup {
         .withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("n_sh", "n_b"), "doc_b")
-    val out = both.select(col("doc_a").as("doc_inner"),
-        col("doc_b").as("doc_outer"),
-        round(col("shared") / col("n_a"), 4).as("containment"))
-      .unionByName(both.select(col("doc_b").as("doc_inner"),
-        col("doc_a").as("doc_outer"),
-        round(col("shared") / col("n_b"), 4).as("containment")))
+    // both directions in ONE pass: a unionByName of two selects over
+    // the un-persisted join subtree makes AQE plan and run the whole
+    // shared-count pipeline TWICE (measured 54 driver jobs vs the
+    // Jaccard operator's 31, ~2× the wall cost); exploding a 2-element
+    // array of direction structs reads each joined row once
+    val out = both.select(explode(array(
+        struct(col("doc_a").as("doc_inner"), col("doc_b").as("doc_outer"),
+          round(col("shared") / col("n_a"), 4).as("containment")),
+        struct(col("doc_b").as("doc_inner"), col("doc_a").as("doc_outer"),
+          round(col("shared") / col("n_b"), 4).as("containment")))).as("p"))
+      .select(col("p.doc_inner"), col("p.doc_outer"), col("p.containment"))
       .filter(col("containment") >= tauC)
     val materialized = out.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

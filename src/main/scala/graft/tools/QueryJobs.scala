@@ -26,7 +26,8 @@ object QueryJobs {
         jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size)
         tasks.addAndGet(j.stageInfos.map(_.numTasks).sum)
         if (verbose) jobStarts.put(j.jobId,
-          (System.nanoTime(), j.stageInfos.map(_.name.takeWhile(_ != '\n')).mkString(" | ")))
+          (System.nanoTime(), s"tasks=${j.stageInfos.map(_.numTasks).sum} " +
+            j.stageInfos.map(_.name.takeWhile(_ != '\n')).mkString(" | ")))
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit = if (verbose) {
         Option(jobStarts.remove(j.jobId)).foreach { case (t0, desc) =>

@@ -1947,7 +1947,13 @@ object SparkEntry {
     * construction, so both gates' hashes are unchanged. */
   private[graft] def hotSupplierGraph(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.expr.NativeFunctions.sorted_pairs
+    // pre-repartition on the set key so the exchange carries raw
+    // (key, member) rows and both collect_set phases land in one
+    // stage — the Pipeline.pairCounts r15 finding (partial agg buys
+    // nothing on ~unique set keys; its second hash-map build is real
+    // cost), applied to the same-shape derivation here
     val pc = t(s, dir, "lineitem")
+      .repartition(col("l_orderkey"))
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_suppkey"))).as("__ms"))
       .select(explode(sorted_pairs(col("__ms"))).as("__p"))

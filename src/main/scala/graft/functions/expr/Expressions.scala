@@ -242,6 +242,115 @@ case class HyperplaneSig(child: Expression, weights: IndexedSeq[Double],
     copy(child = newChild)
 }
 
+/** Nearest coarse centroid of a vector in ONE pass — the IVF
+  * assignment kernel. Computes every centroid's L2 rank
+  * `d_j = |c_j|² − 2·(v·c_j)` reading the vector once (centroid
+  * matrix and the driver-precomputed |c_j|² attached via
+  * addReferenceObj, flat row-major `[cid][dim]`), and returns the
+  * argmin under Spark's struct-min ordering on `(d, cid)`: doubles
+  * compare with NaN greatest and ±0.0 equal, ties take the smaller
+  * cid (ascending iteration keeps the first).
+  *
+  * Replaces `array_min(array(struct(lit(c2_j) − 2·dot(v, array(lit…)),
+  * cid_j)…))` — a form that re-read the vector and materialized a
+  * dim-literal centroid array PER ROW PER CENTROID (the pre-r15
+  * HyperplaneSig disease; measured as ann_ivf's dominant single-task
+  * second at sf0.1). Per-centroid accumulation runs in the same
+  * ascending-index order as the standalone left-fold dot product, and
+  * c2 is the same driver-side sum the literal carried, so every
+  * assignment (and therefore every stored IVF list and oracle hash)
+  * is bit-identical to the old form. */
+case class NearestCentroid(child: Expression, cents: IndexedSeq[Double],
+    c2: IndexedSeq[Double], dim: Int, nc: Int)
+    extends UnaryExpression {
+
+  require(nc >= 1, s"NearestCentroid: need at least one centroid, got $nc")
+  require(cents.length == dim * nc,
+    s"NearestCentroid: centroid length ${cents.length} != dim*nc (${dim * nc})")
+  require(c2.length == nc, s"NearestCentroid: c2 length ${c2.length} != nc ($nc)")
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "nearest_centroid"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroid requires array<float> or array<double>, got ${t.catalogString}")
+    }
+
+  @transient private lazy val w = cents.toArray
+  @transient private lazy val cn = c2.toArray
+
+  @transient private lazy val readsFloat = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val acc = new Array[Double](nc)
+    var i = 0
+    while (i < n) {
+      val x = if (readsFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      var j = 0
+      var base = i
+      while (j < nc) { acc(j) += x * w(base); base += dim; j += 1 }
+      i += 1
+    }
+    var best = 0
+    var bestD = cn(0) - 2.0 * acc(0)
+    var j = 1
+    while (j < nc) {
+      val dj = cn(j) - 2.0 * acc(j)
+      // Spark double ordering: NaN greatest, ±0.0 equal; strict <
+      // keeps the earlier (smaller) cid on ties
+      if (dj < bestD || (java.lang.Double.isNaN(bestD) && !java.lang.Double.isNaN(dj))) {
+        best = j; bestD = dj
+      }
+      j += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("ncCents", w, "double[]")
+    val cnRef = ctx.addReferenceObj("ncC2", cn, "double[]")
+    val getter = if (readsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |int ${ev.value}_n = java.lang.Math.min($c.numElements(), $dim);
+         |double[] ${ev.value}_acc = new double[$nc];
+         |for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_n; ${ev.value}_i++) {
+         |  double ${ev.value}_x = (double) $c.$getter(${ev.value}_i);
+         |  int ${ev.value}_w = ${ev.value}_i;
+         |  for (int ${ev.value}_j = 0; ${ev.value}_j < $nc; ${ev.value}_j++) {
+         |    ${ev.value}_acc[${ev.value}_j] += ${ev.value}_x * $wRef[${ev.value}_w];
+         |    ${ev.value}_w += $dim;
+         |  }
+         |}
+         |int ${ev.value}_best = 0;
+         |double ${ev.value}_bd = $cnRef[0] - 2.0 * ${ev.value}_acc[0];
+         |for (int ${ev.value}_j = 1; ${ev.value}_j < $nc; ${ev.value}_j++) {
+         |  double ${ev.value}_dj = $cnRef[${ev.value}_j] - 2.0 * ${ev.value}_acc[${ev.value}_j];
+         |  if (${ev.value}_dj < ${ev.value}_bd ||
+         |      (java.lang.Double.isNaN(${ev.value}_bd) && !java.lang.Double.isNaN(${ev.value}_dj))) {
+         |    ${ev.value}_best = ${ev.value}_j;
+         |    ${ev.value}_bd = ${ev.value}_dj;
+         |  }
+         |}
+         |${ev.value} = ${ev.value}_best;
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Shared tokenizer for the shingle expressions: whitespace-split
   * token poly-31 hashes over UNICODE CODEPOINTS (in-place UTF-8
   * decode — identical to the old byte fold on ASCII, and since r4
@@ -1325,6 +1434,14 @@ object NativeFunctions {
   def hyperplane_sig(v: Column, weights: IndexedSeq[Double], dim: Int, bits: Int): Column =
     ColumnBridge.toColumn(
       HyperplaneSig(ColumnBridge.toExpr(v), weights, dim, bits))
+
+  /** Column API for NearestCentroid (array<float|double> → argmin
+    * cid; centroids flat row-major [cid][dim], c2 = per-centroid
+    * |c|² computed driver-side). */
+  def nearest_centroid(v: Column, cents: IndexedSeq[Double],
+      c2: IndexedSeq[Double], dim: Int, nc: Int): Column =
+    ColumnBridge.toColumn(
+      NearestCentroid(ColumnBridge.toExpr(v), cents, c2, dim, nc))
 
   /** Column API for ShingleHashes. */
   def shingle_hashes(text: Column, k: Int): Column =

@@ -156,12 +156,23 @@ object Curation {
               xxhash64(lit(2L), a, b).as("bigram_h"))))
         .as("p"))
       .select(col("doc_id"), col("p.prefix_h").as("prefix_h"), col("p.bigram_h").as("bigram_h"))
+      // three differently-keyed consumers (bcnt, pcnt, scoring join):
+      // persist + materialize so the corpus tokenize+explode runs
+      // once, not per consumer (the interpLogProb pattern)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    withB.count()
     val bfreq = withB.groupBy("bigram_h").agg(count("*").as("bcnt"))
     val pfreq = withB.groupBy("prefix_h").agg(count("*").as("pcnt"))
-    withB.join(bfreq, "bigram_h").join(pfreq, "prefix_h")
+    val out = withB.join(bfreq, "bigram_h").join(pfreq, "prefix_h")
       .groupBy("doc_id")
       .agg(count("*").as("n_bigrams"),
         round(avg(log(col("bcnt") / col("pcnt"))), 4).as("avg_logprob"))
+    // eager result persist + bigram-frame release (doc-bounded result,
+    // the ngramJaccardPairs caching contract)
+    val materialized = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    materialized.count()
+    withB.unpersist(blocking = false)
+    materialized
   }
 
   /** Per-document average INTERPOLATED bigram⊕unigram log-likelihood
@@ -186,16 +197,32 @@ object Curation {
     // deriving it from the raw explode would tokenize the whole
     // corpus a second time for one scalar
     val total = uni.agg(sum(col("ucnt")).as("total"))
+    // the exploded bigram frame feeds THREE differently-keyed
+    // shuffles (bcnt, pcnt, the scoring join) — persisted and
+    // materialized once so the corpus tokenize+explode (the
+    // operator's dominant stage at scale) runs once, not per
+    // consumer; released below behind the eager result persist
     val withB = bigramHashRows(docs, idCol, tokens)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    withB.count()
     val bfreq = withB.groupBy("bigram_h").agg(count("*").as("bcnt"))
     val pfreq = withB.groupBy("prefix_h").agg(count("*").as("pcnt"))
-    withB.join(bfreq, "bigram_h").join(pfreq, "prefix_h").join(uni, "token_h")
+    val out = withB.join(bfreq, "bigram_h").join(pfreq, "prefix_h").join(uni, "token_h")
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
       .agg(count("*").as("n_bigrams"),
         round(avg(log(
           lit(lambda) * (col("bcnt") / col("pcnt")) +
             lit(1.0 - lambda) * (col("ucnt") / col("total")))), 4).as("avg_logprob"))
+    // eager result persist + bigram-frame release (the
+    // ngramJaccardPairs caching contract): the returned per-doc score
+    // frame is doc-bounded, and downstream consumers that read it
+    // more than once (perplexityBuckets: quantile cuts + the bucket
+    // scan) hit the cache instead of re-running the LM pipeline
+    val materialized = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    materialized.count()
+    withB.unpersist(blocking = false)
+    materialized
   }
 
   /** CCNet-style PERPLEXITY BUCKETING (r10): split the corpus into
@@ -837,6 +864,14 @@ object Curation {
       featureCols: Seq[String], iters: Int, lr: Double = 1.0,
       roundTo: Int = 6): Array[Double] = {
     require(iters > 0 && featureCols.nonEmpty)
+    // cache the training frame for the duration of the loop (the
+    // MLlib-iterative-input convention): every GD iteration is one
+    // aggregate over `feats`, and without the persist each iteration
+    // re-runs the caller's whole feature-extraction pipeline
+    // (tokenize + bucket-hash at corpus scale). Released before
+    // returning — the trainer's output is just the weight array.
+    val cached = feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached.count()
     var w = Array.fill(featureCols.length)(0.0)
     for (_ <- 1 to iters) {
       val z = featureCols.zip(w)
@@ -844,9 +879,10 @@ object Curation {
       val p = lit(1.0) / (lit(1.0) + exp(-z))
       val aggs = featureCols.zipWithIndex.map { case (c, i) =>
         round(avg(col(c) * (col(labelCol) - p)), roundTo).as(s"g$i") }
-      val g = feats.agg(aggs.head, aggs.tail: _*).head()
+      val g = cached.agg(aggs.head, aggs.tail: _*).head()
       w = w.indices.map(i => w(i) + lr * g.getDouble(i)).toArray
     }
+    cached.unpersist(blocking = false)
     w
   }
 

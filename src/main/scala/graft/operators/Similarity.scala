@@ -254,7 +254,7 @@ object Similarity {
     val cOut = corpus.select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn2", Vectors.normSq(col("cv")))
-      .withColumn("cid", array_min(listRanks(cents, col("cv"))).getField("cid"))
+      .withColumn("cid", nearestCid(cents, col("cv")))
     probeLists(cOut, queries, idCol, vecCol, cents, nprobe, k)
   }
 
@@ -292,7 +292,10 @@ object Similarity {
   }
 
   /** rank lists by L2: |v − c|² = |v|² − 2 v·c + |c|²; |v|² is
-    * constant per row, so order by (|c|² − 2 v·c). */
+    * constant per row, so order by (|c|² − 2 v·c). Used on the QUERY
+    * side only (a batch of queries ranks all lists to pick its nprobe
+    * targets) — the corpus-sized assignment path goes through
+    * [[nearestCid]]'s one-pass native kernel instead. */
   private def listRanks(cents: Array[(Int, Array[Double])], v: Column): Column =
     array(cents.map { case (cid, c) =>
       val c2 = c.map(x => x * x).sum
@@ -300,6 +303,26 @@ object Similarity {
         array(c.map(lit).toIndexedSeq: _*))).as("d"),
         lit(cid).as("cid"))
     }.toIndexedSeq: _*)
+
+  /** Corpus-side IVF assignment: argmin cid by (|c|² − 2 v·c, cid).
+    * One native expression reading the vector once (centroid matrix
+    * as a reference object) instead of per-centroid literal arrays
+    * re-materialized per row — `array_min(listRanks(…)).getField
+    * ("cid")` was ann_ivf's dominant single-task second at sf0.1.
+    * Same per-centroid left-fold accumulation and the same c2 sum,
+    * so assignments are bit-identical (spec'd against the old form).
+    * Every `cents` producer ([[coarseCents]], the quantizer
+    * zipWithIndex paths) emits cid == array position; the require
+    * pins that invariant rather than silently mis-mapping. */
+  private def nearestCid(cents: Array[(Int, Array[Double])], v: Column): Column = {
+    require(cents.zipWithIndex.forall { case ((cid, _), i) => cid == i },
+      "nearestCid: centroid ids must equal array position")
+    val dim = cents.head._2.length
+    graft.functions.expr.NativeFunctions.nearest_centroid(v,
+      cents.flatMap(_._2).toIndexedSeq,
+      cents.map { case (_, c) => c.map(x => x * x).sum }.toIndexedSeq,
+      dim, cents.length)
+  }
 
   /** The IVF probe path over an ALREADY-ASSIGNED corpus frame
     * `(neighbor_id, cv, cn2, cid)`: queries rank lists, probe their
@@ -342,7 +365,7 @@ object Similarity {
     src.select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn2", Vectors.normSq(col("cv")))
-      .withColumn("cid", array_min(listRanks(cents, col("cv"))).getField("cid"))
+      .withColumn("cid", nearestCid(cents, col("cv")))
 
   private def ivfProps(quantizer: Array[Array[Double]]): Map[String, String] = Map(
     "nlist" -> quantizer.length.toString,
@@ -1153,7 +1176,7 @@ object Similarity {
     val codes = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
       .select(col("neighbor_id"),
-        array_min(listRanks(cents, col("cv"))).getField("cid").as("cid"),
+        nearestCid(cents, col("cv")).as("cid"),
         pq_encode(col("cv"), cb, m, kCent).as("code"),
         Vectors.normSq(col("cv")).as("cn2"))
     val fullVecs = corpus.select(col(idCol).as("neighbor_id"),
@@ -1205,7 +1228,7 @@ object Similarity {
     src.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
       .select(col("neighbor_id"), col("cv"),
         Vectors.normSq(col("cv")).as("cn2"),
-        array_min(listRanks(cents, col("cv"))).getField("cid").as("cid"),
+        nearestCid(cents, col("cv")).as("cid"),
         pq_encode(col("cv"), codebook, m, kCent).as("code"))
   }
 

@@ -637,4 +637,37 @@ class SimilaritySpec extends SparkSpec {
     assert(assign.filter(col("d2") > 1.0).count() === 0L)
     assign.unpersist()
   }
+
+  test("nearest_centroid matches the composed argmin form bit-for-bit") {
+    import graft.functions.expr.NativeFunctions.nearest_centroid
+    import graft.functions.Vectors
+    // the exact composed form nearestCid replaced: array_min over
+    // per-centroid struct(lit(c2) - 2*dot(v, lit-array), lit(cid))
+    def oldForm(cents: Array[(Int, Array[Double])], v: org.apache.spark.sql.Column) =
+      array_min(array(cents.map { case (cid, c) =>
+        val c2 = c.map(x => x * x).sum
+        struct((lit(c2) - lit(2.0) * Vectors.dot(v,
+          array(c.map(lit).toIndexedSeq: _*))).as("d"),
+          lit(cid).as("cid"))
+      }.toIndexedSeq: _*)).getField("cid")
+    val dim = 8
+    val rnd = new scala.util.Random(7L)
+    val cents = Array.tabulate(16)(i => (i, Array.fill(dim)(rnd.nextGaussian())))
+    val flat = cents.flatMap(_._2).toIndexedSeq
+    val c2 = cents.map { case (_, c) => c.map(x => x * x).sum }.toIndexedSeq
+    val rows = (0 until 500).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian()).toSeq)
+    } ++ Seq(
+      (9001L, Array.fill(dim)(0.0).toSeq),                     // equidistant ties
+      (9002L, (Double.NaN +: Array.fill(dim - 1)(1.0)).toSeq), // NaN ranks: all d NaN
+      (9003L, Seq(1.0, 2.0)),                                  // short vector
+      (9004L, Array.fill(dim + 4)(0.5).toSeq))                 // long vector (extra dims ignored)
+    val df = rows.toDF("id", "v")
+      .select(col("id"), col("v").cast("array<double>").as("v"))
+    val mismatch = df.select(col("id"),
+        nearest_centroid(col("v"), flat, c2, dim, 16).as("a"),
+        oldForm(cents, col("v")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(mismatch === 0L)
+  }
 }

@@ -242,6 +242,90 @@ case class HyperplaneSig(child: Expression, weights: IndexedSeq[Double],
     copy(child = newChild)
 }
 
+/** All (prefix_h, bigram_h, token_h) xxhash64 triples of a token
+  * array's adjacent pairs in ONE pass — the corpus-scale stage of the
+  * bigram/interpolated-LM family ([[graft.operators.Curation]]'s
+  * bigramHashRows convention: seed-literal 1L decorrelates the
+  * prefix/token key space from the 2L bigram space).
+  *
+  * Replaces `zip_with(slice(t,1,n−1), slice(t,2,n−1), …)` with three
+  * `xxhash64` calls per element — the HOF evaluates interpreted,
+  * copies two sub-arrays per ROW, and re-hashes every token twice
+  * per position. Here each token's seed-1L hash is computed once and
+  * shared between the pair that uses it as prefix and the pair that
+  * uses it as token. Hashing delegates to Spark's own
+  * XxHash64Function (the builtin's interpreted kernel), so every
+  * emitted long is bit-identical to the composed form by
+  * construction, including the null-element pass-through (a null
+  * argument leaves the accumulated seed unchanged) and the 42L root
+  * seed. CodegenFallback like the other array<struct> producers
+  * (CdcChunkHashes): the downstream explode dominates, and the eval
+  * is a single tight loop. */
+case class BigramHashes(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("prefix_h", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("bigram_h", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("token_h", LongType, nullable = false))),
+      containsNull = false)
+  override def prettyName: String = "bigram_hashes"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bigram_hashes requires array<string>, got ${t.catalogString}")
+    }
+
+  // xxhash64(lit(1L), x) = hash(x, hash(1L, 42L)); the long-literal
+  // prefix folds to a constant seed
+  @transient private lazy val seed1 =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      1L, LongType, 42L)
+  @transient private lazy val seed2 =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      2L, LongType, 42L)
+
+  private def hashStr(s: UTF8String, seed: Long): Long =
+    if (s == null) seed
+    else org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      s, org.apache.spark.sql.types.StringType, seed)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    if (n < 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    // per-position seed-1L hash computed once, shared by the pair
+    // using it as prefix and the pair using it as token
+    val h1 = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      h1(i) = hashStr(if (arr.isNullAt(i)) null else arr.getUTF8String(i), seed1)
+      i += 1
+    }
+    val out = new Array[Any](n - 1)
+    i = 0
+    while (i < n - 1) {
+      val a = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      val b = if (arr.isNullAt(i + 1)) null else arr.getUTF8String(i + 1)
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(
+        h1(i), hashStr(b, hashStr(a, seed2)), h1(i + 1))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Nearest coarse centroid of a vector in ONE pass — the IVF
   * assignment kernel. Computes every centroid's L2 rank
   * `d_j = |c_j|² − 2·(v·c_j)` reading the vector once (centroid
@@ -1434,6 +1518,11 @@ object NativeFunctions {
   def hyperplane_sig(v: Column, weights: IndexedSeq[Double], dim: Int, bits: Int): Column =
     ColumnBridge.toColumn(
       HyperplaneSig(ColumnBridge.toExpr(v), weights, dim, bits))
+
+  /** Column API for BigramHashes (array<string> → per-adjacent-pair
+    * xxhash64 struct<prefix_h,bigram_h,token_h>). */
+  def bigram_hashes(tokens: Column): Column =
+    ColumnBridge.toColumn(BigramHashes(ColumnBridge.toExpr(tokens)))
 
   /** Column API for NearestCentroid (array<float|double> → argmin
     * cid; centroids flat row-major [cid][dim], c2 = per-centroid

@@ -142,19 +142,15 @@ object Curation {
     * would catch one at verify scale. Docs with < 2 tokens drop out
     * (no bigram evidence). */
   def bigramLogProb(docs: DataFrame, idCol: String, tokens: Column): DataFrame = {
+    // hash at build time: the exploded rows, both frequency aggs and
+    // both joins never see a string key; seed lits (1L prefix / 2L
+    // bigram, inside the native BigramHashes kernel) decorrelate the
+    // two key spaces. The shared [[bigramHashRows]] convention minus
+    // the token_h column this conditional-only model doesn't need.
     val withB = docs.select(col(idCol).as("doc_id"), array_remove(tokens, "").as("__t"))
       .filter(size(col("__t")) >= 2)
       .select(col("doc_id"), explode(
-          zip_with(
-            slice(col("__t"), lit(1), size(col("__t")) - 1),
-            slice(col("__t"), lit(2), size(col("__t")) - 1),
-            // hash at build time: the exploded rows, both frequency
-            // aggs and both joins never see a string key. seed lits
-            // decorrelate the two key spaces (a prefix hash must
-            // never accidentally equal a bigram hash)
-            (a, b) => struct(xxhash64(lit(1L), a).as("prefix_h"),
-              xxhash64(lit(2L), a, b).as("bigram_h"))))
-        .as("p"))
+          graft.functions.expr.NativeFunctions.bigram_hashes(col("__t"))).as("p"))
       .select(col("doc_id"), col("p.prefix_h").as("prefix_h"), col("p.bigram_h").as("bigram_h"))
       // three differently-keyed consumers (bcnt, pcnt, scoring join):
       // persist + materialize so the corpus tokenize+explode runs
@@ -270,14 +266,12 @@ object Curation {
       tokens: Column): DataFrame =
     docs.select(col(idCol).as("doc_id"), array_remove(tokens, "").as("__t"))
       .filter(size(col("__t")) >= 2)
+      // native one-pass triple-hash per adjacent pair (each token's
+      // seed-1L hash computed once); bit-identical to the old
+      // zip_with∘slice + per-element xxhash64 form — it delegates to
+      // Spark's own XxHash64Function kernel
       .select(col("doc_id"), explode(
-          zip_with(
-            slice(col("__t"), lit(1), size(col("__t")) - 1),
-            slice(col("__t"), lit(2), size(col("__t")) - 1),
-            (a, b) => struct(xxhash64(lit(1L), a).as("prefix_h"),
-              xxhash64(lit(2L), a, b).as("bigram_h"),
-              xxhash64(lit(1L), b).as("token_h"))))
-        .as("p"))
+          graft.functions.expr.NativeFunctions.bigram_hashes(col("__t"))).as("p"))
       .select(col("doc_id"), col("p.prefix_h").as("prefix_h"),
         col("p.bigram_h").as("bigram_h"), col("p.token_h").as("token_h"))
 
@@ -371,12 +365,21 @@ object Curation {
         .as("__p"))
       .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
     val pairs = (1 to window).map(pairsAt).reduce(_ unionByName _)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the corpus-wide scalars fold out of the grouped tables EXACTLY
+    // (Σ of integer counts = the count): np from the unfiltered pair
+    // counts, nt from the unigram counts — so the corpus-scale pair
+    // explosion and token explode each run ONCE (they previously fed
+    // a second full-scan agg apiece), and the pair frame needs no
+    // cache at all (single consumer)
     val cxy = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_cooc"))
-    val np = pairs.agg(count(lit(1)).as("__np"))
-    val toks = docs.select(explode(tk).as("token"))
-    val uc = toks.groupBy("token").agg(count(lit(1)).as("__cx"))
-    val nt = toks.agg(count(lit(1)).as("__nt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cxy.count()
+    val np = cxy.agg(sum(col("n_cooc")).as("__np"))
+    val uc = docs.select(explode(tk).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("__cx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    uc.count()
+    val nt = uc.agg(sum(col("__cx")).as("__nt"))
     val out = cxy.filter(col("n_cooc") >= minCount)
       .join(uc.select(col("token").as("w1"), col("__cx").as("__c1")), "w1")
       .join(uc.select(col("token").as("w2"), col("__cx").as("__c2")), "w2")
@@ -388,7 +391,8 @@ object Curation {
     val materialized = out.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     materialized.count()
-    pairs.unpersist(blocking = false)
+    cxy.unpersist(blocking = false)
+    uc.unpersist(blocking = false)
     materialized
   }
 

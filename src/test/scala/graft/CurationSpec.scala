@@ -148,4 +148,31 @@ class CurationSpec extends SparkSpec {
     val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Clusters.connectedComponents(pairs, "doc_a", "doc_b").count() === 0L)
   }
+
+  test("bigram_hashes matches the composed zip_with + xxhash64 form bit-for-bit") {
+    import graft.functions.expr.NativeFunctions.bigram_hashes
+    // the exact form the native expression replaced
+    def oldForm(t: org.apache.spark.sql.Column) = zip_with(
+      slice(t, lit(1), size(t) - 1),
+      slice(t, lit(2), size(t) - 1),
+      (a, b) => struct(xxhash64(lit(1L), a).as("prefix_h"),
+        xxhash64(lit(2L), a, b).as("bigram_h"),
+        xxhash64(lit(1L), b).as("token_h")))
+    val rows = Seq(
+      (1L, Seq("the", "quick", "brown", "fox")),
+      (2L, Seq("a", "a", "a")),            // repeated tokens
+      (3L, Seq("x", "")),                  // empty-string token (hashes, not skipped)
+      (6L, Seq("unicode", "héllo", "日本語", "héllo")),
+      (7L, Seq(null, "b", null, "d")))     // null elements: seed pass-through
+    val df = rows.toDF("id", "t")
+    val mismatch = df.select(col("id"),
+        bigram_hashes(col("t")).as("a"), oldForm(col("t")).as("b"))
+      .filter(not(col("a") <=> col("b"))).count()
+    assert(mismatch === 0L)
+    // below-bigram-length inputs (the old form's slice(n-1) cannot even
+    // evaluate these — production guards with size >= 2): empty output
+    val short = Seq((4L, Seq("solo")), (5L, Seq.empty[String])).toDF("id", "t")
+    assert(short.select(size(bigram_hashes(col("t"))).as("n"))
+      .filter(col("n") =!= 0).count() === 0L)
+  }
 }

@@ -242,6 +242,121 @@ case class HyperplaneSig(child: Expression, weights: IndexedSeq[Double],
     copy(child = newChild)
 }
 
+/** Per-bucket token counts of a token array in ONE pass: each token's
+  * rolling poly-31 hash (the [[RollingHash]] fold, same seed and
+  * UTF-8 decode rule) masked to the power-of-two bucket count, one
+  * increment per token — the hashed-feature primitive behind the
+  * fastText-shape quality classifier ([[graft.operators.Curation]]
+  * hashedTokenFeatures).
+  *
+  * Replaces `transform(t, rolling_hash ∘ mask)` followed by B
+  * independent interpreted `size(filter(__b, h === b))` passes —
+  * each of which re-walked the bucket array and allocated a filtered
+  * copy per bucket per row. Null elements count nowhere (the filter
+  * form's `null === b` is null → dropped), so counts are identical.
+  * CodegenFallback like the other array-producing kernels; consumers
+  * follow the Langid two-step convention (counts as a real column,
+  * then element_at per bucket — CollapseProject does not inline
+  * non-cheap expressions used more than once). */
+case class TokenBucketCounts(child: Expression, seed: Long, nBuckets: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0,
+    s"TokenBucketCounts: nBuckets must be a power of two, got $nBuckets")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_bucket_counts"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"token_bucket_counts requires array<string>, got ${t.catalogString}")
+    }
+
+  private val mask = (nBuckets - 1).toLong
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Long](nBuckets)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val bytes = arr.getUTF8String(i).getBytes
+        var h = seed
+        var j = 0
+        while (j < bytes.length) {
+          val d = TokenHashing.decode(bytes, j)
+          h = h * 31L + (d >>> 3)
+          j += (d & 7)
+        }
+        counts((h & mask).toInt) += 1L
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Σ_b count_b · w_b over an array of bucket ids in ONE pass — the
+  * DSIR importance-weight dot ([[graft.operators.Curation]]
+  * dsirDotCol). Counts each in-range bucket id, then folds the
+  * per-bucket terms in ascending-b order STARTING FROM THE FIRST
+  * TERM (not 0.0 — `reduce(_ + _)` semantics, so a −0.0 first term
+  * survives exactly as the chained form produced it). Out-of-range
+  * and null ids contribute nothing, matching the per-bucket
+  * `filter(h === b)` form. Replaces B interpreted size∘filter passes
+  * (each allocating a filtered array copy) per row. */
+case class BucketDot(child: Expression, weights: IndexedSeq[Double])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(weights.nonEmpty, "BucketDot: need at least one bucket weight")
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "bucket_dot"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bucket_dot requires array<long>, got ${t.catalogString}")
+    }
+
+  @transient private lazy val w = weights.toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Long](w.length)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val b = arr.getLong(i)
+        if (b >= 0L && b < w.length) counts(b.toInt) += 1L
+      }
+      i += 1
+    }
+    var s = counts(0).toDouble * w(0)
+    var b = 1
+    while (b < w.length) { s += counts(b).toDouble * w(b); b += 1 }
+    s
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** All (prefix_h, bigram_h, token_h) xxhash64 triples of a token
   * array's adjacent pairs in ONE pass — the corpus-scale stage of the
   * bigram/interpolated-LM family ([[graft.operators.Curation]]'s
@@ -1523,6 +1638,18 @@ object NativeFunctions {
     * xxhash64 struct<prefix_h,bigram_h,token_h>). */
   def bigram_hashes(tokens: Column): Column =
     ColumnBridge.toColumn(BigramHashes(ColumnBridge.toExpr(tokens)))
+
+  /** Column API for TokenBucketCounts (array<string> → length-B
+    * rolling-hash bucket count vector). */
+  def token_bucket_counts(tokens: Column, nBuckets: Int,
+      seed: Long = 1125899906842597L): Column =
+    ColumnBridge.toColumn(
+      TokenBucketCounts(ColumnBridge.toExpr(tokens), seed, nBuckets))
+
+  /** Column API for BucketDot (array<long> bucket ids × literal
+    * weights → Σ count_b·w_b). */
+  def bucket_dot(bucketIds: Column, weights: IndexedSeq[Double]): Column =
+    ColumnBridge.toColumn(BucketDot(ColumnBridge.toExpr(bucketIds), weights))
 
   /** Column API for NearestCentroid (array<float|double> → argmin
     * cid; centroids flat row-major [cid][dim], c2 = per-centroid

@@ -913,15 +913,20 @@ object Curation {
       nBuckets: Int): DataFrame = {
     require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0,
       s"nBuckets must be a power of two, got $nBuckets")
-    import graft.functions.expr.NativeFunctions.rolling_hash
+    // one native pass builds the whole count vector (the Langid
+    // two-step convention: counts as a real column, element_at per
+    // bucket) — the earlier transform + B interpreted size∘filter
+    // derived columns re-walked and copied the bucket array once PER
+    // BUCKET per row; counts and therefore every fraction are
+    // identical (null tokens count nowhere in both forms)
     val toks = array_remove(graft.functions.Text.tokens(textCol), "")
     val bucketed = docs.select(label.as("y"), toks.as("__t"))
-      .withColumn("__b", transform(col("__t"),
-        t => rolling_hash(t).bitwiseAND(lit(nBuckets - 1L))))
       .withColumn("__n", size(col("__t")))
       .filter(col("__n") >= 1)
+      .withColumn("__bc", graft.functions.expr.NativeFunctions
+        .token_bucket_counts(col("__t"), nBuckets))
     val xs = (0 until nBuckets).map { b =>
-      round(size(filter(col("__b"), h => h === lit(b.toLong)))
+      round(element_at(col("__bc"), b + 1)
         / col("__n").cast("double"), 4).as(s"x${b + 1}")
     }
     bucketed.select(col("y") +: lit(1.0).as("x0") +: xs: _*)
@@ -1258,12 +1263,16 @@ object Curation {
     }
   }
 
-  /** The fixed-order chained dot Σ_b count_b · lr_b over the __b
-    * column — the association tree the oracle mirrors. */
+  /** The fixed-order dot Σ_b count_b · lr_b over the __b column —
+    * the association the oracle mirrors. One native pass
+    * ([[graft.functions.expr.BucketDot]]): counts every bucket id
+    * once, then folds the per-bucket terms in the same ascending-b
+    * reduce(_ + _) order (first term starts the sum, so even a −0.0
+    * term is preserved) — bit-identical to the B chained interpreted
+    * size∘filter passes it replaces, property-spec'd. */
   private[graft] def dsirDotCol(lr: Seq[Double]): Column =
-    lr.zipWithIndex.map { case (v, b) =>
-      size(filter(col("__b"), h => h === lit(b.toLong))).cast("double") * lit(v)
-    }.reduce(_ + _)
+    graft.functions.expr.NativeFunctions.bucket_dot(
+      col("__b"), lr.toIndexedSeq)
 
   /** Shared head of the batch DSIR scorers: the persisted bucketed
     * corpus and the B smoothed log-ratios. */

@@ -175,4 +175,30 @@ class CurationSpec extends SparkSpec {
     assert(short.select(size(bigram_hashes(col("t"))).as("n"))
       .filter(col("n") =!= 0).count() === 0L)
   }
+
+  test("token_bucket_counts and bucket_dot match the composed HOF forms bit-for-bit") {
+    import graft.functions.expr.NativeFunctions.{rolling_hash, token_bucket_counts, bucket_dot}
+    val nB = 16
+    val rows = Seq(
+      (1L, Seq("the", "quick", "brown", "fox", "the", "the")),
+      (2L, Seq("héllo", "日本語", "", "x")),
+      (3L, Seq("a")),
+      (4L, Seq(null, "b", null)))
+    val df = rows.toDF("id", "t")
+      .withColumn("__b", transform(col("t"),
+        t => rolling_hash(t).bitwiseAND(lit(nB - 1L))))
+    // counts: the old per-bucket size∘filter form
+    val oldCounts = array((0 until nB).map(b =>
+      size(filter(col("__b"), h => h === lit(b.toLong))).cast("long")): _*)
+    assert(df.select(token_bucket_counts(col("t"), nB).as("a"), oldCounts.as("b"))
+      .filter(not(col("a") <=> col("b"))).count() === 0L)
+    // dot: the old chained reduce(_ + _), including a negative first
+    // weight (a zero count there yields -0.0 — the fold-order edge)
+    val lr = (0 until nB).map(b => if (b % 3 == 0) -0.37 * (b + 1) else 0.11 * b)
+    val oldDot = lr.zipWithIndex.map { case (v, b) =>
+      size(filter(col("__b"), h => h === lit(b.toLong))).cast("double") * lit(v)
+    }.reduce(_ + _)
+    assert(df.select(bucket_dot(col("__b"), lr.toIndexedSeq).as("a"), oldDot.as("b"))
+      .filter(not(col("a") <=> col("b"))).count() === 0L)
+  }
 }

@@ -447,8 +447,14 @@ case class BigramHashes(child: Expression)
   * matrix and the driver-precomputed |c_j|² attached via
   * addReferenceObj, flat row-major `[cid][dim]`), and returns the
   * argmin under Spark's struct-min ordering on `(d, cid)`: doubles
-  * compare with NaN greatest and ±0.0 equal, ties take the smaller
-  * cid (ascending iteration keeps the first).
+  * compare with NaN greatest, ties take the smaller cid (ascending
+  * iteration keeps the first). Note on ±0.0: the interpreted
+  * DoubleType ordering is java.lang.Double.compare, which orders
+  * -0.0 < +0.0 — but a -0.0 rank is UNREACHABLE here (d = c2 − 2·acc
+  * with c2 a sum of squares ≥ +0.0 can produce exact +0.0 but never
+  * -0.0), so strict `<` agrees with the composed struct-min form on
+  * every reachable value. A future rank formula that CAN produce
+  * -0.0 must revisit this comparison.
   *
   * Replaces `array_min(array(struct(lit(c2_j) − 2·dot(v, array(lit…)),
   * cid_j)…))` — a form that re-read the vector and materialized a
@@ -506,8 +512,10 @@ case class NearestCentroid(child: Expression, cents: IndexedSeq[Double],
     var j = 1
     while (j < nc) {
       val dj = cn(j) - 2.0 * acc(j)
-      // Spark double ordering: NaN greatest, ±0.0 equal; strict <
-      // keeps the earlier (smaller) cid on ties
+      // Spark double ordering: NaN greatest; strict < keeps the
+      // earlier (smaller) cid on ties. −0.0 is unreachable for this
+      // rank (see class doc), so the Double.compare −0.0 < +0.0
+      // distinction never fires
       if (dj < bestD || (java.lang.Double.isNaN(bestD) && !java.lang.Double.isNaN(dj))) {
         best = j; bestD = dj
       }
@@ -1266,24 +1274,16 @@ case class WordPieceEncode(child: Expression, initPieces: Seq[String],
     copy(child = newChild)
 }
 
-case class UnigramEncode(child: Expression, pieces: Seq[(String, Double)],
-    maxLen: Int, unkLogp: Double)
-    extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
-
-  override def dataType: DataType =
-    org.apache.spark.sql.types.ArrayType(
-      org.apache.spark.sql.types.StringType, containsNull = false)
-  override def prettyName: String = "unigram_encode"
-
-  @transient private lazy val lp: Map[String, Double] = pieces.toMap
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val syms = BpeOps.codepointSyms(input.asInstanceOf[UTF8String].toString)
+/** The Viterbi segmentation shared by [[UnigramEncode]] and the
+  * driver-local unigram trainer ([[graft.operators.Unigram]]) — ONE
+  * implementation, so the local EM rounds are bit-identical to the
+  * distributed E-step by construction. */
+object UnigramOps {
+  def viterbi(word: String, lp: Map[String, Double], maxLen: Int,
+      unkLogp: Double): Array[String] = {
+    val syms = BpeOps.codepointSyms(word)
     val n = syms.length
-    if (n == 0)
-      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        Array.empty[UTF8String])
+    if (n == 0) return Array.empty[String]
     val dp = new Array[Double](n + 1)
     val back = new Array[Int](n + 1)
     var i = 1
@@ -1313,9 +1313,27 @@ case class UnigramEncode(child: Expression, pieces: Seq[(String, Double)],
       out += syms.slice(pos - l, pos).mkString
       pos -= l
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      out.reverseIterator.map(UTF8String.fromString).toArray[UTF8String])
+    out.reverseIterator.toArray
   }
+}
+
+case class UnigramEncode(child: Expression, pieces: Seq[(String, Double)],
+    maxLen: Int, unkLogp: Double)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "unigram_encode"
+
+  @transient private lazy val lp: Map[String, Double] = pieces.toMap
+
+  override protected def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      UnigramOps.viterbi(input.asInstanceOf[UTF8String].toString, lp,
+          maxLen, unkLogp)
+        .map(UTF8String.fromString(_)): Array[UTF8String])
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -37,6 +37,18 @@ object Bpe {
     def rules: Seq[(String, String)] = merges.map(m => (m.lhs, m.rhs))
   }
 
+  /** Vocab-row gate below which the merge loop runs as a DRIVER-LOCAL
+    * kernel (r16 — the LshLocal/CC adaptive-strategy pattern): the
+    * loop's state is the word-frequency vocab, every round is pure
+    * integer-count math with a deterministic total order, and at
+    * sf0.1 the distributed loop's 2 driver actions PER ROUND
+    * (top-pair collect + re-persist count) were ~2/3 of the row's
+    * driver jobs while the actual per-round math is microseconds. A
+    * corpus whose vocab exceeds the gate (the 100 TB shape — vocab
+    * grows with corpus) keeps the distributed loop; 0 pins it for
+    * the parity specs and scale probes. */
+  val defaultLocalVocabThreshold: Long = 1000000L
+
   /** Whitespace word frequencies — the training vocabulary (and the
     * tokenization every other text operator in this repo uses). */
   private def vocabOf(docs: DataFrame, textCol: String): DataFrame =
@@ -44,16 +56,54 @@ object Bpe {
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("freq"))
 
+  /** Unsigned byte-wise UTF-8 comparison — EXACTLY Spark's
+    * UTF8String.compareTo, which is what the distributed loop's
+    * orderBy on a string column uses. Java String.compareTo (UTF-16
+    * code units) disagrees with it above the BMP, so the local
+    * kernels must never use it for tie-breaks. */
+  private[operators] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   /** Learn `nMerges` merge rules. Stops early if the vocab runs out
     * of adjacent pairs (fully merged). `minFreq` drops hapax words
     * from the vocab — at corpus scale the long tail of unique words
     * dominates vocab size while contributing nothing to top pair
-    * counts. */
+    * counts. Below `localVocabThreshold` distinct words the merge
+    * loop runs driver-local on the collected vocab (bit-identical by
+    * construction: same [[graft.functions.expr.BpeOps]] fold, integer
+    * sums, UTF-8-byte tie order — BpeUnigramSpec asserts equality
+    * against the pinned distributed path). */
   def train(docs: DataFrame, textCol: String, nMerges: Int,
-      minFreq: Long = 1L): Model = {
+      minFreq: Long = 1L,
+      localVocabThreshold: Long = defaultLocalVocabThreshold): Model = {
     require(nMerges > 0, s"nMerges $nMerges must be positive")
-    var vocab = vocabOf(docs, textCol)
+    val base = vocabOf(docs, textCol)
       .filter(col("freq") >= minFreq)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nWords = base.count()
+    try {
+      if (nWords <= localVocabThreshold) {
+        val words = base.collect().map(r =>
+          (graft.functions.expr.BpeOps.codepointSyms(r.getString(0)), r.getLong(1)))
+        trainLocal(words, nMerges)
+      } else trainDistributed(base, nMerges)
+    } finally base.unpersist(blocking = false)
+  }
+
+  /** The distributed merge loop — one adjacent-pair aggregation +
+    * vocab re-persist per round over the (w, freq) frame. */
+  private def trainDistributed(base: DataFrame, nMerges: Int): Model = {
+    var vocab = base
       .select(NativeFunctions.bpe_encode(col("w"), Seq.empty).as("syms"),
         col("freq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -88,6 +138,49 @@ object Bpe {
       round += 1
     }
     vocab.unpersist(blocking = false)
+    Model(merges.toIndexedSeq)
+  }
+
+  /** Driver-local merge loop over the collected vocab. Replays the
+    * distributed rounds exactly: pair counts are integer sums over
+    * the identical adjacent positions (order-independent), the
+    * winner is the max under (count desc, lhs, rhs) with UTF-8-byte
+    * string order, and the fold step is the SAME
+    * [[graft.functions.expr.BpeOps.mergeOnce]] the native expression
+    * calls. */
+  private[operators] def trainLocal(words0: Array[(Array[String], Long)],
+      nMerges: Int): Model = {
+    var words = words0
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val cnt = new scala.collection.mutable.HashMap[(String, String), Long]
+      words.foreach { case (syms, freq) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          val k = (syms(j), syms(j + 1))
+          cnt.update(k, cnt.getOrElse(k, 0L) + freq)
+          j += 1
+        }
+      }
+      if (cnt.isEmpty) exhausted = true
+      else {
+        var bl: String = null; var br: String = null; var bc = 0L
+        cnt.foreach { case ((l, r), c) =>
+          val better = bl == null || c > bc || (c == bc && {
+            val cl = utf8Compare(l, bl)
+            cl < 0 || (cl == 0 && utf8Compare(r, br) < 0)
+          })
+          if (better) { bl = l; br = r; bc = c }
+        }
+        merges += Merge(round + 1, bl, br, bc)
+        words = words.map { case (s, f) =>
+          (graft.functions.expr.BpeOps.mergeOnce(s, bl, br, bl + br), f)
+        }
+      }
+      round += 1
+    }
     Model(merges.toIndexedSeq)
   }
 

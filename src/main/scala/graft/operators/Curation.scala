@@ -142,8 +142,8 @@ object Curation {
     * would catch one at verify scale. Docs with < 2 tokens drop out
     * (no bigram evidence). */
   def bigramLogProb(docs: DataFrame, idCol: String, tokens: Column): DataFrame = {
-    // hash at build time: the exploded rows, both frequency aggs and
-    // both joins never see a string key; seed lits (1L prefix / 2L
+    // hash at build time: the exploded rows, the model agg and the
+    // scoring join never see a string key; seed lits (1L prefix / 2L
     // bigram, inside the native BigramHashes kernel) decorrelate the
     // two key spaces. The shared [[bigramHashRows]] convention minus
     // the token_h column this conditional-only model doesn't need.
@@ -152,23 +152,27 @@ object Curation {
       .select(col("doc_id"), explode(
           graft.functions.expr.NativeFunctions.bigram_hashes(col("__t"))).as("p"))
       .select(col("doc_id"), col("p.prefix_h").as("prefix_h"), col("p.bigram_h").as("bigram_h"))
-      // three differently-keyed consumers (bcnt, pcnt, scoring join):
-      // persist + materialize so the corpus tokenize+explode runs
-      // once, not per consumer (the interpLogProb pattern)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    withB.count()
-    val bfreq = withB.groupBy("bigram_h").agg(count("*").as("bcnt"))
-    val pfreq = withB.groupBy("prefix_h").agg(count("*").as("pcnt"))
-    val out = withB.join(bfreq, "bigram_h").join(pfreq, "prefix_h")
+    // r16 single-model-join formulation: prefix_h is FUNCTIONALLY
+    // DETERMINED by bigram_h (the bigram embeds its prefix; a cross-
+    // bigram hash collision is the already-documented ~|V|²/2^64
+    // case the hash gate would catch), so the prefix table FOLDS OUT
+    // of the bigram-grouped table: pcnt = Σ bcnt per prefix — no
+    // second corpus-keyed aggregate, and the scoring join attaches
+    // ONE bigram-vocab-sized model table instead of two corpus-wide
+    // joins. The corpus-scale exploded frame now has exactly two
+    // consumers (model agg, scoring join) and needs NO cache: the
+    // tokenize+explode recompute is one extra scan, strictly cheaper
+    // at every scale than writing the exploded frame to cache (the
+    // r15 persist closed a 3-consumer AQE race this shape no longer
+    // has; measured in ScaleProbe's materialize-vs-recompute arm).
+    val bfreq = withB.groupBy("bigram_h")
+      .agg(count("*").as("bcnt"), min(col("prefix_h")).as("__pfx"))
+    val pfreq = bfreq.groupBy("__pfx").agg(sum(col("bcnt")).as("pcnt"))
+    val model = bfreq.join(pfreq, "__pfx").select("bigram_h", "bcnt", "pcnt")
+    withB.join(model, "bigram_h")
       .groupBy("doc_id")
       .agg(count("*").as("n_bigrams"),
         round(avg(log(col("bcnt") / col("pcnt"))), 4).as("avg_logprob"))
-    // eager result persist + bigram-frame release (doc-bounded result,
-    // the ngramJaccardPairs caching contract)
-    val materialized = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    materialized.count()
-    withB.unpersist(blocking = false)
-    materialized
   }
 
   /** Per-document average INTERPOLATED bigram⊕unigram log-likelihood
@@ -181,9 +185,11 @@ object Curation {
     * parity); λ→0 approaches the unigram signal.
     *
     * Same scale shape as [[bigramLogProb]]: in-row bigram build,
-    * 8-byte hash keys everywhere (fixed shuffle width), three
-    * map-side-combining freq aggs (bigram, prefix, unigram), corpus
-    * token total as a broadcast 1-row cross join (no driver count).
+    * 8-byte hash keys everywhere (fixed shuffle width), one
+    * bigram-keyed model agg with the prefix and unigram tables folded
+    * onto it (r16 — prefix/token hashes are functionally determined
+    * by the bigram hash), corpus token total as a broadcast 1-row
+    * cross join (no driver count).
     */
   def interpLogProb(docs: DataFrame, idCol: String, tokens: Column,
       lambda: Double): DataFrame = {
@@ -193,32 +199,31 @@ object Curation {
     // deriving it from the raw explode would tokenize the whole
     // corpus a second time for one scalar
     val total = uni.agg(sum(col("ucnt")).as("total"))
-    // the exploded bigram frame feeds THREE differently-keyed
-    // shuffles (bcnt, pcnt, the scoring join) — persisted and
-    // materialized once so the corpus tokenize+explode (the
-    // operator's dominant stage at scale) runs once, not per
-    // consumer; released below behind the eager result persist
     val withB = bigramHashRows(docs, idCol, tokens)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    withB.count()
-    val bfreq = withB.groupBy("bigram_h").agg(count("*").as("bcnt"))
-    val pfreq = withB.groupBy("prefix_h").agg(count("*").as("pcnt"))
-    val out = withB.join(bfreq, "bigram_h").join(pfreq, "prefix_h").join(uni, "token_h")
+    // r16 single-model-join formulation (see [[bigramLogProb]]):
+    // prefix_h AND token_h are functionally determined by bigram_h,
+    // so both fold out of the bigram-grouped table via min() — the
+    // prefix counts as Σ bcnt per prefix, the unigram probabilities
+    // attached to the BIGRAM-VOCAB-sized table by token_h instead of
+    // to the corpus. The exploded frame feeds exactly two consumers
+    // (model agg, scoring join), un-cached: one extra tokenize scan
+    // beats a corpus-scale cache write at every scale, and the
+    // three-corpus-join / three-keyed-fan-out shape the r15 persist
+    // guarded against no longer exists.
+    val bfreq = withB.groupBy("bigram_h")
+      .agg(count("*").as("bcnt"), min(col("prefix_h")).as("__pfx"),
+        min(col("token_h")).as("__tok"))
+    val pfreq = bfreq.groupBy("__pfx").agg(sum(col("bcnt")).as("pcnt"))
+    val model = bfreq.join(pfreq, "__pfx")
+      .join(uni, bfreq("__tok") === uni("token_h"))
+      .select("bigram_h", "bcnt", "pcnt", "ucnt")
+    withB.join(model, "bigram_h")
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
       .agg(count("*").as("n_bigrams"),
         round(avg(log(
           lit(lambda) * (col("bcnt") / col("pcnt")) +
             lit(1.0 - lambda) * (col("ucnt") / col("total")))), 4).as("avg_logprob"))
-    // eager result persist + bigram-frame release (the
-    // ngramJaccardPairs caching contract): the returned per-doc score
-    // frame is doc-bounded, and downstream consumers that read it
-    // more than once (perplexityBuckets: quantile cuts + the bucket
-    // scan) hit the cache instead of re-running the LM pipeline
-    val materialized = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    materialized.count()
-    withB.unpersist(blocking = false)
-    materialized
   }
 
   /** CCNet-style PERPLEXITY BUCKETING (r10): split the corpus into
@@ -245,15 +250,26 @@ object Curation {
       lambda: Double, headQ: Double = 0.3, tailQ: Double = 0.3): DataFrame = {
     require(headQ > 0 && tailQ > 0 && headQ + tailQ <= 1.0,
       s"headQ=$headQ / tailQ=$tailQ must be positive with sum <= 1")
+    // the scored frame is read twice (cuts, bucket scan): persist it
+    // and let the CUTS AGGREGATE be the materializing pass — the two
+    // percentile scalars come back as bounded driver state (the
+    // centroid/GD-weights convention) instead of a broadcast
+    // crossJoin, so the LM pipeline runs once and no separate
+    // count() job exists (r16, retiring the eager-count pass here)
     val lp = interpLogProb(docs, idCol, tokens, lambda)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cuts = lp.agg(
       expr(s"percentile(avg_logprob, ${1.0 - headQ})").as("__th"),
-      expr(s"percentile(avg_logprob, $tailQ)").as("__tt"))
-    lp.crossJoin(broadcast(cuts))
-      .select(col("doc_id"), col("n_bigrams"), col("avg_logprob"),
-        when(col("avg_logprob") >= col("__th"), "head")
-          .when(col("avg_logprob") <= col("__tt"), "tail")
-          .otherwise("middle").as("ppl_bucket"))
+      expr(s"percentile(avg_logprob, $tailQ)").as("__tt")).head()
+    // percentile of an empty corpus is NULL: every comparison below
+    // is then null → CASE falls through to "middle" over zero rows,
+    // exactly the old crossJoin-with-null-cuts behavior
+    val th = if (cuts.isNullAt(0)) lit(null).cast("double") else lit(cuts.getDouble(0))
+    val tt = if (cuts.isNullAt(1)) lit(null).cast("double") else lit(cuts.getDouble(1))
+    lp.select(col("doc_id"), col("n_bigrams"), col("avg_logprob"),
+      when(col("avg_logprob") >= th, "head")
+        .when(col("avg_logprob") <= tt, "tail")
+        .otherwise("middle").as("ppl_bucket"))
   }
 
   /** THE bigram-row convention shared by [[interpLogProb]] and the
@@ -368,25 +384,28 @@ object Curation {
     // the corpus-wide scalars fold out of the grouped tables EXACTLY
     // (Σ of integer counts = the count): np from the unfiltered pair
     // counts, nt from the unigram counts — so the corpus-scale pair
-    // explosion and token explode each run ONCE (they previously fed
-    // a second full-scan agg apiece), and the pair frame needs no
-    // cache at all (single consumer)
+    // explosion and token explode each run ONCE. r16: the scalars
+    // collect as bounded driver state (two longs — the centroid/GD-
+    // weights convention) and each collect IS the materializing pass
+    // of its vocab-sized cache, retiring the two separate eager
+    // count() jobs and both broadcast crossJoin subqueries. coalesce
+    // preserves the old count()-derived non-null-zero contract on an
+    // empty corpus (sum alone is NULL there).
     val cxy = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_cooc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cxy.count()
-    val np = cxy.agg(sum(col("n_cooc")).as("__np"))
+    val np = cxy.agg(coalesce(sum(col("n_cooc")), lit(0L)).as("__np"))
+      .head().getLong(0)
     val uc = docs.select(explode(tk).as("token"))
       .groupBy("token").agg(count(lit(1)).as("__cx"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    uc.count()
-    val nt = uc.agg(sum(col("__cx")).as("__nt"))
+    val nt = uc.agg(coalesce(sum(col("__cx")), lit(0L)).as("__nt"))
+      .head().getLong(0)
     val out = cxy.filter(col("n_cooc") >= minCount)
       .join(uc.select(col("token").as("w1"), col("__cx").as("__c1")), "w1")
       .join(uc.select(col("token").as("w2"), col("__cx").as("__c2")), "w2")
-      .crossJoin(broadcast(np)).crossJoin(broadcast(nt))
       .select(col("w1"), col("w2"), col("n_cooc"),
-        round(log((col("n_cooc").cast("double") * col("__nt") * col("__nt"))
-          / (col("__np").cast("double") * col("__c1") * col("__c2"))), 4)
+        round(log((col("n_cooc").cast("double") * lit(nt) * lit(nt))
+          / (lit(np).cast("double") * col("__c1") * col("__c2"))), 4)
           .as("pmi"))
     val materialized = out.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -872,9 +891,14 @@ object Curation {
     // MLlib-iterative-input convention): every GD iteration is one
     // aggregate over `feats`, and without the persist each iteration
     // re-runs the caller's whole feature-extraction pipeline
-    // (tokenize + bucket-hash at corpus scale). Released before
-    // returning — the trainer's output is just the weight array.
-    val cached = feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (tokenize + bucket-hash at corpus scale). Only a persist WE
+    // took is released before returning: a caller that passes an
+    // already-persisted frame keeps ownership of its cache (the
+    // trailing unpersist would otherwise silently drop it).
+    val callerCached = feats.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val cached =
+      if (callerCached) feats
+      else feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cached.count()
     var w = Array.fill(featureCols.length)(0.0)
     for (_ <- 1 to iters) {
@@ -886,7 +910,7 @@ object Curation {
       val g = cached.agg(aggs.head, aggs.tail: _*).head()
       w = w.indices.map(i => w(i) + lr * g.getDouble(i)).toArray
     }
-    cached.unpersist(blocking = false)
+    if (!callerCached) cached.unpersist(blocking = false)
     w
   }
 

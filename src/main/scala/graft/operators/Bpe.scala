@@ -81,7 +81,7 @@ object Bpe {
     * counts. Below `localVocabThreshold` distinct words the merge
     * loop runs driver-local on the collected vocab (bit-identical by
     * construction: same [[graft.functions.expr.BpeOps]] fold, integer
-    * sums, UTF-8-byte tie order — BpeUnigramSpec asserts equality
+    * sums, UTF-8-byte tie order — TokenizerLocalSpec asserts equality
     * against the pinned distributed path). */
   def train(docs: DataFrame, textCol: String, nMerges: Int,
       minFreq: Long = 1L,

@@ -64,7 +64,7 @@ object Unigram {
     * the seed/E/M rounds are integer-count sums, the SAME
     * [[graft.functions.expr.UnigramOps.viterbi]] the native
     * expression calls, and Spark-round-identical 6dp log-probs —
-    * BpeUnigramSpec asserts model equality against the pinned
+    * TokenizerLocalSpec asserts model equality against the pinned
     * distributed path. */
   def train(docs: DataFrame, textCol: String, iters: Int = 2,
       maxLen: Int = 3, seedTopK: Int = 200,

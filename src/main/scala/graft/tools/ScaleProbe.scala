@@ -62,6 +62,11 @@ object ScaleProbe {
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
+    // machine-readable record per probe → SCALEPROBE_OUT (the r16
+    // scaleprobe_rN.json artifact: per-family 1×/N× wall + ratio so
+    // the 100×-readiness evidence is diffable like bench/sweep)
+    val results = new scala.collection.mutable.LinkedHashMap[String, String]()
+
     def probe(name: String)(at1: => Long)(atN: => Long): Unit = {
       if (!onlyNames.forall(_.contains(name))) return
       val (w1, n1) = time(at1) // warm codegen at 1x, then measure both
@@ -70,6 +75,9 @@ object ScaleProbe {
       println(f"[scaleprobe] $name%-22s 1x: $t1%6.2f s ($n1%8d rows)  " +
         f"${mult}x: $tN%6.2f s ($nN%8d rows)  ratio: ${tN / t1}%5.1f (linear=$mult)" +
         f"  warm1: $w1%5.2f")
+      results.update(name,
+        f"""{"t1_s":$t1%.3f,"tN_s":$tN%.3f,"rows1":$n1,"rowsN":$nN,""" +
+          f""""ratio":${tN / t1}%.2f,"warm1_s":$w1%.3f}""")
     }
 
     probe("dedup_exact") {
@@ -561,6 +569,41 @@ object ScaleProbe {
     } {
       Curation.bigramLogProb(docsN, "doc_id", Text.tokens(col("text"))).count()
     }
+    // the r15-vs-r16 caching trade, measured (verdict r15 item 4):
+    // bigram_lm above RECOMPUTES the corpus-scale exploded bigram
+    // frame for each of its two consumers (model agg + scoring
+    // join); this arm MATERIALIZES it once (persist + eager count,
+    // the r15 checkpoint-table convention) before the same two
+    // consumers. Identical output; the delta is cache-write bytes vs
+    // one extra tokenize+explode scan. The cache write loses when
+    // the explode is cheap relative to spilling an exploded frame
+    // several times the corpus size — compare bigram_lm_mat's
+    // t1/tN against bigram_lm's to see by how much at each scale.
+    locally {
+      def mat(d: DataFrame): Long = {
+        val withB = d.select(col("doc_id"),
+            array_remove(Text.tokens(col("text")), "").as("__t"))
+          .filter(size(col("__t")) >= 2)
+          .select(col("doc_id"), explode(
+            graft.functions.expr.NativeFunctions.bigram_hashes(col("__t"))).as("p"))
+          .select(col("doc_id"), col("p.prefix_h").as("prefix_h"),
+            col("p.bigram_h").as("bigram_h"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        withB.count()
+        val bfreq = withB.groupBy("bigram_h")
+          .agg(count("*").as("bcnt"), min(col("prefix_h")).as("__pfx"))
+        val pfreq = bfreq.groupBy("__pfx").agg(sum(col("bcnt")).as("pcnt"))
+        val model = bfreq.join(pfreq, "__pfx").select("bigram_h", "bcnt", "pcnt")
+        val n = withB.join(model, "bigram_h")
+          .groupBy("doc_id")
+          .agg(count("*").as("n_bigrams"),
+            round(avg(log(col("bcnt") / col("pcnt"))), 4).as("avg_logprob"))
+          .count()
+        withB.unpersist(blocking = false)
+        n
+      }
+      probe("bigram_lm_mat") { mat(docs1) } { mat(docsN) }
+    }
     probe("interp_lm") {
       Curation.interpLogProb(docs1, "doc_id", Text.tokens(col("text")), 0.9).count()
     } {
@@ -1051,6 +1094,15 @@ object ScaleProbe {
         try c.packed.count() finally c.release()
       }
       probe("pipeline_curate") { curate(docs1) } { curate(docsN) }
+    }
+    sys.env.get("SCALEPROBE_OUT").foreach { path =>
+      val body = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString(
+          s"""{"mult":$mult,"sf_dir":"$sfDir","corpus":"per-copy token-suffix perturbed replicas (cross-copy similarity zero; true answer linear)","queries":{""",
+          ",", "}}")
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"[scaleprobe] wrote $path")
     }
     spark.stop()
   }

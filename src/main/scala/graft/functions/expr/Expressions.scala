@@ -1274,6 +1274,81 @@ case class WordPieceEncode(child: Expression, initPieces: Seq[String],
     copy(child = newChild)
 }
 
+/** All unordered token pairs within `window` positions, ONE pass
+  * (r16): for every distance d ≤ window and position i, emit
+  * struct(min(t_i, t_{i+d}), max(t_i, t_{i+d})) under UTF-8-byte
+  * string order — exactly the multiset (and d-major order) of
+  * pmiCollocations' previous per-distance interpreted
+  * `transform`+`concat` chain, which re-walked the token array and
+  * re-evaluated two `element_at`s per emitted struct per distance.
+  * Elements are cloned once up front (retained UTF8Strings must not
+  * alias the reusable input row buffer) and each is then shared by
+  * all ≤ 2·window pairs touching it. Null elements (unreachable
+  * after the upstream empty-token filter) follow least/greatest
+  * semantics: the non-null partner fills both slots. */
+case class WindowPairs(child: Expression, window: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(window >= 1, s"window $window must be >= 1")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("w1", StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("w2", StringType, nullable = true))),
+      containsNull = false)
+  override def prettyName: String = "window_pairs"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"window_pairs requires array<string>, got ${t.catalogString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).clone()
+      i += 1
+    }
+    var total = 0
+    var d = 1
+    while (d <= window) { total += math.max(n - d, 0); d += 1 }
+    val out = new Array[Any](total)
+    var k = 0
+    d = 1
+    while (d <= window) {
+      i = 0
+      while (i < n - d) {
+        val a = toks(i)
+        val b = toks(i + d)
+        // least/greatest under UTF8String binary order; nulls yield
+        // the non-null partner in both slots (least≡greatest≡it)
+        val (w1, w2) =
+          if (a == null) (b, b)
+          else if (b == null) (a, a)
+          else if (a.compareTo(b) <= 0) (a, b)
+          else (b, a)
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(w1, w2)
+        k += 1
+        i += 1
+      }
+      d += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** The Viterbi segmentation shared by [[UnigramEncode]] and the
   * driver-local unigram trainer ([[graft.operators.Unigram]]) — ONE
   * implementation, so the local EM rounds are bit-identical to the
@@ -1656,6 +1731,11 @@ object NativeFunctions {
     * xxhash64 struct<prefix_h,bigram_h,token_h>). */
   def bigram_hashes(tokens: Column): Column =
     ColumnBridge.toColumn(BigramHashes(ColumnBridge.toExpr(tokens)))
+
+  /** Column API for WindowPairs (array<string> → all unordered
+    * within-`window` position pairs as struct<w1,w2>, one pass). */
+  def window_pairs(tokens: Column, window: Int): Column =
+    ColumnBridge.toColumn(WindowPairs(ColumnBridge.toExpr(tokens), window))
 
   /** Column API for TokenBucketCounts (array<string> → length-B
     * rolling-hash bucket count vector). */

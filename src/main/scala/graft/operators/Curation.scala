@@ -371,16 +371,20 @@ object Curation {
     require(window >= 1, s"window $window must be >= 1")
     require(minCount >= 1, s"minCount $minCount must be >= 1")
     val tk = filter(graft.functions.Text.tokens(textCol), t => t =!= "")
-    val base = docs.select(tk.as("__tk"))
-    def pairsAt(d: Int): DataFrame = base
-      .filter(size(col("__tk")) > d)
-      .select(explode(transform(sequence(lit(1), size(col("__tk")) - d),
-        i => struct(
-          least(element_at(col("__tk"), i), element_at(col("__tk"), i + d)).as("w1"),
-          greatest(element_at(col("__tk"), i), element_at(col("__tk"), i + d)).as("w2"))))
-        .as("__p"))
+    // 0/1-token docs emit no pairs at any distance — dropping them up
+    // front also guarantees every element_at index below stays ≥ 1
+    val base = docs.select(tk.as("__tk")).filter(size(col("__tk")) >= 2)
+    // ONE tokenize scan emits every distance d ≤ window (r16) via the
+    // native WindowPairs kernel — the previous unionByName of
+    // per-distance interpreted transform branches re-tokenized the
+    // whole corpus once PER DISTANCE and re-evaluated two element_at
+    // walks per emitted struct. Identical pair multiset by
+    // construction (UTF-8-byte least/greatest order — property-spec'd
+    // against the composed form in CurationSpec).
+    val pairs = base
+      .select(explode(graft.functions.expr.NativeFunctions
+        .window_pairs(col("__tk"), window)).as("__p"))
       .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
-    val pairs = (1 to window).map(pairsAt).reduce(_ unionByName _)
     // the corpus-wide scalars fold out of the grouped tables EXACTLY
     // (Σ of integer counts = the count): np from the unfiltered pair
     // counts, nt from the unigram counts — so the corpus-scale pair
@@ -393,13 +397,19 @@ object Curation {
     // empty corpus (sum alone is NULL there).
     val cxy = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_cooc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val np = cxy.agg(coalesce(sum(col("n_cooc")), lit(0L)).as("__np"))
-      .head().getLong(0)
     val uc = docs.select(explode(tk).as("token"))
       .groupBy("token").agg(count(lit(1)).as("__cx"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nt = uc.agg(coalesce(sum(col("__cx")), lit(0L)).as("__nt"))
-      .head().getLong(0)
+    // ONE driver action materializes BOTH vocab-sized caches and
+    // returns both scalars (1-row × 1-row cross join — each cache has
+    // exactly one consumer subtree in this plan, so no concurrent-
+    // consumer race exists to guard against)
+    val scal = cxy.agg(coalesce(sum(col("n_cooc")), lit(0L)).as("__np"))
+      .crossJoin(
+        uc.agg(coalesce(sum(col("__cx")), lit(0L)).as("__nt")))
+      .head()
+    val np = scal.getLong(0)
+    val nt = scal.getLong(1)
     val out = cxy.filter(col("n_cooc") >= minCount)
       .join(uc.select(col("token").as("w1"), col("__cx").as("__c1")), "w1")
       .join(uc.select(col("token").as("w2"), col("__cx").as("__c2")), "w2")

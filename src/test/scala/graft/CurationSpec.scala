@@ -176,6 +176,37 @@ class CurationSpec extends SparkSpec {
       .filter(col("n") =!= 0).count() === 0L)
   }
 
+  test("window_pairs matches the composed per-distance transform form (multiset)") {
+    import graft.functions.expr.NativeFunctions.window_pairs
+    // the exact per-distance form the native kernel replaced
+    def oldPairs(df: org.apache.spark.sql.DataFrame, window: Int) =
+      (1 to window).map { d =>
+        df.filter(size(col("t")) > d)
+          .select(explode(transform(sequence(lit(1), size(col("t")) - d),
+            i => struct(
+              least(element_at(col("t"), i), element_at(col("t"), i + d)).as("w1"),
+              greatest(element_at(col("t"), i), element_at(col("t"), i + d)).as("w2"))))
+            .as("__p"))
+          .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      }.reduce(_ unionByName _)
+    val rows = Seq(
+      (1L, Seq("the", "quick", "brown", "fox", "the")),
+      (2L, Seq("a", "a", "a")),                       // repeats → self-pairs
+      (3L, Seq("zz", "aa")),                          // order flips to (aa, zz)
+      (4L, Seq("héllo", "日本語", "é", "Z")),          // multi-byte UTF-8 order
+      (5L, Seq("solo")),                              // below any distance
+      (6L, Seq("x", "y", "z")))                       // n == window boundary
+    val df = rows.toDF("id", "t")
+    for (w <- 1 to 3) {
+      val a = df.select(explode(window_pairs(col("t"), w)).as("__p"))
+        .select(col("__p.w1"), col("__p.w2"))
+        .groupBy("w1", "w2").count()
+      val b = oldPairs(df, w).groupBy("w1", "w2").count()
+      assert(a.except(b).count() === 0L && b.except(a).count() === 0L,
+        s"pair multiset diverged at window=$w")
+    }
+  }
+
   test("token_bucket_counts and bucket_dot match the composed HOF forms bit-for-bit") {
     import graft.functions.expr.NativeFunctions.{rolling_hash, token_bucket_counts, bucket_dot}
     val nB = 16

@@ -108,6 +108,11 @@ object Bpe {
         col("freq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     vocab.count()
+    // base is read exactly once (the symbolized vocab above) —
+    // release it NOW rather than after all rounds, so the loop holds
+    // one vocab-sized cache, not two (train's finally re-unpersist
+    // is a no-op)
+    base.unpersist(blocking = false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var round = 0
     var exhausted = false

@@ -40,6 +40,16 @@ object Unigram {
     * absent from the piece table segments alone at this log-prob. */
   val UnkLogp: Double = -100.0
 
+  /** Local-trainer gate for Unigram — DELIBERATELY smaller than
+    * [[Bpe.defaultLocalVocabThreshold]]: the local seed holds every
+    * ≤ maxLen-codepoint substring of every vocab word (~avg_len ×
+    * maxLen map entries per word, vs BPE's one adjacent-pair count
+    * per symbol), so the driver-memory cost per word is ~an order of
+    * magnitude higher. 200k words × ~30 substring entries ≈ 6M map
+    * keys — comfortably in a default driver heap; above the gate the
+    * distributed map-side-combined aggregate path is unchanged. */
+  val defaultLocalVocabThreshold: Long = 200000L
+
   private def vocabOf(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
       .filter(col("w") =!= "")
@@ -68,14 +78,17 @@ object Unigram {
     * distributed path. */
   def train(docs: DataFrame, textCol: String, iters: Int = 2,
       maxLen: Int = 3, seedTopK: Int = 200,
-      localVocabThreshold: Long = Bpe.defaultLocalVocabThreshold): Model = {
+      localVocabThreshold: Long = defaultLocalVocabThreshold): Model = {
     require(iters >= 1 && maxLen >= 1 && seedTopK >= 1)
     val vocab = vocabOf(docs, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nWords = vocab.count()
     if (nWords <= localVocabThreshold) {
-      val words = vocab.collect().map(r => (r.getString(0), r.getLong(1)))
-      vocab.unpersist(blocking = false)
+      // try/finally like the distributed arm below: a collect that
+      // throws must not leave the corpus-vocab cache pinned
+      val words =
+        try vocab.collect().map(r => (r.getString(0), r.getLong(1)))
+        finally vocab.unpersist(blocking = false)
       return trainLocal(words, iters, maxLen, seedTopK)
     }
     try {

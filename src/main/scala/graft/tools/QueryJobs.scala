@@ -61,8 +61,15 @@ object QueryJobs {
       val n = q(spark, dir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       // listener events are posted asynchronously (the bus drain API
-      // is private[spark]) — a short settle keeps the counters honest
-      // for a measurement tool
+      // is private[spark]): wait until the status tracker — fed by
+      // the same bus — reports no active jobs (so job-end events have
+      // been processed), then a short settle for trailing
+      // stage-completed metrics. Bounded so a wedged bus cannot hang
+      // the tool.
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (spark.sparkContext.statusTracker.getActiveJobIds().nonEmpty &&
+          System.nanoTime() < deadline)
+        Thread.sleep(20)
       Thread.sleep(200)
       println(f"[query-jobs] $name rep$r: $dt%6.3f s  jobs=${jobs.get}%3d " +
         f"stages=${stages.get}%3d tasks=${tasks.get}%5d rows=$n " +
@@ -75,14 +82,14 @@ object QueryJobs {
     }
     sys.env.get("GRAFT_JOBS_OUT").foreach { path =>
       def jv(v: Any): String = v match {
-        case s: String => "\"" + s + "\""
+        case s: String => JsonOut.str(s)
         case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
-          .map { case (k, x) => "\"" + k + "\":" + jv(x) }.mkString("{", ",", "}")
+          .map { case (k, x) => JsonOut.str(k) + ":" + jv(x) }.mkString("{", ",", "}")
         case xs: Vector[_] => xs.map(jv).mkString("[", ",", "]")
         case other => other.toString
       }
-      val body = out.map { case (k, v) => "\"" + k + "\":" + jv(v) }
-        .mkString("{\"sf_dir\":\"" + dir + "\",\"reps\":" + reps + ",\"queries\":{", ",", "}}")
+      val body = out.map { case (k, v) => JsonOut.str(k) + ":" + jv(v) }
+        .mkString("{\"sf_dir\":" + JsonOut.str(dir) + ",\"reps\":" + reps + ",\"queries\":{", ",", "}}")
       java.nio.file.Files.write(java.nio.file.Paths.get(path),
         body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       println(s"[query-jobs] wrote $path")

@@ -64,8 +64,18 @@ object ScaleProbe {
 
     // machine-readable record per probe → SCALEPROBE_OUT (the r16
     // scaleprobe_rN.json artifact: per-family 1×/N× wall + ratio so
-    // the 100×-readiness evidence is diffable like bench/sweep)
+    // the 100×-readiness evidence is diffable like bench/sweep).
+    // `baseline` names what ratio is measured against: "linear=N"
+    // for scaled-input arms, "flat=1" for fixed-batch/standing-state
+    // arms (where flat cost is the claim under test).
     val results = new scala.collection.mutable.LinkedHashMap[String, String]()
+
+    def record(name: String, t1: Double, tN: Double, n1: Long, nN: Long,
+        baseline: String, warm1: Double = -1.0): Unit =
+      results.update(name,
+        f"""{"t1_s":$t1%.3f,"tN_s":$tN%.3f,"rows1":$n1,"rowsN":$nN,""" +
+          f""""ratio":${tN / t1}%.2f,"warm1_s":$warm1%.3f,""" +
+          s""""baseline":${JsonOut.str(baseline)}}""")
 
     def probe(name: String)(at1: => Long)(atN: => Long): Unit = {
       if (!onlyNames.forall(_.contains(name))) return
@@ -75,9 +85,7 @@ object ScaleProbe {
       println(f"[scaleprobe] $name%-22s 1x: $t1%6.2f s ($n1%8d rows)  " +
         f"${mult}x: $tN%6.2f s ($nN%8d rows)  ratio: ${tN / t1}%5.1f (linear=$mult)" +
         f"  warm1: $w1%5.2f")
-      results.update(name,
-        f"""{"t1_s":$t1%.3f,"tN_s":$tN%.3f,"rows1":$n1,"rowsN":$nN,""" +
-          f""""ratio":${tN / t1}%.2f,"warm1_s":$w1%.3f}""")
+      record(name, t1, tN, n1, nN, s"linear=$mult", w1)
     }
 
     probe("dedup_exact") {
@@ -683,6 +691,7 @@ object ScaleProbe {
       println(f"[scaleprobe] curate_probe           1x: $t1%6.2f s ($n1%8d rows)  " +
         f"fixed-batch@${mult}x-corpus: $tN%6.2f s ($nN%8d rows)  ratio: ${tN / t1}%5.1f (flat=1)")
       Seq(idx1, idxN, batchFix).foreach(_.unpersist(blocking = false))
+      record("curate_probe", t1, tN, n1, nN, "flat=1")
     }
     // standing-index probe: index build sits OUTSIDE the timer (it is
     // the amortized land-time cost); two claims measured — (a) a
@@ -719,6 +728,8 @@ object ScaleProbe {
       println(f"[scaleprobe] minhash_probe          1x: $t1%6.2f s ($n1%8d rows)  " +
         f"${mult}x-batch@${mult}x-corpus: $tN%6.2f s ($nN%8d rows)  ratio: ${tN / t1}%5.1f (linear=$mult)")
       idx1.release(); idxN.release()
+      record("minhash_probe_fixed_batch", t1, tFix, n1, nFix, "flat=1")
+      record("minhash_probe_scaled_batch", t1, tN, n1, nN, s"linear=$mult")
     }
     // standing substring index: fixed batch vs N× window universe —
     // same claims as minhash_probe (batch-only windowing, broadcast
@@ -748,6 +759,8 @@ object ScaleProbe {
       println(f"[scaleprobe] substring_probe        1x: $t1%6.2f s ($n1%8d rows)  " +
         f"${mult}x-batch@${mult}x-corpus: $tN%6.2f s ($nN%8d rows)  ratio: ${tN / t1}%5.1f (linear=$mult)")
       idx1.release(); idxN.release()
+      record("substring_probe_fixed_batch", t1, tFix, n1, nFix, "flat=1")
+      record("substring_probe_scaled_batch", t1, tN, n1, nN, s"linear=$mult")
     }
     // incremental CC (r5 verdict: "measure the frontier-sized
     // claim"). Standing labeling built OUTSIDE the timers (land-time
@@ -798,6 +811,9 @@ object ScaleProbe {
         f"${mult}x: $tiN%6.2f s ($niN%8d rows)  ratio: ${tiN / ti1}%5.1f (linear=$mult)")
       println(f"[scaleprobe] clusters_inc_vs_full   inc@${mult}x: $tiN%6.2f s  " +
         f"full-recompute@${mult}x: $tfN%6.2f s  inc/full: ${tiN / tfN}%5.2f (want ≪ 1)")
+      record("clusters_inc_fold", ti1, tiN, ni1, niN, s"linear=$mult")
+      results.update("clusters_inc_vs_full",
+        f"""{"inc_s":$tiN%.3f,"full_s":$tfN%.3f,"inc_over_full":${tiN / tfN}%.2f,"baseline":"want<<1"}""")
       lab1.unpersist(blocking = false); labN.unpersist(blocking = false)
     }
     // standing embedding-LSH index probe (r5 verdict): same two
@@ -834,6 +850,8 @@ object ScaleProbe {
       println(f"[scaleprobe] embedding_probe        1x: $t1%6.2f s ($n1%8d rows)  " +
         f"${mult}x-batch@${mult}x-corpus: $tN%6.2f s ($nN%8d rows)  ratio: ${tN / t1}%5.1f (linear=$mult)")
       idx1.release(); idxN.release()
+      record("embedding_probe_fixed_batch", t1, tFix, n1, nFix, "flat=1")
+      record("embedding_probe_scaled_batch", t1, tN, n1, nN, s"linear=$mult")
     }
     // continuous SemDeDup loop (r7): a FIXED batch ingested into a
     // standing loop state built outside the timer at 1× and 10×.
@@ -874,6 +892,7 @@ object ScaleProbe {
       val (tN, nN) = ingestTime(loopN); loopN.release()
       println(f"[scaleprobe] cluster_stream         1x: $t1%6.2f s ($n1%8d rows)  " +
         f"fixed-batch@${mult}x-state: $tN%6.2f s ($nN%8d rows)  ratio: ${tN / t1}%5.1f (flat=1)")
+      record("cluster_stream", t1, tN, n1, nN, "flat=1")
     }
     // text-granularity continuous-dedup loop (r7): fixed batch
     // ingested into a standing MinHash-backed loop at 1× and 10×
@@ -908,6 +927,7 @@ object ScaleProbe {
       val (tN, nN) = ingestTime(loopN); loopN.release()
       println(f"[scaleprobe] text_cluster_stream    1x: $t1%6.2f s ($n1%8d rows)  " +
         f"fixed-batch@${mult}x-state: $tN%6.2f s ($nN%8d rows)  ratio: ${tN / t1}%5.1f (flat=1)")
+      record("text_cluster_stream", t1, tN, n1, nN, "flat=1")
     }
     // takedown retraction (r7): a FIXED victim set retracted from a
     // standing loop at 1× and 10×. Retract re-clusters ONLY the
@@ -945,6 +965,7 @@ object ScaleProbe {
       val (tN, nN) = retractTime(loopN); loopN.release()
       println(f"[scaleprobe] cluster_retract        1x: $t1%6.2f s ($n1%8d rows)  " +
         f"fixed-victims@${mult}x-state: $tN%6.2f s ($nN%8d rows)  ratio: ${tN / t1}%5.1f (flat=1)")
+      record("cluster_retract", t1, tN, n1, nN, "flat=1")
     }
     // text-granularity takedown (r7 verdict open item): the embedding
     // retract probe showed cost ∝ touched membership; measure the
@@ -979,6 +1000,7 @@ object ScaleProbe {
       val (tN, nN) = retractTime(loopN); loopN.release()
       println(f"[scaleprobe] text_cluster_retract   1x: $t1%6.2f s ($n1%8d rows)  " +
         f"fixed-victims@${mult}x-state: $tN%6.2f s ($nN%8d rows)  ratio: ${tN / t1}%5.1f (flat=1)")
+      record("text_cluster_retract", t1, tN, n1, nN, "flat=1")
     }
     // LM refresh (r8): a FIXED landed batch folded into a standing
     // LmLoop whose frozen model was trained on 1× vs N× corpus.
@@ -1016,6 +1038,9 @@ object ScaleProbe {
       println(f"[scaleprobe] lm_refresh             1x: $t1%6.2f s  " +
         f"fixed-batch@${mult}x-state: $tN%6.2f s  ratio: ${tN / t1}%5.1f  " +
         f"(full ${mult}x retrain: $tRetrain%6.2f s, refresh wins ${tRetrain / tN}%4.1fx)")
+      record("lm_refresh", t1, tN, -1L, -1L, "flat=1")
+      results.update("lm_refresh_vs_retrain",
+        f"""{"refresh_s":$tN%.3f,"retrain_s":$tRetrain%.3f,"refresh_wins":${tRetrain / tN}%.1f,"baseline":"want>>1"}""")
     }
     // composite IVF-PQ (r5 verdict): fixed 64-query batch, corpus 1×
     // vs N×. With nlists FIXED the ADC scan within probed lists is ∝
@@ -1096,9 +1121,9 @@ object ScaleProbe {
       probe("pipeline_curate") { curate(docs1) } { curate(docsN) }
     }
     sys.env.get("SCALEPROBE_OUT").foreach { path =>
-      val body = results.map { case (k, v) => "\"" + k + "\":" + v }
+      val body = results.map { case (k, v) => JsonOut.str(k) + ":" + v }
         .mkString(
-          s"""{"mult":$mult,"sf_dir":"$sfDir","corpus":"per-copy token-suffix perturbed replicas (cross-copy similarity zero; true answer linear)","queries":{""",
+          s"""{"mult":$mult,"sf_dir":${JsonOut.str(sfDir)},"corpus":"per-copy token-suffix perturbed replicas (cross-copy similarity zero; true answer linear)","queries":{""",
           ",", "}}")
       java.nio.file.Files.write(java.nio.file.Paths.get(path),
         body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -1106,4 +1131,17 @@ object ScaleProbe {
     }
     spark.stop()
   }
+}
+
+/** Minimal JSON string escaping shared by the measurement tools'
+  * hand-rolled artifact writers (paths and labels must not be able
+  * to produce an unparseable committed artifact). */
+private[tools] object JsonOut {
+  def str(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }.mkString("\"", "", "\"")
 }

@@ -240,6 +240,40 @@ class PlanQualitySpec extends SparkSpec {
       !lpa.contains("Exchange"), s"local LPA plan regressed:\n$lpa")
   }
 
+  test("r16 LM scoring plans carry NO cache (single-model-join, recompute-two-consumer shape)") {
+    // the r16 formulation folded the prefix/unigram tables onto the
+    // bigram-grouped model, so the corpus-scale exploded frame has
+    // exactly two consumers and is deliberately UN-cached — an
+    // InMemoryTableScan here means someone reintroduced the exploded
+    // frame persist (the shape the r15 AQE race forced, now gone)
+    val toks = graft.functions.Text.tokens(col("text"))
+    val docs = Tables.documents(spark, sfDir)
+    val big = plan(graft.operators.Curation.bigramLogProb(docs, "doc_id", toks))
+    assert(!big.contains("InMemoryTableScan"),
+      s"bigramLogProb plan reads a cache:\n$big")
+    val interp = plan(graft.operators.Curation.interpLogProb(docs, "doc_id", toks, 0.9))
+    assert(!interp.contains("InMemoryTableScan"),
+      s"interpLogProb plan reads a cache:\n$interp")
+    // perplexityBuckets is the doc-bounded EXCEPTION: its bucket scan
+    // must read the persisted score frame (materialized by the cuts
+    // aggregate), never re-run the LM pipeline
+    val ppl = plan(graft.operators.Curation.perplexityBuckets(
+      docs, "doc_id", toks, lambda = 0.8))
+    assert(ppl.contains("InMemoryTableScan"),
+      s"perplexity bucket scan re-runs the LM pipeline instead of reading the score cache:\n$ppl")
+  }
+
+  test("r16 dedup_clusters_inc entry plans the APPLY only (no corpus rescan)") {
+    // the standing state is an eager localCheckpoint memo: the timed
+    // query's plan must read RDD scans, never re-derive the shingle
+    // index from the documents parquet
+    val p = plan(graft.SparkEntry.queries("dedup_clusters_inc")(spark, sfDir))
+    assert(!p.contains("FileScan parquet"),
+      s"clusters_inc apply rescans the corpus:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"clusters_inc apply does not read the checkpointed standing state:\n$p")
+  }
+
   test("external sink collapse prunes rank>1 below the shuffle (WindowGroupLimit)") {
     // the latest-version-per-key collapse must not move every delta
     // row through the exchange when only the per-key winner survives —

@@ -1274,6 +1274,56 @@ case class WordPieceEncode(child: Expression, initPieces: Seq[String],
     copy(child = newChild)
 }
 
+/** Seed-1L xxhash64 of every array element in ONE pass (r16):
+  * `array<string> → array<long>` — the in-row twin of the
+  * post-explode `xxhash64(lit(1L), tok)` projection, sharing
+  * [[BigramHashes]]' exact seed fold (hash(x, hash(1L, 42L))), so
+  * every emitted long is bit-identical by construction and joins
+  * the same token_h key space. Exploding the LONG array instead of
+  * strings-then-hash keeps the generator output 8 bytes/row and
+  * hashes each element exactly once. Null elements pass the seed
+  * through, matching xxhash64's null semantics in the composed
+  * form. */
+case class TokenHashes(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_hashes"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"token_hashes requires array<string>, got ${t.catalogString}")
+    }
+
+  @transient private lazy val seed1 =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      1L, LongType, 42L)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (arr.isNullAt(i)) seed1
+        else org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          arr.getUTF8String(i), StringType, seed1)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** All unordered token pairs within `window` positions, ONE pass
   * (r16): for every distance d ≤ window and position i, emit
   * struct(min(t_i, t_{i+d}), max(t_i, t_{i+d})) under UTF-8-byte
@@ -1736,6 +1786,11 @@ object NativeFunctions {
     * within-`window` position pairs as struct<w1,w2>, one pass). */
   def window_pairs(tokens: Column, window: Int): Column =
     ColumnBridge.toColumn(WindowPairs(ColumnBridge.toExpr(tokens), window))
+
+  /** Column API for TokenHashes (array<string> → per-element seed-1L
+    * xxhash64 longs, one pass — the BigramHashes token_h space). */
+  def token_hashes(tokens: Column): Column =
+    ColumnBridge.toColumn(TokenHashes(ColumnBridge.toExpr(tokens)))
 
   /** Column API for TokenBucketCounts (array<string> → length-B
     * rolling-hash bucket count vector). */

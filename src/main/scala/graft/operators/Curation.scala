@@ -293,11 +293,15 @@ object Curation {
 
   /** Unigram table over ALL token occurrences (not just bigram
     * positions — P(w) is a corpus property, independent of where the
-    * bigram windows fall), keyed by the shared seed-1L token hash. */
+    * bigram windows fall), keyed by the shared seed-1L token hash.
+    * r16: hashes compute IN-ROW via the native TokenHashes kernel
+    * (bit-identical to the old explode-then-xxhash64 projection —
+    * property-spec'd), so the generator emits 8-byte longs, not
+    * strings re-hashed one row at a time. */
   private[graft] def unigramHashCounts(docs: DataFrame, tokens: Column): DataFrame =
     docs.select(array_remove(tokens, "").as("__t"))
-      .select(explode(col("__t")).as("__tok"))
-      .select(xxhash64(lit(1L), col("__tok")).as("token_h"))
+      .select(explode(graft.functions.expr.NativeFunctions
+        .token_hashes(col("__t"))).as("token_h"))
       .groupBy("token_h").agg(count("*").as("ucnt"))
 
   /** Greedy sequence packing: assign documents to fixed-budget packs

@@ -176,6 +176,23 @@ class CurationSpec extends SparkSpec {
       .filter(col("n") =!= 0).count() === 0L)
   }
 
+  test("token_hashes matches the composed explode + xxhash64(lit(1L), ·) form bit-for-bit") {
+    import graft.functions.expr.NativeFunctions.token_hashes
+    val rows = Seq(
+      (1L, Seq("the", "quick", "the", "")),
+      (2L, Seq("héllo", "日本語")),
+      (3L, Seq.empty[String]),
+      (4L, Seq(null, "b")))          // null element: seed pass-through
+    val df = rows.toDF("id", "t")
+    val native = df.select(col("id"), explode(token_hashes(col("t"))).as("h"))
+    val composed = df.select(col("id"), explode(col("t")).as("__tok"))
+      .select(col("id"), xxhash64(lit(1L), col("__tok")).as("h"))
+    assert(native.groupBy("id", "h").count().except(
+      composed.groupBy("id", "h").count()).count() === 0L)
+    assert(composed.groupBy("id", "h").count().except(
+      native.groupBy("id", "h").count()).count() === 0L)
+  }
+
   test("window_pairs matches the composed per-distance transform form (multiset)") {
     import graft.functions.expr.NativeFunctions.window_pairs
     // the exact per-distance form the native kernel replaced

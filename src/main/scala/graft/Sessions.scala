@@ -30,6 +30,15 @@ object Sessions {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE coalesce INSIDE cached plans too (default false keeps
+      // a cached frame's output partitioning stable for downstream
+      // co-partitioning reuse — but graft's eager-persist results are
+      // read by scans/aggregates, not partitioning-sensitive joins,
+      // and the stable-partitioning default pins every cache at raw
+      // shuffle.partitions: r17 jobs-profiling showed each cache
+      // materialization + every cache read paying 32 near-empty
+      // tasks' launch/deserialize overhead per job)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

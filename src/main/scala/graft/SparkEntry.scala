@@ -2014,7 +2014,17 @@ object SparkEntry {
     * Old labeling = CC over pairs internal to the standing corpus
     * (doc_id % 10 ≠ 3 on both ends); new edges = any pair touching a
     * batch doc. old ∪ new = ALL pairs, which is what keeps the
-    * DuckDB from-scratch-CC oracle an equivalence proof. */
+    * DuckDB from-scratch-CC oracle an equivalence proof.
+    *
+    * Staleness contract (same as [[curatedMemo]]): the memo keys on
+    * (session identity, dir) and assumes the documents table under
+    * `dir` is immutable for the session — rewriting it mid-session
+    * serves stale labels/edges (production owns its standing state
+    * explicitly via the Clusters/Dedup index APIs; this memo exists
+    * for the harness surface). Measurement note: the FIRST invocation
+    * per (session, dir) pays the standing-state build — timing tools
+    * must warm the memo before rep 1 (QueryJobs does, via its
+    * untimed warm-up pass) or rep-1 walls include the build. */
   private val incStateMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (DataFrame, DataFrame)]()
 

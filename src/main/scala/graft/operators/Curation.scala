@@ -165,10 +165,17 @@ object Curation {
     // at every scale than writing the exploded frame to cache (the
     // r15 persist closed a 3-consumer AQE race this shape no longer
     // has; measured in ScaleProbe's materialize-vs-recompute arm).
+    // r17: pcnt attaches as a PARTITION-WINDOW sum over the grouped
+    // table instead of a groupBy+self-join — one exchange on __pfx
+    // replaces the exchange+join pair (jobs_r16 showed the LM chain's
+    // wall is its serial stage critical path, not scheduling gaps, so
+    // stages removed = wall removed; bit-identical pcnt: Σ of the
+    // same integer counts over the same prefix groups).
     val bfreq = withB.groupBy("bigram_h")
       .agg(count("*").as("bcnt"), min(col("prefix_h")).as("__pfx"))
-    val pfreq = bfreq.groupBy("__pfx").agg(sum(col("bcnt")).as("pcnt"))
-    val model = bfreq.join(pfreq, "__pfx").select("bigram_h", "bcnt", "pcnt")
+    val model = bfreq
+      .withColumn("pcnt", sum(col("bcnt")).over(Window.partitionBy(col("__pfx"))))
+      .select("bigram_h", "bcnt", "pcnt")
     withB.join(model, "bigram_h")
       .groupBy("doc_id")
       .agg(count("*").as("n_bigrams"),
@@ -213,9 +220,11 @@ object Curation {
     val bfreq = withB.groupBy("bigram_h")
       .agg(count("*").as("bcnt"), min(col("prefix_h")).as("__pfx"),
         min(col("token_h")).as("__tok"))
-    val pfreq = bfreq.groupBy("__pfx").agg(sum(col("bcnt")).as("pcnt"))
-    val model = bfreq.join(pfreq, "__pfx")
-      .join(uni, bfreq("__tok") === uni("token_h"))
+    // pcnt via the partition-window fold (see [[bigramLogProb]], r17):
+    // one exchange on __pfx instead of a groupBy + model self-join
+    val model = bfreq
+      .withColumn("pcnt", sum(col("bcnt")).over(Window.partitionBy(col("__pfx"))))
+      .join(uni, col("__tok") === uni("token_h"))
       .select("bigram_h", "bcnt", "pcnt", "ucnt")
     withB.join(model, "bigram_h")
       .crossJoin(broadcast(total))
@@ -245,7 +254,16 @@ object Curation {
     * 100 TB corpus (at real scale the exact percentile swaps for
     * percentile_approx — same plan). When the thresholds collide on
     * a tiny or degenerate corpus the head branch wins, then tail —
-    * the CASE order the oracle mirrors. */
+    * the CASE order the oracle mirrors.
+    *
+    * Caching contract (the dedup-family convention): the RETURNED
+    * frame is persisted and eagerly materialized — callers own it
+    * and `unpersist()` when done. The internal score cache (read by
+    * the cuts aggregate and the bucket scan) is released before
+    * returning, so repeated calls in a long-lived session pin at
+    * most the results the caller still holds, never an orphaned
+    * internal frame (r17, retiring the r16 un-releasable score
+    * persist the ADVICE flagged). */
   def perplexityBuckets(docs: DataFrame, idCol: String, tokens: Column,
       lambda: Double, headQ: Double = 0.3, tailQ: Double = 0.3): DataFrame = {
     require(headQ > 0 && tailQ > 0 && headQ + tailQ <= 1.0,
@@ -254,8 +272,7 @@ object Curation {
     // and let the CUTS AGGREGATE be the materializing pass — the two
     // percentile scalars come back as bounded driver state (the
     // centroid/GD-weights convention) instead of a broadcast
-    // crossJoin, so the LM pipeline runs once and no separate
-    // count() job exists (r16, retiring the eager-count pass here)
+    // crossJoin, so the LM pipeline runs once
     val lp = interpLogProb(docs, idCol, tokens, lambda)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cuts = lp.agg(
@@ -266,10 +283,17 @@ object Curation {
     // exactly the old crossJoin-with-null-cuts behavior
     val th = if (cuts.isNullAt(0)) lit(null).cast("double") else lit(cuts.getDouble(0))
     val tt = if (cuts.isNullAt(1)) lit(null).cast("double") else lit(cuts.getDouble(1))
-    lp.select(col("doc_id"), col("n_bigrams"), col("avg_logprob"),
+    val out = lp.select(col("doc_id"), col("n_bigrams"), col("avg_logprob"),
       when(col("avg_logprob") >= th, "head")
         .when(col("avg_logprob") <= tt, "tail")
         .otherwise("middle").as("ppl_bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the materializing pass reads the score cache (one cheap scan),
+    // after which the internal persist can be released — the caller
+    // inherits exactly one cache: the result it was handed
+    out.count()
+    lp.unpersist(blocking = false)
+    out
   }
 
   /** THE bigram-row convention shared by [[interpLogProb]] and the
@@ -361,14 +385,16 @@ object Curation {
     * pmi(x,y) = ln( p(x,y) / (p(x)·p(y)) ) with p(x,y) = c(x,y)/P,
     * p(x) = c(x)/T, over P total pair occurrences and T total tokens.
     *
-    * Scale shape: pairs are generated IN-ROW (one `transform` over
-    * the token array per distance d ≤ window — positions, no
-    * self-join on doc id), so the only shuffles are the map-side-
-    * combined (pair → count) and (token → count) aggregates; the two
-    * corpus totals are 1-row aggregates cross-joined back (broadcast
-    * scalars). Output ∝ distinct pairs above `minCount`, never the
-    * corpus. The pair space is bounded by the min-count filter, not
-    * by sampling — nothing is silently dropped.
+    * Scale shape: pairs are generated IN-ROW (the native WindowPairs
+    * kernel — positions, no self-join on doc id), so the only
+    * shuffles are the map-side-combined (pair → count) and
+    * (token → count) aggregates; the two corpus totals fold out of a
+    * doc-LENGTHS scan as bounded driver scalars (pair multiplicity is
+    * pure arithmetic in the token count), so nothing corpus-scale is
+    * ever cached and the pair explode runs exactly once. Output ∝
+    * distinct pairs above `minCount`, never the corpus. The pair
+    * space is bounded by the min-count filter, not by sampling —
+    * nothing is silently dropped.
     */
   def pmiCollocations(docs: DataFrame, textCol: Column, window: Int,
       minCount: Long): DataFrame = {
@@ -389,32 +415,35 @@ object Curation {
       .select(explode(graft.functions.expr.NativeFunctions
         .window_pairs(col("__tk"), window)).as("__p"))
       .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
-    // the corpus-wide scalars fold out of the grouped tables EXACTLY
-    // (Σ of integer counts = the count): np from the unfiltered pair
-    // counts, nt from the unigram counts — so the corpus-scale pair
-    // explosion and token explode each run ONCE. r16: the scalars
-    // collect as bounded driver state (two longs — the centroid/GD-
-    // weights convention) and each collect IS the materializing pass
-    // of its vocab-sized cache, retiring the two separate eager
-    // count() jobs and both broadcast crossJoin subqueries. coalesce
-    // preserves the old count()-derived non-null-zero contract on an
-    // empty corpus (sum alone is NULL there).
-    val cxy = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_cooc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uc = docs.select(explode(tk).as("token"))
       .groupBy("token").agg(count(lit(1)).as("__cx"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // ONE driver action materializes BOTH vocab-sized caches and
-    // returns both scalars (1-row × 1-row cross join — each cache has
-    // exactly one consumer subtree in this plan, so no concurrent-
-    // consumer race exists to guard against)
-    val scal = cxy.agg(coalesce(sum(col("n_cooc")), lit(0L)).as("__np"))
-      .crossJoin(
-        uc.agg(coalesce(sum(col("__cx")), lit(0L)).as("__nt")))
+    // the corpus-wide scalars fold out of a LENGTHS-ONLY scan EXACTLY:
+    // WindowPairs emits Σ_{d≤window} max(L−d, 0) pairs for an L-token
+    // doc (pure arithmetic in L), and nt = Σ L over all docs. r17:
+    // this retires the r16 derivation that aggregated — and therefore
+    // PERSISTED — the corpus-scale distinct-pair table just to sum its
+    // counts. The pair explode now runs exactly once (inside the
+    // output job), nothing corpus-scale is ever cached, and the only
+    // pinned frame is the vocab-sized unigram table. The scalars stay
+    // bounded driver state (two longs — the centroid/GD-weights
+    // convention); the crossJoined vocab-row aggregate makes this one
+    // action the materializing pass of the uc cache, whose two join
+    // consumers below then read the cache instead of racing to
+    // re-tokenize (the AQE concurrent-exchange hazard). coalesce keeps
+    // the non-null-zero contract on an empty corpus.
+    val perDocPairs = (1 to window)
+      .map(d => greatest(col("__len") - d, lit(0)).cast("long"))
+      .reduce(_ + _)
+    val scal = docs.select(size(tk).as("__len"))
+      .agg(coalesce(sum(perDocPairs), lit(0L)).as("__np"),
+        coalesce(sum(col("__len").cast("long")), lit(0L)).as("__nt"))
+      .crossJoin(uc.agg(count(lit(1)).as("__vocab")))
       .head()
     val np = scal.getLong(0)
     val nt = scal.getLong(1)
-    val out = cxy.filter(col("n_cooc") >= minCount)
+    val out = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_cooc"))
+      .filter(col("n_cooc") >= minCount)
       .join(uc.select(col("token").as("w1"), col("__cx").as("__c1")), "w1")
       .join(uc.select(col("token").as("w2"), col("__cx").as("__c2")), "w2")
       .select(col("w1"), col("w2"), col("n_cooc"),
@@ -424,7 +453,6 @@ object Curation {
     val materialized = out.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     materialized.count()
-    cxy.unpersist(blocking = false)
     uc.unpersist(blocking = false)
     materialized
   }

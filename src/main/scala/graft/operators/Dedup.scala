@@ -376,7 +376,7 @@ object Dedup {
     * surviving candidate pairs. Band hash = variadic xxhash64 over
     * the band's raw longs — no slice, no array→string cast (that cast
     * alone cost ~1 s/pass at sf0.1). */
-  private def bandedOf(sigs: DataFrame, perms: Int, bands: Int): DataFrame = {
+  private[graft] def bandedOf(sigs: DataFrame, perms: Int, bands: Int): DataFrame = {
     val rows = perms / bands
     sigs.select(
       col("doc_id"),
@@ -388,7 +388,7 @@ object Dedup {
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
   }
 
-  private def verifyPairs(candIds: DataFrame, sigsA: DataFrame, sigsB: DataFrame,
+  private[graft] def verifyPairs(candIds: DataFrame, sigsA: DataFrame, sigsB: DataFrame,
       perms: Int, tau: Double): DataFrame =
     candIds
       .join(sigsA.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")

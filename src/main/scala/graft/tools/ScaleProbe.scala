@@ -73,8 +73,9 @@ object ScaleProbe {
     def record(name: String, t1: Double, tN: Double, n1: Long, nN: Long,
         baseline: String, warm1: Double = -1.0): Unit =
       results.update(name,
-        f"""{"t1_s":$t1%.3f,"tN_s":$tN%.3f,"rows1":$n1,"rowsN":$nN,""" +
-          f""""ratio":${tN / t1}%.2f,"warm1_s":$warm1%.3f,""" +
+        s"""{"t1_s":${JsonOut.num(t1, 3)},"tN_s":${JsonOut.num(tN, 3)},""" +
+          s""""rows1":$n1,"rowsN":$nN,""" +
+          s""""ratio":${JsonOut.num(tN / t1, 2)},"warm1_s":${JsonOut.num(warm1, 3)},""" +
           s""""baseline":${JsonOut.str(baseline)}}""")
 
     def probe(name: String)(at1: => Long)(atN: => Long): Unit = {
@@ -813,7 +814,8 @@ object ScaleProbe {
         f"full-recompute@${mult}x: $tfN%6.2f s  inc/full: ${tiN / tfN}%5.2f (want ≪ 1)")
       record("clusters_inc_fold", ti1, tiN, ni1, niN, s"linear=$mult")
       results.update("clusters_inc_vs_full",
-        f"""{"inc_s":$tiN%.3f,"full_s":$tfN%.3f,"inc_over_full":${tiN / tfN}%.2f,"baseline":"want<<1"}""")
+        s"""{"inc_s":${JsonOut.num(tiN, 3)},"full_s":${JsonOut.num(tfN, 3)},""" +
+          s""""inc_over_full":${JsonOut.num(tiN / tfN, 2)},"baseline":"want<<1"}""")
       lab1.unpersist(blocking = false); labN.unpersist(blocking = false)
     }
     // standing embedding-LSH index probe (r5 verdict): same two
@@ -929,12 +931,70 @@ object ScaleProbe {
         f"fixed-batch@${mult}x-state: $tN%6.2f s ($nN%8d rows)  ratio: ${tN / t1}%5.1f (flat=1)")
       record("text_cluster_stream", t1, tN, n1, nN, "flat=1")
     }
-    // takedown retraction (r7): a FIXED victim set retracted from a
-    // standing loop at 1× and 10×. Retract re-clusters ONLY the
-    // touched clusters (pairs re-derived from the retracted index
-    // restricted to their remaining members), so fixed-victim cost
-    // should stay near-flat as the standing state grows.
+    // takedown retraction, FLAT contract (r17 — r16 verdict item 6):
+    // a FIXED victim set whose TOUCHED-CLUSTER MEMBERSHIP is held
+    // constant by construction at both scales, so the flat=1 claim
+    // can actually fail. Copies occupy DISJOINT COORDINATE BLOCKS
+    // (copy k lives on dims [64k, 64k+64)): cross-copy cosine is
+    // EXACTLY zero — below any tau — so clusters never merge across
+    // copies, and with bits/seed/dim identical at both scales the
+    // copy-0 clustering (hence the victims' touched membership and
+    // the emitted delta) is bit-identical at 1× and N×. The 1× arm
+    // uses the SAME zero-padded copy-0 table, so per-row dot/sign
+    // cost is equal too — the only variable left is standing-state
+    // size, which is the contract under test. Residual linear terms
+    // the arm intentionally keeps: the index-retraction generation
+    // swap and the labeling rewrite (both ∝ state). The old
+    // sign-flip-corpus arm stays below as the adversarial-GROWTH
+    // case (cross-copy merges inflate touched membership ∝ delta).
     if (onlyNames.forall(_.contains("cluster_retract"))) {
+      val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val dimB = 64 * mult
+      def blockCopy(k: Int): DataFrame =
+        emb1.select((col("vec_id") + lit(k.toLong * 10000000L)).as("vec_id"),
+          concat(array_repeat(lit(0.0f), 64 * k), col("embedding"),
+            array_repeat(lit(0.0f), 64 * (mult - 1 - k))).as("embedding"))
+      (0 until mult).map(blockCopy).reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$tmp/embeddings_block")
+      val embBN = spark.read.parquet(s"$tmp/embeddings_block")
+      val embB1 = embBN.filter(col("vec_id") < 10000000L) // copy-0, padded
+      def mkLoop(corpus: DataFrame): graft.streaming.ClusterStream = {
+        val idx = Dedup.embeddingIndex(corpus, "vec_id", "embedding",
+          dimB, 4, 8, 42L)
+        val pairs = Dedup.embeddingPairsFromIndex(idx, 0.4)
+        val labels = Clusters.connectedComponents(pairs, "vec_a", "vec_b")
+        pairs.unpersist(blocking = false)
+        graft.streaming.ClusterStream(idx, labels, "vec_id", "embedding", 0.4)
+      }
+      // fixed victims: copy-0 ids, mod-7 slice (present at both scales)
+      val victims = embB1.filter(pmod(col("vec_id"), lit(7)) === 0)
+        .select("vec_id")
+      def retractTime(loop: graft.streaming.ClusterStream): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val d = loop.retract(victims)
+        val n = d.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        d.unpersist(blocking = false)
+        (dt, n)
+      }
+      val warm = mkLoop(embB1); retractTime(warm); warm.release()
+      val loop1 = mkLoop(embB1)
+      val (t1, n1) = retractTime(loop1); loop1.release()
+      val loopN = mkLoop(embBN)
+      val (tN, nN) = retractTime(loopN); loopN.release()
+      println(f"[scaleprobe] cluster_retract        1x: $t1%6.2f s ($n1%8d rows)  " +
+        f"fixed-victims@${mult}x-state: $tN%6.2f s ($nN%8d rows)  ratio: ${tN / t1}%5.1f (flat=1)")
+      record("cluster_retract", t1, tN, n1, nN, "flat=1")
+    }
+    // the ADVERSARIAL-GROWTH twin (the pre-r17 arm, relabeled): the
+    // sign-flip corpus lets statistically-rare cross-copy cosines
+    // cross tau at N×, so the fixed victims' touched membership — and
+    // therefore the emitted delta — GROWS with scale. Cost ∝ touched
+    // membership is the contract here (r16 §6 root cause), hence the
+    // membership∝delta baseline: expect the ratio to track nN/n1,
+    // not flat=1.
+    if (onlyNames.forall(_.contains("cluster_retract_growth"))) {
       val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select("vec_id", "embedding")
       val embDN = spark.read.parquet(s"$tmp/embeddings_lsh")
@@ -947,7 +1007,6 @@ object ScaleProbe {
         pairs.unpersist(blocking = false)
         graft.streaming.ClusterStream(idx, labels, "vec_id", "embedding", 0.4)
       }
-      // fixed victims: copy-0 ids, mod-7 slice (present at both scales)
       val victims = emb1.filter(pmod(col("vec_id"), lit(7)) === 0)
         .select("vec_id")
       def retractTime(loop: graft.streaming.ClusterStream): (Double, Long) = {
@@ -963,9 +1022,9 @@ object ScaleProbe {
       val (t1, n1) = retractTime(loop1); loop1.release()
       val loopN = mkLoop(embDN, bitsN)
       val (tN, nN) = retractTime(loopN); loopN.release()
-      println(f"[scaleprobe] cluster_retract        1x: $t1%6.2f s ($n1%8d rows)  " +
-        f"fixed-victims@${mult}x-state: $tN%6.2f s ($nN%8d rows)  ratio: ${tN / t1}%5.1f (flat=1)")
-      record("cluster_retract", t1, tN, n1, nN, "flat=1")
+      println(f"[scaleprobe] cluster_retract_growth 1x: $t1%6.2f s ($n1%8d rows)  " +
+        f"fixed-victims@${mult}x-state: $tN%6.2f s ($nN%8d rows)  ratio: ${tN / t1}%5.1f (membership∝delta)")
+      record("cluster_retract_growth", t1, tN, n1, nN, "membership∝delta")
     }
     // text-granularity takedown (r7 verdict open item): the embedding
     // retract probe showed cost ∝ touched membership; measure the
@@ -1040,7 +1099,8 @@ object ScaleProbe {
         f"(full ${mult}x retrain: $tRetrain%6.2f s, refresh wins ${tRetrain / tN}%4.1fx)")
       record("lm_refresh", t1, tN, -1L, -1L, "flat=1")
       results.update("lm_refresh_vs_retrain",
-        f"""{"refresh_s":$tN%.3f,"retrain_s":$tRetrain%.3f,"refresh_wins":${tRetrain / tN}%.1f,"baseline":"want>>1"}""")
+        s"""{"refresh_s":${JsonOut.num(tN, 3)},"retrain_s":${JsonOut.num(tRetrain, 3)},""" +
+          s""""refresh_wins":${JsonOut.num(tRetrain / tN, 1)},"baseline":"want>>1"}""")
     }
     // composite IVF-PQ (r5 verdict): fixed 64-query batch, corpus 1×
     // vs N×. With nlists FIXED the ADC scan within probed lists is ∝
@@ -1144,4 +1204,12 @@ private[tools] object JsonOut {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }.mkString("\"", "", "\"")
+
+  /** Locale-independent fixed-point number (the `f` interpolator
+    * follows the default locale — a comma-decimal JVM would make a
+    * committed artifact unparseable). NaN/Inf (a 0-second t1 divide)
+    * degrade to null rather than invalid JSON. */
+  def num(x: Double, scale: Int): String =
+    if (x.isNaN || x.isInfinite) "null"
+    else BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
 }

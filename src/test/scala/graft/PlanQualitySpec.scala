@@ -142,15 +142,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
-  test("perplexity triage: no global sort, thresholds broadcast over the scored corpus") {
-    val p = plan(graft.operators.Curation.perplexityBuckets(
+  test("perplexity triage: no global sort, thresholds are plan literals over the scored corpus") {
+    val ppl = graft.operators.Curation.perplexityBuckets(
       Tables.documents(spark, sfDir), "doc_id",
-      graft.functions.Text.tokens(col("text")), lambda = 0.8))
-    // bucket assignment must be a broadcast compare, never a global
-    // sort or a single-partition rank window over the corpus
-    assert(!p.contains("Window"), s"rank window crept into the triage:\n$p")
+      graft.functions.Text.tokens(col("text")), lambda = 0.8)
+    val p = plan(ppl)
+    ppl.unpersist(blocking = false) // caller-owned result cache (r17)
+    // bucket assignment must be a literal CASE compare, never a
+    // global sort or a single-partition rank window over the corpus
+    // (the r17 result cache prints the frozen bucket plan inside its
+    // InMemoryRelation, so the shape stays assertable). The only
+    // Window allowed is the LM model's prefix-partitioned count fold
+    // (r17) — keyed on __pfx, vocab-sized; a rank/row_number window
+    // or a windowspecdefinition with an EMPTY partition clause
+    // (global = the corpus through one reducer) is the regression.
+    assert(!p.contains("row_number(") && !p.contains("rank(") &&
+      !p.contains("ntile("), s"rank window crept into the triage:\n$p")
+    assert(!p.contains("windowspecdefinition(avg_logprob"),
+      s"global score window crept into the triage:\n$p")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-      s"quantile thresholds are not broadcast:\n$p")
+      s"the LM corpus-total scalar is not broadcast:\n$p")
     // the only global (SinglePartition) exchanges feed the 2-scalar
     // percentile / corpus-total aggregates — row counts ∝ groups, not docs
     assert(!p.contains("CartesianProduct"))
@@ -256,10 +267,19 @@ class PlanQualitySpec extends SparkSpec {
       s"interpLogProb plan reads a cache:\n$interp")
     // perplexityBuckets is the doc-bounded EXCEPTION: its bucket scan
     // must read the persisted score frame (materialized by the cuts
-    // aggregate), never re-run the LM pipeline
-    val ppl = plan(graft.operators.Curation.perplexityBuckets(
-      docs, "doc_id", toks, lambda = 0.8))
-    assert(ppl.contains("InMemoryTableScan"),
+    // aggregate), never re-run the LM pipeline — r17: the returned
+    // frame is the caller-owned result cache, and the score cache it
+    // froze at materialization time must appear INSIDE its cached
+    // plan (an LM-pipeline subtree there means the bucket scan
+    // recomputed the scores instead of reading them)
+    val pplDf = graft.operators.Curation.perplexityBuckets(
+      docs, "doc_id", toks, lambda = 0.8)
+    val ppl = plan(pplDf)
+    pplDf.unpersist(blocking = false)
+    // >= 2: the result's own cache read PLUS the frozen score-cache
+    // read inside it (1 alone would be the result cache wrapping a
+    // full LM recompute)
+    assert("InMemoryTableScan".r.findAllIn(ppl).size >= 2,
       s"perplexity bucket scan re-runs the LM pipeline instead of reading the score cache:\n$ppl")
   }
 

@@ -227,8 +227,21 @@ object Dedup {
     // the un-persisted join subtree makes AQE plan and run the whole
     // shared-count pipeline TWICE (measured 54 driver jobs vs the
     // Jaccard operator's 31, ~2× the wall cost); exploding a 2-element
-    // array of direction structs reads each joined row once
-    val out = both.select(explode(array(
+    // array of direction structs reads each joined row once. r17: the
+    // τ gate runs BEFORE the explode (c(either direction) ≥ τ iff
+    // shared ≥ τ·min(n_a, n_b)), so the candidate-pair-sized frame
+    // pays one scalar compare per row — the Jaccard operator's cost —
+    // and only the surviving pairs are doubled into direction rows
+    // (the per-direction re-check then drops a survivor's failing
+    // side; both-pass survivors emit both rows, exactly as before).
+    // The gate is slack by half a 4dp ulp: the authoritative filter
+    // below compares the ROUNDED ratio, and a raw ratio up to
+    // 0.00005 under τ still rounds up to it — the gate must keep
+    // everything that filter can accept.
+    val out = both
+      .filter(col("shared") >=
+        lit(tauC - 0.5e-4) * least(col("n_a"), col("n_b")))
+      .select(explode(array(
         struct(col("doc_a").as("doc_inner"), col("doc_b").as("doc_outer"),
           round(col("shared") / col("n_a"), 4).as("containment")),
         struct(col("doc_b").as("doc_inner"), col("doc_a").as("doc_outer"),

@@ -933,42 +933,58 @@ object ScaleProbe {
     }
     // takedown retraction, FLAT contract (r17 — r16 verdict item 6):
     // a FIXED victim set whose TOUCHED-CLUSTER MEMBERSHIP is held
-    // constant by construction at both scales, so the flat=1 claim
-    // can actually fail. Copies occupy DISJOINT COORDINATE BLOCKS
-    // (copy k lives on dims [64k, 64k+64)): cross-copy cosine is
-    // EXACTLY zero — below any tau — so clusters never merge across
-    // copies, and with bits/seed/dim identical at both scales the
-    // copy-0 clustering (hence the victims' touched membership and
-    // the emitted delta) is bit-identical at 1× and N×. The 1× arm
-    // uses the SAME zero-padded copy-0 table, so per-row dot/sign
-    // cost is equal too — the only variable left is standing-state
-    // size, which is the contract under test. Residual linear terms
-    // the arm intentionally keeps: the index-retraction generation
-    // swap and the labeling rewrite (both ∝ state). The old
-    // sign-flip-corpus arm stays below as the adversarial-GROWTH
-    // case (cross-copy merges inflate touched membership ∝ delta).
+    // constant BY CONSTRUCTION at both scales, so the flat=1 claim
+    // can actually fail. An INJECTED VICTIM CLIQUE — 210 vectors
+    // near a common base direction, carrying a tag component of
+    // 3×‖w‖ on an extra 65th dimension the ambient corpus zero-pads —
+    // is unioned into both corpora once (not copied): by
+    // Cauchy-Schwarz, cos(ambient, clique) ≤ ‖w64‖/√(‖w64‖²+9‖w64‖²)
+    // = 1/√10 ≈ 0.316 < τ=0.4 WHATEVER the ambient norms or corpus
+    // scale, so no ambient vector can ever merge into the victims'
+    // cluster; within the clique cos ≈ 1 (near-identical + shared
+    // dominant tag), so it stays one cluster at any bits. Touched
+    // membership is therefore exactly the 210-row clique at 1× and
+    // N×, while the standing state scales honestly (sign-flip copies
+    // + the occupancy bits rule — the r17 first cut held bits FIXED
+    // for bit-identical bucketing and occupancy ∝ N blew candidate
+    // pairs up ∝ N²: OOM; recorded as a measured-and-declined
+    // construction). Residual linear terms the arm intentionally
+    // keeps: the index-retraction generation swap and the labeling
+    // rewrite (both ∝ state). The old all-ambient-victims arm stays
+    // below as the adversarial-GROWTH case (cross-copy merges
+    // inflate touched membership ∝ delta).
     if (onlyNames.forall(_.contains("cluster_retract"))) {
       val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select("vec_id", "embedding")
-      val dimB = 64 * mult
-      def blockCopy(k: Int): DataFrame =
-        emb1.select((col("vec_id") + lit(k.toLong * 10000000L)).as("vec_id"),
-          concat(array_repeat(lit(0.0f), 64 * k), col("embedding"),
-            array_repeat(lit(0.0f), 64 * (mult - 1 - k))).as("embedding"))
-      (0 until mult).map(blockCopy).reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$tmp/embeddings_block")
-      val embBN = spark.read.parquet(s"$tmp/embeddings_block")
-      val embB1 = embBN.filter(col("vec_id") < 10000000L) // copy-0, padded
-      def mkLoop(corpus: DataFrame): graft.streaming.ClusterStream = {
+      val embDN = spark.read.parquet(s"$tmp/embeddings_lsh")
+      val bitsN = 4 + (math.log(mult.toDouble) / math.log(2.0)).round.toInt
+      val cliqueRows = (0 until 210).map { i =>
+        val w = Array.tabulate(64) { j =>
+          (math.sin(j * 1.7) * 0.5 +
+            ((i * 64L + j) * 2654435761L % 1000L) / 1000.0 * 0.01).toFloat
+        }
+        val norm = math.sqrt(w.map(x => x.toDouble * x).sum)
+        (900000000L + i, (w :+ (3.0 * norm).toFloat).toSeq)
+      }
+      val clique = spark.createDataFrame(cliqueRows)
+        .toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      def pad(d: DataFrame): DataFrame =
+        d.select(col("vec_id"),
+          concat(col("embedding"), array(lit(0.0f))).as("embedding"))
+      val corpus1 = pad(emb1).unionByName(clique)
+      val corpusN = pad(embDN).unionByName(clique)
+      def mkLoop(corpus: DataFrame, bits: Int): graft.streaming.ClusterStream = {
         val idx = Dedup.embeddingIndex(corpus, "vec_id", "embedding",
-          dimB, 4, 8, 42L)
+          65, bits, 8, 42L)
         val pairs = Dedup.embeddingPairsFromIndex(idx, 0.4)
         val labels = Clusters.connectedComponents(pairs, "vec_a", "vec_b")
         pairs.unpersist(blocking = false)
         graft.streaming.ClusterStream(idx, labels, "vec_id", "embedding", 0.4)
       }
-      // fixed victims: copy-0 ids, mod-7 slice (present at both scales)
-      val victims = embB1.filter(pmod(col("vec_id"), lit(7)) === 0)
+      // fixed victims: the clique's first half — the second half is
+      // the constant-size remaining membership that re-clusters
+      val victims = clique.filter(col("vec_id") < 900000105L)
         .select("vec_id")
       def retractTime(loop: graft.streaming.ClusterStream): (Double, Long) = {
         val t0 = System.nanoTime()
@@ -978,10 +994,10 @@ object ScaleProbe {
         d.unpersist(blocking = false)
         (dt, n)
       }
-      val warm = mkLoop(embB1); retractTime(warm); warm.release()
-      val loop1 = mkLoop(embB1)
+      val warm = mkLoop(corpus1, 4); retractTime(warm); warm.release()
+      val loop1 = mkLoop(corpus1, 4)
       val (t1, n1) = retractTime(loop1); loop1.release()
-      val loopN = mkLoop(embBN)
+      val loopN = mkLoop(corpusN, bitsN)
       val (tN, nN) = retractTime(loopN); loopN.release()
       println(f"[scaleprobe] cluster_retract        1x: $t1%6.2f s ($n1%8d rows)  " +
         f"fixed-victims@${mult}x-state: $tN%6.2f s ($nN%8d rows)  ratio: ${tN / t1}%5.1f (flat=1)")

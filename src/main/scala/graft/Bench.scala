@@ -82,6 +82,17 @@ object Bench {
         timeOne(name, fn, clear = i == unit.size - 1)
       }
 
+    // host load at the timed phase's ends: the window-envelope
+    // evidence (windows_rN.json) needs the ambient context a wall
+    // number was sampled under, and only the bench process itself
+    // can observe it at the right moment
+    def loadAvg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+").head.toDouble
+      catch { case _: Exception => -1.0 }
+    val loadStart = loadAvg()
+    val tEpoch = System.currentTimeMillis() / 1000
+
     val results: Seq[(String, Double)] = units.flatMap { unit =>
       // min over the successful runs per member; -1.0 only when BOTH
       // runs failed. When any member's two runs disagree >3x, one hit
@@ -109,7 +120,9 @@ object Bench {
       // make the headline total smaller
       val failed = results.count(_._2 < 0)
       val total = results.map(_._2).filter(_ >= 0).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,$extra"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,""" +
+        s""""t_epoch":$tEpoch,"load_avg_start":$loadStart,"load_avg_end":${loadAvg()},""" +
+        s"""$extra"queries":$qs,"sf":"$sfDir"}"""
     }
     // The driver tail-captures only the LAST 2000 bytes of stdout; a
     // full 100+-query map is ~3 KB and gets truncated mid-string

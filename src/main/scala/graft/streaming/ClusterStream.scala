@@ -143,8 +143,44 @@ final class ClusterStream private (
   def labels: DataFrame = labelsState
 
   /** The standing embedding index (read-only view; lifecycle owned
-    * by this loop — [[release]]). */
+    * by this loop — [[release]]). May still carry rows for
+    * tombstoned ids between compactions — [[retract]] documents why
+    * probes never see them. */
   def standingIndex: Dedup.EmbeddingLshIndex = index
+
+  // TOMBSTONED ids (r17): retraction marks ids dead instead of
+  // rewriting the standing index — a takedown's cost must track the
+  // touched clusters, not the index size (a per-takedown
+  // generation-swap of a 100 TB index is the scan the retract probe
+  // kept paying). Probes filter pairs against this set (broadcast
+  // anti-join, tomb-sized); a threshold compaction amortizes the one
+  // physical rewrite over many takedowns.
+  @volatile private var tombs: DataFrame = _
+  @volatile private var tombCount: Long = 0L
+  private val tombCompactThreshold = 100000L
+  private def emptyTombs(): DataFrame =
+    labelsState.sparkSession.range(0).select(col("id").as("node"))
+  private def liveTombs(): DataFrame = {
+    if (tombs == null) tombs = emptyTombs()
+    tombs
+  }
+  private def dropTombstonedPairs(pairs: DataFrame): DataFrame =
+    if (tombCount == 0L) pairs
+    else pairs
+      .join(broadcast(liveTombs().select(col("node").as("vec_a"))),
+        Seq("vec_a"), "left_anti")
+      .join(broadcast(liveTombs().select(col("node").as("vec_b"))),
+        Seq("vec_b"), "left_anti")
+  /** Physically drop all tombstoned rows from the index (ONE
+    * generation swap absorbing every takedown since the last
+    * compaction) and reset the tomb set. */
+  private def compact(): Unit = {
+    index = Dedup.embeddingIndexRemove(index,
+      liveTombs().select(col("node").as("id")), "id")
+    liveTombs().unpersist(blocking = false)
+    tombs = emptyTombs()
+    tombCount = 0L
+  }
 
   /** Fold one micro-batch of (id, vector) docs into the standing
     * state and return the decision delta:
@@ -154,13 +190,24 @@ final class ClusterStream private (
   def ingest(batch: DataFrame): DataFrame = synchronized {
     val prev = labelsState
     val ids = batch.select(col(idCol).cast("long").as("node")).distinct()
+    // RE-ADMISSION of a tombstoned id compacts first (rare): the
+    // append's already-indexed anti-join would otherwise see the
+    // dead rows and silently skip the live re-add, resurrecting the
+    // RETRACTED content instead of indexing the new
+    if (tombCount > 0L &&
+        ids.join(liveTombs(), Seq("node"), "left_semi").limit(1).count() > 0)
+      compact()
     // append first, then probe AGAINST THE EXTENDED index: one pass
     // yields corpus×batch and batch×batch pairs (a batch doc meets
     // itself — filtered — and each batch-internal pair meets in both
     // orientations — normalized + deduped)
     val extended = Dedup.embeddingIndexAppend(index, batch, idCol, vecCol)
     val raw = Dedup.embeddingProbe(extended, batch, idCol, vecCol, tau, probeRadius)
-    val pairs = ClusterFold.normalizePairs(raw, "vec_a", "vec_b")
+    // tombstoned corpus rows may still sit in the un-compacted index:
+    // their candidate hits die here, so a retracted doc can never
+    // match a probe or re-enter the labeling
+    val pairs = dropTombstonedPairs(
+      ClusterFold.normalizePairs(raw, "vec_a", "vec_b"))
     // generation swap inside the fold: the new labeling materializes
     // lineage-free BEFORE the old one is released (foreachBatch
     // frames are not replayable after the micro-batch ends)
@@ -179,15 +226,21 @@ final class ClusterStream private (
     * its cluster, and dropping a representative renames the cluster
     * to its new min member. Both fall out of a LOCALIZED recompute:
     *
-    *   1. the index retracts the ids ([[Dedup.embeddingIndexRemove]]);
+    *   1. the ids join the standing TOMB SET (r17 — the index is NOT
+    *      rewritten per takedown: marking is tomb-sized, and the
+    *      physical [[Dedup.embeddingIndexRemove]] rewrite is
+    *      amortized behind a threshold compaction, so retraction
+    *      cost no longer scales with standing-state size);
     *   2. only the TOUCHED clusters (those containing a retracted
     *      node) are re-clustered: their remaining members' pairs are
-    *      re-derived from the retracted index restricted to exactly
-    *      those ids ([[Dedup.embeddingPairsFromIndex]] over a
-    *      filtered view — work ∝ touched-cluster membership, not
-    *      corpus), and CC re-runs on that subgraph;
+    *      re-derived from the index restricted to exactly those ids
+    *      ([[Dedup.embeddingPairsFromIndex]] over a filtered view —
+    *      work ∝ touched-cluster membership, not corpus; the
+    *      restriction set never contains a tombstoned id), and CC
+    *      re-runs on that subgraph;
     *   3. untouched clusters pass through without recompute — the
-    *      corpus-sized work is the two labeling anti-joins/scans.
+    *      corpus-sized work is the two labeling anti-joins/scans and
+    *      the labeling generation swap.
     *
     * Returns the decision delta: retracted nodes as tombstones
     * (`cluster_id` NULL, `keep` false), plus every surviving node
@@ -198,26 +251,33 @@ final class ClusterStream private (
     val prev = labelsState
     val del = ids.select(col(ids.columns.head).cast("long").as("node")).distinct()
 
-    val extended = Dedup.embeddingIndexRemove(index, del.select(col("node").as("id")), "id")
+    val oldTombs = liveTombs()
+    val newTombs = oldTombs.union(del).distinct().localCheckpoint(true)
+    val nTombs = newTombs.count() // tomb-sized driver action
     val touched = prev.join(del, Seq("node"), "left_semi")
       .select(col("cluster_id")).distinct()
     val remaining = prev.join(touched, Seq("cluster_id"))
       .join(del, Seq("node"), "left_anti")
     // pairs among the remaining members of touched clusters, from the
-    // already-retracted index restricted to those ids — candidate
-    // join + cosine verify scoped to the touched membership
+    // index restricted to those ids — candidate join + cosine verify
+    // scoped to the touched membership (prev never labels a
+    // tombstoned node, so the restriction excludes dead rows without
+    // consulting the tomb set)
     val remIds = remaining.select(col("node").as("id"))
     val sub = Dedup.EmbeddingLshIndex(
-      extended.vecs.join(remIds, Seq("id"), "left_semi"),
-      extended.banded.join(remIds, Seq("id"), "left_semi"),
-      extended.dim, extended.bits, extended.tables, extended.seed)
+      index.vecs.join(remIds, Seq("id"), "left_semi"),
+      index.banded.join(remIds, Seq("id"), "left_semi"),
+      index.dim, index.bits, index.tables, index.seed)
     val pairs = Dedup.embeddingPairsFromIndex(sub, tau, probeRadius)
     val (next, delta) =
       ClusterFold.retractFold(prev, del, touched, remaining, pairs)
     pairs.unpersist(blocking = false)
     prev.unpersist(blocking = false)
-    index = extended
+    oldTombs.unpersist(blocking = false)
+    tombs = newTombs
+    tombCount = nTombs
     labelsState = next
+    if (tombCount >= tombCompactThreshold) compact()
     delta
   }
 
@@ -231,6 +291,7 @@ final class ClusterStream private (
   def release(): Unit = synchronized {
     index.release()
     labelsState.unpersist(blocking = false)
+    if (tombs != null) tombs.unpersist(blocking = false)
   }
 }
 
@@ -252,15 +313,48 @@ final class TextClusterStream private (
   def labels: DataFrame = labelsState
   def standingIndex: Dedup.MinhashIndex = index
 
+  // tombstoned ids — the [[ClusterStream]] takedown convention (r17):
+  // mark instead of rewriting the index per takedown; probes filter
+  // against the tomb set, compaction amortizes the physical rewrite
+  @volatile private var tombs: DataFrame = _
+  @volatile private var tombCount: Long = 0L
+  private val tombCompactThreshold = 100000L
+  private def emptyTombs(): DataFrame =
+    labelsState.sparkSession.range(0).select(col("id").as("node"))
+  private def liveTombs(): DataFrame = {
+    if (tombs == null) tombs = emptyTombs()
+    tombs
+  }
+  private def dropTombstonedPairs(pairs: DataFrame): DataFrame =
+    if (tombCount == 0L) pairs
+    else pairs
+      .join(broadcast(liveTombs().select(col("node").as("vec_a"))),
+        Seq("vec_a"), "left_anti")
+      .join(broadcast(liveTombs().select(col("node").as("vec_b"))),
+        Seq("vec_b"), "left_anti")
+  private def compact(): Unit = {
+    index = Dedup.minhashIndexRemove(index,
+      liveTombs().select(col("node").as("doc_id")), "doc_id")
+    liveTombs().unpersist(blocking = false)
+    tombs = emptyTombs()
+    tombCount = 0L
+  }
+
   /** Fold one micro-batch of (id, text) docs into the standing state;
     * returns the (node, cluster_id, keep) decision delta (persisted —
     * callers unpersist). */
   def ingest(batch: DataFrame): DataFrame = synchronized {
     val prev = labelsState
     val ids = batch.select(col(idCol).cast("long").as("node")).distinct()
+    // re-admission of a tombstoned id compacts first — see
+    // [[ClusterStream.ingest]]
+    if (tombCount > 0L &&
+        ids.join(liveTombs(), Seq("node"), "left_semi").limit(1).count() > 0)
+      compact()
     val extended = Dedup.minhashIndexAppend(index, batch, idCol, textCol)
     val raw = Dedup.minhashProbe(extended, batch, idCol, textCol, tau)
-    val pairs = ClusterFold.normalizePairs(raw, "doc_a", "doc_b")
+    val pairs = dropTombstonedPairs(
+      ClusterFold.normalizePairs(raw, "doc_a", "doc_b"))
     val (next, delta) = ClusterFold.ingestFold(prev, ids, pairs)
     raw.unpersist(blocking = false)
     prev.unpersist(blocking = false)
@@ -269,22 +363,27 @@ final class TextClusterStream private (
     delta
   }
 
-  /** Takedown — [[ClusterStream.retract]] at text granularity: index
-    * retraction + localized re-cluster of the touched clusters from
-    * the retracted index restricted to their remaining members. */
+  /** Takedown — [[ClusterStream.retract]] at text granularity:
+    * tombstone the ids (no per-takedown index rewrite; threshold
+    * compaction amortizes the physical
+    * [[Dedup.minhashIndexRemove]]) + localized re-cluster of the
+    * touched clusters from the index restricted to their remaining
+    * members. */
   def retract(ids: DataFrame): DataFrame = synchronized {
     val prev = labelsState
     val del = ids.select(col(ids.columns.head).cast("long").as("node")).distinct()
-    val extended = Dedup.minhashIndexRemove(index, del.select(col("node").as("doc_id")), "doc_id")
+    val oldTombs = liveTombs()
+    val newTombs = oldTombs.union(del).distinct().localCheckpoint(true)
+    val nTombs = newTombs.count()
     val touched = prev.join(del, Seq("node"), "left_semi")
       .select(col("cluster_id")).distinct()
     val remaining = prev.join(touched, Seq("cluster_id"))
       .join(del, Seq("node"), "left_anti")
     val remIds = remaining.select(col("node").as("doc_id"))
     val sub = Dedup.MinhashIndex(
-      extended.sigs.join(remIds, Seq("doc_id"), "left_semi"),
-      extended.banded.join(remIds, Seq("doc_id"), "left_semi"),
-      extended.k, extended.perms, extended.bands)
+      index.sigs.join(remIds, Seq("doc_id"), "left_semi"),
+      index.banded.join(remIds, Seq("doc_id"), "left_semi"),
+      index.k, index.perms, index.bands)
     // hold the eagerly-persisted raw pairs so they can be released
     // after the fold (retractFold persists its own normalized copy) —
     // the embedding twin does the same; without this each takedown
@@ -295,8 +394,11 @@ final class TextClusterStream private (
       ClusterFold.retractFold(prev, del, touched, remaining, pairs)
     rawPairs.unpersist(blocking = false)
     prev.unpersist(blocking = false)
-    index = extended
+    oldTombs.unpersist(blocking = false)
+    tombs = newTombs
+    tombCount = nTombs
     labelsState = next
+    if (tombCount >= tombCompactThreshold) compact()
     delta
   }
 
@@ -308,6 +410,7 @@ final class TextClusterStream private (
   def release(): Unit = synchronized {
     index.release()
     labelsState.unpersist(blocking = false)
+    if (tombs != null) tombs.unpersist(blocking = false)
   }
 }
 

@@ -4,20 +4,18 @@ package graft.tools
   * verdict item 4): this VM's ambient load swings identical-code
   * bench walls 84→111 s, so per-query minima across windows — not a
   * single window — are what grade the watch/weak rows. Until r16
-  * that envelope lived as a prose table in SURVEY §6; each run of
-  * this tool APPENDS one window (per-query walls, total, load
-  * average at sample time, epoch) to a JSON-array artifact
-  * (windows_rN.json), making the minima diffable evidence.
+  * that envelope lived as a prose table in SURVEY §6.
   *
-  * Measurement style: one untimed full pass first (a fresh JVM's
-  * first query otherwise absorbs ALL the interpreter/codegen warm-up
-  * that a 173-query BENCH run amortizes invisibly), then clearCache +
-  * one timed count() per query. Windows are therefore warm-JVM,
-  * cold-data — the jobs_rN best-rep convention, slightly kinder than
-  * a mid-BENCH sample (per-query generated classes are already
-  * compiled) and honest for the minima these windows exist to grade.
+  * A window IS an unforced full graft.Bench run (the same
+  * measurement the driver's BENCH_rN samples — min-of-2 per query,
+  * deep-warm JVM; a dedicated 9-query runner read systematically
+  * slower because one warm pass cannot match a 173-query run's JIT
+  * depth, so that first-cut design was dropped). This tool INGESTS a
+  * bench artifact (bench_full.latest.json / bench_full.json) and
+  * appends the watch/weak-set walls + total + the load averages the
+  * bench itself sampled to the JSON-array envelope artifact.
   *
-  * Usage: runMain graft.tools.WindowEnvelope [sfDir] [names-csv]
+  * Usage: runMain graft.tools.WindowEnvelope [benchJson] [names-csv]
   * Env:   WINDOWS_OUT=path   the artifact to append to (required
   *                           for recording; prints only if unset)
   */
@@ -29,37 +27,38 @@ object WindowEnvelope {
     "graph_pagerank", "crawl_hostrank",
     "text_pmi", "text_bigram_lm", "text_interp_lm", "quality_perplexity")
 
-  private def loadAvg(): Double =
-    try scala.io.Source.fromFile("/proc/loadavg").mkString
-      .split("\\s+").head.toDouble
-    catch { case _: Exception => -1.0 }
-
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val benchPath = args.headOption.getOrElse("bench_full.latest.json")
     val names = args.lift(1).map(_.split(",").toVector).getOrElse(defaultSet)
-    val spark = graft.Sessions.build(32, appName = "graft-windows")
-    val qs = graft.SparkEntry.queries
 
-    for (n <- names) { // untimed warm pass (JVM + per-query codegen)
-      spark.catalog.clearCache()
-      qs(n)(spark, dir).count()
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val bench = JsonMethods.parse(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(benchPath)),
+        java.nio.charset.StandardCharsets.UTF_8))
+    def num(v: JValue): Double = v match {
+      case JDouble(d) => d
+      case JInt(i) => i.toDouble
+      case JDecimal(d) => d.toDouble
+      case JLong(l) => l.toDouble
+      case _ => -1.0
     }
-    val load0 = loadAvg()
-    val epoch = System.currentTimeMillis() / 1000
-    val walls = new scala.collection.mutable.LinkedHashMap[String, Double]()
-    val tTot0 = System.nanoTime()
-    for (n <- names) {
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      qs(n)(spark, dir).count()
-      val dt = (System.nanoTime() - t0) / 1e9
-      walls.update(n, dt)
-      println(s"[windows] $n: ${JsonOut.num(dt, 3)} s")
+    val total = num(bench \ "value")
+    val tEpoch = (bench \ "t_epoch") match {
+      case JInt(i) => i.toLong
+      case JLong(l) => l
+      // pre-r17 bench artifacts carry no timestamp: fall back to mtime
+      case _ => java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(benchPath)).toMillis / 1000
     }
-    val total = (System.nanoTime() - tTot0) / 1e9
-    val load1 = loadAvg()
+    val load0 = num(bench \ "load_avg_start")
+    val load1 = num(bench \ "load_avg_end")
+    val qmap = (bench \ "queries").asInstanceOf[JObject].obj.toMap
+    val walls = names.flatMap(n => qmap.get(n).map(v => n -> num(v)))
+
     val window =
-      s"""{"t_epoch":$epoch,"sf_dir":${JsonOut.str(dir)},""" +
+      s"""{"t_epoch":$tEpoch,"bench":${JsonOut.str(benchPath)},""" +
         s""""load_avg_start":${JsonOut.num(load0, 2)},""" +
         s""""load_avg_end":${JsonOut.num(load1, 2)},""" +
         s""""total_s":${JsonOut.num(total, 3)},"queries":{""" +
@@ -80,6 +79,5 @@ object WindowEnvelope {
       java.nio.file.Files.write(p, body.getBytes(utf8))
       println(s"[windows] appended to $path")
     }
-    spark.stop()
   }
 }

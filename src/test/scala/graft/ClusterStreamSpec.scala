@@ -169,6 +169,58 @@ class ClusterStreamSpec extends SparkSpec {
     loop.release()
   }
 
+  test("tombstoned docs never match later probes; a re-sent victim re-admits (compaction)") {
+    // r17 tombstone retraction: retract marks ids dead instead of
+    // rewriting the index, so the dead rows are still physically in
+    // the un-compacted index — a later near-dup batch must NOT pair
+    // with them, and re-ingesting a retracted id must compact first
+    // so the re-add actually lands (not get skipped by the append's
+    // already-indexed anti-join)
+    def vec(x: Double, y: Double) = Array.fill(62)(0.0) ++ Array(x, y)
+    val loop = ClusterStream.empty(spark, "vec_id", "embedding",
+      dim, bits, tables, seed, tau = 0.7, probeRadius = 1)
+    loop.ingest(Seq(EmbDoc(10L, vec(1.0, 0.0)), EmbDoc(11L, vec(0.0, 1.0)))
+      .toDF("vec_id", "embedding")).unpersist(blocking = false)
+    loop.retract(Seq(11L).toDF("vec_id")).unpersist(blocking = false)
+    assert(loop.labels.as[(Long, Long)].collect().toSet === Set((10L, 10L)))
+    // 12 is near-identical to the RETRACTED 11 and far from 10: with
+    // the tombstone filter it must land as a singleton
+    val d = loop.ingest(Seq(EmbDoc(12L, vec(0.001, 0.999)))
+      .toDF("vec_id", "embedding"))
+    assert(d.select("node", "cluster_id", "keep")
+      .as[(Long, Long, Boolean)].collect().toSet === Set((12L, 12L, true)))
+    d.unpersist(blocking = false)
+    assert(loop.labels.as[(Long, Long)].collect().toSet ===
+      Set((10L, 10L), (12L, 12L)))
+    // re-admission: a batch containing the tombstoned id compacts the
+    // index first, then indexes the id fresh — it pairs with 12 and
+    // the min-id representative wins
+    val d2 = loop.ingest(Seq(EmbDoc(11L, vec(0.0, 1.0)))
+      .toDF("vec_id", "embedding"))
+    d2.unpersist(blocking = false)
+    assert(loop.labels.as[(Long, Long)].collect().toSet ===
+      Set((10L, 10L), (11L, 11L), (12L, 11L)))
+    loop.release()
+  }
+
+  test("text loop: tombstoned docs never match later probes") {
+    import graft.streaming.TextClusterStream
+    val mk = (id: Long, t: String) => (id, t)
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val loop = TextClusterStream.empty(spark, "doc_id", "text", 3, 64, 16, 0.5)
+    loop.ingest(Seq(mk(1L, base), mk(2L, "completely different words entirely unrelated content here now"))
+      .toDF("doc_id", "text")).unpersist(blocking = false)
+    loop.retract(Seq(1L).toDF("doc_id")).unpersist(blocking = false)
+    // 3 is a near-copy of the RETRACTED 1 — must land as a singleton
+    val d = loop.ingest(Seq(mk(3L, base + " extra")).toDF("doc_id", "text"))
+    assert(d.select("node", "cluster_id", "keep")
+      .as[(Long, Long, Boolean)].collect().toSet === Set((3L, 3L, true)))
+    d.unpersist(blocking = false)
+    assert(loop.labels.as[(Long, Long)].collect().toSet ===
+      Set((2L, 2L), (3L, 3L)))
+    loop.release()
+  }
+
   test("retract ≡ a loop that never saw the retracted docs") {
     val emb = Tables.embeddings(spark, sfDir)
     val docs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))

@@ -265,6 +265,14 @@ class PlanQualitySpec extends SparkSpec {
     val interp = plan(graft.operators.Curation.interpLogProb(docs, "doc_id", toks, 0.9))
     assert(!interp.contains("InMemoryTableScan"),
       s"interpLogProb plan reads a cache:\n$interp")
+    // r17: the prefix count attaches as a PARTITION-WINDOW sum over
+    // the grouped model (one exchange) — a regression to the
+    // groupBy+self-join fold would drop the Window node and re-grow
+    // the exchange+join pair on the LM critical path
+    assert(big.contains("Window"),
+      s"bigramLogProb lost the prefix-count window fold:\n$big")
+    assert(interp.contains("Window"),
+      s"interpLogProb lost the prefix-count window fold:\n$interp")
     // perplexityBuckets is the doc-bounded EXCEPTION: its bucket scan
     // must read the persisted score frame (materialized by the cuts
     // aggregate), never re-run the LM pipeline — r17: the returned

@@ -234,13 +234,17 @@ object Dedup {
     // and only the surviving pairs are doubled into direction rows
     // (the per-direction re-check then drops a survivor's failing
     // side; both-pass survivors emit both rows, exactly as before).
-    // The gate is slack by half a 4dp ulp: the authoritative filter
-    // below compares the ROUNDED ratio, and a raw ratio up to
-    // 0.00005 under τ still rounds up to it — the gate must keep
-    // everything that filter can accept.
+    // The gate is slack by half a 4dp ulp PLUS a guard epsilon: the
+    // authoritative filter below compares the ROUNDED ratio, and a
+    // raw ratio up to 0.00005 under τ still rounds up to it — the
+    // gate must keep everything that filter can accept, and at an
+    // exact half-boundary the product form (τ−ε)·min and the
+    // quotient form shared/min can disagree by an ulp, so the slack
+    // is widened to 0.6e-4 (extra survivors only re-face the rounded
+    // filter; none can be wrongly dropped).
     val out = both
       .filter(col("shared") >=
-        lit(tauC - 0.5e-4) * least(col("n_a"), col("n_b")))
+        lit(tauC - 0.6e-4) * least(col("n_a"), col("n_b")))
       .select(explode(array(
         struct(col("doc_a").as("doc_inner"), col("doc_b").as("doc_outer"),
           round(col("shared") / col("n_a"), 4).as("containment")),
@@ -511,6 +515,34 @@ object Dedup {
     * byte fold). Stamped into durable index tables and validated on
     * load. */
   private[graft] val minhashHashVersion = 2
+
+  /** Land an ALREADY-SIGNED standing index durably — the
+    * [[minhashIndexWrite]] tables written from an in-memory
+    * [[MinhashIndex]] (the continuous SemDeDup loop holds signatures,
+    * not source texts, so re-signing is not an option at checkpoint
+    * time). Identical table layout + property stamps;
+    * [[minhashIndexLoad]] reattaches. The signatures were produced by
+    * THIS session's hash family, so the current
+    * [[minhashHashVersion]] stamp is the correct provenance. */
+  def minhashIndexWriteSigned(index: MinhashIndex,
+      sigsTable: String, bandTable: String, buckets: Int = 16): Unit = {
+    val spark = index.sigs.sparkSession
+    index.sigs
+      .write.format("parquet").mode("overwrite")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id").saveAsTable(sigsTable)
+    // bands re-derive from the LANDED sigs (one clean scan) — same
+    // recipe as minhashIndexWrite, and cheaper than landing the
+    // in-memory band table (banding is pure arithmetic on the sig)
+    bandedOf(spark.table(sigsTable), index.perms, index.bands)
+      .write.format("parquet").mode("overwrite")
+      .bucketBy(buckets, "band", "bh").saveAsTable(bandTable)
+    Seq(sigsTable, bandTable).foreach { t =>
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES (" +
+        s"'graft.minhash.k'='${index.k}', 'graft.minhash.perms'='${index.perms}', " +
+        s"'graft.minhash.bands'='${index.bands}', " +
+        s"'graft.minhash.hashVersion'='$minhashHashVersion')")
+    }
+  }
 
   /** Reattach a durable index written by [[minhashIndexWrite]].
     * The requested parameters are validated against the properties

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -134,6 +134,95 @@ private[graft] object ClusterFold {
       .dropDuplicates("vec_a", "vec_b")
 }
 
+/** TOMBSTONED-id bookkeeping shared by the SemDeDup loops (r18 —
+  * previously ~100 near-identical lines in each loop): retraction
+  * marks ids dead instead of rewriting the standing index, because a
+  * takedown's cost must track the touched clusters, not the index
+  * size (a per-takedown generation-swap of a 100 TB index is the
+  * scan the retract probe kept paying). Probes filter pairs against
+  * this set (broadcast anti-joins, tomb-sized); a threshold
+  * compaction amortizes the one physical index rewrite over many
+  * takedowns. The OWNER performs the actual rewrite (the index
+  * family's remove fn) and calls [[reset]].
+  *
+  * The set is SESSION-LOCAL by design — which is exactly why every
+  * durable landing (checkpoint, index write, external
+  * `standingIndex` read) must compact FIRST: a resumed session
+  * starts with zero tombs, so any dead row that reaches disk
+  * silently resurrects retracted content (the r17 hole). */
+private[graft] final class TombSet(session: => SparkSession) {
+  @volatile private var tombsState: DataFrame = _
+  @volatile private var countState: Long = 0L
+
+  def count: Long = countState
+  private def empty(): DataFrame =
+    session.range(0).select(col("id").as("node"))
+  def live(): DataFrame = {
+    if (tombsState == null) tombsState = empty()
+    tombsState
+  }
+
+  /** Fold a retraction's (already distinct, `node`-columned) ids in —
+    * tomb-sized work (union + distinct + count over the tomb set). */
+  def add(del: DataFrame): Unit = {
+    val old = live()
+    val next = old.union(del).distinct().localCheckpoint(true)
+    countState = next.count()
+    old.unpersist(blocking = false)
+    tombsState = next
+  }
+
+  /** Drop every pair touching a tombstoned id (two broadcast
+    * anti-joins; no-op frame-identical when the set is empty). */
+  def dropPairs(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    if (countState == 0L) pairs
+    else pairs
+      .join(broadcast(live().select(col("node").as(aCol))), Seq(aCol), "left_anti")
+      .join(broadcast(live().select(col("node").as(bCol))), Seq(bCol), "left_anti")
+
+  /** Does a batch re-admit a tombstoned id? (1-row short-circuit —
+    * the owner compacts first so the index append's already-indexed
+    * anti-join sees no dead rows and the re-add actually lands.) */
+  def intersects(ids: DataFrame): Boolean =
+    countState > 0L &&
+      ids.join(live(), Seq("node"), "left_semi").limit(1).count() > 0
+
+  /** Compaction trigger — DERIVED from the standing-index size (r17
+    * hard-coded 100k; the CapPolicy convention): see
+    * [[TombSet.compactThreshold]]. `indexSize` is by-name — only
+    * evaluated when tombs exist (one count over the materialized
+    * index id table). */
+  def needsCompact(indexSize: => Long): Boolean =
+    countState > 0L && countState >= TombSet.compactThreshold(indexSize)
+
+  /** Reset after the owner physically removed the tombstoned rows. */
+  def reset(): Unit = {
+    if (tombsState != null) tombsState.unpersist(blocking = false)
+    tombsState = empty()
+    countState = 0L
+  }
+
+  def release(): Unit =
+    if (tombsState != null) tombsState.unpersist(blocking = false)
+}
+
+private[graft] object TombSet {
+  /** Tomb count that triggers a physical index compaction. */
+  val floor = 10000L
+  /** Fraction of the index a tomb set may reach before compacting. */
+  val eps = 0.05
+
+  /** max(floor, ε·N) capped at N: proportional, so a 100 TB index is
+    * not rewritten too eagerly, with an absolute floor amortizing
+    * small indexes — but never letting the tomb set outgrow the
+    * index itself (a small standing index must not carry a tomb set
+    * larger than the rows it guards; at that point the rewrite is
+    * cheaper than the standing anti-joins). */
+  def compactThreshold(indexSize: Long): Long =
+    math.max(1L, math.min(indexSize,
+      math.max(floor, (eps * indexSize).toLong)))
+}
+
 final class ClusterStream private (
     @volatile private var index: Dedup.EmbeddingLshIndex,
     @volatile private var labelsState: DataFrame,
@@ -142,44 +231,31 @@ final class ClusterStream private (
   /** The standing (node, cluster_id) labeling (read-only view). */
   def labels: DataFrame = labelsState
 
-  /** The standing embedding index (read-only view; lifecycle owned
-    * by this loop — [[release]]). May still carry rows for
-    * tombstoned ids between compactions — [[retract]] documents why
-    * probes never see them. */
-  def standingIndex: Dedup.EmbeddingLshIndex = index
-
-  // TOMBSTONED ids (r17): retraction marks ids dead instead of
-  // rewriting the standing index — a takedown's cost must track the
-  // touched clusters, not the index size (a per-takedown
-  // generation-swap of a 100 TB index is the scan the retract probe
-  // kept paying). Probes filter pairs against this set (broadcast
-  // anti-join, tomb-sized); a threshold compaction amortizes the one
-  // physical rewrite over many takedowns.
-  @volatile private var tombs: DataFrame = _
-  @volatile private var tombCount: Long = 0L
-  private val tombCompactThreshold = 100000L
-  private def emptyTombs(): DataFrame =
-    labelsState.sparkSession.range(0).select(col("id").as("node"))
-  private def liveTombs(): DataFrame = {
-    if (tombs == null) tombs = emptyTombs()
-    tombs
+  /** The standing embedding index (lifecycle owned by this loop —
+    * [[release]]). COMPACTS FIRST when tombs are outstanding (r18):
+    * this accessor is the only way external code — in particular a
+    * durable [[Dedup.embeddingIndexWrite]] landing — reaches the
+    * index, and the tomb set is session-local, so a landed index
+    * carrying tombstoned rows would resurrect retracted content on
+    * [[ClusterStream.resume]] (zero tombs there). The internal fast
+    * paths read the private field and stay tombstone-amortized. */
+  def standingIndex: Dedup.EmbeddingLshIndex = synchronized {
+    if (tombSet.count > 0L) compact()
+    index
   }
-  private def dropTombstonedPairs(pairs: DataFrame): DataFrame =
-    if (tombCount == 0L) pairs
-    else pairs
-      .join(broadcast(liveTombs().select(col("node").as("vec_a"))),
-        Seq("vec_a"), "left_anti")
-      .join(broadcast(liveTombs().select(col("node").as("vec_b"))),
-        Seq("vec_b"), "left_anti")
+
+  // TOMBSTONED ids (r17; shared bookkeeping hoisted to [[TombSet]]
+  // r18): retraction marks ids dead instead of rewriting the
+  // standing index — probes filter pairs against the set, a derived
+  // threshold compaction amortizes the one physical rewrite.
+  private val tombSet = new TombSet(labelsState.sparkSession)
   /** Physically drop all tombstoned rows from the index (ONE
     * generation swap absorbing every takedown since the last
     * compaction) and reset the tomb set. */
   private def compact(): Unit = {
     index = Dedup.embeddingIndexRemove(index,
-      liveTombs().select(col("node").as("id")), "id")
-    liveTombs().unpersist(blocking = false)
-    tombs = emptyTombs()
-    tombCount = 0L
+      tombSet.live().select(col("node").as("id")), "id")
+    tombSet.reset()
   }
 
   /** Fold one micro-batch of (id, vector) docs into the standing
@@ -194,9 +270,7 @@ final class ClusterStream private (
     // append's already-indexed anti-join would otherwise see the
     // dead rows and silently skip the live re-add, resurrecting the
     // RETRACTED content instead of indexing the new
-    if (tombCount > 0L &&
-        ids.join(liveTombs(), Seq("node"), "left_semi").limit(1).count() > 0)
-      compact()
+    if (tombSet.intersects(ids)) compact()
     // append first, then probe AGAINST THE EXTENDED index: one pass
     // yields corpus×batch and batch×batch pairs (a batch doc meets
     // itself — filtered — and each batch-internal pair meets in both
@@ -206,8 +280,8 @@ final class ClusterStream private (
     // tombstoned corpus rows may still sit in the un-compacted index:
     // their candidate hits die here, so a retracted doc can never
     // match a probe or re-enter the labeling
-    val pairs = dropTombstonedPairs(
-      ClusterFold.normalizePairs(raw, "vec_a", "vec_b"))
+    val pairs = tombSet.dropPairs(
+      ClusterFold.normalizePairs(raw, "vec_a", "vec_b"), "vec_a", "vec_b")
     // generation swap inside the fold: the new labeling materializes
     // lineage-free BEFORE the old one is released (foreachBatch
     // frames are not replayable after the micro-batch ends)
@@ -251,9 +325,7 @@ final class ClusterStream private (
     val prev = labelsState
     val del = ids.select(col(ids.columns.head).cast("long").as("node")).distinct()
 
-    val oldTombs = liveTombs()
-    val newTombs = oldTombs.union(del).distinct().localCheckpoint(true)
-    val nTombs = newTombs.count() // tomb-sized driver action
+    tombSet.add(del) // tomb-sized driver action
     val touched = prev.join(del, Seq("node"), "left_semi")
       .select(col("cluster_id")).distinct()
     val remaining = prev.join(touched, Seq("cluster_id"))
@@ -273,25 +345,43 @@ final class ClusterStream private (
       ClusterFold.retractFold(prev, del, touched, remaining, pairs)
     pairs.unpersist(blocking = false)
     prev.unpersist(blocking = false)
-    oldTombs.unpersist(blocking = false)
-    tombs = newTombs
-    tombCount = nTombs
     labelsState = next
-    if (tombCount >= tombCompactThreshold) compact()
+    // derived threshold (r18): the index-size count reads the
+    // materialized (localCheckpointed) vec table — one cached scan
+    if (tombSet.needsCompact(index.vecs.count())) compact()
     delta
   }
 
   /** Land the standing labeling durably ([[Clusters.clustersWrite]]
-    * contract — node-bucketed, similarity-regime params stamped). */
+    * contract — node-bucketed, similarity-regime params stamped).
+    * Compacts outstanding tombstones first (r18): a checkpoint marks
+    * a durable-landing moment, and the tomb set does NOT survive the
+    * session — [[ClusterStream.resume]] starts with zero tombs, so
+    * anything landed around this point must already be clean. */
   def checkpointTo(table: String, sourceParams: Map[String, String],
       buckets: Int = 16): Unit = synchronized {
+    if (tombSet.count > 0L) compact()
     Clusters.clustersWrite(labelsState, table, sourceParams, buckets)
+  }
+
+  /** Land the standing INDEX durably — the one-call durable-index
+    * recipe that owns compaction (r18; pairs with [[checkpointTo]]
+    * for the labeling half and [[ClusterStream.resume]] to reattach
+    * both). Rows re-band from the landed vectors inside
+    * [[Dedup.embeddingIndexWrite]]; LSH params are stamped and
+    * validated on load. */
+  def checkpointIndexTo(vecsTable: String, bandTable: String,
+      buckets: Int = 16): Unit = synchronized {
+    if (tombSet.count > 0L) compact()
+    Dedup.embeddingIndexWrite(index.vecs.select(col("id"), col("v")),
+      "id", "v", index.dim, index.bits, index.tables, index.seed,
+      vecsTable, bandTable, buckets)
   }
 
   def release(): Unit = synchronized {
     index.release()
     labelsState.unpersist(blocking = false)
-    if (tombs != null) tombs.unpersist(blocking = false)
+    tombSet.release()
   }
 }
 
@@ -311,33 +401,24 @@ final class TextClusterStream private (
     idCol: String, textCol: String, tau: Double) {
 
   def labels: DataFrame = labelsState
-  def standingIndex: Dedup.MinhashIndex = index
 
-  // tombstoned ids — the [[ClusterStream]] takedown convention (r17):
-  // mark instead of rewriting the index per takedown; probes filter
-  // against the tomb set, compaction amortizes the physical rewrite
-  @volatile private var tombs: DataFrame = _
-  @volatile private var tombCount: Long = 0L
-  private val tombCompactThreshold = 100000L
-  private def emptyTombs(): DataFrame =
-    labelsState.sparkSession.range(0).select(col("id").as("node"))
-  private def liveTombs(): DataFrame = {
-    if (tombs == null) tombs = emptyTombs()
-    tombs
+  /** The standing text index — COMPACTS FIRST when tombs are
+    * outstanding, for the same reason as the embedding twin (r18):
+    * every external/durable consumer of the index goes through this
+    * accessor, and the session-local tomb set cannot protect a row
+    * that reaches disk. */
+  def standingIndex: Dedup.MinhashIndex = synchronized {
+    if (tombSet.count > 0L) compact()
+    index
   }
-  private def dropTombstonedPairs(pairs: DataFrame): DataFrame =
-    if (tombCount == 0L) pairs
-    else pairs
-      .join(broadcast(liveTombs().select(col("node").as("vec_a"))),
-        Seq("vec_a"), "left_anti")
-      .join(broadcast(liveTombs().select(col("node").as("vec_b"))),
-        Seq("vec_b"), "left_anti")
+
+  // tombstoned ids — the [[ClusterStream]] takedown convention
+  // (r17; shared bookkeeping hoisted to [[TombSet]] r18)
+  private val tombSet = new TombSet(labelsState.sparkSession)
   private def compact(): Unit = {
     index = Dedup.minhashIndexRemove(index,
-      liveTombs().select(col("node").as("doc_id")), "doc_id")
-    liveTombs().unpersist(blocking = false)
-    tombs = emptyTombs()
-    tombCount = 0L
+      tombSet.live().select(col("node").as("doc_id")), "doc_id")
+    tombSet.reset()
   }
 
   /** Fold one micro-batch of (id, text) docs into the standing state;
@@ -348,13 +429,11 @@ final class TextClusterStream private (
     val ids = batch.select(col(idCol).cast("long").as("node")).distinct()
     // re-admission of a tombstoned id compacts first — see
     // [[ClusterStream.ingest]]
-    if (tombCount > 0L &&
-        ids.join(liveTombs(), Seq("node"), "left_semi").limit(1).count() > 0)
-      compact()
+    if (tombSet.intersects(ids)) compact()
     val extended = Dedup.minhashIndexAppend(index, batch, idCol, textCol)
     val raw = Dedup.minhashProbe(extended, batch, idCol, textCol, tau)
-    val pairs = dropTombstonedPairs(
-      ClusterFold.normalizePairs(raw, "doc_a", "doc_b"))
+    val pairs = tombSet.dropPairs(
+      ClusterFold.normalizePairs(raw, "doc_a", "doc_b"), "vec_a", "vec_b")
     val (next, delta) = ClusterFold.ingestFold(prev, ids, pairs)
     raw.unpersist(blocking = false)
     prev.unpersist(blocking = false)
@@ -372,9 +451,7 @@ final class TextClusterStream private (
   def retract(ids: DataFrame): DataFrame = synchronized {
     val prev = labelsState
     val del = ids.select(col(ids.columns.head).cast("long").as("node")).distinct()
-    val oldTombs = liveTombs()
-    val newTombs = oldTombs.union(del).distinct().localCheckpoint(true)
-    val nTombs = newTombs.count()
+    tombSet.add(del)
     val touched = prev.join(del, Seq("node"), "left_semi")
       .select(col("cluster_id")).distinct()
     val remaining = prev.join(touched, Seq("cluster_id"))
@@ -394,23 +471,35 @@ final class TextClusterStream private (
       ClusterFold.retractFold(prev, del, touched, remaining, pairs)
     rawPairs.unpersist(blocking = false)
     prev.unpersist(blocking = false)
-    oldTombs.unpersist(blocking = false)
-    tombs = newTombs
-    tombCount = nTombs
     labelsState = next
-    if (tombCount >= tombCompactThreshold) compact()
+    if (tombSet.needsCompact(index.sigs.count())) compact()
     delta
   }
 
+  /** Durable labeling landing — compacts outstanding tombstones
+    * first; see [[ClusterStream.checkpointTo]]. */
   def checkpointTo(table: String, sourceParams: Map[String, String],
       buckets: Int = 16): Unit = synchronized {
+    if (tombSet.count > 0L) compact()
     Clusters.clustersWrite(labelsState, table, sourceParams, buckets)
+  }
+
+  /** Land the standing text index durably — the one-call
+    * durable-index recipe owning compaction (r18). The loop holds
+    * signatures, not source texts, so the landing goes through
+    * [[Dedup.minhashIndexWriteSigned]] (identical table layout +
+    * param stamps to [[Dedup.minhashIndexWrite]];
+    * [[Dedup.minhashIndexLoad]] reattaches). */
+  def checkpointIndexTo(sigsTable: String, bandTable: String,
+      buckets: Int = 16): Unit = synchronized {
+    if (tombSet.count > 0L) compact()
+    Dedup.minhashIndexWriteSigned(index, sigsTable, bandTable, buckets)
   }
 
   def release(): Unit = synchronized {
     index.release()
     labelsState.unpersist(blocking = false)
-    if (tombs != null) tombs.unpersist(blocking = false)
+    tombSet.release()
   }
 }
 

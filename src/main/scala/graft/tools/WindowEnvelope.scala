@@ -74,7 +74,11 @@ object WindowEnvelope {
           val prev = new String(java.nio.file.Files.readAllBytes(p), utf8).trim
           require(prev.startsWith("[") && prev.endsWith("]"),
             s"$path is not the windows artifact this tool writes")
-          prev.dropRight(1).trim + ",\n" + window + "\n]"
+          val core = prev.dropRight(1).trim
+          // an existing-but-empty artifact ("[]") must not gain a
+          // leading comma — "[,\n{...}]" is invalid JSON
+          if (core == "[") core + "\n" + window + "\n]"
+          else core + ",\n" + window + "\n]"
         } else "[\n" + window + "\n]"
       java.nio.file.Files.write(p, body.getBytes(utf8))
       println(s"[windows] appended to $path")

@@ -378,4 +378,109 @@ class ClusterStreamSpec extends SparkSpec {
     } finally Seq("cs_vecs", "cs_band", "cs_labels")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("retract → durable landing → resume: victim near-dups stay singletons (r17 resurrection hole)") {
+    // the tomb set is SESSION-LOCAL: resume() starts with zero tombs,
+    // so any tombstoned row that reaches the durable index silently
+    // revives retracted content across the session boundary. The r18
+    // contract: every durable landing path — the public standingIndex
+    // accessor feeding Dedup.embeddingIndexWrite (exercised here) and
+    // checkpointTo — compacts first, so dead rows never reach disk.
+    def vec(x: Double, y: Double) = Array.fill(62)(0.0) ++ Array(x, y)
+    val t = 0.7
+    val params = Map("pairs" -> "embedding_lsh", "tau" -> t.toString,
+      "bits" -> bits.toString, "tables" -> tables.toString,
+      "seed" -> seed.toString)
+    Seq("rcs_vecs", "rcs_band", "rcs_labels")
+      .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
+    try {
+      val loop = ClusterStream.empty(spark, "vec_id", "embedding",
+        dim, bits, tables, seed, t, probeRadius = 1)
+      loop.ingest(Seq(EmbDoc(10L, vec(1.0, 0.0)), EmbDoc(11L, vec(0.0, 1.0)))
+        .toDF("vec_id", "embedding")).unpersist(blocking = false)
+      loop.retract(Seq(11L).toDF("vec_id")).unpersist(blocking = false)
+      // land both halves through the PUBLIC surface, exactly the
+      // recipe the roundtrip spec demonstrates — this used to write
+      // the un-compacted index (11 still physically present)
+      Dedup.embeddingIndexWrite(
+        loop.standingIndex.vecs.select(col("id").as("vec_id"), col("v").as("embedding")),
+        "vec_id", "embedding", dim, bits, tables, seed, "rcs_vecs", "rcs_band")
+      loop.checkpointTo("rcs_labels", params)
+      loop.release()
+      // the dead row must never have reached disk
+      assert(spark.table("rcs_vecs").filter(col("id") === 11L).count() === 0L,
+        "tombstoned row landed in the durable index")
+      val resumed = ClusterStream.resume(spark, "rcs_vecs", "rcs_band",
+        "rcs_labels", params, "vec_id", "embedding",
+        dim, bits, tables, seed, t, probeRadius = 1)
+      // 12 is near-identical to the RETRACTED 11 and far from 10:
+      // across the session boundary it must land as a singleton, not
+      // pair with the revived victim
+      val d = resumed.ingest(Seq(EmbDoc(12L, vec(0.001, 0.999)))
+        .toDF("vec_id", "embedding"))
+      assert(d.select("node", "cluster_id", "keep")
+        .as[(Long, Long, Boolean)].collect().toSet === Set((12L, 12L, true)))
+      d.unpersist(blocking = false)
+      assert(resumed.labels.as[(Long, Long)].collect().toSet ===
+        Set((10L, 10L), (12L, 12L)))
+      resumed.release()
+    } finally Seq("rcs_vecs", "rcs_band", "rcs_labels")
+      .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
+  }
+
+  test("text loop: retract → checkpointIndexTo → resume: victim near-dup stays a singleton") {
+    import graft.streaming.TextClusterStream
+    // same resurrection recipe at text granularity, through the
+    // one-call durable-index landing (checkpointIndexTo owns the
+    // compaction; the loop holds signatures, not texts, so the write
+    // goes through minhashIndexWriteSigned)
+    val (k, perms, bands, mtau) = (3, 64, 16, 0.5)
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val params = Map("pairs" -> "minhash_lsh", "k" -> k.toString,
+      "perms" -> perms.toString, "bands" -> bands.toString,
+      "tau" -> mtau.toString)
+    Seq("rtcs_sigs", "rtcs_band", "rtcs_labels")
+      .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
+    try {
+      val loop = TextClusterStream.empty(spark, "doc_id", "text",
+        k, perms, bands, mtau)
+      loop.ingest(Seq(
+        (1L, base),
+        (2L, "completely different words entirely unrelated content here now"))
+        .toDF("doc_id", "text")).unpersist(blocking = false)
+      loop.retract(Seq(1L).toDF("doc_id")).unpersist(blocking = false)
+      loop.checkpointIndexTo("rtcs_sigs", "rtcs_band")
+      loop.checkpointTo("rtcs_labels", params)
+      loop.release()
+      assert(spark.table("rtcs_sigs").filter(col("doc_id") === 1L).count() === 0L,
+        "tombstoned row landed in the durable index")
+      val resumed = TextClusterStream.resume(spark, "rtcs_sigs", "rtcs_band",
+        "rtcs_labels", params, "doc_id", "text", k, perms, bands, mtau)
+      // 3 is a near-copy of the RETRACTED 1 — must stay a singleton
+      // across the session boundary
+      val d = resumed.ingest(Seq((3L, base + " extra")).toDF("doc_id", "text"))
+      assert(d.select("node", "cluster_id", "keep")
+        .as[(Long, Long, Boolean)].collect().toSet === Set((3L, 3L, true)))
+      d.unpersist(blocking = false)
+      assert(resumed.labels.as[(Long, Long)].collect().toSet ===
+        Set((2L, 2L), (3L, 3L)))
+      resumed.release()
+    } finally Seq("rtcs_sigs", "rtcs_band", "rtcs_labels")
+      .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
+  }
+
+  test("tomb compaction threshold derives from index size (CapPolicy, r18)") {
+    import graft.streaming.TombSet
+    // capped at N: a small index never carries a tomb set larger
+    // than itself (the rewrite is then cheaper than the anti-joins)
+    assert(TombSet.compactThreshold(0L) === 1L)
+    assert(TombSet.compactThreshold(100L) === 100L)
+    // absolute floor amortizes mid-size indexes
+    assert(TombSet.compactThreshold(50000L) === TombSet.floor)
+    // proportional above the floor: a 100 TB index is not rewritten
+    // too eagerly
+    assert(TombSet.compactThreshold(1000000L) ===
+      (TombSet.eps * 1000000L).toLong)
+    assert(TombSet.compactThreshold(10000000L) === 500000L)
+  }
 }

@@ -141,7 +141,24 @@ object Curation {
     * (~|V|²/2^64) merge two counts — immaterial, and the hash gate
     * would catch one at verify scale. Docs with < 2 tokens drop out
     * (no bigram evidence). */
-  def bigramLogProb(docs: DataFrame, idCol: String, tokens: Column): DataFrame = {
+  def bigramLogProb(docs: DataFrame, idCol: String, tokens: Column,
+      localModelThreshold: Long = defaultLocalModelThreshold,
+      localKernelMaxBytes: Long = defaultLmLocalMaxBytes): DataFrame = {
+    // r18 TIER 1 — the driver kernel (see [[LmLocal]]): a tiny input
+    // (plan stats ≤ the gate) whose tokens column IS the shared
+    // whitespace convention collects once and scores in-process —
+    // the measured distributed floor at that size is two ~150 ms
+    // serial scan stages of pure orchestration. Bit-identical by
+    // construction; parity-spec'd.
+    lmLocalDocs(docs, idCol, tokens,
+        if (localModelThreshold > 0L) localKernelMaxBytes else 0L).foreach { rows =>
+      val sess = docs.sparkSession
+      import sess.implicits._
+      // one partition: a 5000-row driver result parallelized 32 ways
+      // pays 32 task launches + row-shipping deser for nothing
+      return LmLocal.bigramScores(rows)
+        .toDF("doc_id", "n_bigrams", "avg_logprob").coalesce(1)
+    }
     // hash at build time: the exploded rows, the model agg and the
     // scoring join never see a string key; seed lits (1L prefix / 2L
     // bigram, inside the native BigramHashes kernel) decorrelate the
@@ -159,28 +176,117 @@ object Curation {
     // of the bigram-grouped table: pcnt = Σ bcnt per prefix — no
     // second corpus-keyed aggregate, and the scoring join attaches
     // ONE bigram-vocab-sized model table instead of two corpus-wide
-    // joins. The corpus-scale exploded frame now has exactly two
+    // joins. The corpus-scale exploded frame has exactly two
     // consumers (model agg, scoring join) and needs NO cache: the
     // tokenize+explode recompute is one extra scan, strictly cheaper
-    // at every scale than writing the exploded frame to cache (the
-    // r15 persist closed a 3-consumer AQE race this shape no longer
-    // has; measured in ScaleProbe's materialize-vs-recompute arm).
-    // r17: pcnt attaches as a PARTITION-WINDOW sum over the grouped
-    // table instead of a groupBy+self-join — one exchange on __pfx
-    // replaces the exchange+join pair (jobs_r16 showed the LM chain's
-    // wall is its serial stage critical path, not scheduling gaps, so
-    // stages removed = wall removed; bit-identical pcnt: Σ of the
-    // same integer counts over the same prefix groups).
+    // at every scale than writing the exploded frame to cache.
     val bfreq = withB.groupBy("bigram_h")
       .agg(count("*").as("bcnt"), min(col("prefix_h")).as("__pfx"))
-    val model = bfreq
-      .withColumn("pcnt", sum(col("bcnt")).over(Window.partitionBy(col("__pfx"))))
-      .select("bigram_h", "bcnt", "pcnt")
+    // r18 adaptive model fold (the Bpe/LshLocal small-model gate):
+    // at or below the vocab threshold the prefix sums fold DRIVER-
+    // LOCAL over the collected model — bit-identical pcnt (Long sums
+    // of the same integer counts over the same prefix groups) — and
+    // the model attaches as a BROADCAST local relation, cutting the
+    // serial chain from agg→window-exchange→shuffle-join to
+    // agg→collect→broadcast-join (jobs_r17 measured the LM wall as
+    // its busy single-task stage critical path: stages removed =
+    // wall removed). Above the threshold — a real 100 TB corpus's
+    // bigram vocab — the r17 partition-window fold is unchanged
+    // (pinnable with threshold = 0, how the plan spec + scale probes
+    // keep the distributed shape honest).
+    val model = localBigramModel(bfreq, localModelThreshold).getOrElse {
+      bfreq
+        .withColumn("pcnt", sum(col("bcnt")).over(Window.partitionBy(col("__pfx"))))
+        .select("bigram_h", "bcnt", "pcnt")
+    }
     withB.join(model, "bigram_h")
       .groupBy("doc_id")
       .agg(count("*").as("n_bigrams"),
         round(avg(log(col("bcnt") / col("pcnt"))), 4).as("avg_logprob"))
   }
+
+  /** Token-vocab size at or below which [[pmiCollocations]] folds
+    * driver-local. Deliberately small: v ≤ 1024 PROVES the
+    * distinct-pair table fits v(v+1)/2 ≈ 525k rows, so the pair
+    * collect can never blow the driver — above it, a web corpus's
+    * open vocabulary goes distributed without ever probing the
+    * pair table. */
+  val defaultPmiLocalVocabThreshold: Long = 1024L
+
+  /** Bigram-model vocab size at or below which the LM model folds
+    * driver-local and broadcasts ([[bigramLogProb]] /
+    * [[interpLogProb]] — the [[Bpe.defaultLocalVocabThreshold]]
+    * convention). 1M (bigram_h, bcnt, pcnt[, ucnt]) rows ≈ tens of
+    * MB of driver heap and a comfortably broadcastable relation; a
+    * web-scale corpus's bigram vocab blows past it and stays on the
+    * distributed partition-window path. */
+  val defaultLocalModelThreshold: Long = 1000000L
+
+  /** Input-plan stats bound for the LM driver kernel ([[LmLocal]]):
+    * collect-and-score only when Catalyst's size estimate for the
+    * doc plan is at most this many bytes. Parquet relations report
+    * file size, so the gate is a real pre-execution bound (no probe
+    * job); a join/explode upstream inflates the estimate and safely
+    * falls to the distributed tiers. */
+  val defaultLmLocalMaxBytes: Long = 64L << 20
+
+  /** Eligibility + collect for the LM driver kernel: the tokens
+    * column must be EXACTLY the shared whitespace convention (any
+    * custom tokenizer → None — the kernel's byte-level \s scan would
+    * diverge), the id column must be LongType (the kernel keys boxed
+    * longs), and the input plan must fit the stats gate. */
+  private def lmLocalDocs(docs: DataFrame, idCol: String, tokens: Column,
+      maxBytes: Long): Option[Array[(java.lang.Long, String)]] = {
+    if (maxBytes <= 0L) return None
+    if (docs.schema(idCol).dataType != org.apache.spark.sql.types.LongType)
+      return None
+    org.apache.spark.sql.graft.ColumnBridge.whitespaceSplitSource(tokens)
+      .flatMap { textCol =>
+        if (docs.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(maxBytes)) None
+        else Some(docs.select(col(idCol), textCol.cast("string")).collect()
+          .map(r => (if (r.isNullAt(0)) null
+            else java.lang.Long.valueOf(r.getLong(0)),
+            if (r.isNullAt(1)) null else r.getString(1))))
+      }
+  }
+
+  /** The limit+collect small-frame gate: Some(rows) iff `df` has at
+    * most `threshold` rows. ONE action either way (vs a count job
+    * THEN a collect), and an over-threshold frame pays one discarded
+    * threshold-sized fetch, never an OOM (the limit bounds it). */
+  private def collectIfSmall(df: DataFrame,
+      threshold: Long): Option[Array[org.apache.spark.sql.Row]] = {
+    if (threshold <= 0L) return None
+    val rows = df.limit(threshold.toInt + 1).collect()
+    if (rows.length > threshold) None else Some(rows)
+  }
+
+  /** Driver-local prefix-count fold over a collected bigram model:
+    * pcnt = Σ bcnt per prefix — Long sums of the same integer counts
+    * the partition-window fold sums, so the result is bit-identical.
+    * Expects (bigram_h, bcnt, __pfx, …) row layout. */
+  private def localPrefixCounts(
+      rows: Array[org.apache.spark.sql.Row]): scala.collection.mutable.LongMap[Long] = {
+    val pc = new scala.collection.mutable.LongMap[Long](rows.length * 2)
+    rows.foreach { r =>
+      val p = r.getLong(2)
+      pc.update(p, pc.getOrElse(p, 0L) + r.getLong(1))
+    }
+    pc
+  }
+
+  /** Collect the bigram-grouped model if its vocab fits the driver
+    * gate and fold pcnt locally; None → caller takes the
+    * distributed partition-window path. */
+  private def localBigramModel(bfreq: DataFrame,
+      threshold: Long): Option[DataFrame] =
+    collectIfSmall(bfreq, threshold).map { rows =>
+      val pc = localPrefixCounts(rows)
+      val sess = bfreq.sparkSession
+      import sess.implicits._
+      broadcast(rows.map(r => (r.getLong(0), r.getLong(1), pc(r.getLong(2))))
+        .toSeq.toDF("bigram_h", "bcnt", "pcnt"))
+    }
 
   /** Per-document average INTERPOLATED bigram⊕unigram log-likelihood
     * — the CCNet/Jelinek-Mercer shape: ln(λ·P(w_i|w_{i−1}) +
@@ -199,13 +305,19 @@ object Curation {
     * cross join (no driver count).
     */
   def interpLogProb(docs: DataFrame, idCol: String, tokens: Column,
-      lambda: Double): DataFrame = {
+      lambda: Double,
+      localModelThreshold: Long = defaultLocalModelThreshold,
+      localKernelMaxBytes: Long = defaultLmLocalMaxBytes): DataFrame = {
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    // r18 TIER 1 — the driver kernel (see [[bigramLogProb]])
+    lmLocalDocs(docs, idCol, tokens,
+        if (localModelThreshold > 0L) localKernelMaxBytes else 0L).foreach { rows =>
+      val sess = docs.sparkSession
+      import sess.implicits._
+      return LmLocal.interpScores(rows, lambda)
+        .toDF("doc_id", "n_bigrams", "avg_logprob").coalesce(1)
+    }
     val uni = unigramHashCounts(docs, tokens)
-    // total token count folds out of the unigram table (Σ ucnt) —
-    // deriving it from the raw explode would tokenize the whole
-    // corpus a second time for one scalar
-    val total = uni.agg(sum(col("ucnt")).as("total"))
     val withB = bigramHashRows(docs, idCol, tokens)
     // r16 single-model-join formulation (see [[bigramLogProb]]):
     // prefix_h AND token_h are functionally determined by bigram_h,
@@ -214,25 +326,58 @@ object Curation {
     // attached to the BIGRAM-VOCAB-sized table by token_h instead of
     // to the corpus. The exploded frame feeds exactly two consumers
     // (model agg, scoring join), un-cached: one extra tokenize scan
-    // beats a corpus-scale cache write at every scale, and the
-    // three-corpus-join / three-keyed-fan-out shape the r15 persist
-    // guarded against no longer exists.
+    // beats a corpus-scale cache write at every scale.
     val bfreq = withB.groupBy("bigram_h")
       .agg(count("*").as("bcnt"), min(col("prefix_h")).as("__pfx"),
         min(col("token_h")).as("__tok"))
-    // pcnt via the partition-window fold (see [[bigramLogProb]], r17):
-    // one exchange on __pfx instead of a groupBy + model self-join
-    val model = bfreq
-      .withColumn("pcnt", sum(col("bcnt")).over(Window.partitionBy(col("__pfx"))))
-      .join(uni, col("__tok") === uni("token_h"))
-      .select("bigram_h", "bcnt", "pcnt", "ucnt")
-    withB.join(model, "bigram_h")
-      .crossJoin(broadcast(total))
-      .groupBy("doc_id")
-      .agg(count("*").as("n_bigrams"),
-        round(avg(log(
-          lit(lambda) * (col("bcnt") / col("pcnt")) +
-            lit(1.0 - lambda) * (col("ucnt") / col("total")))), 4).as("avg_logprob"))
+    // r18 adaptive model fold (see [[bigramLogProb]]): both model
+    // tables under the gate → pcnt, ucnt AND the corpus token total
+    // fold driver-local (all integer sums — bit-identical to the
+    // window fold / distributed Σ), the joined model broadcasts as a
+    // local relation and the total rides as a plan literal. The
+    // um.get filter mirrors the distributed inner join on token_h
+    // exactly (a missing token cannot occur — both sides key the
+    // same seed-1L hash of the same non-empty tokens).
+    val localScore = collectIfSmall(bfreq, localModelThreshold).flatMap { brows =>
+      collectIfSmall(uni, localModelThreshold).map { urows =>
+        val pc = localPrefixCounts(brows)
+        val um = new scala.collection.mutable.LongMap[Long](urows.length * 2)
+        urows.foreach(r => um.update(r.getLong(0), r.getLong(1)))
+        val total = urows.foldLeft(0L)((s, r) => s + r.getLong(1))
+        val sess = docs.sparkSession
+        import sess.implicits._
+        val model = broadcast(brows.flatMap { r =>
+          um.get(r.getLong(3))
+            .map(u => (r.getLong(0), r.getLong(1), pc(r.getLong(2)), u))
+        }.toSeq.toDF("bigram_h", "bcnt", "pcnt", "ucnt"))
+        withB.join(model, "bigram_h")
+          .groupBy("doc_id")
+          .agg(count("*").as("n_bigrams"),
+            round(avg(log(
+              lit(lambda) * (col("bcnt") / col("pcnt")) +
+                lit(1.0 - lambda) * (col("ucnt") / lit(total)))), 4)
+              .as("avg_logprob"))
+      }
+    }
+    localScore.getOrElse {
+      // total token count folds out of the unigram table (Σ ucnt) —
+      // deriving it from the raw explode would tokenize the whole
+      // corpus a second time for one scalar
+      val total = uni.agg(sum(col("ucnt")).as("total"))
+      // pcnt via the partition-window fold (see [[bigramLogProb]],
+      // r17): one exchange on __pfx instead of a groupBy + self-join
+      val model = bfreq
+        .withColumn("pcnt", sum(col("bcnt")).over(Window.partitionBy(col("__pfx"))))
+        .join(uni, col("__tok") === uni("token_h"))
+        .select("bigram_h", "bcnt", "pcnt", "ucnt")
+      withB.join(model, "bigram_h")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(count("*").as("n_bigrams"),
+          round(avg(log(
+            lit(lambda) * (col("bcnt") / col("pcnt")) +
+              lit(1.0 - lambda) * (col("ucnt") / col("total")))), 4).as("avg_logprob"))
+    }
   }
 
   /** CCNet-style PERPLEXITY BUCKETING (r10): split the corpus into
@@ -265,15 +410,35 @@ object Curation {
     * internal frame (r17, retiring the r16 un-releasable score
     * persist the ADVICE flagged). */
   def perplexityBuckets(docs: DataFrame, idCol: String, tokens: Column,
-      lambda: Double, headQ: Double = 0.3, tailQ: Double = 0.3): DataFrame = {
+      lambda: Double, headQ: Double = 0.3, tailQ: Double = 0.3,
+      localModelThreshold: Long = defaultLocalModelThreshold,
+      localKernelMaxBytes: Long = defaultLmLocalMaxBytes): DataFrame = {
     require(headQ > 0 && tailQ > 0 && headQ + tailQ <= 1.0,
       s"headQ=$headQ / tailQ=$tailQ must be positive with sum <= 1")
+    // r18 TIER 1 — the full driver kernel: scores, exact-percentile
+    // cuts and the CASE all run in-process ([[LmLocal]]); only the
+    // result cache (the documented caller-owned contract) touches
+    // the cluster. See [[bigramLogProb]].
+    lmLocalDocs(docs, idCol, tokens,
+        if (localModelThreshold > 0L) localKernelMaxBytes else 0L).foreach { rows =>
+      val sess = docs.sparkSession
+      import sess.implicits._
+      // NO result persist on this tier: the frame IS driver-local
+      // (building it was the work; a re-scan is free), so the
+      // caller-owned cache contract degenerates to a no-op — callers'
+      // unpersist() of an uncached frame is harmless, and skipping
+      // the persist+materialize job is a measured ~2-job win
+      return LmLocal.perplexityBuckets(
+          LmLocal.interpScores(rows, lambda), headQ, tailQ)
+        .toDF("doc_id", "n_bigrams", "avg_logprob", "ppl_bucket").coalesce(1)
+    }
     // the scored frame is read twice (cuts, bucket scan): persist it
     // and let the CUTS AGGREGATE be the materializing pass — the two
     // percentile scalars come back as bounded driver state (the
     // centroid/GD-weights convention) instead of a broadcast
     // crossJoin, so the LM pipeline runs once
-    val lp = interpLogProb(docs, idCol, tokens, lambda)
+    val lp = interpLogProb(docs, idCol, tokens, lambda, localModelThreshold,
+      localKernelMaxBytes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cuts = lp.agg(
       expr(s"percentile(avg_logprob, ${1.0 - headQ})").as("__th"),
@@ -397,9 +562,28 @@ object Curation {
     * nothing is silently dropped.
     */
   def pmiCollocations(docs: DataFrame, textCol: Column, window: Int,
-      minCount: Long): DataFrame = {
+      minCount: Long,
+      localVocabThreshold: Long = defaultPmiLocalVocabThreshold,
+      localKernelMaxBytes: Long = defaultLmLocalMaxBytes): DataFrame = {
     require(window >= 1, s"window $window must be >= 1")
     require(minCount >= 1, s"minCount $minCount must be >= 1")
+    // r18 TIER 1 — the driver kernel ([[LmLocal.pmiCollocations]]):
+    // a tiny input collects once and the whole pair/count/score
+    // chain runs in-process (the distributed floor at that size is
+    // two serial ~150 ms corpus scan stages). localVocabThreshold=0
+    // pins everything distributed, the probe/spec convention.
+    if (localVocabThreshold > 0L && localKernelMaxBytes > 0L &&
+        docs.queryExecution.optimizedPlan.stats.sizeInBytes <=
+          BigInt(localKernelMaxBytes)) {
+      val texts = docs.select(textCol.cast("string")).collect()
+        .map(r => if (r.isNullAt(0)) null else r.getString(0))
+      val sess = docs.sparkSession
+      import sess.implicits._
+      // no result persist — driver-local already (see
+      // perplexityBuckets' kernel tier)
+      return LmLocal.pmiCollocations(texts, window, minCount)
+        .toDF("w1", "w2", "n_cooc", "pmi").coalesce(1)
+    }
     val tk = filter(graft.functions.Text.tokens(textCol), t => t =!= "")
     // 0/1-token docs emit no pairs at any distance — dropping them up
     // front also guarantees every element_at index below stays ≥ 1
@@ -415,8 +599,43 @@ object Curation {
       .select(explode(graft.functions.expr.NativeFunctions
         .window_pairs(col("__tk"), window)).as("__p"))
       .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
-    val uc = docs.select(explode(tk).as("token"))
+    val ucRaw = docs.select(explode(tk).as("token"))
       .groupBy("token").agg(count(lit(1)).as("__cx"))
+    // r18 adaptive fold (the bigram-LM driver gate, with a PROVABLE
+    // bound making the probe free): if the token vocab fits the gate
+    // (v ≤ threshold, one vocab-sized collect of the table the
+    // distributed path persists anyway), the distinct-pair table is
+    // AT MOST v(v+1)/2 rows — collectable by construction, so the
+    // local branch never wastes a probe on a corpus it must abandon.
+    // Both corpus scalars fold out driver-side (nt = Σ ucnt exactly
+    // matches the lengths-scan derivation — explode skips null/empty
+    // arrays just as the clamped sum contributes 0; np = Σ n_cooc is
+    // the pair-emission identity), and the whole scoring — minCount
+    // filter, ln, HALF_UP 4dp round — replays Spark's arithmetic
+    // bit-for-bit (same promotion order, same java.math rounding).
+    // Above the gate the distributed path is unchanged and pinnable
+    // with threshold = 0 (the LshLocal/plan-spec convention).
+    val localOut = collectIfSmall(ucRaw, localVocabThreshold).map { urows =>
+      val pc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_cooc")).collect()
+      val cx = urows.map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nt = urows.foldLeft(0L)((s, r) => s + r.getLong(1))
+      val np = pc.foldLeft(0L)((s, r) => s + r.getLong(2))
+      val rows = pc.iterator.filter(_.getLong(2) >= minCount).map { r =>
+        val (w1, w2, nc) = (r.getString(0), r.getString(1), r.getLong(2))
+        val raw = math.log((nc.toDouble * nt * nt) / (np.toDouble * cx(w1) * cx(w2)))
+        val pmi = java.math.BigDecimal.valueOf(raw)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+        (w1, w2, nc, pmi)
+      }.toSeq
+      val sess = docs.sparkSession
+      import sess.implicits._
+      val materialized = rows.toDF("w1", "w2", "n_cooc", "pmi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      materialized.count()
+      materialized
+    }
+    if (localOut.isDefined) return localOut.get
+    val uc = ucRaw
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the corpus-wide scalars fold out of a LENGTHS-ONLY scan EXACTLY:
     // WindowPairs emits Σ_{d≤window} max(L−d, 0) pairs for an L-token
@@ -435,9 +654,14 @@ object Curation {
     val perDocPairs = (1 to window)
       .map(d => greatest(col("__len") - d, lit(0)).cast("long"))
       .reduce(_ + _)
+    // size(NULL) is -1 under Spark's legacy sizeOfNull: a null-text
+    // doc must contribute 0 tokens to nt (the explode-based
+    // derivation this replaced skipped nulls), not subtract 1 — the
+    // pair term already clamps per-distance via greatest(·, 0)
     val scal = docs.select(size(tk).as("__len"))
       .agg(coalesce(sum(perDocPairs), lit(0L)).as("__np"),
-        coalesce(sum(col("__len").cast("long")), lit(0L)).as("__nt"))
+        coalesce(sum(greatest(col("__len"), lit(0)).cast("long")), lit(0L))
+          .as("__nt"))
       .crossJoin(uc.agg(count(lit(1)).as("__vocab")))
       .head()
     val np = scal.getLong(0)

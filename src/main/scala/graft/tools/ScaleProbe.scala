@@ -572,11 +572,17 @@ object ScaleProbe {
           .length.toLong
       }
     }
-    // hash-keyed LM scores: shuffles carry (8-byte hash, count) pairs
+    // hash-keyed LM scores: shuffles carry (8-byte hash, count) pairs.
+    // localModelThreshold = 0 pins the DISTRIBUTED partition-window
+    // path (the LshLocal probe convention) — the r18 driver gate
+    // would otherwise swallow this corpus's small model and the probe
+    // would measure the gate, not the plan that runs at 100 TB
     probe("bigram_lm") {
-      Curation.bigramLogProb(docs1, "doc_id", Text.tokens(col("text"))).count()
+      Curation.bigramLogProb(docs1, "doc_id", Text.tokens(col("text")),
+        localModelThreshold = 0).count()
     } {
-      Curation.bigramLogProb(docsN, "doc_id", Text.tokens(col("text"))).count()
+      Curation.bigramLogProb(docsN, "doc_id", Text.tokens(col("text")),
+        localModelThreshold = 0).count()
     }
     // the r15-vs-r16 caching trade, measured (verdict r15 item 4):
     // bigram_lm above RECOMPUTES the corpus-scale exploded bigram
@@ -614,9 +620,11 @@ object ScaleProbe {
       probe("bigram_lm_mat") { mat(docs1) } { mat(docsN) }
     }
     probe("interp_lm") {
-      Curation.interpLogProb(docs1, "doc_id", Text.tokens(col("text")), 0.9).count()
+      Curation.interpLogProb(docs1, "doc_id", Text.tokens(col("text")), 0.9,
+        localModelThreshold = 0).count()
     } {
-      Curation.interpLogProb(docsN, "doc_id", Text.tokens(col("text")), 0.9).count()
+      Curation.interpLogProb(docsN, "doc_id", Text.tokens(col("text")), 0.9,
+        localModelThreshold = 0).count()
     }
     // DSIR: two corpus passes (B-row distribution agg + literal-dot
     // scoring), no shuffle — expect ≈ linear
@@ -1150,11 +1158,16 @@ object ScaleProbe {
       Dedup.containmentPairs(docsN, "doc_id", "text", 3, 0.8).count()
     }
     probe("quality_perplexity") {
-      Curation.perplexityBuckets(docs1, "doc_id",
-        Text.tokens(col("text")), 0.8).count()
+      // caller-owned result cache (r17): count, then release — an
+      // un-unpersisted corpus-scale cache would leak into every
+      // subsequent probe arm's memory budget for the rest of the run
+      val r1 = Curation.perplexityBuckets(docs1, "doc_id",
+        Text.tokens(col("text")), 0.8, localModelThreshold = 0)
+      try r1.count() finally r1.unpersist(blocking = false)
     } {
-      Curation.perplexityBuckets(docsN, "doc_id",
-        Text.tokens(col("text")), 0.8).count()
+      val rN = Curation.perplexityBuckets(docsN, "doc_id",
+        Text.tokens(col("text")), 0.8, localModelThreshold = 0)
+      try rN.count() finally rN.unpersist(blocking = false)
     }
     locally {
       val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")

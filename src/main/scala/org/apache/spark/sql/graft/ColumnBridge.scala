@@ -13,6 +13,29 @@ object ColumnBridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpr(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** If `c` is EXACTLY the shared whitespace-tokenize form
+    * `split(trim(x), "\\s+")` (graft.functions.Text.tokens), return
+    * x — the LM driver-kernel eligibility probe. Any other token
+    * derivation returns None and the caller stays on the
+    * distributed path, so a custom tokenizer can never silently
+    * diverge from the kernel's byte-level \s scan. Matches the
+    * UNRESOLVED ColumnNode tree (Spark 4 Columns carry nodes, not
+    * Catalyst expressions, until analysis). */
+  def whitespaceSplitSource(c: Column): Option[Column] = {
+    import org.apache.spark.sql.internal.{Literal => NodeLit, UnresolvedFunction => NodeFn}
+    c.node match {
+      case f: NodeFn if f.functionName == "split" && f.arguments.size == 2 =>
+        (f.arguments.head, f.arguments(1)) match {
+          case (t: NodeFn, l: NodeLit)
+              if t.functionName == "trim" && t.arguments.size == 1 &&
+                l.value == "\\s+" =>
+            Some(Column(t.arguments.head))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
   /** Register a SQL function on an ALREADY-RUNNING session (the
     * withExtensions path only applies at session construction). */
   def registerFunction(spark: org.apache.spark.sql.SparkSession,

@@ -104,6 +104,61 @@ class CorpusOpsSpec extends SparkSpec {
     assert(interp === bi)
   }
 
+  test("LM tiers are exactly equal: driver kernel ≡ broadcast model ≡ distributed (r18)") {
+    // tier 1 (LmLocal kernel), tier 2 (driver-folded broadcast
+    // model) and tier 3 (partition-window fold) must produce the
+    // SAME rounded output — integer model counts everywhere, same
+    // per-row arithmetic, same row-order accumulation
+    def threeWay(docs: org.apache.spark.sql.DataFrame): Unit = {
+      val toks = graft.functions.Text.tokens(col("text"))
+      def s(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Option[Long], Long, Double)].collect().toSet
+      val bigK = s(Curation.bigramLogProb(docs, "doc_id", toks))
+      val bigM = s(Curation.bigramLogProb(docs, "doc_id", toks,
+        localKernelMaxBytes = 0L))
+      val bigD = s(Curation.bigramLogProb(docs, "doc_id", toks,
+        localModelThreshold = 0L, localKernelMaxBytes = 0L))
+      assert(bigK === bigD, "kernel vs distributed (bigram)")
+      assert(bigM === bigD, "broadcast model vs distributed (bigram)")
+      val iK = s(Curation.interpLogProb(docs, "doc_id", toks, 0.9))
+      val iM = s(Curation.interpLogProb(docs, "doc_id", toks, 0.9,
+        localKernelMaxBytes = 0L))
+      val iD = s(Curation.interpLogProb(docs, "doc_id", toks, 0.9,
+        localModelThreshold = 0L, localKernelMaxBytes = 0L))
+      assert(iK === iD, "kernel vs distributed (interp)")
+      assert(iM === iD, "broadcast model vs distributed (interp)")
+    }
+    threeWay(Tables.documents(spark, sfDir))
+    // perplexity triage: the kernel's exact-percentile cuts + CASE
+    // must reproduce the Spark percentile aggregate bit-for-bit
+    locally {
+      val docs = Tables.documents(spark, sfDir)
+      val toks = graft.functions.Text.tokens(col("text"))
+      def b(df: org.apache.spark.sql.DataFrame) = {
+        val r = df.as[(Option[Long], Long, Double, String)].collect().toSet
+        df.unpersist(blocking = false)
+        r
+      }
+      val pK = b(Curation.perplexityBuckets(docs, "doc_id", toks, 0.8))
+      val pD = b(Curation.perplexityBuckets(docs, "doc_id", toks, 0.8,
+        localModelThreshold = 0L, localKernelMaxBytes = 0L))
+      assert(pK === pD, "kernel vs distributed (perplexity buckets)")
+    }
+    // tokenize-convention edge cases: tabs/newlines split, control
+    // chars and NBSP are TOKEN bytes (Java \s is ASCII-only),
+    // duplicate ids merge in row order, null/empty/1-token docs drop
+    threeWay(Seq(
+      (1L, "a b\tc\nd e"),
+      (1L, "a b"),
+      (2L, "  leading  and   trailing   "),
+      (3L, "\u0001ctl a\u0001b c a\u0001b c"),
+      (4L, "héllo wörld héllo wörld again"),
+      (5L, "single"),
+      (6L, ""),
+      (7L, null.asInstanceOf[String]),
+      (8L, "x \u00a0 y z \u00a0w x \u00a0 y")).toDF("doc_id", "text"))
+  }
+
   test("interpLogProb cushions the once-seen-prefix overconfidence") {
     // 'rare' occurs once as a prefix: MLE gives its one continuation
     // P=1 (ln P = 0 — overconfident). The unigram mixture pulls the
@@ -291,11 +346,13 @@ class CorpusOpsSpec extends SparkSpec {
         s"x t${i}a x t${i}b x t${i}c x t${i}d x t${i}e")) ++
       Seq((15L, "too"), (16L, ""))) // <2 tokens: dropped, like interpLogProb
       .toDF("doc_id", "text")
-    val out = Curation.perplexityBuckets(docs, "doc_id",
+    // caller-owned result caches (r17): collect, then release
+    val outDf = Curation.perplexityBuckets(docs, "doc_id",
         graft.functions.Text.tokens(col("text")), lambda = 0.8,
         headQ = 0.3, tailQ = 0.3)
-      .select("doc_id", "avg_logprob", "ppl_bucket")
+    val out = outDf.select("doc_id", "avg_logprob", "ppl_bucket")
       .as[(Long, Double, String)].collect()
+    outDf.unpersist(blocking = false)
     assert(out.length === 13, "sub-2-token docs must drop, not bucket")
     val byB = out.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
     assert(byB.keySet === Set("head", "middle", "tail"), s"buckets: ${byB.keySet}")
@@ -311,21 +368,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert((10 to 13).forall(i => bucketOf(i.toLong) == "tail"),
       s"corpus-branched docs must tail: $bucketOf")
     // deterministic
-    val again = Curation.perplexityBuckets(docs, "doc_id",
+    val againDf = Curation.perplexityBuckets(docs, "doc_id",
         graft.functions.Text.tokens(col("text")), lambda = 0.8,
         headQ = 0.3, tailQ = 0.3)
-      .select("doc_id", "avg_logprob", "ppl_bucket")
+    val again = againDf.select("doc_id", "avg_logprob", "ppl_bucket")
       .as[(Long, Double, String)].collect()
+    againDf.unpersist(blocking = false)
     assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
   }
 
   test("perplexityBuckets fractions track the quantile knobs on a spread corpus") {
     val docs = Tables.documents(spark, sfDir)
-    val out = Curation.perplexityBuckets(docs, "doc_id",
+    val outDf = Curation.perplexityBuckets(docs, "doc_id",
         graft.functions.Text.tokens(col("text")), lambda = 0.8,
         headQ = 0.25, tailQ = 0.25)
-      .groupBy("ppl_bucket").count()
+    val out = outDf.groupBy("ppl_bucket").count()
       .as[(String, Long)].collect().toMap
+    outDf.unpersist(blocking = false)
     val n = out.values.sum.toDouble
     // quantile cuts land the advertised mass within tie slack
     assert(out("head") / n >= 0.15 && out("head") / n <= 0.45,

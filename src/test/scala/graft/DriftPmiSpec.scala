@@ -49,6 +49,26 @@ class DriftPmiSpec extends SparkSpec {
     assert(out(("p", "q")) > out(("q", "the")))
   }
 
+  test("pmiCollocations tiers are exactly equal: kernel ≡ collected fold ≡ distributed (r18)") {
+    // tier 1 (LmLocal text kernel), tier 2 (collected count fold)
+    // and tier 3 (distributed aggs) replay the same integer counts
+    // through the same arithmetic — the full output must be identical
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    def s(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.as[(String, String, Long, Double)].collect().toSet
+      df.unpersist(blocking = false)
+      r
+    }
+    val kernel = s(Curation.pmiCollocations(docs, col("text"), window = 2, minCount = 5L))
+    val folded = s(Curation.pmiCollocations(docs, col("text"), window = 2, minCount = 5L,
+      localKernelMaxBytes = 0L))
+    val dist = s(Curation.pmiCollocations(docs, col("text"), window = 2, minCount = 5L,
+      localVocabThreshold = 0L))
+    assert(dist.nonEmpty)
+    assert(kernel === dist, "kernel vs distributed")
+    assert(folded === dist, "collected fold vs distributed")
+  }
+
   // ---- driftPsi ----
 
   test("driftPsi: identical slices score zero on every bucket, spine complete") {

@@ -143,9 +143,12 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("perplexity triage: no global sort, thresholds are plan literals over the scored corpus") {
+    // kernel + mid-tier pinned OFF (r18): this test pins the fully
+    // DISTRIBUTED triage shape — the plan that runs at 100 TB
     val ppl = graft.operators.Curation.perplexityBuckets(
       Tables.documents(spark, sfDir), "doc_id",
-      graft.functions.Text.tokens(col("text")), lambda = 0.8)
+      graft.functions.Text.tokens(col("text")), lambda = 0.8,
+      localModelThreshold = 0L, localKernelMaxBytes = 0L)
     val p = plan(ppl)
     ppl.unpersist(blocking = false) // caller-owned result cache (r17)
     // bucket assignment must be a literal CASE compare, never a
@@ -158,8 +161,15 @@ class PlanQualitySpec extends SparkSpec {
     // (global = the corpus through one reducer) is the regression.
     assert(!p.contains("row_number(") && !p.contains("rank(") &&
       !p.contains("ntile("), s"rank window crept into the triage:\n$p")
-    assert(!p.contains("windowspecdefinition(avg_logprob"),
-      s"global score window crept into the triage:\n$p")
+    // EVERY window in the plan must be __pfx-partitioned: a
+    // windowspecdefinition whose partition clause is empty (its first
+    // argument is the frame/order spec, not a __pfx column) is the
+    // corpus-through-one-reducer regression regardless of which
+    // expression it windows over (r17 guard only rejected avg_logprob)
+    "windowspecdefinition\\(([^,()]*)".r.findAllMatchIn(p).foreach { m =>
+      assert(m.group(1).contains("__pfx"),
+        s"non-__pfx-partitioned window crept into the triage: ${m.matched}\n$p")
+    }
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"the LM corpus-total scalar is not broadcast:\n$p")
     // the only global (SinglePartition) exchanges feed the 2-scalar
@@ -259,10 +269,15 @@ class PlanQualitySpec extends SparkSpec {
     // frame persist (the shape the r15 AQE race forced, now gone)
     val toks = graft.functions.Text.tokens(col("text"))
     val docs = Tables.documents(spark, sfDir)
-    val big = plan(graft.operators.Curation.bigramLogProb(docs, "doc_id", toks))
+    // TIER 3 — DISTRIBUTED path (pinned with threshold = 0 and the
+    // kernel gate off, the LshLocal convention): the plan that runs
+    // at 100 TB
+    val big = plan(graft.operators.Curation.bigramLogProb(docs, "doc_id", toks,
+      localModelThreshold = 0L, localKernelMaxBytes = 0L))
     assert(!big.contains("InMemoryTableScan"),
       s"bigramLogProb plan reads a cache:\n$big")
-    val interp = plan(graft.operators.Curation.interpLogProb(docs, "doc_id", toks, 0.9))
+    val interp = plan(graft.operators.Curation.interpLogProb(docs, "doc_id", toks, 0.9,
+      localModelThreshold = 0L, localKernelMaxBytes = 0L))
     assert(!interp.contains("InMemoryTableScan"),
       s"interpLogProb plan reads a cache:\n$interp")
     // r17: the prefix count attaches as a PARTITION-WINDOW sum over
@@ -273,15 +288,40 @@ class PlanQualitySpec extends SparkSpec {
       s"bigramLogProb lost the prefix-count window fold:\n$big")
     assert(interp.contains("Window"),
       s"interpLogProb lost the prefix-count window fold:\n$interp")
+    // TIER 2 — big-corpus/small-vocab (kernel gate off, model gate
+    // on): the model is a BROADCAST local relation — no Window node,
+    // no model exchange, the scoring join never shuffles the corpus
+    val bigM = plan(graft.operators.Curation.bigramLogProb(docs, "doc_id", toks,
+      localKernelMaxBytes = 0L))
+    assert(!bigM.contains("Window") && !bigM.contains("windowspecdefinition"),
+      s"broadcast-model bigram plan still carries the window fold:\n$bigM")
+    assert(bigM.contains("BroadcastExchange") || bigM.contains("BroadcastHashJoin"),
+      s"broadcast bigram model is not broadcast:\n$bigM")
+    assert(!bigM.contains("SortMergeJoin"),
+      s"broadcast-model scoring join degenerated to a shuffle join:\n$bigM")
+    val interpM = plan(graft.operators.Curation.interpLogProb(docs, "doc_id", toks, 0.9,
+      localKernelMaxBytes = 0L))
+    assert(!interpM.contains("Window") && !interpM.contains("SortMergeJoin"),
+      s"broadcast-model interp plan regressed:\n$interpM")
+    // TIER 1 — the default on a tiny input (r18): the whole score is
+    // a driver-kernel LocalTableScan, zero exchanges, zero jobs in
+    // the plan itself
+    val bigL = plan(graft.operators.Curation.bigramLogProb(docs, "doc_id", toks))
+    assert(bigL.contains("LocalTableScan") && !bigL.contains("Exchange"),
+      s"tiny-input bigram did not fold to the driver kernel:\n$bigL")
     // perplexityBuckets is the doc-bounded EXCEPTION: its bucket scan
     // must read the persisted score frame (materialized by the cuts
     // aggregate), never re-run the LM pipeline — r17: the returned
     // frame is the caller-owned result cache, and the score cache it
     // froze at materialization time must appear INSIDE its cached
     // plan (an LM-pipeline subtree there means the bucket scan
-    // recomputed the scores instead of reading them)
+    // recomputed the scores instead of reading them). Pinned to the
+    // distributed tiers (r18): on the kernel tier the scores are a
+    // LocalRelation whose re-scan is free, so the internal score
+    // cache is deliberately SKIPPED — asserted separately below.
     val pplDf = graft.operators.Curation.perplexityBuckets(
-      docs, "doc_id", toks, lambda = 0.8)
+      docs, "doc_id", toks, lambda = 0.8,
+      localModelThreshold = 0L, localKernelMaxBytes = 0L)
     val ppl = plan(pplDf)
     pplDf.unpersist(blocking = false)
     // >= 2: the result's own cache read PLUS the frozen score-cache
@@ -289,6 +329,17 @@ class PlanQualitySpec extends SparkSpec {
     // full LM recompute)
     assert("InMemoryTableScan".r.findAllIn(ppl).size >= 2,
       s"perplexity bucket scan re-runs the LM pipeline instead of reading the score cache:\n$ppl")
+    // kernel tier: the result cache wraps a LocalTableScan bucket
+    // scan — no inner score cache (it would be pure overhead), no
+    // exchange, no LM recompute possible (the scores are literal)
+    val pplK = graft.operators.Curation.perplexityBuckets(
+      docs, "doc_id", toks, lambda = 0.8)
+    val pk = plan(pplK)
+    pplK.unpersist(blocking = false)
+    assert(pk.contains("LocalTableScan") || pk.contains("InMemoryTableScan"),
+      s"kernel-tier perplexity result is not cached/local:\n$pk")
+    assert(!pk.contains("FileScan"),
+      s"kernel-tier perplexity re-reads the corpus:\n$pk")
   }
 
   test("r16 dedup_clusters_inc entry plans the APPLY only (no corpus rescan)") {

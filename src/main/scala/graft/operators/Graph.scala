@@ -79,9 +79,21 @@ object Graph {
     // the raw edge list is truncated FIRST: everything below (degree
     // join input AND node set) derives from the materialized blocks,
     // so an expensive upstream edge derivation (pair explosion,
-    // dedup) runs exactly once, not once per consumer
+    // dedup) runs exactly once, not once per consumer. r18 cadence:
+    // in LOCAL mode these upfront truncations are LAZY
+    // (localCheckpoint(false)) — the nodes.count() driver action
+    // right below computes, caches and lineage-truncates e AND nodes
+    // in ONE job, and ew folds into iteration 1's first action,
+    // instead of three eager truncation jobs per call (measured on
+    // crawl_hostrank's 65-host graph, where job launches are most of
+    // the wall). All consumers still read the cached blocks, so the
+    // expensive edge build still runs once. Reliable mode keeps
+    // EAGER checkpoints: an executor loss between the write and a
+    // consumer must not silently re-run the upstream derivation.
+    def truncateUpfront(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(false)
     val w = weightCol.map(col(_).cast("double")).getOrElse(lit(1.0))
-    val e = truncate(edges
+    val e = truncateUpfront(edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("__w"))
       .filter(col("__w") > 0.0))
     // (src, dst, w, outw): the per-iteration join input, materialized
@@ -89,8 +101,8 @@ object Graph {
     // unweighted: the sum of exact 1.0s IS the count, so the classic
     // form's values are unchanged).
     val deg = e.groupBy("src").agg(sum("__w").as("__outw"))
-    val ew = truncate(e.join(deg, "src"))
-    val nodes = truncate(
+    val ew = truncateUpfront(e.join(deg, "src"))
+    val nodes = truncateUpfront(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node")))
         .distinct())

@@ -33,6 +33,27 @@ object SparkEntry {
     * doubles). */
   private val interpLambda = 0.9
 
+  /** r19 (r18 verdict item 2): `GRAFT_LM_LOCAL=0` forces the LM/PMI
+    * family (text_bigram_lm / text_interp_lm / quality_perplexity /
+    * text_pmi) onto its DISTRIBUTED tiers by threading zeroed local
+    * gates through the query declarations — so the per-round
+    * oracle_check can hash-gate the distributed plans directly
+    * against DuckDB (at verify SFs the default gates dispatch the
+    * driver kernel, which is what the ordinary CORRECTNESS rows
+    * exercise). Unset (the default) leaves the adaptive three-tier
+    * dispatch exactly as declared; the tiers are bit-identical by
+    * construction and parity-spec'd, so the declared RESULTS are
+    * identical either way — this knob only changes which tier the
+    * hash gate touches. */
+  private val lmForceDistributed: Boolean =
+    sys.env.get("GRAFT_LM_LOCAL").contains("0")
+  private def lmModelThreshold: Long =
+    if (lmForceDistributed) 0L else Curation.defaultLocalModelThreshold
+  private def lmKernelMaxBytes: Long =
+    if (lmForceDistributed) 0L else Curation.defaultLmLocalMaxBytes
+  private def pmiVocabThreshold: Long =
+    if (lmForceDistributed) 0L else Curation.defaultPmiLocalVocabThreshold
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
@@ -961,7 +982,9 @@ object SparkEntry {
     // (no positional self-join), min-count 5, corpus totals broadcast
     "text_pmi" -> ((s, dir) =>
       Curation.pmiCollocations(t(s, dir, "documents"), col("text"),
-        window = 2, minCount = 5L)),
+        window = 2, minCount = 5L,
+        localVocabThreshold = pmiVocabThreshold,
+        localKernelMaxBytes = lmKernelMaxBytes)),
 
     // BM25 (Lucene idf form) top-20 docs for a literal query bag —
     // the retrieval scorer of CCNet-style domain mining / RAG corpus
@@ -1037,14 +1060,18 @@ object SparkEntry {
     // matters, unlike the unigram signal
     "text_bigram_lm" -> ((s, dir) =>
       Curation.bigramLogProb(t(s, dir, "documents"), "doc_id",
-        Text.tokens(col("text")))),
+        Text.tokens(col("text")),
+        localModelThreshold = lmModelThreshold,
+        localKernelMaxBytes = lmKernelMaxBytes)),
 
     // interpolated (Jelinek-Mercer) bigram+unigram LM — the CCNet
     // shape: rare-prefix MLE overconfidence cushioned by the unigram
     // mixture; hash-keyed like bigramLogProb
     "text_interp_lm" -> ((s, dir) =>
       Curation.interpLogProb(t(s, dir, "documents"), "doc_id",
-        Text.tokens(col("text")), lambda = interpLambda)),
+        Text.tokens(col("text")), lambda = interpLambda,
+        localModelThreshold = lmModelThreshold,
+        localKernelMaxBytes = lmKernelMaxBytes)),
 
     // CCNet-style perplexity triage (r10): head/middle/tail buckets
     // by interpolated-LM likelihood, cut at exact score quantiles —
@@ -1053,7 +1080,9 @@ object SparkEntry {
     "quality_perplexity" -> ((s, dir) =>
       Curation.perplexityBuckets(t(s, dir, "documents"), "doc_id",
         Text.tokens(col("text")), lambda = interpLambda,
-        headQ = 0.3, tailQ = 0.3)),
+        headQ = 0.3, tailQ = 0.3,
+        localModelThreshold = lmModelThreshold,
+        localKernelMaxBytes = lmKernelMaxBytes)),
 
     // fixed-budget sequence packing per source shard (2048 tokens)
     "pack_sequences" -> ((s, dir) =>

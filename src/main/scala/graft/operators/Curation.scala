@@ -194,7 +194,16 @@ object Curation {
     // bigram vocab — the r17 partition-window fold is unchanged
     // (pinnable with threshold = 0, how the plan spec + scale probes
     // keep the distributed shape honest).
-    val model = localBigramModel(bfreq, localModelThreshold).getOrElse {
+    // r19 probe stats gate (r18 ADVICE): the vocab probe is itself a
+    // full corpus aggregation, so it only runs when the input plan is
+    // small enough that losing it is cheap — see
+    // [[defaultLmModelProbeMaxBytes]]. Above the bound: straight to
+    // the distributed partition-window fold, zero wasted passes.
+    val probeOk = localModelThreshold > 0L &&
+      docs.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        BigInt(defaultLmModelProbeMaxBytes)
+    val model = (if (probeOk) localBigramModel(bfreq, localModelThreshold)
+      else None).getOrElse {
       bfreq
         .withColumn("pcnt", sum(col("bcnt")).over(Window.partitionBy(col("__pfx"))))
         .select("bigram_h", "bcnt", "pcnt")
@@ -213,22 +222,55 @@ object Curation {
     * pair table. */
   val defaultPmiLocalVocabThreshold: Long = 1024L
 
+  /** Collected-text char bound for the PMI driver kernel (r19 — r18
+    * ADVICE): the kernel's pair LongMap holds up to ~nt·window
+    * entries and the bytes gate compares COMPRESSED parquet stats,
+    * so token mass needs its own cap. 4M chars ≲ 0.8M tokens ≲
+    * ~1.6M pair entries at window 2 — tens of MB of driver heap,
+    * safe beside the ≤[[defaultLmLocalMaxBytes]] text collect. Over
+    * the cap the kernel abandons its (stats-bounded) collect and
+    * the distributed tiers run unchanged. */
+  val defaultPmiLocalMaxChars: Long = 4L << 20
+
   /** Bigram-model vocab size at or below which the LM model folds
     * driver-local and broadcasts ([[bigramLogProb]] /
     * [[interpLogProb]] — the [[Bpe.defaultLocalVocabThreshold]]
-    * convention). 1M (bigram_h, bcnt, pcnt[, ucnt]) rows ≈ tens of
-    * MB of driver heap and a comfortably broadcastable relation; a
-    * web-scale corpus's bigram vocab blows past it and stays on the
-    * distributed partition-window path. */
-  val defaultLocalModelThreshold: Long = 1000000L
+    * convention). r19 sizing (r18 ADVICE): a collectIfSmall of the
+    * model table materializes GenericRow objects with boxed longs —
+    * ~hundreds of bytes per row transient — so the default is 250k
+    * rows (tens of MB of transient driver heap, a ~6 MB broadcast
+    * relation), not the r18 1M whose collect could transiently reach
+    * hundreds of MB on a default driver. A web-scale corpus's bigram
+    * vocab blows past it and stays on the distributed
+    * partition-window path. */
+  val defaultLocalModelThreshold: Long = 250000L
 
   /** Input-plan stats bound for the LM driver kernel ([[LmLocal]]):
     * collect-and-score only when Catalyst's size estimate for the
     * doc plan is at most this many bytes. Parquet relations report
     * file size, so the gate is a real pre-execution bound (no probe
     * job); a join/explode upstream inflates the estimate and safely
-    * falls to the distributed tiers. */
-  val defaultLmLocalMaxBytes: Long = 64L << 20
+    * falls to the distributed tiers. r19 sizing (r18 ADVICE): the
+    * estimate is COMPRESSED parquet bytes — text columns decompress
+    * ~3-6×, and the collected rows are boxed — so the gate is 16 MB
+    * (≈ 50-100 MB of driver heap worst case, safe on a default 1g
+    * driver), not the r18 64 MB. */
+  val defaultLmLocalMaxBytes: Long = 16L << 20
+
+  /** Input-plan stats bound for PROBING the driver-local model fold
+    * (tier 2 of [[bigramLogProb]] / [[interpLogProb]], r19 — r18
+    * ADVICE): the probe IS a full corpus-scale aggregation
+    * (limit+collect over the model agg), and when the vocab loses
+    * the probe the distributed path re-runs that aggregation — so
+    * above this input size the probe is skipped outright and the
+    * plan goes straight to the distributed partition-window fold
+    * (zero wasted work at exactly the scale this engine optimizes
+    * for). Below it, a lost probe wastes at most one aggregation
+    * over a ≤256 MB input — bounded, and the tier-2 broadcast-join
+    * win when it fires is worth the gamble at that size. The
+    * practical loss is nil at 100 TB: a corpus that large cannot
+    * have a ≤[[defaultLocalModelThreshold]] bigram vocab. */
+  val defaultLmModelProbeMaxBytes: Long = 256L << 20
 
   /** Eligibility + collect for the LM driver kernel: the tokens
     * column must be EXACTLY the shared whitespace convention (any
@@ -257,6 +299,10 @@ object Curation {
   private def collectIfSmall(df: DataFrame,
       threshold: Long): Option[Array[org.apache.spark.sql.Row]] = {
     if (threshold <= 0L) return None
+    // clamp before the Int narrowing (r18 ADVICE): a caller-supplied
+    // threshold above Int.MaxValue−1 must mean "never local", not an
+    // overflowed negative limit / AnalysisException
+    if (threshold > Int.MaxValue - 1L) return None
     val rows = df.limit(threshold.toInt + 1).collect()
     if (rows.length > threshold) None else Some(rows)
   }
@@ -338,7 +384,14 @@ object Curation {
     // um.get filter mirrors the distributed inner join on token_h
     // exactly (a missing token cannot occur — both sides key the
     // same seed-1L hash of the same non-empty tokens).
-    val localScore = collectIfSmall(bfreq, localModelThreshold).flatMap { brows =>
+    // r19 probe stats gate — see [[bigramLogProb]] /
+    // [[defaultLmModelProbeMaxBytes]]: both probes are corpus-scale
+    // aggregations; skip them outright on large inputs
+    val probeOk = localModelThreshold > 0L &&
+      docs.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        BigInt(defaultLmModelProbeMaxBytes)
+    val localScore = (if (probeOk) collectIfSmall(bfreq, localModelThreshold)
+      else None).flatMap { brows =>
       collectIfSmall(uni, localModelThreshold).map { urows =>
         val pc = localPrefixCounts(brows)
         val um = new scala.collection.mutable.LongMap[Long](urows.length * 2)
@@ -577,12 +630,21 @@ object Curation {
           BigInt(localKernelMaxBytes)) {
       val texts = docs.select(textCol.cast("string")).collect()
         .map(r => if (r.isNullAt(0)) null else r.getString(0))
-      val sess = docs.sparkSession
-      import sess.implicits._
-      // no result persist — driver-local already (see
-      // perplexityBuckets' kernel tier)
-      return LmLocal.pmiCollocations(texts, window, minCount)
-        .toDF("w1", "w2", "n_cooc", "pmi").coalesce(1)
+      // r19 token-mass cap (r18 ADVICE): the bytes gate compares
+      // COMPRESSED stats while the kernel's pair map is ~nt·window
+      // entries — bound the collected char mass too; over the cap
+      // the (stats-bounded) collect is abandoned and the
+      // distributed tiers run unchanged.
+      val chars = texts.foldLeft(0L)((s, t) =>
+        s + (if (t == null) 0 else t.length))
+      if (chars <= defaultPmiLocalMaxChars) {
+        val sess = docs.sparkSession
+        import sess.implicits._
+        // no result persist — driver-local already (see
+        // perplexityBuckets' kernel tier)
+        return LmLocal.pmiCollocations(texts, window, minCount)
+          .toDF("w1", "w2", "n_cooc", "pmi").coalesce(1)
+      }
     }
     val tk = filter(graft.functions.Text.tokens(textCol), t => t =!= "")
     // 0/1-token docs emit no pairs at any distance — dropping them up
@@ -601,6 +663,15 @@ object Curation {
       .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
     val ucRaw = docs.select(explode(tk).as("token"))
       .groupBy("token").agg(count(lit(1)).as("__cx"))
+    // r19 (r18 ADVICE): persist the vocab table BEFORE the probe —
+    // the probe below is a full corpus-scale tokenize+aggregate, and
+    // without the cache an over-the-gate corpus (any real one, with
+    // the provable v ≤ 1024 bound) paid that aggregation once for
+    // the discarded probe and AGAIN on the distributed path. The
+    // probe's limit-scan now fills the cache the distributed
+    // materializing pass reads; the local branch releases it.
+    val uc = ucRaw
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // r18 adaptive fold (the bigram-LM driver gate, with a PROVABLE
     // bound making the probe free): if the token vocab fits the gate
     // (v ≤ threshold, one vocab-sized collect of the table the
@@ -615,7 +686,7 @@ object Curation {
     // bit-for-bit (same promotion order, same java.math rounding).
     // Above the gate the distributed path is unchanged and pinnable
     // with threshold = 0 (the LshLocal/plan-spec convention).
-    val localOut = collectIfSmall(ucRaw, localVocabThreshold).map { urows =>
+    val localOut = collectIfSmall(uc, localVocabThreshold).map { urows =>
       val pc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_cooc")).collect()
       val cx = urows.map(r => r.getString(0) -> r.getLong(1)).toMap
       val nt = urows.foldLeft(0L)((s, r) => s + r.getLong(1))
@@ -634,9 +705,12 @@ object Curation {
       materialized.count()
       materialized
     }
-    if (localOut.isDefined) return localOut.get
-    val uc = ucRaw
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (localOut.isDefined) {
+      // the vocab cache fed the probe only — the local branch scored
+      // from the collected rows
+      uc.unpersist(blocking = false)
+      return localOut.get
+    }
     // the corpus-wide scalars fold out of a LENGTHS-ONLY scan EXACTLY:
     // WindowPairs emits Σ_{d≤window} max(L−d, 0) pairs for an L-token
     // doc (pure arithmetic in L), and nt = Σ L over all docs. r17:

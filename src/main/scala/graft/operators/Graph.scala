@@ -57,13 +57,21 @@ object Graph {
     *        are dropped up front: a zero-weight edge is a non-edge,
     *        and a src left with no positive out-edges is a genuine
     *        dangler. */
+  /** The default (no-op) iteration observer — a stable reference so
+    * the adaptive dispatch can detect "nobody is watching the
+    * iterations" (a custom observer pins the distributed loop, whose
+    * per-iteration driver reads are what the observer observes). The
+    * [[NoRound]] convention applied to [[pagerank]]. */
+  val NoIteration: (Int, Double) => Unit = (_, _) => ()
+
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, damping: Double = 0.85,
       truncateEvery: Int = 1,
       danglingRedistribution: Boolean = false,
       tolerance: Option[Double] = None,
-      onIteration: (Int, Double) => Unit = (_, _) => (),
-      weightCol: Option[String] = None): DataFrame = {
+      onIteration: (Int, Double) => Unit = NoIteration,
+      weightCol: Option[String] = None,
+      localEdgeThreshold: Long = Clusters.defaultLocalEdgeThreshold): DataFrame = {
     require(iterations >= 1, s"iterations $iterations must be >= 1")
     require(damping > 0.0 && damping < 1.0, s"damping $damping outside (0, 1)")
     require(truncateEvery >= 1, s"truncateEvery $truncateEvery must be >= 1")
@@ -96,6 +104,34 @@ object Graph {
     val e = truncateUpfront(edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("__w"))
       .filter(col("__w") > 0.0))
+
+    // ADAPTIVE STRATEGY PICK (r19 — the Clusters/labelPropagation r14
+    // contract applied to the rank loop): when the MEASURED filtered
+    // edge list fits one task, the whole power iteration runs
+    // in-memory in that task — same formula, same dangling handling,
+    // same node-key null semantics (property-spec'd ≡ the loop on the
+    // declared 6dp surface) — instead of paying one co-partitioned
+    // join + inflow aggregate + truncation job per iteration.
+    // Eligibility mirrors LPA: a custom onIteration pins the loop
+    // (the observer watches its per-iteration driver reads), the
+    // tolerance branch needs those reads anyway, and threshold 0 pins
+    // the distributed path (the probe/spec convention). The gate is
+    // one count() of the frame the distributed path was about to
+    // materialize anyway — in local mode it computes, caches and
+    // lineage-truncates `e` (the lazy localCheckpoint above), so the
+    // expensive upstream edge derivation still runs exactly once.
+    if (tolerance.isEmpty && (onIteration eq NoIteration) &&
+        localEdgeThreshold > 0 && e.count() <= localEdgeThreshold) {
+      val nodeType = e.schema("src").dataType
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", nodeType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+      val (iters, d, dang) = (iterations, damping, danglingRedistribution)
+      return e.coalesce(1) // no exchange: one task fetches the blocks
+        .mapPartitions(it => Graph.pagerankLocal(it, iters, d, dang))(
+          org.apache.spark.sql.Encoders.row(outSchema))
+    }
     // (src, dst, w, outw): the per-iteration join input, materialized
     // once. sum(w) over src = out-weight (= outdegree when
     // unweighted: the sum of exact 1.0s IS the count, so the classic
@@ -464,5 +500,85 @@ object Graph {
     if (result == null) result = cur
     val res = result
     Iterator.range(0, n).map(k => (ids(k), res(k)))
+  }
+
+  /** Single-task power iteration over a filtered (src, dst, w>0) edge
+    * list — the in-memory strategy [[pagerank]] dispatches to below
+    * the edge threshold. Mirrors the distributed loop EXACTLY,
+    * including its null-key join semantics: a NULL endpoint is a
+    * distinct node (the distributed node set is a union+distinct, so
+    * null is a row) but equi-joins never match it — its edges carry
+    * no inflow in either direction and the dangling anti-join counts
+    * it as a dangler even when it has out-edges. So here: both
+    * endpoints register as nodes, only null-free edges enter the
+    * inflow arrays, and dangling(v) ⇔ v is null OR v accumulated no
+    * out-weight. FP note: per-node inflow sums accumulate in edge
+    * order where the distributed aggregate sums in shuffle order —
+    * identical up to ~1e-16 relative FP noise, invisible at the
+    * declared round-6dp surface (parity-spec'd; the oracle gate
+    * re-verifies at every SF). */
+  private[graft] def pagerankLocal(rows: Iterator[org.apache.spark.sql.Row],
+      iterations: Int, damping: Double,
+      danglingRedistribution: Boolean): Iterator[org.apache.spark.sql.Row] = {
+    val idOf = new java.util.HashMap[AnyRef, Integer]()
+    val ids = scala.collection.mutable.ArrayBuffer[AnyRef]()
+    def idx(k: AnyRef): Int = {
+      val i = idOf.get(k)
+      if (i != null) i.intValue()
+      else { val v = ids.length; idOf.put(k, Integer.valueOf(v)); ids += k; v }
+    }
+    val eSrc = new scala.collection.mutable.ArrayBuffer[Int]()
+    val eDst = new scala.collection.mutable.ArrayBuffer[Int]()
+    val eW = new scala.collection.mutable.ArrayBuffer[Double]()
+    // (src idx, weight) for EVERY edge with a non-null src — outw must
+    // include weights of edges whose dst is null (the distributed deg
+    // aggregates over e before any rank join, so a null-dst edge still
+    // makes its src a non-dangler)
+    val owSrc = new scala.collection.mutable.ArrayBuffer[Int]()
+    val owW = new scala.collection.mutable.ArrayBuffer[Double]()
+    rows.foreach { r =>
+      val s = if (r.isNullAt(0)) null else r.get(0).asInstanceOf[AnyRef]
+      val t = if (r.isNullAt(1)) null else r.get(1).asInstanceOf[AnyRef]
+      val wt = r.getDouble(2)
+      val si = idx(s)
+      val ti = idx(t)
+      if (s != null) { owSrc += si; owW += wt }
+      if (s != null && t != null) { eSrc += si; eDst += ti; eW += wt }
+    }
+    val n = ids.length
+    if (n == 0) return Iterator.empty
+    val outw = new Array[Double](n)
+    var i = 0
+    while (i < owSrc.length) { outw(owSrc(i)) += owW(i); i += 1 }
+    var ranks = Array.fill(n)(1.0 / n)
+    var iter = 0
+    while (iter < iterations) {
+      iter += 1
+      val inflow = new Array[Double](n)
+      i = 0
+      while (i < eSrc.length) {
+        inflow(eDst(i)) += ranks(eSrc(i)) * eW(i) / outw(eSrc(i))
+        i += 1
+      }
+      var dm = 0.0
+      if (danglingRedistribution) {
+        i = 0
+        while (i < n) {
+          if (ids(i) == null || outw(i) == 0.0) dm += ranks(i)
+          i += 1
+        }
+      }
+      val next = new Array[Double](n)
+      i = 0
+      while (i < n) {
+        next(i) = (1.0 - damping) / n + damping *
+          (if (danglingRedistribution) inflow(i) + dm / n else inflow(i))
+        i += 1
+      }
+      ranks = next
+    }
+    val res = ranks
+    Iterator.range(0, n).map(k =>
+      org.apache.spark.sql.Row(ids(k), res(k)))
   }
 }

@@ -238,7 +238,15 @@ final class ClusterStream private (
     * index, and the tomb set is session-local, so a landed index
     * carrying tombstoned rows would resurrect retracted content on
     * [[ClusterStream.resume]] (zero tombs there). The internal fast
-    * paths read the private field and stay tombstone-amortized. */
+    * paths read the private field and stay tombstone-amortized.
+    *
+    * COST NOTE (r18 ADVICE): because of that contract, merely
+    * READING this accessor with tombs outstanding pays a full
+    * physical index rewrite (a generation swap). Monitoring-style
+    * reads that only need sizes should track the loop's own deltas;
+    * durable landings should prefer the one-call
+    * [[checkpointIndexTo]] recipe, which owns the same compaction
+    * explicitly. */
   def standingIndex: Dedup.EmbeddingLshIndex = synchronized {
     if (tombSet.count > 0L) compact()
     index
@@ -249,12 +257,26 @@ final class ClusterStream private (
   // standing index — probes filter pairs against the set, a derived
   // threshold compaction amortizes the one physical rewrite.
   private val tombSet = new TombSet(labelsState.sparkSession)
+  // r19 (r18 verdict item 3): the index row count as MAINTAINED
+  // driver state. The index changes only at append/compact, so the
+  // retract path's threshold check must not re-run an O(index
+  // partitions) count job per takedown — the count is computed at
+  // most ONCE per index generation (lazily, over the
+  // already-materialized cached table) and invalidated exactly where
+  // the generation swaps. A takedown burst — the hot retract path —
+  // pays zero count jobs after the first.
+  @volatile private var indexSizeState: Long = -1L
+  private def indexSize(): Long = {
+    if (indexSizeState < 0L) indexSizeState = index.vecs.count()
+    indexSizeState
+  }
   /** Physically drop all tombstoned rows from the index (ONE
     * generation swap absorbing every takedown since the last
     * compaction) and reset the tomb set. */
   private def compact(): Unit = {
     index = Dedup.embeddingIndexRemove(index,
       tombSet.live().select(col("node").as("id")), "id")
+    indexSizeState = -1L // generation swap: size re-derives on demand
     tombSet.reset()
   }
 
@@ -289,6 +311,7 @@ final class ClusterStream private (
     raw.unpersist(blocking = false)
     prev.unpersist(blocking = false)
     index = extended
+    indexSizeState = -1L // appended a batch: size re-derives on demand
     labelsState = next
     delta
   }
@@ -346,9 +369,9 @@ final class ClusterStream private (
     pairs.unpersist(blocking = false)
     prev.unpersist(blocking = false)
     labelsState = next
-    // derived threshold (r18): the index-size count reads the
-    // materialized (localCheckpointed) vec table — one cached scan
-    if (tombSet.needsCompact(index.vecs.count())) compact()
+    // derived threshold (r18) against the MAINTAINED size (r19): no
+    // per-retract count job — indexSize() memoizes per generation
+    if (tombSet.needsCompact(indexSize())) compact()
     delta
   }
 
@@ -406,7 +429,9 @@ final class TextClusterStream private (
     * outstanding, for the same reason as the embedding twin (r18):
     * every external/durable consumer of the index goes through this
     * accessor, and the session-local tomb set cannot protect a row
-    * that reaches disk. */
+    * that reaches disk. Same COST NOTE as the twin: a read with
+    * tombs outstanding pays the physical rewrite — durable landings
+    * should prefer [[checkpointIndexTo]]. */
   def standingIndex: Dedup.MinhashIndex = synchronized {
     if (tombSet.count > 0L) compact()
     index
@@ -415,9 +440,16 @@ final class TextClusterStream private (
   // tombstoned ids — the [[ClusterStream]] takedown convention
   // (r17; shared bookkeeping hoisted to [[TombSet]] r18)
   private val tombSet = new TombSet(labelsState.sparkSession)
+  // maintained index size (r19) — see the embedding twin
+  @volatile private var indexSizeState: Long = -1L
+  private def indexSize(): Long = {
+    if (indexSizeState < 0L) indexSizeState = index.sigs.count()
+    indexSizeState
+  }
   private def compact(): Unit = {
     index = Dedup.minhashIndexRemove(index,
       tombSet.live().select(col("node").as("doc_id")), "doc_id")
+    indexSizeState = -1L
     tombSet.reset()
   }
 
@@ -438,6 +470,7 @@ final class TextClusterStream private (
     raw.unpersist(blocking = false)
     prev.unpersist(blocking = false)
     index = extended
+    indexSizeState = -1L
     labelsState = next
     delta
   }
@@ -472,7 +505,8 @@ final class TextClusterStream private (
     rawPairs.unpersist(blocking = false)
     prev.unpersist(blocking = false)
     labelsState = next
-    if (tombSet.needsCompact(index.sigs.count())) compact()
+    // maintained size (r19): no per-retract count job
+    if (tombSet.needsCompact(indexSize())) compact()
     delta
   }
 

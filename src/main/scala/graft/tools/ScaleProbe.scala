@@ -279,14 +279,17 @@ object ScaleProbe {
           (col("l_orderkey") + lit(k.toLong * 1000000000L)).as("l_orderkey"),
           (col("l_suppkey") + lit(k.toLong * 10000000L)).as("l_suppkey"))
       }.reduce(_ unionByName _)
+      // threshold 0 pins the distributed per-iteration joins — the
+      // path that runs at corpus scale (the r19 single-task kernel
+      // the default picks here is trivially linear)
       probe("graph_pagerank") {
         graft.operators.Graph.pagerank(
           edgesOf(Pipeline.pairCounts(li1, "l_orderkey", "l_suppkey", or1, "o_orderkey")),
-          "src", "dst", 3).count()
+          "src", "dst", 3, localEdgeThreshold = 0).count()
       } {
         graft.operators.Graph.pagerank(
           edgesOf(Pipeline.pairCounts(liG, "l_orderkey", "l_suppkey", orN, "o_orderkey")),
-          "src", "dst", 3).count()
+          "src", "dst", 3, localEdgeThreshold = 0).count()
       }
       // triangle census on the thresholded co-occurrence graph: the
       // suppkey shift makes the Nx corpus N disjoint copies of the 1x
@@ -440,14 +443,17 @@ object ScaleProbe {
       } {
         hostGraph(docsN, mult).count()
       }
+      // threshold 0 pins the distributed rank loop (see graph_pagerank)
       probe("crawl_hostrank") {
         graft.operators.Graph.pagerank(hostGraph(docs1, 1),
           "src_host", "dst_host", iterations = 3, truncateEvery = 3,
-          danglingRedistribution = true, weightCol = Some("n_links")).count()
+          danglingRedistribution = true, weightCol = Some("n_links"),
+          localEdgeThreshold = 0).count()
       } {
         graft.operators.Graph.pagerank(hostGraph(docsN, mult),
           "src_host", "dst_host", iterations = 3, truncateEvery = 3,
-          danglingRedistribution = true, weightCol = Some("n_links")).count()
+          danglingRedistribution = true, weightCol = Some("n_links"),
+          localEdgeThreshold = 0).count()
       }
     }
     // per-stratum window with a rank cap: WindowGroupLimit must keep
@@ -544,14 +550,17 @@ object ScaleProbe {
           (col("l_orderkey") + lit(k.toLong * 1000000000L)).as("l_orderkey"),
           (col("l_suppkey") + lit(k.toLong * 10000000L)).as("l_suppkey"))
       }.reduce(_ unionByName _)
+      // threshold 0 pins the distributed rank loop (see graph_pagerank)
       probe("pagerank_dangling") {
         graft.operators.Graph.pagerank(
           dirEdges(Pipeline.pairCounts(li1, "l_orderkey", "l_suppkey", or1, "o_orderkey")),
-          "src", "dst", 3, danglingRedistribution = true).count()
+          "src", "dst", 3, danglingRedistribution = true,
+          localEdgeThreshold = 0).count()
       } {
         graft.operators.Graph.pagerank(
           dirEdges(Pipeline.pairCounts(liG, "l_orderkey", "l_suppkey", orN, "o_orderkey")),
-          "src", "dst", 3, danglingRedistribution = true).count()
+          "src", "dst", 3, danglingRedistribution = true,
+          localEdgeThreshold = 0).count()
       }
     }
     // logistic-regression training: one corpus scan + one-row agg per

@@ -69,6 +69,45 @@ class DriftPmiSpec extends SparkSpec {
     assert(folded === dist, "collected fold vs distributed")
   }
 
+  test("pmiCollocations tiers agree on custom-whitespace pathologies (r19)") {
+    // r18 verdict item 6: pmi's kernel gate checks plan stats only
+    // (it OWNS tokenization from textCol), so the kernel's byte-level
+    // \s scan must provably match the distributed Text.tokens split
+    // on the cases where they could diverge: NBSP (U+00A0 — a TOKEN
+    // byte under Java's ASCII-only \s), control chars (token bytes),
+    // tabs/CR/LF/FF/VT (all split), runs of mixed whitespace,
+    // multi-byte UTF-8, null/empty docs. The pair multiset, counts
+    // and 4dp scores must be identical across all three tiers.
+    val docs = Seq(
+      "a\u00a0b a\u00a0b c",              // NBSP glues tokens
+      "x \u00a0 y x \u00a0 y",            // NBSP as its own "token"
+      "\u0001ctl q\u0001r q\u0001r s",    // control chars are bytes
+      "t1\tt2\r\nt3\ft4\u000bt5 t1\tt2",  // every ASCII \s splits
+      "héllo wörld héllo wörld",          // multi-byte UTF-8
+      " padded   runs  padded   runs ",
+      "", null.asInstanceOf[String]
+    ).toDF("text")
+    def s(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.as[(String, String, Long, Double)].collect().toSet
+      df.unpersist(blocking = false)
+      r
+    }
+    val kernel = s(Curation.pmiCollocations(docs, col("text"), window = 2, minCount = 2L))
+    val folded = s(Curation.pmiCollocations(docs, col("text"), window = 2, minCount = 2L,
+      localKernelMaxBytes = 0L))
+    val dist = s(Curation.pmiCollocations(docs, col("text"), window = 2, minCount = 2L,
+      localVocabThreshold = 0L))
+    assert(dist.nonEmpty)
+    // the NBSP-glued and control-char tokens must actually appear —
+    // the pathology is exercised, not vacuously passed
+    assert(dist.exists { case (w1, w2, _, _) =>
+      (w1 + w2).contains('\u00a0') }, "NBSP token must survive as a token byte")
+    assert(dist.exists { case (w1, w2, _, _) =>
+      (w1 + w2).contains('\u0001') }, "control char must survive as a token byte")
+    assert(kernel === dist, "kernel vs distributed on pathological whitespace")
+    assert(folded === dist, "collected fold vs distributed on pathological whitespace")
+  }
+
   // ---- driftPsi ----
 
   test("driftPsi: identical slices score zero on every bucket, spine complete") {

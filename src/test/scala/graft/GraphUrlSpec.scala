@@ -45,13 +45,18 @@ class GraphUrlSpec extends SparkSpec {
   }
 
   test("pagerank hand-check on an asymmetric directed graph (dangling mass drops)") {
-    // 1 -> 2, 1 -> 3, 2 -> 3; 3 is dangling (no out-edges)
+    // 1 -> 2, 1 -> 3, 2 -> 3; 3 is dangling (no out-edges).
+    // Both strategies must meet the hand-derived values directly
+    // (kernel by default, the distributed loop via threshold 0).
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
-    val r = Graph.pagerank(edges, "src", "dst", 1).as[(Long, Double)].collect().toMap
-    val t = 0.15 / 3
-    assert(math.abs(r(1L) - t) < 1e-12)                          // no in-links
-    assert(math.abs(r(2L) - (t + 0.85 * (1.0 / 3 / 2))) < 1e-12) // half of 1's rank
-    assert(math.abs(r(3L) - (t + 0.85 * (1.0 / 3 / 2 + 1.0 / 3))) < 1e-12)
+    for (thr <- Seq(0L, graft.operators.Clusters.defaultLocalEdgeThreshold)) {
+      val r = Graph.pagerank(edges, "src", "dst", 1, localEdgeThreshold = thr)
+        .as[(Long, Double)].collect().toMap
+      val t = 0.15 / 3
+      assert(math.abs(r(1L) - t) < 1e-12, s"thr=$thr")             // no in-links
+      assert(math.abs(r(2L) - (t + 0.85 * (1.0 / 3 / 2))) < 1e-12, s"thr=$thr")
+      assert(math.abs(r(3L) - (t + 0.85 * (1.0 / 3 / 2 + 1.0 / 3))) < 1e-12, s"thr=$thr")
+    }
   }
 
   test("dangling redistribution conserves mass where the plain form leaks it") {
@@ -68,18 +73,22 @@ class GraphUrlSpec extends SparkSpec {
         s"iters=$iters: redistribution must conserve mass, got $conserved")
     }
     // redistributed ranks match an independent driver-side power
-    // iteration with the D/N correction term
-    val r = Graph.pagerank(edges, "src", "dst", 5, danglingRedistribution = true)
-      .as[(Long, Double)].collect().toMap
-    var exp = Map(1L -> 1.0 / 3, 2L -> 1.0 / 3, 3L -> 1.0 / 3)
-    for (_ <- 1 to 5) {
-      val dm = exp(3L)
-      exp = Map(
-        1L -> (0.15 / 3 + 0.85 * (dm / 3)),
-        2L -> (0.15 / 3 + 0.85 * (exp(1L) + dm / 3)),
-        3L -> (0.15 / 3 + 0.85 * (exp(2L) + dm / 3)))
+    // iteration with the D/N correction term — on BOTH strategies
+    for (thr <- Seq(0L, graft.operators.Clusters.defaultLocalEdgeThreshold)) {
+      val r = Graph.pagerank(edges, "src", "dst", 5, danglingRedistribution = true,
+          localEdgeThreshold = thr)
+        .as[(Long, Double)].collect().toMap
+      var exp = Map(1L -> 1.0 / 3, 2L -> 1.0 / 3, 3L -> 1.0 / 3)
+      for (_ <- 1 to 5) {
+        val dm = exp(3L)
+        exp = Map(
+          1L -> (0.15 / 3 + 0.85 * (dm / 3)),
+          2L -> (0.15 / 3 + 0.85 * (exp(1L) + dm / 3)),
+          3L -> (0.15 / 3 + 0.85 * (exp(2L) + dm / 3)))
+      }
+      exp.foreach { case (k, v) =>
+        assert(math.abs(r(k) - v) < 1e-12, s"thr=$thr node $k") }
     }
-    exp.foreach { case (k, v) => assert(math.abs(r(k) - v) < 1e-12, s"node $k") }
   }
 
   test("L1-delta tolerance stops the loop early at the fixpoint") {
@@ -110,6 +119,59 @@ class GraphUrlSpec extends SparkSpec {
     val edges = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException](Graph.pagerank(edges, "src", "dst", 0))
     intercept[IllegalArgumentException](Graph.pagerank(edges, "src", "dst", 3, damping = 1.0))
+  }
+
+  test("pagerank single-task kernel ≡ distributed loop (weighted + dangling, string keys)") {
+    // the crawl_hostrank shape: string hosts, link-count weights,
+    // genuine danglers, redistribution on — compared at the declared
+    // round-6dp surface AND within FP noise on the raw doubles
+    val edges = Seq(
+      ("a.org", "b.com", 3L), ("a.org", "c.net", 1L), ("b.com", "c.net", 2L),
+      ("d.io", "a.org", 5L), ("d.io", "b.com", 1L), ("e.xx", "a.org", 7L)
+    ).toDF("src", "dst", "w")
+    for (dang <- Seq(false, true); iters <- Seq(1, 3)) {
+      val kernel = Graph.pagerank(edges, "src", "dst", iters,
+          danglingRedistribution = dang, weightCol = Some("w"))
+        .as[(String, Double)].collect().toMap
+      val loop = Graph.pagerank(edges, "src", "dst", iters,
+          danglingRedistribution = dang, weightCol = Some("w"),
+          localEdgeThreshold = 0)
+        .as[(String, Double)].collect().toMap
+      assert(kernel.keySet === loop.keySet, s"dang=$dang iters=$iters")
+      kernel.keySet.foreach { k =>
+        assert(math.abs(kernel(k) - loop(k)) < 1e-12,
+          s"dang=$dang iters=$iters node $k: ${kernel(k)} vs ${loop(k)}")
+        assert(math.rint(kernel(k) * 1e6) === math.rint(loop(k) * 1e6),
+          s"6dp surface dang=$dang iters=$iters node $k")
+      }
+    }
+  }
+
+  test("pagerank kernel mirrors the loop's null-key join semantics") {
+    // a NULL endpoint is a node row (union+distinct keeps it) but
+    // equi-joins never match it: its edges carry no inflow either
+    // direction, and the dangling anti-join counts it as a dangler
+    // even when it has out-edges. 2 has only a null-dst edge beside
+    // 2→4, so its outdegree counts BOTH edges.
+    val edges = Seq(
+      (Option(1L), Option(2L)), (Option(2L), Option.empty[Long]),
+      (Option(2L), Option(4L)), (Option.empty[Long], Option(3L))
+    ).toDF("src", "dst")
+    for (dang <- Seq(false, true)) {
+      val kernel = Graph.pagerank(edges, "src", "dst", 2,
+          danglingRedistribution = dang)
+        .select(col("node"), col("rank")).collect()
+        .map(r => (if (r.isNullAt(0)) null else r.getLong(0): Any) -> r.getDouble(1)).toMap
+      val loop = Graph.pagerank(edges, "src", "dst", 2,
+          danglingRedistribution = dang, localEdgeThreshold = 0)
+        .select(col("node"), col("rank")).collect()
+        .map(r => (if (r.isNullAt(0)) null else r.getLong(0): Any) -> r.getDouble(1)).toMap
+      assert(kernel.keySet === loop.keySet, s"dang=$dang")
+      assert(kernel.keySet.contains(null), "null endpoint must be a node row")
+      kernel.keySet.foreach { k =>
+        assert(math.abs(kernel(k) - loop(k)) < 1e-12, s"dang=$dang node $k")
+      }
+    }
   }
 
   // ---- url canonicalization ----
